@@ -1,0 +1,74 @@
+"""Table loading / writing helpers.
+
+The driver's test tables (TESTDATA.md) are one parquet file per table under a
+scale-factor directory. ``load`` is the single entry point every query builder
+uses; it pins the session timezone (defensive — the driver may hand us a
+session we didn't build) and leaves the plan fully declarative so Catalyst can
+push filters/column pruning into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region: 5
+# rows, nation: 25 rows — fixed-size in TPC-H-style schemas regardless of SF).
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table not in TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as raw int64 and truncate to micros
+        # (exactly what DuckDB does when it reads the same file), yielding a
+        # timezone-free timestamp_ntz like every other table.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for spark.sql queries)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet write (≙ the reference's bucket-assigner
+    directory layout, Kafka2S3Parquet.scala:26-35 / Kafka2S3Hive.scala:97).
+
+    ``max_records_per_file`` plays the role of the reference's max part-file
+    size cap (Kafka2S3Hive.scala:106); at 100 TB it bounds individual file
+    size without an extra repartition pass.
+    """
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,311 @@
+"""Deduplication operators over `documents` (SURVEY.md §2 Part C).
+
+Four tiers, from exact to sketch-based:
+  * exact            — md5-fingerprint groupBy (one shuffle on the hash)
+  * n-gram Jaccard   — word-3-shingle set similarity via an inverted-index
+                       self-join (exact pairwise, oracle-checkable)
+  * MinHash + LSH    — 16 portable-hash permutations, 4 bands x 4 rows;
+                       candidate pairs from band-bucket equality only — the
+                       100 TB path (cost ~ O(docs x bands), never O(n^2))
+  * SimHash          — 16-bit fingerprint from per-bit token-hash voting
+
+All hashing uses functions/hashing.py's md5-based portable hash so the DuckDB
+oracle reproduces results bit-for-bit: every operator here is fully
+oracle-checked, including the LSH candidate generation.
+
+Scale notes: the inverted-index join explodes on hot shingles — at 100 TB use
+the MinHash path (bounded rows per doc) and salt hot band-buckets; both paths
+shuffle on content-derived keys, so data skew maps to popular-content skew
+which LSH banding caps at `bands` rows per doc.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_61
+from ..io import load
+from .textstats import TOKEN_RE
+
+# --- shared shingle construction (word 3-grams over the portable token def) ---
+_TOKENS = f"regexp_extract_all(text, '{TOKEN_RE}', 0)"
+_TOKENS_DUCK = f"regexp_extract_all(text, '{TOKEN_RE}')"
+
+SHINGLES = f"""
+    CASE WHEN size({_TOKENS}) >= 3 THEN
+        array_distinct(transform(
+            sequence(0, size({_TOKENS}) - 3),
+            i -> concat_ws(' ', element_at({_TOKENS}, i + 1),
+                                element_at({_TOKENS}, i + 2),
+                                element_at({_TOKENS}, i + 3))))
+    ELSE array() END
+"""
+SHINGLES_DUCK = f"""
+    list_distinct(list_transform(
+        generate_series(1, len({_TOKENS_DUCK}) - 2),
+        i -> concat_ws(' ', {_TOKENS_DUCK}[i],
+                            {_TOKENS_DUCK}[i + 1],
+                            {_TOKENS_DUCK}[i + 2])))
+"""
+
+# --- MinHash parameters: 16 universal-hash permutations, deterministic ------
+N_PERMS = 16
+BAND_ROWS = 4
+N_BANDS = N_PERMS // BAND_ROWS
+_rng = random.Random(42)
+PERMS = [(_rng.randrange(1, 1 << 31), _rng.randrange(0, 1 << 31)) for _ in range(N_PERMS)]
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the earliest doc_id.
+
+    One hash-shuffle on a 128-bit key; at 100 TB, hash first so the shuffle
+    carries 32-byte keys instead of document bodies."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count("*").alias("n_groups"))
+    )
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard: top-20 most similar doc pairs.
+
+    Inverted-index form: explode shingles, self-join on shingle equality (so
+    only pairs sharing >= 1 shingle are ever materialized), count common
+    shingles, then jaccard = common / (|A| + |B| - common)."""
+    docs = load(spark, sf, "documents").select("doc_id", F.expr(SHINGLES).alias("shingles"))
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
+    inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6),
+        )
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id -> array<bigint> of N_PERMS minhash values (ordered by perm)."""
+    docs = load(spark, sf, "documents").select("doc_id", F.expr(SHINGLES).alias("shingles"))
+    shingle = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    h31 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit((1 << 31) - 1)
+    shingle = shingle.select("doc_id", h31.alias("h31"))
+    perm_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("perm"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(PERMS)
+        ]
+    )
+    permed = shingle.select(
+        "doc_id", "h31", F.explode(perm_structs).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.perm").alias("perm"),
+        ((F.col("p.a") * F.col("h31") + F.col("p.b")) % F.lit(MERSENNE_61)).alias("hv"),
+    )
+    return (
+        permed.groupBy("doc_id", "perm")
+        .agg(F.min("hv").alias("minh"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("perm", "minh"))), lambda x: x.minh
+            ).alias("sig")
+        )
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: pairs agreeing on >= 1 full band,
+    with the signature-agreement estimate of Jaccard.
+
+    The scalable near-dup path: each doc emits exactly N_BANDS bucket keys, so
+    candidate generation is a groupBy-style equi-join on (band, bucket-hash) —
+    no pairwise comparison outside shared buckets."""
+    sigs = _minhash_signatures(spark, sf)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", *[F.element_at("sig", b * BAND_ROWS + r + 1).cast("string") for r in range(BAND_ROWS)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree / F.lit(N_PERMS), 6).alias("est_jaccard"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document: each bit is the sign of the
+    token-hash vote sum for that bit position."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+    tok = tok.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(16):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def _perm_values_duck() -> str:
+    return ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(PERMS))
+
+
+_SIG_DUCK = f"""
+    WITH shingled AS (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h31
+        FROM shingled
+    ), permed AS (
+        SELECT doc_id, p.perm, (p.a * h31 + p.b) % {MERSENNE_61} AS hv
+        FROM hashed CROSS JOIN (VALUES {{perms}}) AS p(perm, a, b)
+    ), mins AS (
+        SELECT doc_id, perm, min(hv) AS minh FROM permed GROUP BY doc_id, perm
+    ), sigs AS (
+        SELECT doc_id, list(minh ORDER BY perm) AS sig FROM mins GROUP BY doc_id
+    )
+"""
+
+
+def _minhash_oracle() -> str:
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, sig, {b} AS band,
+                   md5(concat_ws(',', {', '.join(f'sig[{b * BAND_ROWS + r + 1}]::VARCHAR' for r in range(BAND_ROWS))}))
+                   AS bucket FROM sigs"""
+        for b in range(N_BANDS)
+    )
+    return (
+        _SIG_DUCK.format(perms=_perm_values_duck())
+        + f""",
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.sig AS sig_a, y.sig AS sig_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_filter(generate_series(1, {N_PERMS}),
+                                     i -> sig_a[i] = sig_b[i]))::DOUBLE / {N_PERMS}, 6)
+                   AS est_jaccard
+        FROM cand
+    """
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents
+        ), hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok
+        ), per_doc AS (
+            SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, ({fp})::BIGINT AS simhash FROM per_doc
+    """
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": """
+        WITH groups AS (
+            SELECT md5(lower(trim(text))) AS fingerprint,
+                   min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        )
+        SELECT n_copies, count(*) AS n_groups FROM groups GROUP BY n_copies
+    """,
+    "dedup_jaccard_pairs": f"""
+        WITH docs AS (
+            SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM documents
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_shingles FROM docs
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM docs
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               round(n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+        LIMIT 20
+    """,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "simhash": _simhash_oracle(),
+}

@@ -1,0 +1,237 @@
+"""Event-time operators: the reference-parity projection plus the streaming
+window family (tumbling / sliding / session), as-of join, and keyed dedup.
+
+These are expressed over the bounded `events` table so the DuckDB oracle can
+check them; the *same* builders run unchanged on a streaming DataFrame (add
+`withWatermark`) — see streaming/ for the live pipelines. `events.ts` stands
+in for the reference's Kafka event time (FIXTURES.md §2).
+
+Scale notes: `window()`/`session_window()` aggregations shuffle once on
+(key, window); session windows additionally sort within partitions (Spark's
+updating session aggregation). The as-of join is the union-window form — one
+shuffle on user_id, no range-join explosion, robust to 100 TB fact sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.timeutils import hour_part, logday, minute_part
+from ..io import load
+
+
+def q_ad_events_partition_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference-parity flagship (Kafka2S3Hive.scala:114-129 restated in batch).
+
+    The reference's continuous INSERT projects the event columns plus
+    DATE_FORMAT partitions logday/h/m; here the same projection is aggregated
+    per partition directory — i.e. "what would land in each Hive partition".
+    """
+    events = load(spark, sf, "events")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            logday(F.col("ts")).alias("logday"),
+            hour_part(F.col("ts")).alias("h"),
+            minute_part(F.col("ts")).alias("m"),
+        )
+        .groupBy("logday", "h")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (streaming: add withWatermark)."""
+    events = load(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows: 1 hour long, every 30 minutes (each event in 2 windows)."""
+    events = load(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        # avg as snapped-sum/count: round(sum, 2) makes both engines agree on
+        # an identical double before the division, so the final rounding can't
+        # flip on summation-order noise (values have 2-decimal precision).
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def q_window_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap, per user.
+
+    Spark's session_window end = last event ts + gap; the oracle reproduces
+    that with a gaps-and-islands construction.
+    """
+    events = load(spark, sf, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view at-or-before it per user.
+
+    Implemented as the union-window pattern: tag both sides, sort within
+    user_id (views before purchases at equal ts via the side tag), then
+    `last(view_struct, ignoreNulls)` over an unbounded-preceding frame.
+    One shuffle, no per-row range probing — the scalable as-of form.
+    """
+    events = load(spark, sf, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"), F.lit(1).alias("is_left")
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"), F.lit(0).alias("is_left")
+    )
+    unioned = purchases.unionByName(views).withColumn(
+        "view_info",
+        F.when(
+            F.col("is_left") == 0, F.struct(F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id"))
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_view", F.last("view_info", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_view.v_ts").alias("view_ts"),
+            F.col("last_view.v_id").alias("view_id"),
+        )
+    )
+
+
+def q_dedup_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact keyed dedup keeping the earliest record per (user_id, event_type).
+
+    Deterministic form of dropDuplicates (which keeps an arbitrary row):
+    min-by over the unique event_id. Streaming twin: dropDuplicates within a
+    watermark (see streaming/)."""
+    events = load(spark, sf, "events")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+QUERIES = {
+    "ad_events_partition_projection": q_ad_events_partition_projection,
+    "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
+    "window_session": q_window_session,
+    "asof_join": q_asof_join,
+    "dedup_by_key": q_dedup_by_key,
+}
+
+ORACLES = {
+    "ad_events_partition_projection": """
+        SELECT strftime(ts, '%Y-%m-%d') AS logday,
+               strftime(ts, '%H') AS h,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "window_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "window_sliding": """
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS window_start, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS window_start, value
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               count(*) AS n_events,
+               round(round(sum(value), 2) / count(*), 6) AS avg_value
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+    "window_session": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTES AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    "asof_join": """
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               v.ts AS view_ts, v.event_id AS view_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "dedup_by_key": """
+        SELECT user_id, event_type, min(event_id) AS first_event_id,
+               count(*) AS n_dupes
+        FROM events GROUP BY user_id, event_type
+    """,
+}

@@ -1,0 +1,852 @@
+"""Relational operator surface (SURVEY.md §2 Part B).
+
+The reference implements no joins/aggregations/windows (it is an ingestion
+pipeline — verified in SURVEY.md §2), so this module exposes the standard
+relational categories through Spark built-ins: every query is a declarative
+DataFrame/SQL plan, leaving join-strategy choice, partial aggregation,
+predicate pushdown and column pruning to Catalyst + AQE.
+
+Scale notes (100 TB posture):
+  * fixed-size dims (region 5 rows, nation 25 rows) are explicitly
+    `broadcast()` — no shuffle regardless of fact-side size;
+  * fact-fact joins (orders⋈lineitem) rely on sort-merge + AQE skew handling;
+  * per-group top-k uses rank-over-window + filter, which Spark rewrites to
+    per-partition top-k (WindowGroupLimit) — no global sort;
+  * global top-k (`orderBy().limit()`) is executed as TakeOrderedAndProject —
+    no full sort/shuffle of the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+
+
+def _r2(c):  # money-ish sums: 2 decimals on both engines
+    return F.round(c, 2)
+
+
+def _r4(c):  # averages/ratios: 4 decimals
+    return F.round(c, 4)
+
+
+# ---------------------------------------------------------------------------
+# Scans, filters, projections
+# ---------------------------------------------------------------------------
+
+
+def q_filter_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicates =, BETWEEN, IN, LIKE, AND — all pushed into the parquet scan."""
+    part = load(spark, sf, "part")
+    return (
+        part.where(
+            (F.col("p_size").between(10, 20))
+            & (F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+            & (F.col("p_name").like("%a%"))
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+    )
+
+
+def q_projection_compute(spark: SparkSession, sf: str) -> DataFrame:
+    """Computed columns / rename (≙ A4/A6: derived cols + DATE_FORMAT projections)."""
+    orders = load(spark, sf, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("logday"),
+        _r2(F.col("o_totalprice") * (1 - 0.04)).alias("net_price"),
+        F.upper("o_orderstatus").alias("status_uc"),
+    )
+
+
+def q_json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field extraction (≙ A2/A3 json parsing) — get_json_object, JVM-side."""
+    events = load(spark, sf, "events")
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _r2(F.sum("o_totalprice")).alias("segment_revenue"),
+        )
+    )
+
+
+def q_join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer with null-preserving agg — customers with zero orders kept."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of two per-nation aggregates."""
+    cust = (
+        load(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi: customers that have at least one urgent order."""
+    customer = load(spark, sf, "customer")
+    urgent = load(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_join_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi (theta) join: ordered nation pairs within the same region.
+
+    Equi part (n_regionkey) hash-joins; the `<` residual filters — tiny dims,
+    broadcast on both sides.
+    """
+    n1 = F.broadcast(load(spark, sf, "nation")).alias("n1")
+    n2 = F.broadcast(load(spark, sf, "nation")).alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .select(
+            F.col("n1.n_regionkey").alias("regionkey"),
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+        )
+    )
+
+
+def q_join_multiway_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way join + agg + top-10."""
+    customer = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    lineitem = load(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_join_regional_revenue_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join; revenue per region/nation where the
+    supplier and customer share a nation. Dims broadcast; facts sort-merge."""
+    region = F.broadcast(load(spark, sf, "region"))
+    nation = F.broadcast(load(spark, sf, "nation"))
+    customer = load(spark, sf, "customer")
+    supplier = load(spark, sf, "supplier")
+    orders = load(spark, sf, "orders")
+    lineitem = load(spark, sf, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1: the flagship aggregate — partial+final HashAggregate,
+    map-side combine, 6 aggregates over 2 grouping keys."""
+    lineitem = load(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2(F.sum(charge)).alias("sum_charge"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_forecast_revenue_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6: selective filter + single global aggregate (scan-heavy)."""
+    lineitem = load(spark, sf, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q_agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ approximate distinct — sketch-based, no exact-distinct shuffle.
+
+    No oracle (DuckDB's approx_count_distinct uses a different sketch);
+    driver records the rows-only check.
+    """
+    lineitem = load(spark, sf, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """min/max/avg/stddev/percentile in one grouped pass."""
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        _r2(F.min("o_totalprice")).alias("min_price"),
+        _r2(F.max("o_totalprice")).alias("max_price"),
+        _r4(F.avg("o_totalprice")).alias("avg_price"),
+        _r4(F.stddev_samp("o_totalprice")).alias("std_price"),
+        _r2(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _r2(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load(spark, sf, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), _r2(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load(spark, sf, "lineitem")
+    return (
+        lineitem.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"), _r2(F.sum("l_quantity")).alias("sum_qty"))
+        .where(F.col("n_lines") >= 40)
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE WHEN inside aggregates (manual pivot)."""
+    events = load(spark, sf, "events")
+    is_type = lambda t: F.when(F.col("event_type") == t, F.col("value"))  # noqa: E731
+    return events.groupBy("user_id").agg(
+        _r2(F.sum(is_type("click"))).alias("click_value"),
+        _r2(F.sum(is_type("purchase"))).alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_pivot_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational pivot (wide layout) — explicit value list keeps a single pass."""
+    events = load(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per customer — rank-over-window + filter; Spark plans a
+    WindowGroupLimit (per-partition top-k), not a global sort."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", _r2(F.col("o_totalprice")).alias("o_totalprice"), "rk")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Running revenue per customer (ROWS UNBOUNDED PRECEDING frame)."""
+    orders = load(spark, sf, "orders")
+    w_order = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_frame = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _r2(F.sum("o_totalprice").over(w_frame)).alias("running_total"),
+        F.row_number().over(w_order).alias("order_seq"),
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead analytics: per-user inter-event gap in seconds."""
+    events = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_epoch"),
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(prev_ts.cast("timestamp"))
+        ).alias("gap_seconds"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q_window_rank_dense_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank over a global ordering."""
+    customer = load(spark, sf, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return customer.select(
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        _r4(F.percent_rank().over(w)).alias("pct_rank"),
+        _r4(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+def q_global_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-100 — TakeOrderedAndProject (heap per partition + merge),
+    never a full sort of the fact table."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", _r2(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation-key sets, tagged and unioned."""
+    cust_n = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_n = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust_n.intersect(supp_n).withColumn("set_op", F.lit("intersect"))
+    only_cust = cust_n.exceptAll(supp_n).withColumn("set_op", F.lit("except"))
+    all_keys = cust_n.union(supp_n).distinct().withColumn("set_op", F.lit("union"))
+    return both.unionByName(only_cust).unionByName(all_keys)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function gallery
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    part = load(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.ltrim(F.rtrim("p_type")).alias("type_trim"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devowel"),
+        F.split("p_type", " ").getItem(0).alias("type_first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+def q_scalar_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yy"),
+        F.month("o_orderdate").alias("mm"),
+        F.dayofmonth("o_orderdate").alias("dd"),
+        F.quarter("o_orderdate").alias("qq"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+def q_scalar_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load(spark, sf, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
+        F.ceil("l_quantity").alias("ceil_q"),
+        F.floor("l_quantity").alias("floor_q"),
+        _r4(F.sqrt("l_extendedprice")).alias("sqrt_p"),
+        _r4(F.ln(F.col("l_extendedprice") + 1)).alias("ln_p"),
+        _r4(F.pow(F.col("l_tax") + 1, 2)).alias("pow_tax"),
+        (F.col("l_partkey") % 7).alias("mod_7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+def q_subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_big_orders
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+def q_subquery_in(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "part").createOrReplaceTempView("part")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        GROUP BY p_brand
+        """
+    )
+
+
+QUERIES = {
+    "filter_pushdown": q_filter_pushdown,
+    "projection_compute": q_projection_compute,
+    "json_extract_props": q_json_extract_props,
+    "join_inner": q_join_inner,
+    "join_left_outer": q_join_left_outer,
+    "join_full_outer": q_join_full_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_theta": q_join_theta,
+    "join_multiway_q3": q_join_multiway_q3,
+    "join_regional_revenue_q5": q_join_regional_revenue_q5,
+    "pricing_summary_q1": q_pricing_summary_q1,
+    "forecast_revenue_q6": q_forecast_revenue_q6,
+    "agg_count_distinct": q_agg_count_distinct,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_stats": q_agg_stats,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_having": q_agg_having,
+    "conditional_agg": q_conditional_agg,
+    "pivot_event_type": q_pivot_event_type,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_sum": q_window_running_sum,
+    "window_lag_lead": q_window_lag_lead,
+    "window_rank_dense_ntile": q_window_rank_dense_ntile,
+    "global_topk": q_global_topk,
+    "set_ops": q_set_ops,
+    "scalar_string_funcs": q_scalar_string_funcs,
+    "scalar_date_funcs": q_scalar_date_funcs,
+    "scalar_math_funcs": q_scalar_math_funcs,
+    "subquery_scalar": q_subquery_scalar,
+    "subquery_exists": q_subquery_exists,
+    "subquery_in": q_subquery_in,
+}
+
+ORACLES = {
+    "filter_pushdown": """
+        SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        FROM part
+        WHERE p_size BETWEEN 10 AND 20
+          AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND p_name LIKE '%a%'
+    """,
+    "projection_compute": """
+        SELECT o_orderkey AS order_id,
+               year(o_orderdate) AS o_year,
+               month(o_orderdate) AS o_month,
+               strftime(o_orderdate, '%Y-%m-%d') AS logday,
+               round(o_totalprice * (1 - 0.04), 2) AS net_price,
+               upper(o_orderstatus) AS status_uc
+        FROM orders
+    """,
+    "json_extract_props": """
+        SELECT (json_extract_string(props, '$.k')::INT) % 10 AS k_mod,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    "join_inner": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS segment_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "join_left_outer": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY n_orders
+    """,
+    "join_full_outer": """
+        WITH cust AS (
+            SELECT c_nationkey AS nationkey, count(*) AS n_customers
+            FROM customer GROUP BY 1
+        ), supp AS (
+            SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+            FROM supplier GROUP BY 1
+        )
+        SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+    "join_semi": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "join_theta": """
+        SELECT n1.n_regionkey AS regionkey, n1.n_name AS nation_a, n2.n_name AS nation_b
+        FROM nation n1 JOIN nation n2
+          ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+    "join_multiway_q3": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "join_regional_revenue_q5": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "pricing_summary_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "forecast_revenue_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "agg_count_distinct": """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_distinct_customers,
+               count(DISTINCT o_orderpriority) AS n_priorities,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "agg_stats": """
+        SELECT o_orderpriority,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(stddev_samp(o_totalprice), 4) AS std_price,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "agg_having": """
+        SELECT l_partkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+    """,
+    "conditional_agg": """
+        SELECT user_id,
+               round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_value,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_value,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "pivot_event_type": """
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER w, 2) AS running_total,
+               row_number() OVER w AS order_seq
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "window_lag_lead": """
+        SELECT user_id, event_id,
+               floor(epoch(ts))::BIGINT AS ts_epoch,
+               floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT AS gap_seconds,
+               lead(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "window_rank_dense_ntile": """
+        SELECT c_custkey,
+               row_number() OVER w AS rn,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    "global_topk": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "set_ops": """
+        WITH cust_n AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             supp_n AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        SELECT nationkey, 'intersect' AS set_op FROM (SELECT * FROM cust_n INTERSECT SELECT * FROM supp_n)
+        UNION ALL
+        SELECT nationkey, 'except' AS set_op FROM (SELECT * FROM cust_n EXCEPT ALL SELECT * FROM supp_n)
+        UNION ALL
+        SELECT nationkey, 'union' AS set_op FROM (SELECT * FROM cust_n UNION SELECT * FROM supp_n)
+    """,
+    "scalar_string_funcs": """
+        SELECT p_partkey,
+               upper(p_name) AS name_uc,
+               lower(p_brand) AS brand_lc,
+               length(p_name) AS name_len,
+               substr(p_name, 1, 5) AS name_pfx,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               ltrim(rtrim(p_type)) AS type_trim,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+               string_split(p_type, ' ')[1] AS type_first_word,
+               lpad(p_size::VARCHAR, 4, '0') AS size_padded
+        FROM part
+    """,
+    "scalar_date_funcs": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS yy,
+               month(o_orderdate) AS mm,
+               day(o_orderdate) AS dd,
+               quarter(o_orderdate) AS qq,
+               date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_to_2002
+        FROM orders
+    """,
+    "scalar_math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05) AS abs_v,
+               ceil(l_quantity)::BIGINT AS ceil_q,
+               floor(l_quantity)::BIGINT AS floor_q,
+               round(sqrt(l_extendedprice), 4) AS sqrt_p,
+               round(ln(l_extendedprice + 1), 4) AS ln_p,
+               round(pow(l_tax + 1, 2), 4) AS pow_tax,
+               l_partkey % 7 AS mod_7,
+               greatest(l_discount, l_tax) AS max_rate,
+               least(l_discount, l_tax) AS min_rate
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    "subquery_scalar": """
+        SELECT o_orderpriority, count(*) AS n_big_orders
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        GROUP BY o_orderpriority
+    """,
+    "subquery_exists": """
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        GROUP BY o_orderstatus
+    """,
+    "subquery_in": """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        GROUP BY p_brand
+    """,
+}

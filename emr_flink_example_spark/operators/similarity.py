@@ -1,0 +1,214 @@
+"""Embedding similarity search over `embeddings` (SURVEY.md §2 Part C).
+
+Two tiers:
+  * brute-force cosine top-k — the exactness baseline: broadcast the (small)
+    query set against the candidate corpus, dot products via JVM-side
+    `zip_with`/`aggregate` higher-order functions (no Python in the hot
+    path), per-query top-k via rank-over-window;
+  * random-hyperplane LSH — the 100 TB path: each vector gets a compact
+    bucket id (sign bits of K fixed hyperplane projections); search touches
+    only same-bucket candidates, so cost ~ O(n / 2^K) per query after one
+    shuffle on bucket id. Hyperplanes are fixed ±1 vectors (seeded), which
+    keeps them exactly reproducible in the DuckDB oracle.
+
+At real scale the query side is broadcast and the corpus is bucketed once and
+reused (write bucket id as a partition column); multi-probe = OR of
+Hamming-1-neighbor buckets.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+
+DIM = 64
+N_PLANES = 4
+_rng = random.Random(7)
+#: K fixed hyperplanes with ±1.0 entries (exact in float and double).
+PLANES = [[float(_rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(N_PLANES)]
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+
+
+def _plane_lit(j: int) -> str:
+    return "array(" + ", ".join(f"{v}D" for v in PLANES[j]) + ")"
+
+
+def _plane_duck(j: int) -> str:
+    return "[" + ", ".join(str(v) for v in PLANES[j]) + "]::DOUBLE[]"
+
+
+def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 10) over the corpus."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 5)
+        .select("query_id", "neighbor_id", "nn_rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _with_bucket(emb: DataFrame) -> DataFrame:
+    bucket = None
+    for j in range(N_PLANES):
+        bit = F.when(_dot("e", _plane_lit(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.withColumn("bucket", bucket.cast("int"))
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH bucket assignment + per-bucket occupancy (the partition layout a
+    100 TB corpus would be written under)."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    b = _with_bucket(emb)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-3: cosine ranking restricted to same-bucket candidates."""
+    emb = _with_bucket(
+        load(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("bucket").alias("cb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn(
+            "cosine",
+            _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id", "nn_rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def q_embedding_label_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label vector stats: count, mean L2 norm, mean of the first dim."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    norm = F.sqrt(_dot("e", "e"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.avg(F.element_at("e", 1)), 4).alias("avg_dim0"),
+    )
+
+
+_COS_DUCK = (
+    "list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+)
+
+
+def _bucket_duck(e: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({e}, {_plane_duck(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"({bits})::INT"
+
+
+QUERIES = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_label_stats": q_embedding_label_stats,
+}
+
+ORACLES = {
+    "knn_bruteforce": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+        ), scored AS (
+            SELECT query_id, neighbor_id, {_COS_DUCK} AS cosine
+            FROM q CROSS JOIN c WHERE query_id != neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS nn_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, nn_rank, round(cosine, 4) AS cosine
+        FROM ranked WHERE nn_rank <= 5
+    """,
+    "ann_lsh_buckets": f"""
+        WITH b AS (
+            SELECT vec_id, label, {_bucket_duck('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        )
+        SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
+               min(vec_id) AS min_vec_id
+        FROM b GROUP BY bucket
+    """,
+    "ann_lsh_topk": f"""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   {_bucket_duck('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id, e AS ce, bucket AS cb FROM b
+        ), scored AS (
+            SELECT query_id, neighbor_id, {_COS_DUCK} AS cosine
+            FROM q JOIN c ON qb = cb AND query_id != neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS nn_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, nn_rank, round(cosine, 4) AS cosine
+        FROM ranked WHERE nn_rank <= 3
+    """,
+    "embedding_label_stats": """
+        SELECT label, count(*) AS n_vectors,
+               round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+                   AS avg_norm,
+               round(avg(embedding[1]), 4) AS avg_dim0
+        FROM embeddings GROUP BY label
+    """,
+}

@@ -1,0 +1,190 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2 Part C).
+
+Everything is built from JVM-side array/higher-order functions
+(regexp_extract_all / filter / transform / aggregate) — no Python UDFs — so
+tokenization stays inside codegen and scales linearly with the scan. The
+token definition ('[a-zA-Z0-9]+' runs) is chosen to behave identically in
+Spark (Java regex) and DuckDB (RE2): no lookaround, no unicode classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+TOKEN_RE = "[a-zA-Z0-9]+"
+TOKENS = f"regexp_extract_all(text, '{TOKEN_RE}', 0)"
+TOKENS_DUCK = f"regexp_extract_all(text, '{TOKEN_RE}')"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Tiny per-language lexicons for the n-gram/stopword language-ID heuristic.
+LEXICONS = {
+    "en": ("the", "and", "of", "join", "table"),
+    "es": ("el", "la", "de", "datos", "con"),
+    "fr": ("le", "la", "et", "avec", "pour"),
+}
+
+
+def q_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus stats: doc count, char stats, token totals."""
+    docs = load(spark, sf, "documents")
+    n_tokens = F.expr(f"size({TOKENS})")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document quality features: token counts, avg token length,
+    stopword ratio, type-token ratio, and a composite score."""
+    docs = load(spark, sf, "documents")
+    docs = docs.withColumn("tokens", F.expr(TOKENS))
+    n_tokens = F.size("tokens")
+    n_uniq = F.size(F.array_distinct("tokens"))
+    sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
+    n_stop = F.expr(f"size(filter(tokens, x -> x IN ({_SW})))")
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    ttr = F.round(n_uniq / n_tokens, 4)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(sum_len / n_tokens, 4).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        F.round(
+            F.log(1.0 + n_tokens) * (1 - n_stop / n_tokens) * (n_uniq / n_tokens), 4
+        ).alias("quality_score"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Global token frequency (the classic wordcount) — top 50 tokens."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic document fingerprints: md5 of the normalized text plus a
+    60-bit integer form (functions/hashing.py portable_hash)."""
+    docs = load(spark, sf, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("fingerprint"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fingerprint_int"),
+    )
+
+
+def q_lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-lexicon language ID: score = |distinct lexicon hits|, argmax
+    with a fixed tie-break order (en > es > fr, then 'und')."""
+    docs = load(spark, sf, "documents")
+    docs = docs.withColumn("tokens", F.expr(f"array_distinct({TOKENS})"))
+    hits = {}
+    for lang, words in LEXICONS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        hits[lang] = F.expr(f"size(array_intersect(tokens, array({arr})))")
+    pred = (
+        F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), "en")
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] > 0), "es")
+        .when(hits["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["fr"].alias("fr_hits"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def _lex_duck(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in LEXICONS[lang])
+    return f"len(list_intersect(tokens, [{arr}]))"
+
+
+QUERIES = {
+    "lang_stats": q_lang_stats,
+    "text_quality": q_text_quality,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id_heuristic": q_lang_id_heuristic,
+}
+
+ORACLES = {
+    "lang_stats": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               sum(len({TOKENS_DUCK})) AS total_tokens,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+    """,
+    "text_quality": f"""
+        WITH tok AS (SELECT doc_id, lang, {TOKENS_DUCK} AS tokens FROM documents)
+        SELECT doc_id, lang,
+               len(tokens) AS n_tokens,
+               len(list_distinct(tokens)) AS n_uniq_tokens,
+               round(list_sum(list_transform(tokens, x -> length(x)))::DOUBLE / len(tokens), 4)
+                   AS avg_token_len,
+               round(len(list_filter(tokens, x -> x IN ({_SW})))::DOUBLE / len(tokens), 4)
+                   AS stopword_ratio,
+               round(len(list_distinct(tokens))::DOUBLE / len(tokens), 4) AS type_token_ratio,
+               round(ln(1.0 + len(tokens))
+                     * (1 - len(list_filter(tokens, x -> x IN ({_SW})))::DOUBLE / len(tokens))
+                     * (len(list_distinct(tokens))::DOUBLE / len(tokens)), 4) AS quality_score
+        FROM tok
+    """,
+    "token_counts": f"""
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY freq DESC, token ASC
+        LIMIT 50
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, source,
+               md5(lower(trim(text))) AS fingerprint,
+               ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS fingerprint_int
+        FROM documents
+    """,
+    "lang_id_heuristic": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, list_distinct({TOKENS_DUCK}) AS tokens FROM documents
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               {_lex_duck('en')} AS en_hits,
+               {_lex_duck('es')} AS es_hits,
+               {_lex_duck('fr')} AS fr_hits,
+               CASE WHEN {_lex_duck('en')} >= {_lex_duck('es')}
+                         AND {_lex_duck('en')} >= {_lex_duck('fr')}
+                         AND {_lex_duck('en')} > 0 THEN 'en'
+                    WHEN {_lex_duck('es')} >= {_lex_duck('fr')}
+                         AND {_lex_duck('es')} > 0 THEN 'es'
+                    WHEN {_lex_duck('fr')} > 0 THEN 'fr'
+                    ELSE 'und' END AS predicted_lang
+        FROM tok
+    """,
+}
