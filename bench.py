@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line the driver records as BENCH_r{N}.json.
+
+Each query is fully materialized through the noop sink (measures the whole
+plan including shuffles/writes, without driver-collect overhead). One warmup
+query amortizes JVM/codegen startup out of the measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from emr_flink_example_spark.plans import catalog  # noqa: E402
+from emr_flink_example_spark.session import local_test_session  # noqa: E402
+
+#: Representative, scale-stressing subset of the catalog: scan-heavy agg,
+#: fact-fact joins, window functions, event-time windows, as-of, and the
+#: LLM-pipeline operators (LSH dedup, ANN, text features).
+HEADLINE = [
+    "pricing_summary_q1",
+    "forecast_revenue_q6",
+    "join_multiway_q3",
+    "join_regional_revenue_q5",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "window_session",
+    "asof_join",
+    "ad_events_partition_projection",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = local_test_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = catalog.all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run(HEADLINE[0])  # warmup: JVM + codegen + parquet footer caches
+
+    timings = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,22 +34,40 @@ from .textstats import TOKEN_RE
 _TOKENS = f"regexp_extract_all(text, '{TOKEN_RE}', 0)"
 _TOKENS_DUCK = f"regexp_extract_all(text, '{TOKEN_RE}')"
 
-SHINGLES = f"""
-    CASE WHEN size({_TOKENS}) >= 3 THEN
+# NOTE: operates on a materialized `tokens` column, never inline
+# regexp_extract_all — a lambda body is re-evaluated per element, so inlining
+# the regex would make shingling O(tokens^2) in regex work.
+SHINGLES = """
+    CASE WHEN size(tokens) >= 3 THEN
         array_distinct(transform(
-            sequence(0, size({_TOKENS}) - 3),
-            i -> concat_ws(' ', element_at({_TOKENS}, i + 1),
-                                element_at({_TOKENS}, i + 2),
-                                element_at({_TOKENS}, i + 3))))
+            sequence(0, size(tokens) - 3),
+            i -> concat_ws(' ', element_at(tokens, i + 1),
+                                element_at(tokens, i + 2),
+                                element_at(tokens, i + 3))))
     ELSE array() END
 """
-SHINGLES_DUCK = f"""
+
+
+def _shingled_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # The repartition is a deliberate optimizer barrier: without it Catalyst
+    # collapses the shingle projection into the downstream Generate/explode,
+    # re-evaluating the whole tokenize+shingle lambda PER ARRAY ELEMENT
+    # (O(tokens^2) regex work — measured 10x slowdown). The exchange
+    # materializes shingles once; consumers that self-join additionally get
+    # ReusedExchange, sharing one computation across both sides. At 100 TB
+    # this shuffle also rebalances skewed document sizes across the cluster.
+    return (
+        load(spark, sf, "documents")
+        .withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", F.expr(SHINGLES).alias("shingles"))
+        .repartition("doc_id")
+    )
+SHINGLES_DUCK = """
     list_distinct(list_transform(
-        generate_series(1, len({_TOKENS_DUCK}) - 2),
-        i -> concat_ws(' ', {_TOKENS_DUCK}[i],
-                            {_TOKENS_DUCK}[i + 1],
-                            {_TOKENS_DUCK}[i + 2])))
+        generate_series(1, len(tokens) - 2),
+        i -> concat_ws(' ', tokens[i], tokens[i + 1], tokens[i + 2])))
 """
+_TOK_CTE = f"tok AS (SELECT doc_id, {_TOKENS_DUCK} AS tokens FROM documents)"
 
 # --- MinHash parameters: 16 universal-hash permutations, deterministic ------
 N_PERMS = 16
@@ -80,21 +98,32 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     Inverted-index form: explode shingles, self-join on shingle equality (so
     only pairs sharing >= 1 shingle are ever materialized), count common
     shingles, then jaccard = common / (|A| + |B| - common)."""
-    docs = load(spark, sf, "documents").select("doc_id", F.expr(SHINGLES).alias("shingles"))
-    sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
-    inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    docs = _shingled_docs(spark, sf)
+    # Carry each doc's set size through the inverted index so no extra joins
+    # (or second pass over the corpus) are needed to compute jaccard.
+    # explode_outer + explicit null filter, NOT plain explode: explode makes
+    # the optimizer infer `size(shingles) > 0` and push it below the
+    # exchange, where it re-evaluates the whole tokenize+shingle lambda per
+    # row (measured 2x the query's entire runtime). The null filter sits on
+    # the generate output and cannot be pushed down.
+    inv = docs.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode_outer("shingles").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("size_a"),
+            F.col("b.n_shingles").alias("size_b"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6),
         )
@@ -106,32 +135,28 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """doc_id -> array<bigint> of N_PERMS minhash values (ordered by perm)."""
-    docs = load(spark, sf, "documents").select("doc_id", F.expr(SHINGLES).alias("shingles"))
-    shingle = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    docs = _shingled_docs(spark, sf)
+    # explode_outer: see q_dedup_jaccard_pairs — avoids the inferred
+    # size(shingles)>0 filter being pushed below the exchange.
+    shingle = docs.select("doc_id", F.explode_outer("shingles").alias("shingle")).where(
+        F.col("shingle").isNotNull()
+    )
     h31 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit((1 << 31) - 1)
-    shingle = shingle.select("doc_id", h31.alias("h31"))
-    perm_structs = F.array(
-        *[
-            F.struct(F.lit(i).alias("perm"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for i, (a, b) in enumerate(PERMS)
-        ]
-    )
-    permed = shingle.select(
-        "doc_id", "h31", F.explode(perm_structs).alias("p")
-    ).select(
+    # One permuted-hash column per permutation instead of a 16x perm-explode:
+    # the groupBy then computes 16 mins with map-side partial aggregation, so
+    # the shuffle carries one row per document — this is what keeps MinHash
+    # linear in corpus size at 100 TB (shingle rows never leave their
+    # partition).
+    hashed = shingle.select("doc_id", h31.alias("h31"))  # md5 computed once
+    permed = hashed.select(
         "doc_id",
-        F.col("p.perm").alias("perm"),
-        ((F.col("p.a") * F.col("h31") + F.col("p.b")) % F.lit(MERSENNE_61)).alias("hv"),
+        *[
+            ((F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"p{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ],
     )
-    return (
-        permed.groupBy("doc_id", "perm")
-        .agg(F.min("hv").alias("minh"))
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("perm", "minh"))), lambda x: x.minh
-            ).alias("sig")
-        )
+    return permed.groupBy("doc_id").agg(
+        F.array(*[F.min(f"p{i}") for i in range(N_PERMS)]).alias("sig")
     )
 
 
@@ -210,8 +235,8 @@ def _perm_values_duck() -> str:
 
 
 _SIG_DUCK = f"""
-    WITH shingled AS (
-        SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM documents
+    WITH {_TOK_CTE}, shingled AS (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM tok
     ), hashed AS (
         SELECT doc_id,
                ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h31
@@ -287,8 +312,8 @@ ORACLES = {
         SELECT n_copies, count(*) AS n_groups FROM groups GROUP BY n_copies
     """,
     "dedup_jaccard_pairs": f"""
-        WITH docs AS (
-            SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM documents
+        WITH {_TOK_CTE}, docs AS (
+            SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM tok
         ), sizes AS (
             SELECT doc_id, len(shingles) AS n_shingles FROM docs
         ), inv AS (
