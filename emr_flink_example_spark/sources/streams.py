@@ -1,0 +1,77 @@
+"""Streaming source builders.
+
+The reference consumes one topic as a string stream
+(`createKafkaSource`, Kafka2S3Text.scala:27-33 / Kafka2S3Parquet.scala:37-43)
+or as a SQL table with JSON format (Kafka2S3Hive.scala:62-82). Spark-side:
+one kafka `readStream` builder, plus a file-stream twin with the same output
+schema (`value: string`) so every pipeline runs unchanged in environments
+without a broker (the test harness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import PipelineConfig
+
+#: The ad-event record schema (≙ case class Data, Kafka2S3Parquet.scala:22;
+#: SQL DDL Kafka2S3Hive.scala:63-68). One explicit StructType shared by
+#: from_json and every sink, replacing reflection-derived schemas.
+AD_EVENT_SCHEMA = StructType(
+    [
+        StructField("uuid", StringType()),
+        StructField("date", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("ad_type", IntegerType()),
+        StructField("ad_type_name", StringType()),
+    ]
+)
+
+
+def raw_string_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Unbounded stream of raw record strings, column `value: string`.
+
+    Kafka path ≙ FlinkKafkaConsumer + SimpleStringSchema; Spark tracks
+    offsets in the checkpoint rather than the consumer group (the group.id
+    is still forwarded for broker-side quota/ACL accounting).
+    """
+    if cfg.source_format == "kafka":
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.broker_list)
+            .option("subscribe", cfg.source_topic)
+            .option("startingOffsets", "latest")
+        )
+        if cfg.group_id:
+            reader = reader.option("kafka.group.id", cfg.group_id)
+        return reader.load().select(F.col("value").cast("string").alias("value"))
+    return spark.readStream.format("text").load(cfg.source_path).select(
+        F.col("value").cast("string").alias("value")
+    )
+
+
+def parsed_ad_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Typed ad-event stream via permissive JSON parsing.
+
+    `from_json` PERMISSIVE mode: missing fields -> NULL (≙
+    'json.fail-on-missing-field'='false') and fully unparseable records ->
+    all-NULL struct, dropped below (≙ 'json.ignore-parse-errors'='true');
+    Kafka2S3Hive.scala:77-78.
+    """
+    raw = raw_string_stream(spark, cfg)
+    parsed = raw.select(F.from_json("value", AD_EVENT_SCHEMA).alias("j"))
+    # from_json yields an all-NULL struct (not NULL) for malformed records in
+    # PERMISSIVE mode, so 'ignore-parse-errors' = drop rows with no parsed
+    # field at all; records with only some fields missing are kept.
+    any_field = F.coalesce(
+        *[F.col(f"j.{f.name}").cast("string") for f in AD_EVENT_SCHEMA.fields]
+    )
+    return parsed.where(any_field.isNotNull()).select("j.*")

@@ -1,0 +1,56 @@
+"""Catalog contract + oracle-differential spot checks at sf0.001.
+
+The full 55-query sweep runs via tools/selfcheck.py (and the driver's own
+gate at sf0.01); here a representative cross-section keeps `pytest -x -q`
+fast while still exercising every operator family end-to-end against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from emr_flink_example_spark.plans import catalog
+from emr_flink_example_spark.testing import compare, connect_oracle
+
+from conftest import SF_DIR
+
+REPRESENTATIVE = [
+    "pricing_summary_q1",          # aggregation
+    "join_regional_revenue_q5",    # multiway join
+    "join_anti",                   # anti join
+    "window_topk_per_group",       # window functions
+    "agg_rollup",                  # grouping analytics
+    "set_ops",                     # set operations
+    "json_extract_props",          # json + events table (nanos shim)
+    "window_session",              # session windows
+    "asof_join",                   # as-of join
+    "dedup_minhash_lsh",           # LSH dedup
+    "knn_bruteforce",              # similarity search
+    "text_quality",                # text analysis
+    "multimodal_decode_mapinpandas",  # Arrow/mapInPandas plumbing
+]
+
+
+def test_every_oracle_has_a_query():
+    qs, os_ = catalog.all_queries(), catalog.all_oracles()
+    assert set(os_) <= set(qs)
+    # the rows-only set is intentional and small
+    assert set(qs) - set(os_) == {"agg_approx_distinct"}
+
+
+def test_catalog_is_nontrivial():
+    assert len(catalog.all_queries()) >= 50
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = connect_oracle(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_matches_oracle(spark, oracle, name):
+    qs, os_ = catalog.all_queries(), catalog.all_oracles()
+    ok, msg = compare(spark, oracle, qs[name], os_[name], SF_DIR)
+    assert ok, f"{name}: {msg}"

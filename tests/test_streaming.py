@@ -1,0 +1,171 @@
+"""Streaming-semantics tests (SURVEY.md §5 item 2): the three reference
+pipelines on bounded file streams, partition layouts, permissive-JSON
+behavior, the 'error' bucket, watermark late-row dropping, and the
+watermark-gated partition commit."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from emr_flink_example_spark.config import PipelineConfig
+from emr_flink_example_spark.sources.streams import AD_EVENT_SCHEMA
+from emr_flink_example_spark.streaming import pipelines
+from emr_flink_example_spark.streaming.partition_commit import PartitionCommitter
+
+SAMPLE = {
+    "uuid": "999d0f4f-9d49-4ad0-9826-7a01600ed0b8",
+    "date": "2021-04-13T06:23:10.593Z",
+    "timestamp": 1617171790593,
+    "ad_type": 1203,
+    "ad_type_name": "udxyt",
+}
+
+
+def _write_lines(path: str, lines: list[str], name: str = "part0.txt") -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _file_cfg(tmp, **kw) -> PipelineConfig:
+    return PipelineConfig(
+        source_format="file",
+        source_path=str(tmp / "in"),
+        checkpoint_dir=str(tmp / "ckpt"),
+        output_path=str(tmp / "out"),
+        checkpoint_interval=1,
+        **kw,
+    )
+
+
+def _run_to_completion(query) -> None:
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+
+
+def test_text_sink_daily_partitions(spark, tmp_path):
+    """≙ Kafka2S3Text: raw strings land under logday=YYYYMMDD (UTC+8 clock)."""
+    cfg = _file_cfg(tmp_path)
+    _write_lines(cfg.source_path, ["line-a", "line-b", "not json at all"])
+    raw = spark.readStream.format("text").load(cfg.source_path)
+    # injected clock: 2021-04-13 23:00 UTC == 2021-04-14 07:00 UTC+8 -> bucket
+    # 20210414, proving the +08:00 conversion (Kafka2S3Text.scala:56)
+    clock = F.lit("2021-04-13 23:00:00").cast("timestamp")
+    _run_to_completion(pipelines.text_sink(raw, cfg, clock=clock))
+
+    assert os.path.isdir(os.path.join(cfg.output_path, "logday=20210414"))
+    out = spark.read.text(cfg.output_path).collect()
+    assert sorted(r.value for r in out) == ["line-a", "line-b", "not json at all"]
+
+
+def test_parquet_sink_event_date_and_error_bucket(spark, tmp_path):
+    """≙ Kafka2S3Parquet: event-date dirs + 'error' fallback + parse-drop."""
+    cfg = _file_cfg(tmp_path)
+    bad_date = dict(SAMPLE, date="", uuid="u2")
+    missing_field = {"uuid": "u3", "date": "2021-04-14T01:02:03.000Z"}
+    _write_lines(
+        cfg.source_path,
+        [json.dumps(SAMPLE), json.dumps(bad_date), json.dumps(missing_field), "{not-json"],
+    )
+    from emr_flink_example_spark.sources.streams import parsed_ad_stream
+
+    parsed = parsed_ad_stream(spark, cfg)
+    _run_to_completion(pipelines.parquet_sink(parsed, cfg))
+
+    out = spark.read.parquet(cfg.output_path)
+    rows = {r.uuid: r for r in out.collect()}
+    # non-JSON line dropped (ignore-parse-errors), missing fields -> NULL
+    assert set(rows) == {SAMPLE["uuid"], "u2", "u3"}
+    assert rows["u3"].ad_type is None
+    by_bucket = {r.uuid: r.logday for r in out.select("uuid", "logday").collect()}
+    assert by_bucket[SAMPLE["uuid"]] == "20210413"
+    assert by_bucket["u2"] == "error"  # empty date -> literal error bucket
+    assert by_bucket["u3"] == "20210414"
+
+
+def test_hive_sink_partitions_and_commit(spark, tmp_path):
+    """≙ Kafka2S3Hive: day/hour/minute layout + watermark-gated commit."""
+    cfg = _file_cfg(tmp_path, hive_s3_path=str(tmp_path / "warehouse"))
+    base = 1617171790593  # 2021-03-31 06:23:10 UTC
+    events = [
+        dict(SAMPLE, uuid="e0", timestamp=base),
+        dict(SAMPLE, uuid="e1", timestamp=base + 60_000),  # next minute
+        dict(SAMPLE, uuid="e2", timestamp=base + 10 * 60_000),  # +10 min
+    ]
+    _write_lines(cfg.source_path, [json.dumps(e) for e in events])
+    from emr_flink_example_spark.sources.streams import parsed_ad_stream
+
+    _run_to_completion(pipelines.hive_sink(parsed_ad_stream(spark, cfg), cfg))
+
+    root = cfg.hive_s3_path
+    assert os.path.isdir(os.path.join(root, "logday=2021-03-31", "h=06", "m=23"))
+    assert os.path.isdir(os.path.join(root, "logday=2021-03-31", "h=06", "m=33"))
+    with open(os.path.join(root, "_partition_commits.json")) as f:
+        ledger = json.load(f)
+    committed = {(p["logday"], p["h"], p["m"]) for p in ledger["committed"]}
+    pending = {(p["logday"], p["h"], p["m"]) for p in ledger["pending"]}
+    # watermark = max(06:33:10) - 5s; commit delay 1 min: 06:23 and 06:24
+    # are committed, the newest partition (06:33) is still pending
+    assert ("2021-03-31", "06", "23") in committed
+    assert ("2021-03-31", "06", "24") in committed
+    assert ("2021-03-31", "06", "33") in pending
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """withWatermark + tumbling window drops rows later than the watermark
+    (≙ the declared 5s bounded out-of-orderness, Kafka2S3Hive.scala:70)."""
+    src = str(tmp_path / "in")
+    _write_lines(src, [json.dumps(dict(SAMPLE, uuid="w0", timestamp=1617171790593))])
+    stream = (
+        spark.readStream.schema("value string")
+        .format("text")
+        .load(src)
+        .select(F.from_json("value", AD_EVENT_SCHEMA).alias("j"))
+        .select("j.*")
+        .withColumn("event_time", F.timestamp_seconds(F.floor(F.col("timestamp") / 1000)))
+        .withWatermark("event_time", "5 seconds")
+        .groupBy(F.window("event_time", "1 minute"))
+        .agg(F.count("*").alias("n"))
+    )
+    qname = f"wm_{int(time.time()*1000)}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    # batch 2: an event 1 hour ahead advances the watermark far past batch 1
+    _write_lines(src, [json.dumps(dict(SAMPLE, uuid="w1", timestamp=1617171790593 + 3_600_000))], "p1.txt")
+    query.processAllAvailable()
+    # batch 3: a late event back in the first window -> dropped by watermark
+    _write_lines(src, [json.dumps(dict(SAMPLE, uuid="w2", timestamp=1617171790593 + 1))], "p2.txt")
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+
+    rows = spark.sql(f"SELECT n FROM {qname}").collect()
+    # the late row never re-emits the first window with n=2
+    assert sorted(r.n for r in rows) == [1, 1]
+
+
+def test_exactly_once_restart_no_duplicates(spark, tmp_path):
+    """Restarting from the checkpoint with no new input produces no dupes
+    (≙ EXACTLY_ONCE checkpointing, Kafka2S3Text.scala:64-68)."""
+    cfg = _file_cfg(tmp_path)
+    _write_lines(cfg.source_path, ["r1", "r2"])
+    raw = spark.readStream.format("text").load(cfg.source_path)
+    clock = F.lit("2021-04-13 10:00:00").cast("timestamp")
+    _run_to_completion(pipelines.text_sink(raw, cfg, clock=clock))
+    n1 = spark.read.text(cfg.output_path).count()
+
+    raw2 = spark.readStream.format("text").load(cfg.source_path)
+    _run_to_completion(pipelines.text_sink(raw2, cfg, clock=clock))
+    n2 = spark.read.text(cfg.output_path).count()
+    assert n1 == n2 == 2
