@@ -209,6 +209,50 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+COSINE_DUP_THRESHOLD = 0.40
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: same-LSH-bucket pairs above the cosine
+    threshold, reduced to a survivor map (each duplicate points at the
+    smallest-id near-duplicate that shadows it).
+
+    Scale path mirrors MinHash-LSH: candidate pairs only within
+    random-hyperplane buckets (similarity.py), so cost is O(sum of squared
+    bucket sizes), never O(n^2) over the corpus; recall is tunable via
+    multi-probe (OR of Hamming-1 buckets) without changing the shape."""
+    from .similarity import _dot, _norm, _with_bucket
+
+    emb = _with_bucket(
+        load(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).withColumn("nrm", _norm("e"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("bucket").alias("ba"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bb"),
+    )
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+    return pairs.groupBy(F.col("vec_b").alias("dup_vec_id")).agg(
+        F.min("vec_a").alias("keep_vec_id"),
+        F.count("*").alias("n_near_dups"),
+        F.round(F.max("cosine"), 4).alias("max_cosine"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash fingerprint per document: each bit is the sign of the
     token-hash vote sum for that bit position."""
@@ -295,10 +339,35 @@ def _simhash_oracle() -> str:
     """
 
 
+def _embedding_cosine_oracle() -> str:
+    from .similarity import _bucket_duck
+
+    cos = (
+        "list_dot_product(ea, eb)"
+        " / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))"
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   {_bucket_duck('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        ), pairs AS (
+            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   {cos.replace('ea', 'x.e').replace('eb', 'y.e')} AS cosine
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT vec_b AS dup_vec_id, min(vec_a) AS keep_vec_id,
+               count(*) AS n_near_dups, round(max(cosine), 4) AS max_cosine
+        FROM pairs WHERE cosine >= {COSINE_DUP_THRESHOLD}
+        GROUP BY vec_b
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "simhash": q_simhash,
 }
 
@@ -332,5 +401,6 @@ ORACLES = {
         LIMIT 20
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_embedding_cosine": _embedding_cosine_oracle(),
     "simhash": _simhash_oracle(),
 }
