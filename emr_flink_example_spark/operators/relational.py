@@ -129,6 +129,22 @@ def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Right outer: every customer kept even with zero orders; order-side
+    aggregates null-tolerant."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            _r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("segment_revenue"),
+        )
+    )
+
+
 def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
     """Left-semi: customers that have at least one urgent order."""
     customer = load(spark, sf, "customer")
@@ -494,6 +510,45 @@ def q_scalar_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Array + map higher-order surface: build token arrays, then size /
+    distinct / contains / sort / slice / join, plus map construction and
+    key extraction — all JVM-side (no Python UDF)."""
+    from .textstats import TOKENS
+
+    docs = load(spark, sf, "documents").withColumn("tokens", F.expr(TOKENS))
+    meta = F.create_map(
+        F.lit("chars"),
+        F.length("text").cast("bigint"),
+        F.lit("words"),
+        F.size("tokens").cast("bigint"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_uniq"),
+        F.array_contains("tokens", "the").alias("has_the"),
+        F.when(
+            F.size("tokens") > 0, F.element_at(F.sort_array(F.array_distinct("tokens")), 1)
+        ).alias("first_token_sorted"),
+        F.array_join(F.slice(F.sort_array("tokens"), 1, 3), ",").alias("top3_sorted"),
+        F.element_at(meta, "words").alias("map_words"),
+    )
+
+
+def q_agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles (quartiles) per group — a full-sort-per-
+    group aggregate; at scale prefer approx_percentile (t-digest sketch,
+    map-side combinable) at a declared error bound."""
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        _r4(F.expr("percentile(o_totalprice, 0.25)")).alias("p25"),
+        _r4(F.expr("percentile(o_totalprice, 0.5)")).alias("p50"),
+        _r4(F.expr("percentile(o_totalprice, 0.75)")).alias("p75"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subqueries
 # ---------------------------------------------------------------------------
@@ -547,6 +602,7 @@ QUERIES = {
     "join_inner": q_join_inner,
     "join_left_outer": q_join_left_outer,
     "join_full_outer": q_join_full_outer,
+    "join_right_outer": q_join_right_outer,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_theta": q_join_theta,
@@ -572,6 +628,8 @@ QUERIES = {
     "scalar_string_funcs": q_scalar_string_funcs,
     "scalar_date_funcs": q_scalar_date_funcs,
     "scalar_math_funcs": q_scalar_math_funcs,
+    "scalar_array_funcs": q_scalar_array_funcs,
+    "agg_percentiles": q_agg_percentiles,
     "subquery_scalar": q_subquery_scalar,
     "subquery_exists": q_subquery_exists,
     "subquery_in": q_subquery_in,
@@ -627,6 +685,13 @@ ORACLES = {
                coalesce(n_customers, 0) AS n_customers,
                coalesce(n_suppliers, 0) AS n_suppliers
         FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+    "join_right_outer": """
+        SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+               count(DISTINCT c_custkey) AS n_customers,
+               round(coalesce(sum(o_totalprice), 0), 2) AS segment_revenue
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     "join_semi": """
         SELECT c_mktsegment, count(*) AS n_customers
@@ -827,6 +892,31 @@ ORACLES = {
                greatest(l_discount, l_tax) AS max_rate,
                least(l_discount, l_tax) AS min_rate
         FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    "scalar_array_funcs": """
+        WITH tok AS (
+            SELECT doc_id, text, regexp_extract_all(text, '[a-zA-Z0-9]+') AS tokens
+            FROM documents
+        )
+        SELECT doc_id,
+               len(tokens) AS n_tokens,
+               len(list_distinct(tokens)) AS n_uniq,
+               list_contains(tokens, 'the') AS has_the,
+               CASE WHEN len(tokens) > 0
+                    THEN list_sort(list_distinct(tokens))[1] END AS first_token_sorted,
+               array_to_string(list_sort(tokens)[1:3], ',') AS top3_sorted,
+               MAP(['chars', 'words'],
+                   [length(text)::BIGINT, len(tokens)::BIGINT])['words'][1] AS map_words
+        FROM tok
+    """,
+    "agg_percentiles": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
     """,
     "subquery_scalar": """
         SELECT o_orderpriority, count(*) AS n_big_orders
