@@ -83,9 +83,85 @@ def q_multimodal_decode_mapinpandas(spark: SparkSession, sf: str) -> DataFrame:
     return extract_image_meta(docs)
 
 
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, new_w int, new_h int, resized_len bigint"
+MAX_W, MAX_H = 320, 240
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+FRAME_STRIDE = 4
+
+
+def resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake resize: crop-to-fit bounds, payload shrunk
+    proportionally — the real PIL/opencv kernel drops in here unchanged."""
+    meta = fake_decode_batch(pdf)
+    new_w = meta["width"].clip(upper=MAX_W)
+    new_h = meta["height"].clip(upper=MAX_H)
+    return pd.DataFrame(
+        {
+            "doc_id": meta["doc_id"],
+            "width": meta["width"],
+            "height": meta["height"],
+            "new_w": new_w.astype("int32"),
+            "new_h": new_h.astype("int32"),
+            "resized_len": (new_w.astype("int64") * new_h // 16),
+        }
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """decode -> resize fused in ONE mapInPandas pass (one Arrow round-trip,
+    one Python worker pipeline — never two chained UDF stages)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield resize_batch(pdf)
+
+    return docs.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake frame sampler: frame count derived from payload
+    length, every FRAME_STRIDE-th frame emitted with a content-addressed
+    hash — 1 video row -> N frame rows (generator-style expansion)."""
+    import hashlib
+
+    out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        n_frames = len(payload) % 24 + 1
+        hx = payload.hex().upper()
+        for idx in range(0, n_frames, FRAME_STRIDE):
+            out["doc_id"].append(doc_id)
+            out["frame_idx"].append(idx)
+            out["frame_hash"].append(hashlib.md5(f"{hx}-{idx}".encode()).hexdigest())
+    return pd.DataFrame(out)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plumbing: binary payload -> sampled frame rows.
+
+    The expansion happens inside mapInPandas (no explode of a
+    python-materialized array column), so peak memory per task is one Arrow
+    batch of payloads plus its sampled frames — at 100 TB tune
+    `maxRecordsPerBatch` down so payload batches fit the worker."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield sample_frames_batch(pdf)
+
+    return docs.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 QUERIES = {
     "multimodal_binary_meta": q_multimodal_binary_meta,
     "multimodal_decode_mapinpandas": q_multimodal_decode_mapinpandas,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
@@ -103,5 +179,28 @@ ORACLES = {
                (octet_length(encode(text)) * 7 % 480 + 1)::INT AS height,
                'fake' AS format
         FROM documents
+    """,
+    "multimodal_resize": f"""
+        WITH meta AS (
+            SELECT doc_id,
+                   (octet_length(encode(text)) % 640 + 1)::INT AS width,
+                   (octet_length(encode(text)) * 7 % 480 + 1)::INT AS height
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               least(width, {MAX_W})::INT AS new_w,
+               least(height, {MAX_H})::INT AS new_h,
+               (least(width, {MAX_W})::BIGINT * least(height, {MAX_H}) // 16) AS resized_len
+        FROM meta
+    """,
+    "multimodal_frame_sample": f"""
+        WITH v AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) % 24 + 1 AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, idx::INT AS frame_idx,
+               md5(hx || '-' || idx::VARCHAR) AS frame_hash
+        FROM v, unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS t(idx)
     """,
 }

@@ -169,3 +169,87 @@ def test_exactly_once_restart_no_duplicates(spark, tmp_path):
     _run_to_completion(pipelines.text_sink(raw2, cfg, clock=clock))
     n2 = spark.read.text(cfg.output_path).count()
     assert n1 == n2 == 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicates on keyed state bounded by the watermark: replayed uuids
+    inside the horizon are emitted once."""
+    from emr_flink_example_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "in")
+    dupes = [
+        json.dumps(dict(SAMPLE, uuid="d1")),
+        json.dumps(dict(SAMPLE, uuid="d1")),
+        json.dumps(dict(SAMPLE, uuid="d2")),
+        json.dumps(dict(SAMPLE, uuid="d1")),
+    ]
+    _write_lines(src, dupes)
+    parsed = (
+        spark.readStream.schema("value string")
+        .format("text")
+        .load(src)
+        .select(F.from_json("value", AD_EVENT_SCHEMA).alias("j"))
+        .select("j.*")
+        .withColumn("event_time", F.timestamp_seconds(F.floor(F.col("timestamp") / 1000)))
+    )
+    deduped = streaming_dedup(parsed, ["uuid"], "event_time", "5 seconds")
+    qname = f"dedup_{int(time.time()*1000)}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+    rows = spark.sql(f"SELECT uuid FROM {qname}").collect()
+    assert sorted(r.uuid for r in rows) == ["d1", "d2"]
+
+
+def test_running_stats_custom_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: cumulative per-key totals persist across
+    micro-batches (file-per-trigger), emitting updated counts each batch."""
+    from emr_flink_example_spark.streaming.stateful import running_ad_type_stats
+
+    src = str(tmp_path / "in")
+    t0 = SAMPLE["timestamp"]
+    _write_lines(src, [json.dumps(dict(SAMPLE, uuid="a", ad_type=7, timestamp=t0))], "b0.txt")
+    parsed = (
+        spark.readStream.schema("value string")
+        .format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select(F.from_json("value", AD_EVENT_SCHEMA).alias("j"))
+        .select("j.*")
+    )
+    stats = running_ad_type_stats(parsed)
+    qname = f"state_{int(time.time()*1000)}"
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    # second batch: same key again + a new key -> state for 7 must accumulate
+    _write_lines(
+        src,
+        [
+            json.dumps(dict(SAMPLE, uuid="b", ad_type=7, timestamp=t0 + 1000)),
+            json.dumps(dict(SAMPLE, uuid="c", ad_type=9, timestamp=t0 + 2000)),
+        ],
+        "b1.txt",
+    )
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    latest = {r.ad_type: r for r in sorted(rows, key=lambda r: r.n_events)}
+    assert latest[7].n_events == 2, rows
+    assert latest[7].ts_min == t0 and latest[7].ts_max == t0 + 1000
+    assert latest[9].n_events == 1
+    # the key seen in both batches emitted an update each time
+    assert sum(1 for r in rows if r.ad_type == 7) == 2
