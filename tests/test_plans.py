@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions (the 100 TB posture, pinned as tests).
+
+These don't check answers — the oracle harness does that — they check that
+Catalyst produced the plan we designed for scale: filters reaching the
+parquet scan, column pruning, broadcast joins for dims, map-side partial
+aggregation, whole-stage codegen, and no row-at-a-time Python in any
+JVM-path query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from emr_flink_example_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+
+#: queries whose semantics legitimately run Python workers (Arrow-batched)
+ARROW_QUERIES = {"multimodal_decode_mapinpandas", "multimodal_resize", "multimodal_frame_sample"}
+
+
+def _plan(spark, name: str) -> str:
+    df = catalog.all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_reaches_parquet_scan(spark):
+    plan = _plan(spark, "filter_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    assert "LessThanOrEqual(p_size,20)" in plan
+
+
+def test_column_pruning(spark):
+    """A 5-column projection must not read the other part columns."""
+    plan = _plan(spark, "filter_pushdown")
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "p_retailprice" in scan
+    assert "p_mfgr" not in scan and "p_comment" not in scan
+
+
+def test_dim_joins_broadcast(spark):
+    """Q5: nation/region (and supplier at this SF) broadcast — the fact
+    table never shuffles for a dim join."""
+    plan = _plan(spark, "join_regional_revenue_q5")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation(spark):
+    """Q1 aggregates map-side (partial) before the exchange."""
+    plan = _plan(spark, "pricing_summary_q1")
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    # vectorized parquet reader feeding codegen ("Batched: true")
+    assert "Batched: true" in plan
+
+
+def test_minhash_single_scan(spark):
+    """LSH candidate generation must not re-run the signature chain: one
+    scan of documents, no self-join recompute."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_knn_broadcasts_queries(spark):
+    """Brute-force kNN broadcasts the small query side; the corpus is never
+    shuffled."""
+    plan = _plan(spark, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", sorted(catalog.all_queries()))
+def test_no_row_at_a_time_python(spark, name):
+    """No query uses row-at-a-time Python UDFs; Python appears only as
+    Arrow-batched mapInPandas in the multimodal decode path."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan
+    if name not in ARROW_QUERIES:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
