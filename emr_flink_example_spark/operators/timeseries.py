@@ -1,0 +1,160 @@
+"""Time-series operators over `events` (SURVEY.md §2 Part C, PAPERS.md
+EDBT'19/ICDE'21 themes): windowed z-normalization + similarity.
+
+  * `timeseries_znorm_corr` — each user's daily activity series (30 days,
+    zero-filled), z-normalized, correlated against the z-normalized global
+    series. Pure relational form: dense grid -> window stats -> one product
+    aggregation; no arrays collected, no Python. One shuffle on user_id.
+  * `timeseries_dtw` — dynamic-time-warping distance of each user's series
+    against a fixed weekly-seasonality reference, as an `applyInPandas`
+    kernel (the per-series imperative path the built-ins can't express).
+    DTW is not SQL-expressible, so this entry is rows-only checked.
+
+Scale notes: the dense (user x day) grid is |users| * 30 rows — linear, not
+quadratic; all similarity is against ONE broadcastable reference series, so
+the corpus is never self-joined. For pairwise user-user similarity at 100 TB,
+bucket by an LSH of the z-scored series first (see similarity.py) and run
+this same kernel within buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+
+N_DAYS = 30
+
+#: fixed weekly-seasonality reference pattern (deterministic, broadcast)
+REF_PATTERN = [math.sin(2 * math.pi * d / 7) for d in range(N_DAYS)]
+
+
+def _dense_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, day 1..30, v) with zero-filled gaps; v = round(sum(value),2)."""
+    events = load(spark, sf, "events")
+    daily = (
+        events.groupBy("user_id", F.dayofmonth("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    users = events.select("user_id").distinct()
+    days = spark.range(1, N_DAYS + 1).select(F.col("id").cast("int").alias("day"))
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("v", F.lit(0.0)).alias("v"))
+    )
+
+
+def q_timeseries_znorm_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation of each user's z-normalized daily series with the
+    z-normalized global daily series."""
+    dense = _dense_daily(spark, sf)
+    wu = Window.partitionBy("user_id")
+    user_z = dense.select(
+        "user_id",
+        "day",
+        ((F.col("v") - F.avg("v").over(wu)) / F.stddev_pop("v").over(wu)).alias("zu"),
+        F.sum(F.when(F.col("v") > 0, 1).otherwise(0)).over(wu).alias("active_days"),
+    )
+    glob = (
+        dense.groupBy("day")
+        .agg(F.round(F.sum("v"), 2).alias("g"))
+    )
+    wg = Window.partitionBy()
+    glob_z = glob.select(
+        "day",
+        ((F.col("g") - F.avg("g").over(wg)) / F.stddev_pop("g").over(wg)).alias("zg"),
+    )
+    return (
+        user_z.join(F.broadcast(glob_z), "day")
+        .groupBy("user_id", "active_days")
+        .agg(F.round(F.sum(F.col("zu") * F.col("zg")) / N_DAYS, 4).alias("znorm_corr"))
+        .where(F.col("znorm_corr").isNotNull())
+        .select("user_id", "active_days", "znorm_corr")
+    )
+
+
+def _dtw(series: list[float], ref: list[float]) -> float:
+    """Classic O(n*m) DTW with a full band (n=m=30 here)."""
+    n, m = len(series), len(ref)
+    inf = float("inf")
+    prev = [inf] * (m + 1)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = [inf] * (m + 1)
+        for j in range(1, m + 1):
+            cost = abs(series[i - 1] - ref[j - 1])
+            cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return prev[m]
+
+
+def q_timeseries_dtw(spark: SparkSession, sf: str) -> DataFrame:
+    """DTW distance of each user's z-scored daily series vs REF_PATTERN.
+
+    applyInPandas: one Python invocation per user group receives the user's
+    30 dense rows, z-scores them, and runs the DTW kernel — per-group state
+    never leaves the executor, so this scales with #users across the
+    cluster, not with total rows on one node."""
+    dense = _dense_daily(spark, sf)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        v = pdf["v"].to_numpy()
+        sd = v.std()  # population std, matches stddev_pop
+        z = (v - v.mean()) / sd if sd > 0 else None
+        if z is None:
+            return pd.DataFrame({"user_id": [], "dtw_dist": []})
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "dtw_dist": [round(_dtw(list(z), REF_PATTERN), 4)],
+            }
+        )
+
+    return (
+        dense.groupBy("user_id")
+        .applyInPandas(kernel, schema="user_id bigint, dtw_dist double")
+    )
+
+
+QUERIES = {
+    "timeseries_znorm_corr": q_timeseries_znorm_corr,
+    "timeseries_dtw": q_timeseries_dtw,
+}
+
+ORACLES = {
+    "timeseries_znorm_corr": f"""
+        WITH daily AS (
+            SELECT user_id, date_part('day', ts)::INT AS day, round(sum(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT u.user_id, d.day, coalesce(daily.v, 0) AS v
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(generate_series(1, {N_DAYS})) AS day) d
+            LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+        ), user_z AS (
+            SELECT user_id, day,
+                   (v - avg(v) OVER (PARTITION BY user_id))
+                       / stddev_pop(v) OVER (PARTITION BY user_id) AS zu,
+                   sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id) AS active_days
+            FROM grid
+        ), gtot AS (
+            SELECT day, round(sum(v), 2) AS g FROM grid GROUP BY day
+        ), glob_z AS (
+            SELECT day, (g - avg(g) OVER ()) / stddev_pop(g) OVER () AS zg FROM gtot
+        )
+        SELECT user_id, active_days, round(sum(zu * zg) / {N_DAYS}, 4) AS znorm_corr
+        FROM user_z JOIN glob_z USING (day)
+        GROUP BY user_id, active_days
+        HAVING round(sum(zu * zg) / {N_DAYS}, 4) IS NOT NULL
+    """,
+    # timeseries_dtw: intentionally no oracle — DTW is not SQL-expressible;
+    # the driver applies its rows-only check.
+}

@@ -12,9 +12,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, event_time, multimodal, relational, similarity, textstats
+from ..operators import (
+    dedup,
+    event_time,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+    timeseries,
+)
 
-_MODULES = (relational, event_time, textstats, dedup, similarity, multimodal)
+_MODULES = (relational, event_time, textstats, dedup, similarity, multimodal, timeseries)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -34,8 +34,9 @@ REPRESENTATIVE = [
 def test_every_oracle_has_a_query():
     qs, os_ = catalog.all_queries(), catalog.all_oracles()
     assert set(os_) <= set(qs)
-    # the rows-only set is intentional and small
-    assert set(qs) - set(os_) == {"agg_approx_distinct"}
+    # the rows-only set is intentional and small: sketches whose values are
+    # engine-specific (HLL) and genuinely non-SQL-expressible kernels (DTW)
+    assert set(qs) - set(os_) == {"agg_approx_distinct", "timeseries_dtw"}
 
 
 def test_catalog_is_nontrivial():

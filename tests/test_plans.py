@@ -16,7 +16,12 @@ from emr_flink_example_spark.plans import catalog
 SF = "/root/testdata/sf0.001"
 
 #: queries whose semantics legitimately run Python workers (Arrow-batched)
-ARROW_QUERIES = {"multimodal_decode_mapinpandas", "multimodal_resize", "multimodal_frame_sample"}
+ARROW_QUERIES = {
+    "multimodal_decode_mapinpandas",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "timeseries_dtw",
+}
 
 
 def _plan(spark, name: str) -> str:
@@ -77,4 +82,6 @@ def test_no_row_at_a_time_python(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan
     if name not in ARROW_QUERIES:
-        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
