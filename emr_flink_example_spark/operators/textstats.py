@@ -118,6 +118,34 @@ def q_lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF: top-3 most characteristic terms per document.
+
+    tf = in-doc term count; idf = ln(N / df). Two shuffles (doc-term counts,
+    then doc-frequency) + one broadcast of the corpus size; the per-doc
+    top-k is a rank-over-window that Spark executes as per-partition top-k.
+    At 100 TB the df table is vocabulary-sized — broadcast it; never
+    re-shuffle the term-level rows."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+    )
+
+
 def _lex_duck(lang: str) -> str:
     arr = ", ".join(f"'{w}'" for w in LEXICONS[lang])
     return f"len(list_intersect(tokens, [{arr}]))"
@@ -129,6 +157,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id_heuristic": q_lang_id_heuristic,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -169,6 +198,26 @@ ORACLES = {
                md5(lower(trim(text))) AS fingerprint,
                ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS fingerprint_int
         FROM documents
+    """,
+    "tfidf_top_terms": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                   round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df), 4)
+                       AS tfidf
+            FROM tf JOIN dfreq USING (token)
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, token ASC) AS term_rank
+            FROM scored
+        )
+        SELECT doc_id, token, tf, df, tfidf, term_rank
+        FROM ranked WHERE term_rank <= 3
     """,
     "lang_id_heuristic": f"""
         WITH tok AS (
