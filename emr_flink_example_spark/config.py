@@ -45,6 +45,8 @@ class PipelineConfig:
     # of Kafka (the test harness has no broker)
     source_format: str = "kafka"
     source_path: str = ""
+    # engine extension: kafka sink topic (engine -> topic, reverse of A1)
+    sink_topic: str = ""
     extra: dict = field(default_factory=dict)
 
 

@@ -58,6 +58,31 @@ def raw_string_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def as_kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Serialize a typed DataFrame to the kafka sink contract
+    (`key`/`value` binary-compatible string columns): value = JSON of all
+    non-key columns. Pure transform — unit-testable without a broker."""
+    value_cols = [c for c in df.columns if c != key_col]
+    out = df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        F.to_json(F.struct(*value_cols)).alias("value"),
+    )
+    return out
+
+
+def kafka_sink_writer(df: DataFrame, cfg: PipelineConfig, key_col: str | None = None):
+    """writeStream builder for the kafka sink (≙ the reverse of A1: engine ->
+    topic). Offsets/exactly-once ride the same checkpoint mechanism as the
+    file sinks."""
+    return (
+        as_kafka_payload(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.broker_list)
+        .option("topic", cfg.sink_topic or cfg.source_topic)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+    )
+
+
 def parsed_ad_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """Typed ad-event stream via permissive JSON parsing.
 
