@@ -33,8 +33,13 @@ HEADLINE = [
     "asof_join",
     "ad_events_partition_projection",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "knn_bruteforce",
+    "ann_ivf_topk",
     "text_quality",
+    "tfidf_top_terms",
+    "timeseries_znorm_corr",
+    "multimodal_frame_sample",
 ]
 
 
