@@ -400,6 +400,43 @@ def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (value-based, peers included): per priority, how many
+    orders fall within $1000 below each order's price."""
+    orders = load(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").asc())
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _r2(F.col("o_totalprice")).alias("o_totalprice"),
+        F.count("*").over(w).alias("n_within_1000"),
+        _r2(F.sum("o_totalprice").over(w)).alias("sum_within_1000"),
+    )
+
+
+def q_unpivot_stack(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide -> long) via the stack generator: per-status priority
+    counts melted into (o_orderstatus, priority_class, n) rows."""
+    orders = load(spark, sf, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)).alias("high"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+        ).alias("other"),
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr("stack(3, 'urgent', urgent, 'high', high, 'other', other)").alias(
+            "priority_class", "n"
+        ),
+    )
+
+
 def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
     """lag/lead analytics: per-user inter-event gap in seconds."""
     events = load(spark, sf, "events")
@@ -621,6 +658,8 @@ QUERIES = {
     "pivot_event_type": q_pivot_event_type,
     "window_topk_per_group": q_window_topk_per_group,
     "window_running_sum": q_window_running_sum,
+    "window_range_frame": q_window_range_frame,
+    "unpivot_stack": q_unpivot_stack,
     "window_lag_lead": q_window_lag_lead,
     "window_rank_dense_ntile": q_window_rank_dense_ntile,
     "global_topk": q_global_topk,
@@ -825,6 +864,30 @@ ORACLES = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "window_range_frame": """
+        SELECT o_orderkey, o_orderpriority,
+               round(o_totalprice, 2) AS o_totalprice,
+               count(*) OVER w AS n_within_1000,
+               round(sum(o_totalprice) OVER w, 2) AS sum_within_1000
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+    "unpivot_stack": """
+        WITH wide AS (
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS other
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'urgent' AS priority_class, urgent AS n FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'high', high FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'other', other FROM wide
     """,
     "window_lag_lead": """
         SELECT user_id, event_id,
