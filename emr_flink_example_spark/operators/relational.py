@@ -573,6 +573,36 @@ def q_scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+N_SALTS = 16
+
+
+def q_agg_two_phase_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed keys: phase 1 aggregates
+    (key, salt) so a hot key's rows spread over N_SALTS reducers; phase 2
+    merges the partials per key. Result is identical to a direct groupBy —
+    the point is the shuffle shape: no single reducer ever receives a hot
+    key's full row set. (Spark's partial aggregation covers this for
+    algebraic aggs; the explicit pattern is for when map-side combine can't
+    help — high-cardinality-input aggs like collect/distinct merges.)"""
+    lineitem = load(spark, sf, "lineitem")
+    salted = lineitem.withColumn(
+        "salt", F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("p_qty"),
+        F.count("*").alias("p_cnt"),
+        F.max("l_extendedprice").alias("p_max_price"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            _r2(F.sum("p_qty")).alias("sum_qty"),
+            F.sum("p_cnt").alias("n_rows"),
+            _r2(F.max("p_max_price")).alias("max_price"),
+        )
+    )
+
+
 def q_agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact continuous percentiles (quartiles) per group — a full-sort-per-
     group aggregate; at scale prefer approx_percentile (t-digest sketch,
@@ -668,6 +698,7 @@ QUERIES = {
     "scalar_date_funcs": q_scalar_date_funcs,
     "scalar_math_funcs": q_scalar_math_funcs,
     "scalar_array_funcs": q_scalar_array_funcs,
+    "agg_two_phase_salted": q_agg_two_phase_salted,
     "agg_percentiles": q_agg_percentiles,
     "subquery_scalar": q_subquery_scalar,
     "subquery_exists": q_subquery_exists,
@@ -971,6 +1002,14 @@ ORACLES = {
                MAP(['chars', 'words'],
                    [length(text)::BIGINT, len(tokens)::BIGINT])['words'][1] AS map_words
         FROM tok
+    """,
+    "agg_two_phase_salted": """
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
     "agg_percentiles": """
         SELECT o_orderpriority,

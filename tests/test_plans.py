@@ -75,6 +75,36 @@ def test_knn_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_join_hints_control_strategy(spark):
+    """Join hints (merge / shuffle_hash / broadcast) override Catalyst's
+    size-based choice — the manual lever when stats mislead at scale."""
+    from pyspark.sql import functions as F
+
+    from emr_flink_example_spark.io import load
+
+    orders = load(spark, SF, "orders")
+    customer = load(spark, SF, "customer")
+    cond = orders.o_custkey == customer.c_custkey
+
+    merge_plan = (
+        orders.join(customer.hint("merge"), cond)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in merge_plan
+
+    shuffle_hash_plan = (
+        orders.join(customer.hint("shuffle_hash"), cond)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in shuffle_hash_plan
+
+    broadcast_plan = (
+        orders.join(F.broadcast(customer), cond)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in broadcast_plan
+
+
 @pytest.mark.parametrize("name", sorted(catalog.all_queries()))
 def test_no_row_at_a_time_python(spark, name):
     """No query uses row-at-a-time Python UDFs; Python appears only as
