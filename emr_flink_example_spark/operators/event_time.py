@@ -145,6 +145,42 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_range_binned(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join, binned form: events falling inside daily
+    maintenance windows (08:00-11:00, first 10 days of Jan 2024).
+
+    The scalable shape: an equi-join on the time bin (day) does the heavy
+    lifting as a hash join; the BETWEEN residual only filters within-bin
+    candidates. A naive `ts BETWEEN start AND end` join is a
+    broadcast-nested-loop over the whole fact table — never at 100 TB.
+    Intervals spanning bins are exploded to one row per covered bin first."""
+    events = load(spark, sf, "events")
+    intervals = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("interval_id"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad(F.col("id").cast("string"), 2, "0"), F.lit(" 08:00:00"))
+        ).cast("timestamp_ntz").alias("w_start"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad(F.col("id").cast("string"), 2, "0"), F.lit(" 11:00:00"))
+        ).cast("timestamp_ntz").alias("w_end"),
+    ).withColumn("day", F.dayofmonth("w_start"))
+    binned = events.withColumn("day", F.dayofmonth("ts"))
+    return (
+        binned.join(
+            F.broadcast(intervals),
+            (binned["day"] == intervals["day"])
+            & (F.col("ts") >= F.col("w_start"))
+            & (F.col("ts") < F.col("w_end")),
+        )
+        .groupBy("interval_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_dedup_by_key(spark: SparkSession, sf: str) -> DataFrame:
     """Exact keyed dedup keeping the earliest record per (user_id, event_type).
 
@@ -164,6 +200,7 @@ QUERIES = {
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
     "asof_join": q_asof_join,
+    "join_range_binned": q_join_range_binned,
     "dedup_by_key": q_dedup_by_key,
 }
 
@@ -228,6 +265,22 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "join_range_binned": """
+        WITH intervals AS (
+            SELECT d AS interval_id,
+                   (DATE '2024-01-01' + INTERVAL (d - 1) DAY + INTERVAL 8 HOUR)::TIMESTAMP
+                       AS w_start,
+                   (DATE '2024-01-01' + INTERVAL (d - 1) DAY + INTERVAL 11 HOUR)::TIMESTAMP
+                       AS w_end
+            FROM (SELECT unnest(generate_series(1, 10)) AS d)
+        )
+        SELECT interval_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events JOIN intervals
+          ON ts >= w_start AND ts < w_end
+        GROUP BY interval_id
     """,
     "dedup_by_key": """
         SELECT user_id, event_type, min(event_id) AS first_event_id,

@@ -253,3 +253,57 @@ def test_running_stats_custom_state_across_batches(spark, tmp_path):
     assert latest[9].n_events == 1
     # the key seen in both batches emitted an update each time
     assert sum(1 for r in rows if r.ad_type == 7) == 2
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """The session_window aggregation (batch-checked in the catalog) runs
+    unchanged as a streaming query and produces the same sessions."""
+    src = str(tmp_path / "in")
+    t0 = 1617171790593
+    lines = [
+        json.dumps(dict(SAMPLE, uuid=f"s{i}", ad_type=1, timestamp=ts))
+        for i, ts in enumerate(
+            [t0, t0 + 60_000, t0 + 10 * 60_000, t0 + 60 * 60_000]  # 2 sessions (gap 30m)
+        )
+    ]
+    _write_lines(src, lines)
+
+    def sessions(df):
+        return (
+            df.withColumn("event_time", F.timestamp_seconds(F.floor(F.col("timestamp") / 1000)))
+            .withWatermark("event_time", "5 seconds")
+            .groupBy("ad_type", F.session_window("event_time", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("ad_type", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n_events")
+        )
+
+    stream = (
+        spark.readStream.schema("value string")
+        .format("text")
+        .load(src)
+        .select(F.from_json("value", AD_EVENT_SCHEMA).alias("j"))
+        .select("j.*")
+    )
+    qname = f"sess_{int(time.time()*1000)}"
+    query = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+
+    batch_df = (
+        spark.read.schema("value string").text(src)
+        .select(F.from_json("value", AD_EVENT_SCHEMA).alias("j"))
+        .select("j.*")
+    )
+    expected = sorted(
+        (r.s, r.e, r.n_events) for r in sessions(batch_df).collect()
+    )
+    got = sorted((r.s, r.e, r.n_events) for r in spark.sql(f"SELECT * FROM {qname}").collect())
+    assert got == expected and len(got) == 2
