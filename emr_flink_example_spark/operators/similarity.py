@@ -134,6 +134,51 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH top-3: each query also probes every Hamming-1
+    neighbor of its bucket (flip one hyperplane bit), recovering neighbors
+    that landed just across a hyperplane.
+
+    Scale shape: the probe expansion multiplies only the (small, broadcast)
+    query side by N_PLANES+1; the corpus keeps exactly one bucket id and is
+    still touched via equi-join on it — recall rises without re-bucketing
+    or corpus blow-up."""
+    emb = _with_bucket(
+        load(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).withColumn("nrm", _norm("e"))
+    probe_buckets = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
+    )
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(probe_buckets).alias("qb"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id", "nn_rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 N_CENTROIDS = 8
 N_PROBE = 2
 
@@ -250,6 +295,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_stats": q_embedding_label_stats,
 }
@@ -294,6 +340,30 @@ ORACLES = {
         ), scored AS (
             SELECT query_id, neighbor_id, {_COS_DUCK} AS cosine
             FROM q JOIN c ON qb = cb AND query_id != neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS nn_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, nn_rank, round(cosine, 4) AS cosine
+        FROM ranked WHERE nn_rank <= 3
+    """,
+    "ann_lsh_multiprobe_topk": f"""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   {_bucket_duck('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        ), probes AS (
+            SELECT vec_id AS query_id, e AS qe, probe_bucket AS qb
+            FROM b, unnest([bucket{"".join(f", xor(bucket, {1 << j})" for j in range(N_PLANES))}])
+                     AS t(probe_bucket)
+            WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id, e AS ce, bucket AS cb FROM b
+        ), scored AS (
+            SELECT query_id, neighbor_id, {_COS_DUCK} AS cosine
+            FROM probes q JOIN c ON qb = cb AND query_id != neighbor_id
         ), ranked AS (
             SELECT query_id, neighbor_id, cosine,
                    row_number() OVER (PARTITION BY query_id
