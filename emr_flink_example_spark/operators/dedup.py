@@ -227,6 +227,53 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PROBE_SOURCE = "src0"
+
+
+def q_decontamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: for every probe document (source = src0,
+    standing in for an eval set), how much of the training corpus shares its
+    word-3-grams.
+
+    Shape: inverted-index equi-join between the (small) probe shingle set and
+    the corpus shingle set — at 100 TB the probe side is broadcast and the
+    corpus is streamed through it once; no corpus self-join ever happens.
+    Probe docs with zero overlap are kept (left join) so the report is
+    complete."""
+    docs = (
+        load(spark, sf, "documents")
+        .withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", "source", F.expr(SHINGLES).alias("shingles"))
+        .repartition("doc_id")  # same optimizer barrier as _shingled_docs
+    )
+    probe = docs.where(F.col("source") == PROBE_SOURCE)
+    corpus = docs.where(F.col("source") != PROBE_SOURCE)
+    probe_inv = probe.select(
+        F.col("doc_id").alias("probe_doc_id"), F.explode_outer("shingles").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
+    corpus_inv = corpus.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.explode_outer("shingles").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
+    overlap = (
+        F.broadcast(probe_inv)
+        .join(corpus_inv, "shingle")
+        .groupBy("probe_doc_id")
+        .agg(
+            F.countDistinct("corpus_doc_id").alias("n_contaminated_docs"),
+            F.count("*").alias("n_shared_shingles"),
+        )
+    )
+    return (
+        probe.select(F.col("doc_id").alias("probe_doc_id"))
+        .join(overlap, "probe_doc_id", "left")
+        .select(
+            "probe_doc_id",
+            F.coalesce("n_contaminated_docs", F.lit(0)).alias("n_contaminated_docs"),
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+        )
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.40
 
 
@@ -386,6 +433,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "decontamination_overlap": q_decontamination_overlap,
     "simhash": q_simhash,
 }
 
@@ -420,5 +468,28 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_embedding_cosine": _embedding_cosine_oracle(),
+    "decontamination_overlap": f"""
+        WITH {_TOK_CTE}, shingled AS (
+            SELECT doc_id, source, {SHINGLES_DUCK} AS shingles
+            FROM tok JOIN documents USING (doc_id)
+        ), probe_inv AS (
+            SELECT doc_id AS probe_doc_id, unnest(shingles) AS shingle
+            FROM shingled WHERE source = '{PROBE_SOURCE}'
+        ), corpus_inv AS (
+            SELECT doc_id AS corpus_doc_id, unnest(shingles) AS shingle
+            FROM shingled WHERE source != '{PROBE_SOURCE}'
+        ), overlap AS (
+            SELECT probe_doc_id,
+                   count(DISTINCT corpus_doc_id) AS n_contaminated_docs,
+                   count(*) AS n_shared_shingles
+            FROM probe_inv JOIN corpus_inv USING (shingle)
+            GROUP BY probe_doc_id
+        )
+        SELECT p.doc_id AS probe_doc_id,
+               coalesce(o.n_contaminated_docs, 0) AS n_contaminated_docs,
+               coalesce(o.n_shared_shingles, 0) AS n_shared_shingles
+        FROM (SELECT doc_id FROM documents WHERE source = '{PROBE_SOURCE}') p
+        LEFT JOIN overlap o ON o.probe_doc_id = p.doc_id
+    """,
     "simhash": _simhash_oracle(),
 }
