@@ -118,6 +118,36 @@ def q_lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: tiny polarity lexicons (the broadcast-lexicon pattern from large-scale
+#: sentiment analysis on Spark, PAPERS.md EDBT'16 — real deployments swap in
+#: SentiWordNet-scale lists; the plan shape is identical)
+POS_WORDS = ("good", "great", "fast", "new", "best", "high")
+NEG_WORDS = ("bad", "slow", "old", "worst", "low", "error")
+
+
+def q_sentiment_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexicon-based sentiment: polarity = (pos - neg) / tokens, with a
+    3-way label. Lexicon membership is an array_intersect against literal
+    arrays — at scale, a broadcast join against a lexicon table."""
+    pos = ", ".join(f"'{w}'" for w in POS_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEG_WORDS)
+    docs = load(spark, sf, "documents").withColumn("tokens", F.expr(TOKENS))
+    n_pos = F.expr(f"size(filter(tokens, x -> x IN ({pos})))")
+    n_neg = F.expr(f"size(filter(tokens, x -> x IN ({neg})))")
+    polarity = F.round((n_pos - n_neg) / F.size("tokens"), 4)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        polarity.alias("polarity"),
+        F.when(polarity > 0, "positive")
+        .when(polarity < 0, "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF: top-3 most characteristic terms per document.
 
@@ -158,6 +188,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id_heuristic": q_lang_id_heuristic,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "sentiment_score": q_sentiment_score,
 }
 
 ORACLES = {
@@ -198,6 +229,24 @@ ORACLES = {
                md5(lower(trim(text))) AS fingerprint,
                ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS fingerprint_int
         FROM documents
+    """,
+    "sentiment_score": f"""
+        WITH tok AS (SELECT doc_id, lang, {TOKENS_DUCK} AS tokens FROM documents),
+        scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(tokens, x -> x IN ({", ".join(f"'{w}'" for w in POS_WORDS)})))
+                       AS n_pos,
+                   len(list_filter(tokens, x -> x IN ({", ".join(f"'{w}'" for w in NEG_WORDS)})))
+                       AS n_neg,
+                   len(tokens) AS n_tok
+            FROM tok
+        )
+        SELECT doc_id, lang, n_pos, n_neg,
+               round((n_pos - n_neg)::DOUBLE / n_tok, 4) AS polarity,
+               CASE WHEN round((n_pos - n_neg)::DOUBLE / n_tok, 4) > 0 THEN 'positive'
+                    WHEN round((n_pos - n_neg)::DOUBLE / n_tok, 4) < 0 THEN 'negative'
+                    ELSE 'neutral' END AS sentiment
+        FROM scored
     """,
     "tfidf_top_terms": f"""
         WITH tok AS (
