@@ -34,6 +34,7 @@ HEADLINE = [
     "ad_events_partition_projection",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_vectorized",
     "knn_bruteforce",
     "ann_ivf_topk",
     "text_quality",

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -318,6 +319,61 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_cosine_vectorized(spark: SparkSession, sf: str) -> DataFrame:
+    """Same survivor map as dedup_embedding_cosine, computed by a dense
+    numpy kernel per LSH bucket instead of a pair-level JVM join.
+
+    applyInPandas receives one bucket's vectors (an m x 64 matrix), row-
+    normalizes once, and scores all pairs in a single matmul — Arrow
+    transfer is corpus-sized (each vector moves once), pairs only ever
+    exist inside the worker. This is the right shape when buckets are dense
+    enough that per-pair expression evaluation dominates; the relational
+    twin wins when Python worker startup dominates. Rows-only checked:
+    matmul's summation order differs from the sequential fold, so 4-decimal
+    boundary ties vs the SQL oracle cannot be guaranteed bit-equal."""
+    import numpy as np
+
+    from .similarity import _with_bucket
+
+    emb = _with_bucket(
+        load(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"dup_vec_id": [], "keep_vec_id": [], "n_near_dups": [], "max_cosine": []})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["e"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        mask = cos[ii, jj] >= COSINE_DUP_THRESHOLD
+        if not mask.any():
+            return pd.DataFrame({"dup_vec_id": [], "keep_vec_id": [], "n_near_dups": [], "max_cosine": []})
+        pairs = pd.DataFrame(
+            {"a": ids[ii[mask]], "b": ids[jj[mask]], "cosine": cos[ii[mask], jj[mask]]}
+        )
+        out = pairs.groupby("b").agg(
+            keep_vec_id=("a", "min"), n_near_dups=("a", "size"), max_cosine=("cosine", "max")
+        )
+        return pd.DataFrame(
+            {
+                "dup_vec_id": out.index.to_numpy(),
+                "keep_vec_id": out["keep_vec_id"].to_numpy(),
+                "n_near_dups": out["n_near_dups"].to_numpy(),
+                "max_cosine": out["max_cosine"].round(4).to_numpy(),
+            }
+        )
+
+    return emb.groupBy("bucket").applyInPandas(
+        kernel,
+        schema="dup_vec_id bigint, keep_vec_id bigint, n_near_dups bigint, max_cosine double",
+    )
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash fingerprint per document: each bit is the sign of the
     token-hash vote sum for that bit position."""
@@ -433,6 +489,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_vectorized": q_dedup_embedding_cosine_vectorized,
     "decontamination_overlap": q_decontamination_overlap,
     "simhash": q_simhash,
 }

@@ -35,8 +35,13 @@ def test_every_oracle_has_a_query():
     qs, os_ = catalog.all_queries(), catalog.all_oracles()
     assert set(os_) <= set(qs)
     # the rows-only set is intentional and small: sketches whose values are
-    # engine-specific (HLL) and genuinely non-SQL-expressible kernels (DTW)
-    assert set(qs) - set(os_) == {"agg_approx_distinct", "timeseries_dtw"}
+    # engine-specific (HLL), genuinely non-SQL-expressible kernels (DTW),
+    # and float-order-sensitive vectorized twins of oracle-checked queries
+    assert set(qs) - set(os_) == {
+        "agg_approx_distinct",
+        "timeseries_dtw",
+        "dedup_embedding_cosine_vectorized",
+    }
 
 
 def test_catalog_is_nontrivial():
@@ -55,3 +60,16 @@ def test_query_matches_oracle(spark, oracle, name):
     qs, os_ = catalog.all_queries(), catalog.all_oracles()
     ok, msg = compare(spark, oracle, qs[name], os_[name], SF_DIR)
     assert ok, f"{name}: {msg}"
+
+
+def test_vectorized_dedup_matches_relational(spark):
+    """The numpy-per-bucket kernel and the relational bucket join must agree
+    exactly (same buckets, same threshold, 4-decimal rounding)."""
+    from emr_flink_example_spark.operators.dedup import (
+        q_dedup_embedding_cosine,
+        q_dedup_embedding_cosine_vectorized,
+    )
+
+    a = sorted(map(tuple, q_dedup_embedding_cosine(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q_dedup_embedding_cosine_vectorized(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0

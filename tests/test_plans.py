@@ -21,6 +21,7 @@ ARROW_QUERIES = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "timeseries_dtw",
+    "dedup_embedding_cosine_vectorized",
 }
 
 
