@@ -1,0 +1,30 @@
+"""End-to-end curation pipeline: quality gate -> exact dedup -> near-dup
+removal -> lang-partitioned curated corpus."""
+
+from __future__ import annotations
+
+import os
+
+from emr_flink_example_spark.operators.curation import curate_documents
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_curation_pipeline(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    stats = curate_documents(spark, SF_DIR, out, min_quality=0.5, min_tokens=10)
+
+    # monotonically non-increasing through the stages, nothing degenerate
+    assert stats.n_input >= stats.n_after_quality >= stats.n_after_exact_dedup
+    assert stats.n_after_exact_dedup >= stats.n_after_near_dedup
+    assert 0 < stats.n_after_near_dedup < stats.n_input
+
+    curated = spark.read.parquet(out)
+    assert curated.count() == stats.n_after_near_dedup
+    # lang partition layout on disk, readable back with partition pruning
+    lang_dirs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert len(lang_dirs) >= 2
+    assert curated.where("lang = 'en'").count() > 0
+    # curated corpus has no exact duplicates left
+    n_distinct = curated.selectExpr("md5(lower(trim(text))) AS f").distinct().count()
+    assert n_distinct == stats.n_after_near_dedup
