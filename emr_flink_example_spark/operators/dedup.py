@@ -228,6 +228,77 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# est-Jaccard cutoff for treating an LSH candidate pair as a dup edge.
+# 8/16 signature agreement: k/16 is exact in binary floating point, so the
+# >= comparison is bit-identical between Spark and the DuckDB oracle.
+CC_EST_JACCARD = 0.5
+CC_MAX_ITERS = 20
+
+
+def q_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Resolve near-dup candidate pairs into clusters: (doc_id, component_id)
+    for every doc on >= 1 edge, component_id = min doc_id reachable.
+
+    Pairwise candidates alone under-delete: A~B and B~C may both pass the
+    threshold while A~C does not, and per-pair "drop the larger id" then keeps
+    two of the three. Proper dedup keeps exactly one doc per *connected
+    component* of the similarity graph — this operator computes that
+    assignment with hash-to-min label propagation: every node starts as its
+    own label, and each round takes the min label over itself and its
+    neighbors, converging in O(graph diameter) rounds.
+
+    Scale notes: each round is one equi-join (edges x labels, shuffled on the
+    node id) + one groupBy — both AQE-managed shuffles; nothing is ever
+    collected to the driver. Near-dup clusters have small diameter (dups of a
+    common source text link through it), so the round count stays low; for
+    adversarial long-chain graphs the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") bounds
+    rounds at O(log^2 n) with the same join-shape per round and would slot in
+    here unchanged. `localCheckpoint` truncates the per-iteration lineage so
+    plans don't grow with rounds (on a real cluster: checkpoint to HDFS/S3).
+    Convergence is detected via sum(label): labels only ever decrease, so the
+    sum is strictly monotone until fixpoint — one scalar action per round.
+    """
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf)
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+
+    prev = labels.agg(F.sum("label")).first()[0]
+    if prev is not None:  # empty graph -> nothing to iterate
+        for _ in range(CC_MAX_ITERS):
+            nbr_min = (
+                edges.join(labels, edges["v"] == labels["node"])
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            labels = (
+                labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+                .select(
+                    "node",
+                    F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            cur = labels.agg(F.sum("label")).first()[0]
+            if cur == prev:
+                break
+            prev = cur
+        else:  # pragma: no cover - CC_MAX_ITERS bounds adversarial chains
+            raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS} rounds")
+
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+
+
 PROBE_SOURCE = "src0"
 
 
@@ -417,7 +488,12 @@ _SIG_DUCK = f"""
 """
 
 
-def _minhash_oracle() -> str:
+_EST_JACCARD_DUCK = f"""round(len(list_filter(generate_series(1, {N_PERMS}),
+                                     i -> sig_a[i] = sig_b[i]))::DOUBLE / {N_PERMS}, 6)"""
+
+
+def _minhash_cand_ctes() -> str:
+    """Shared CTE chain sigs -> bands -> cand (doc_a, doc_b, sig_a, sig_b)."""
     band_selects = " UNION ALL ".join(
         f"""SELECT doc_id, sig, {b} AS band,
                    md5(concat_ws(',', {', '.join(f'sig[{b * BAND_ROWS + r + 1}]::VARCHAR' for r in range(BAND_ROWS))}))
@@ -434,11 +510,38 @@ def _minhash_oracle() -> str:
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         )
-        SELECT doc_a, doc_b,
-               round(len(list_filter(generate_series(1, {N_PERMS}),
-                                     i -> sig_a[i] = sig_b[i]))::DOUBLE / {N_PERMS}, 6)
-                   AS est_jaccard
-        FROM cand
+    """
+    )
+
+
+def _minhash_oracle() -> str:
+    return (
+        _minhash_cand_ctes()
+        + f"SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard FROM cand"
+    )
+
+
+def _cc_oracle() -> str:
+    """Connected components over the dup edges via a recursive CTE: each
+    node's component is the min id among everything reachable from it."""
+    return (
+        _minhash_cand_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+        dup_edges AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE {_EST_JACCARD_DUCK} >= {CC_EST_JACCARD}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM dup_edges
+            UNION SELECT doc_b, doc_a FROM dup_edges
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT e.u AS node, reach.r FROM edges e JOIN reach ON reach.node = e.v
+        )
+        SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
     """
     )
 
@@ -488,6 +591,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_connected_components": q_dedup_connected_components,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_vectorized": q_dedup_embedding_cosine_vectorized,
     "decontamination_overlap": q_decontamination_overlap,
@@ -524,6 +628,7 @@ ORACLES = {
         LIMIT 20
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_connected_components": _cc_oracle(),
     "dedup_embedding_cosine": _embedding_cosine_oracle(),
     "decontamination_overlap": f"""
         WITH {_TOK_CTE}, shingled AS (

@@ -73,3 +73,31 @@ def test_vectorized_dedup_matches_relational(spark):
     a = sorted(map(tuple, q_dedup_embedding_cosine(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q_dedup_embedding_cosine_vectorized(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_connected_components_invariants(spark):
+    """Cluster assignment must be edge-consistent (both endpoints of every
+    dup edge share a component) and canonical (component_id is the min
+    doc_id of its members, and itself a member)."""
+    from pyspark.sql import functions as F
+
+    from emr_flink_example_spark.operators.dedup import (
+        CC_EST_JACCARD,
+        q_dedup_connected_components,
+        q_dedup_minhash_lsh,
+    )
+
+    comp = {r.doc_id: r.component_id for r in q_dedup_connected_components(spark, SF_DIR).collect()}
+    edges = (
+        q_dedup_minhash_lsh(spark, SF_DIR)
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .collect()
+    )
+    assert len(edges) > 0 and len(comp) > 0
+    for e in edges:
+        assert comp[e.doc_a] == comp[e.doc_b]
+    members: dict[int, list[int]] = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
