@@ -1,0 +1,207 @@
+"""Deterministic sampling / splitting operators over `documents` (SURVEY.md
+§2 Part C — training-data pipeline surface).
+
+A 100 TB corpus pipeline needs *reproducible* sampling: the same doc must land
+in the same split/sample no matter how the data is partitioned, re-read, or
+re-run. Spark's `df.sample`/`sampleBy` are seed-based RNGs over partition
+iterators — their output changes when partitioning changes, and no external
+engine can reproduce them. Every operator here instead derives its decision
+from a content hash (functions/hashing.py's md5-based portable hash), which
+is stable across runs, partitionings, and engines — the DuckDB oracle
+reproduces each sample bit-for-bit.
+
+Scale notes: all decisions are per-row hash comparisons — embarrassingly
+parallel map-side work, no shuffle at all except where a per-group aggregate
+is genuinely required (quantile bounds, language shares), and those aggregate
+to a handful of rows that Spark broadcast-joins back onto the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash, portable_hash_sql_duckdb
+from ..io import load
+
+#: salt so split assignment is independent of any other hash-based decision
+SPLIT_SALT = "split-v1"
+TRAIN_PCT, VAL_PCT = 90, 5  # remainder = test
+
+#: per-language keep-rates for the stratified sample (pct of 100)
+STRATA_PCT = {"en": 5, "zh": 10}
+STRATA_DEFAULT_PCT = 20
+SAMPLE_SALT = "sample-v1"
+
+#: fixed-size uniform sample
+FIXED_K = 200
+
+#: quantile outlier fence on n_chars, per language
+Q_LO, Q_HI = 0.05, 0.95
+
+#: temperature for language-balanced sampling weights; 0.5 so the power is
+#: sqrt(), which IEEE requires correctly rounded — bit-identical across
+#: Spark and DuckDB (an arbitrary pow(x, a) is not).
+TEMPERATURE_ALPHA = 0.5
+
+
+def _bucket(col: Column) -> Column:
+    """Deterministic bucket in [0, 100) from a salted content hash."""
+    return portable_hash(col) % 100
+
+
+def _bucket_duck(expr: str) -> str:
+    return f"({portable_hash_sql_duckdb(expr)} % 100)"
+
+
+def q_split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment per document.
+
+    Hash-bucket assignment (not RNG) so that (a) re-running on re-partitioned
+    data yields the identical split, and (b) a doc added later cannot move an
+    existing doc between splits — both properties seed-based `randomSplit`
+    lacks. Pure map-side: no shuffle, no aggregate."""
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sample: per-language keep-rates (en is
+    downsampled hardest — the usual corpus-rebalancing move), applied as a
+    salted hash-bucket comparison. Map-side only; the rate table is a literal
+    CASE expression, not a join."""
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT)))
+    rate = F.lit(STRATA_DEFAULT_PCT)
+    for lang, pct in sorted(STRATA_PCT.items()):
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return docs.where(b < rate).select("doc_id", "lang", "source")
+
+
+def q_sample_fixed_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-size-k uniform sample: the k docs with the smallest salted hash.
+
+    The distributed analogue of reservoir sampling with none of the state:
+    each partition computes its local top-k by hash (TakeOrderedAndProject),
+    the driver merges k-sized heaps — never a full sort, never a full
+    shuffle."""
+    docs = load(spark, sf, "documents")
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT)))
+    return (
+        docs.select("doc_id", "lang", h.alias("sort_key"))
+        .orderBy("sort_key", "doc_id")
+        .limit(FIXED_K)
+        .select("doc_id", "lang")
+    )
+
+
+def q_outlier_filter_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep documents whose n_chars lies within the per-language [p05, p95]
+    exact-percentile fence — the standard length-outlier gate before
+    training.
+
+    Two-phase shape: one groupBy computes per-lang bounds (a handful of
+    rows), which Spark broadcast-joins back onto the corpus — the big table
+    is never shuffled. Exact `percentile` (not approx) so the DuckDB
+    `quantile_cont` oracle matches: both define quantiles as linear
+    interpolation at rank (n-1)*q."""
+    docs = load(spark, sf, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", Q_LO).alias("lo"),
+        F.percentile("n_chars", Q_HI).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_lang_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-balanced language sampling weights: w_l proportional to
+    share_l^alpha with alpha=0.5 — the multilingual-corpus rebalancing rule
+    (upweights tail languages, downweights the head).
+
+    One groupBy to per-lang counts (tiny), then the normalization constant
+    via a single-row cross join — nothing large ever moves."""
+    docs = load(spark, sf, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = per_lang.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+            F.round(F.sqrt(F.col("n_docs").cast("double")) / F.col("z"), 6).alias("weight"),
+        )
+    )
+
+
+_SPLIT_BUCKET = _bucket_duck(f"doc_id::VARCHAR || '{SPLIT_SALT}'")
+_SAMPLE_BUCKET = _bucket_duck(f"doc_id::VARCHAR || '{SAMPLE_SALT}'")
+_SAMPLE_HASH = portable_hash_sql_duckdb(f"doc_id::VARCHAR || '{SAMPLE_SALT}'")
+_RATE_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(STRATA_PCT.items()))
+    + f" ELSE {STRATA_DEFAULT_PCT} END"
+)
+
+QUERIES = {
+    "split_train_val_test": q_split_train_val_test,
+    "sample_stratified": q_sample_stratified,
+    "sample_fixed_k": q_sample_fixed_k,
+    "outlier_filter_quantile": q_outlier_filter_quantile,
+    "lang_temperature_weights": q_lang_temperature_weights,
+}
+
+ORACLES = {
+    "split_train_val_test": f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
+                    WHEN {_SPLIT_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "sample_stratified": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_SAMPLE_BUCKET} < {_RATE_CASE}
+    """,
+    "sample_fixed_k": f"""
+        SELECT doc_id, lang FROM documents
+        ORDER BY {_SAMPLE_HASH}, doc_id LIMIT {FIXED_K}
+    """,
+    "outlier_filter_quantile": f"""
+        WITH bounds AS (
+            SELECT lang, quantile_cont(n_chars, {Q_LO}) AS lo,
+                         quantile_cont(n_chars, {Q_HI}) AS hi
+            FROM documents GROUP BY lang
+        )
+        SELECT doc_id, d.lang, n_chars
+        FROM documents d JOIN bounds b ON d.lang = b.lang
+        WHERE n_chars >= lo AND n_chars <= hi
+    """,
+    "lang_temperature_weights": """
+        WITH per_lang AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT sum(n_docs) AS n_total, sum(sqrt(n_docs::DOUBLE)) AS z
+            FROM per_lang
+        )
+        SELECT lang, n_docs,
+               round(n_docs / n_total, 6) AS share,
+               round(sqrt(n_docs::DOUBLE) / z, 6) AS weight
+        FROM per_lang CROSS JOIN tot
+    """,
+}

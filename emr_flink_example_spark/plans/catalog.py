@@ -17,12 +17,13 @@ from ..operators import (
     event_time,
     multimodal,
     relational,
+    sampling,
     similarity,
     textstats,
     timeseries,
 )
 
-_MODULES = (relational, event_time, textstats, dedup, similarity, multimodal, timeseries)
+_MODULES = (relational, event_time, textstats, dedup, similarity, multimodal, timeseries, sampling)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -28,6 +28,8 @@ REPRESENTATIVE = [
     "knn_bruteforce",              # similarity search
     "text_quality",                # text analysis
     "multimodal_decode_mapinpandas",  # Arrow/mapInPandas plumbing
+    "split_train_val_test",        # deterministic hash split
+    "outlier_filter_quantile",     # broadcast quantile fence
 ]
 
 

@@ -116,3 +116,27 @@ def test_no_row_at_a_time_python(spark, name):
         assert "ArrowEvalPython" not in plan
         assert "MapInPandas" not in plan
         assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_sampling_is_mapside(spark):
+    """Hash-bucket split/sample decisions are pure per-row maps: no exchange
+    anywhere in the plan — at 100 TB these cost one scan, zero shuffle."""
+    for name in ("split_train_val_test", "sample_stratified"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert plan.count("Scan parquet") == 1, name
+
+
+def test_fixed_k_sample_never_sorts_globally(spark):
+    """Exact-k hash sample must be TakeOrdered (per-partition heaps merged
+    at the driver), not a global Sort + Limit."""
+    plan = _plan(spark, "sample_fixed_k")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_outlier_fence_broadcasts_bounds(spark):
+    """Per-lang quantile bounds (a handful of rows) broadcast back onto the
+    corpus — the documents table itself is never shuffled for the join."""
+    plan = _plan(spark, "outlier_filter_quantile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
