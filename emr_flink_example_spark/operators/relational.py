@@ -616,6 +616,68 @@ def q_agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_first_last_nth(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-partition
+    frame. The (o_orderdate, o_orderkey) ordering is a deterministic total
+    order — last_value over the default frame (up to CURRENT ROW) would just
+    echo the current row, so the frame is widened to the whole partition."""
+    orders = load(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+def q_agg_corr_covar(spark: SparkSession, sf: str) -> DataFrame:
+    """Bivariate aggregates: Pearson correlation and sample/population
+    covariance of quantity vs extended price per return flag."""
+    lineitem = load(spark, sf, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        _r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        _r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_s"),
+        _r4(F.covar_pop("l_quantity", "l_extendedprice")).alias("covar_p"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_agg_argmin_argmax(spark: SparkSession, sf: str) -> DataFrame:
+    """Argmin/argmax aggregates: which order is each priority's cheapest /
+    priciest. o_totalprice is continuous, but ties are still broken
+    deterministically by taking min(orderkey) among the extreme rows, so the
+    result is well-defined in both engines."""
+    orders = load(spark, sf, "orders")
+    extremes = orders.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    o = load(spark, sf, "orders")
+    lo = o.join(
+        F.broadcast(extremes),
+        (o["o_orderpriority"] == extremes["o_orderpriority"])
+        & (o["o_totalprice"] == extremes["min_price"]),
+    ).groupBy(extremes["o_orderpriority"].alias("o_orderpriority")).agg(
+        F.min("o_orderkey").alias("cheapest_orderkey"),
+        F.min("min_price").alias("min_price"),
+    )
+    hi = o.join(
+        F.broadcast(extremes),
+        (o["o_orderpriority"] == extremes["o_orderpriority"])
+        & (o["o_totalprice"] == extremes["max_price"]),
+    ).groupBy(extremes["o_orderpriority"].alias("o_orderpriority")).agg(
+        F.min("o_orderkey").alias("priciest_orderkey"),
+        F.min("max_price").alias("max_price"),
+    )
+    return lo.join(hi, "o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Subqueries
 # ---------------------------------------------------------------------------
@@ -703,6 +765,9 @@ QUERIES = {
     "subquery_scalar": q_subquery_scalar,
     "subquery_exists": q_subquery_exists,
     "subquery_in": q_subquery_in,
+    "window_first_last_nth": q_window_first_last_nth,
+    "agg_corr_covar": q_agg_corr_covar,
+    "agg_argmin_argmax": q_agg_argmin_argmax,
 }
 
 ORACLES = {
@@ -1040,5 +1105,44 @@ ORACLES = {
         FROM part
         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
         GROUP BY p_brand
+    """,
+    "window_first_last_nth": """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "agg_corr_covar": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+               round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_argmin_argmax": """
+        WITH extremes AS (
+            SELECT o_orderpriority, min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderpriority
+        ), lo AS (
+            SELECT e.o_orderpriority, min(o_orderkey) AS cheapest_orderkey,
+                   min(min_price) AS min_price
+            FROM orders o JOIN extremes e
+              ON o.o_orderpriority = e.o_orderpriority AND o.o_totalprice = e.min_price
+            GROUP BY e.o_orderpriority
+        ), hi AS (
+            SELECT e.o_orderpriority, min(o_orderkey) AS priciest_orderkey,
+                   min(max_price) AS max_price
+            FROM orders o JOIN extremes e
+              ON o.o_orderpriority = e.o_orderpriority AND o.o_totalprice = e.max_price
+            GROUP BY e.o_orderpriority
+        )
+        SELECT o_orderpriority, cheapest_orderkey, min_price,
+               priciest_orderkey, max_price
+        FROM lo JOIN hi USING (o_orderpriority)
     """,
 }

@@ -181,6 +181,59 @@ def _lex_duck(lang: str) -> str:
     return f"len(list_intersect(tokens, [{arr}]))"
 
 
+def q_repetition_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition signal: word-bigram counts per
+    doc -> total/distinct bigrams, the hottest bigram's count, and the
+    repeated fraction (1 - distinct/total). High values flag boilerplate and
+    degenerate generated text.
+
+    Single-pass shape: one explode + two-level groupBy keyed on doc_id — NOT
+    a join of two branches of the same derived frame, which would re-run the
+    tokenize+bigram chain once per branch (no ReusedExchange across
+    self-joins; see dedup.py). The repartition after tokenization is the
+    documented optimizer barrier keeping the per-element bigram lambda from
+    inlining the regex (O(tokens^2) otherwise)."""
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.expr(TOKENS).alias("tokens"))
+        .repartition("doc_id")
+    )
+    bi = toks.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN size(tokens) >= 2 THEN
+                transform(sequence(0, size(tokens) - 2),
+                          i -> concat_ws(' ', element_at(tokens, i + 1),
+                                              element_at(tokens, i + 2)))
+            ELSE array() END
+            """
+        ).alias("bigrams"),
+    )
+    counts = (
+        bi.select("doc_id", F.explode_outer("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when(F.col("bg").isNotNull(), F.col("c"))), F.lit(0)).alias("n_bigrams"),
+        F.count("bg").alias("n_distinct_bigrams"),
+        F.coalesce(F.max(F.when(F.col("bg").isNotNull(), F.col("c"))), F.lit(0)).alias("top_bigram_count"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "top_bigram_count",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6),
+        )
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -189,9 +242,40 @@ QUERIES = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "tfidf_top_terms": q_tfidf_top_terms,
     "sentiment_score": q_sentiment_score,
+    "repetition_ngram": q_repetition_ngram,
 }
 
+_REPETITION_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+    ), bi AS (
+        SELECT doc_id,
+               CASE WHEN len(tokens) >= 2 THEN
+                   list_transform(generate_series(1, len(tokens) - 1),
+                                  i -> concat_ws(' ', tokens[i], tokens[i + 1]))
+               ELSE [] END AS bigrams
+        FROM tok
+    ), ex AS (
+        SELECT doc_id, unnest(bigrams) AS bg FROM bi
+    ), cnt AS (
+        SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY doc_id, bg
+    ), per AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+               count(*) AS n_distinct_bigrams, max(c) AS top_bigram_count
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           coalesce(top_bigram_count, 0) AS top_bigram_count,
+           CASE WHEN coalesce(n_bigrams, 0) > 0
+                THEN round(1 - n_distinct_bigrams / n_bigrams, 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+"""
+
 ORACLES = {
+    "repetition_ngram": _REPETITION_ORACLE,
     "lang_stats": f"""
         SELECT lang,
                count(*) AS n_docs,
