@@ -1,0 +1,207 @@
+"""Event-analytics and table-maintenance operators (SURVEY.md §2 Part B/C
+extensions): funnel conversion, cohort retention, MERGE-style upsert, SCD2
+interval building.
+
+These are the canonical "product analytics over an event stream" and
+"maintain a mutable dimension on an immutable lake" workloads. Everything is
+declarative DataFrame ops; the repeated shuffle key is user_id (funnel,
+cohort, SCD2) so consecutive stages reuse one hash partitioning, and the
+upsert is the standard anti-join + union MERGE shape Spark executes with one
+shuffle per side (AQE coalesced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load
+
+#: deterministic "change set" for the upsert demo: every 10th order surcharged,
+#: every 97th cloned as a brand-new order under a shifted key
+UPSERT_UPDATE_MOD = 10
+UPSERT_INSERT_MOD = 97
+UPSERT_KEY_SHIFT = 10_000_000
+
+
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase: a user converts a step
+    only with an event strictly after their previous step's first event.
+
+    Three groupBys and two joins, all keyed on user_id — one partitioning
+    reused across every stage (Catalyst elides the re-shuffle of the
+    already-partitioned side). The final count combine is three single-row
+    aggregates cross-joined: nothing wide ever reaches the driver."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    t_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_click = (
+        ev.where(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t_view.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(t_click.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(t_purchase.agg(F.count("*").alias("n_purchased")))
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked") / F.col("n_viewed"), 6).alias("view_to_click"),
+            F.round(F.col("n_purchased") / F.col("n_clicked"), 6).alias("click_to_purchase"),
+            F.round(F.col("n_purchased") / F.col("n_viewed"), 6).alias("overall"),
+        )
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, activity
+    counted per day-offset from that cohort day.
+
+    Both phases shuffle on user_id only; the cohort join is a co-partitioned
+    equi-join (first-seen is tiny relative to activity but still user-keyed,
+    so no broadcast needed for correctness at any scale)."""
+    ev = load(spark, sf, "events").select("user_id", F.col("ts").cast("date").alias("day"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("offset_days"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO without a table format: base rows not in the change set
+    pass through (anti-join), matched keys take the update's values, and
+    new keys append — one union of three branches, each a plain shuffle
+    join on the merge key. The same shape a foreachBatch CDC-apply job uses
+    when Delta/Iceberg isn't available (SURVEY.md §2 A16's batch analogue).
+
+    The change set is synthesized deterministically from `orders` so the
+    DuckDB oracle reproduces it exactly (the re-price is an exact-in-binary
+    +50.00 surcharge: 2-decimal doubles stay 2-decimal, so the final round
+    never lands on a .xx5 half-case that Spark and DuckDB break differently)."""
+    base = load(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        base.where(F.col("o_orderkey") % UPSERT_UPDATE_MOD == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 50.0).alias("o_totalprice"),
+        )
+    )
+    inserts = (
+        base.where(F.col("o_orderkey") % UPSERT_INSERT_MOD == 0)
+        .select(
+            (F.col("o_orderkey") + UPSERT_KEY_SHIFT).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    untouched = base.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = untouched.unionByName(updates).unionByName(inserts)
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history build: each user's event stream becomes half-open
+    validity intervals [valid_from, valid_to) via lead() over the per-user
+    order; the open row (valid_to IS NULL) is flagged current.
+
+    One window over (user_id, ts, event_id) — a single shuffle+sort, the
+    minimal cost for interval construction; no self-join."""
+    ev = load(spark, sf, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+QUERIES = {
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "merge_upsert": q_merge_upsert,
+    "scd2_intervals": q_scd2_intervals,
+}
+
+ORACLES = {
+    "funnel_conversion": """
+        WITH tv AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), tc AS (
+            SELECT e.user_id, min(ts) AS t_click
+            FROM events e JOIN tv USING (user_id)
+            WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id
+        ), tp AS (
+            SELECT e.user_id, min(ts) AS t_purchase
+            FROM events e JOIN tc USING (user_id)
+            WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM tv) AS n_viewed,
+               (SELECT count(*) FROM tc) AS n_clicked,
+               (SELECT count(*) FROM tp) AS n_purchased,
+               round((SELECT count(*) FROM tc) / (SELECT count(*) FROM tv), 6) AS view_to_click,
+               round((SELECT count(*) FROM tp) / (SELECT count(*) FROM tc), 6) AS click_to_purchase,
+               round((SELECT count(*) FROM tp) / (SELECT count(*) FROM tv), 6) AS overall
+    """,
+    "cohort_retention": """
+        WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+        first_seen AS (
+            SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+        ), activity AS (SELECT DISTINCT user_id, day FROM ev)
+        SELECT cohort_day, date_diff('day', cohort_day, day) AS offset_days,
+               count(DISTINCT user_id) AS n_active_users
+        FROM activity JOIN first_seen USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "merge_upsert": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ), updates AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_totalprice + 50.0 AS o_totalprice
+            FROM base WHERE o_orderkey % {UPSERT_UPDATE_MOD} = 0
+        ), inserts AS (
+            SELECT o_orderkey + {UPSERT_KEY_SHIFT} AS o_orderkey,
+                   'N' AS o_orderstatus, o_totalprice
+            FROM base WHERE o_orderkey % {UPSERT_INSERT_MOD} = 0
+        )
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM (
+            SELECT * FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+            UNION ALL SELECT * FROM updates
+            UNION ALL SELECT * FROM inserts
+        )
+    """,
+    "scd2_intervals": """
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+}

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
+    analytics,
     dedup,
     event_time,
     multimodal,
@@ -23,7 +24,17 @@ from ..operators import (
     timeseries,
 )
 
-_MODULES = (relational, event_time, textstats, dedup, similarity, multimodal, timeseries, sampling)
+_MODULES = (
+    relational,
+    event_time,
+    textstats,
+    dedup,
+    similarity,
+    multimodal,
+    timeseries,
+    sampling,
+    analytics,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
