@@ -41,6 +41,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "timeseries_znorm_corr",
     "multimodal_frame_sample",
+    "repetition_ngram",
+    "sample_stratified",
+    "outlier_filter_quantile",
+    "merge_upsert",
+    "cohort_retention",
 ]
 
 
