@@ -140,3 +140,10 @@ def test_outlier_fence_broadcasts_bounds(spark):
     plan = _plan(spark, "outlier_filter_quantile")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_cosine_single_scan(spark):
+    """Bucketed cosine dedup groups per bucket — one scan of embeddings, no
+    self-join recompute of the bucket+norm chain."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert plan.count("Scan parquet") == 1
