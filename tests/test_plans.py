@@ -147,3 +147,11 @@ def test_embedding_cosine_single_scan(spark):
     self-join recompute of the bucket+norm chain."""
     plan = _plan(spark, "dedup_embedding_cosine")
     assert plan.count("Scan parquet") == 1
+
+
+def test_tfidf_single_scan(spark):
+    """df via count-over-token-window, not a self-derived join: one scan of
+    documents for the term rows (plus the count-only scan for N)."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert plan.count("Scan parquet") <= 2  # term chain + count-only N scan
+    assert "SortMergeJoin" not in plan
