@@ -25,6 +25,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -92,5 +93,56 @@ def running_ad_type_stats(parsed: DataFrame) -> DataFrame:
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class _RunningStatsProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of `_update_stats` — the Spark 4
+    arbitrary-state API (typed state handles, timers, TTL) that supersedes
+    applyInPandasWithState. Kept API-for-API comparable so both surfaces are
+    exercised: same key, same state triple, same update-mode emission."""
+
+    def init(self, handle) -> None:
+        self._stats = handle.getValueState(
+            "stats", "n_events BIGINT, ts_min BIGINT, ts_max BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        prior = self._stats.get() if self._stats.exists() else (0, None, None)
+        n, ts_min, ts_max = int(prior[0]), prior[1], prior[2]
+        for pdf in rows:
+            n += len(pdf)
+            lo, hi = int(pdf["timestamp"].min()), int(pdf["timestamp"].max())
+            ts_min = lo if ts_min is None else min(int(ts_min), lo)
+            ts_max = hi if ts_max is None else max(int(ts_max), hi)
+        self._stats.update((n, ts_min, ts_max))
+        yield pd.DataFrame(
+            {"ad_type": [key[0]], "n_events": [n], "ts_min": [ts_min], "ts_max": [ts_max]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_ad_type_stats_tws(parsed: DataFrame) -> DataFrame:
+    """`running_ad_type_stats` through transformWithStateInPandas.
+
+    Functionally identical to the applyInPandasWithState version; uses the
+    newer StatefulProcessor contract (explicit state handles — the surface
+    that also offers timers and per-state TTL for state hygiene at scale).
+
+    Runtime dependency note: the transformWithState state-server protocol
+    needs `google.protobuf` in the Python environment; environments without
+    it must use `running_ad_type_stats` (applyInPandasWithState), which has
+    no such dependency."""
+    return (
+        parsed.select(parsed["ad_type"].cast("long").alias("ad_type"), "timestamp")
+        .groupBy("ad_type")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStatsProcessor(),
+            outputStructType=_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
         )
     )

@@ -9,6 +9,8 @@ import json
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from emr_flink_example_spark.config import PipelineConfig
@@ -307,3 +309,52 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
     )
     got = sorted((r.s, r.e, r.n_events) for r in spark.sql(f"SELECT * FROM {qname}").collect())
     assert got == expected and len(got) == 2
+
+
+def test_running_stats_transform_with_state(spark, tmp_path):
+    """The transformWithStateInPandas twin accumulates identically across
+    micro-batches (Spark 4 StatefulProcessor surface).
+
+    The runtime needs google.protobuf for its state-server protocol; this
+    container doesn't ship it, so the test runs wherever the dependency
+    exists and skips here (operator code is still import-checked)."""
+    pytest.importorskip("google.protobuf")
+    from emr_flink_example_spark.streaming.stateful import running_ad_type_stats_tws
+
+    src = str(tmp_path / "in")
+    t0 = SAMPLE["timestamp"]
+    _write_lines(src, [json.dumps(dict(SAMPLE, uuid="a", ad_type=7, timestamp=t0))], "b0.txt")
+    parsed = (
+        spark.readStream.schema("value string")
+        .format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select(F.from_json("value", AD_EVENT_SCHEMA).alias("j"))
+        .select("j.*")
+    )
+    stats = running_ad_type_stats_tws(parsed)
+    qname = f"tws_{int(time.time()*1000)}"
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    _write_lines(
+        src,
+        [
+            json.dumps(dict(SAMPLE, uuid="b", ad_type=7, timestamp=t0 + 1000)),
+            json.dumps(dict(SAMPLE, uuid="c", ad_type=9, timestamp=t0 + 2000)),
+        ],
+        "b1.txt",
+    )
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    latest = {r.ad_type: r for r in sorted(rows, key=lambda r: r.n_events)}
+    assert latest[7].n_events == 2, rows
+    assert latest[7].ts_min == t0 and latest[7].ts_max == t0 + 1000
+    assert latest[9].n_events == 1
