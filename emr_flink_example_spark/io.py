@@ -72,3 +72,38 @@ def write_partitioned_parquet(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.partitionBy(*partition_cols).parquet(path)
+
+
+#: formats the generic reader/writer round-trips; parquet is the lake
+#: default, the rest cover ingest/export interchange (SURVEY.md §2 Part B
+#: "Scans" row: parquet/text/json — plus csv and orc for completeness)
+FORMATS = ("parquet", "orc", "json", "csv", "text")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-generic batch reader.
+
+    An explicit `schema` string skips inference — at 100 TB a schema-less
+    json/csv read triggers a full inference pre-pass over the data; always
+    pass the schema in production paths. Header/compression/separator knobs
+    flow through `options`.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **options: str) -> None:
+    """Format-generic batch writer (compression etc. via `options`)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    df.write.mode(mode).format(fmt).options(**options).save(path)
