@@ -678,6 +678,29 @@ def q_agg_argmin_argmax(spark: SparkSession, sf: str) -> DataFrame:
     return lo.join(hi, "o_orderpriority")
 
 
+#: equi-width histogram bucket size for o_totalprice (constant bounds keep
+#: the bucket edges engine-exact; data-derived min/max edges would put rows
+#: on float boundaries that Spark and DuckDB could floor differently)
+HIST_BUCKET_WIDTH = 25_000
+
+
+def q_histogram_equiwidth(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of order totals: one map-side bucket assignment
+    (floor division by a constant) + one groupBy — the distributed histogram
+    shape; never a sort."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / HIST_BUCKET_WIDTH).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _r2(F.min("o_totalprice")).alias("bucket_min"),
+            _r2(F.max("o_totalprice")).alias("bucket_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subqueries
 # ---------------------------------------------------------------------------
@@ -768,6 +791,7 @@ QUERIES = {
     "window_first_last_nth": q_window_first_last_nth,
     "agg_corr_covar": q_agg_corr_covar,
     "agg_argmin_argmax": q_agg_argmin_argmax,
+    "histogram_equiwidth": q_histogram_equiwidth,
 }
 
 ORACLES = {
@@ -1144,5 +1168,12 @@ ORACLES = {
         SELECT o_orderpriority, cheapest_orderkey, min_price,
                priciest_orderkey, max_price
         FROM lo JOIN hi USING (o_orderpriority)
+    """,
+    "histogram_equiwidth": f"""
+        SELECT floor(o_totalprice / {HIST_BUCKET_WIDTH})::BIGINT AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS bucket_min,
+               round(max(o_totalprice), 2) AS bucket_max
+        FROM orders GROUP BY 1
     """,
 }

@@ -271,6 +271,24 @@ def q_embedding_label_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid in long form: (label, dim, centroid component).
+
+    posexplode to (label, dim, value) rows, then one groupBy (label, dim) —
+    elementwise vector mean as a plain aggregate: partial averages combine
+    map-side, so the shuffle carries labels x dims rows, not vectors. The
+    wide-form centroid (one array per label) is a `collect_list` away when
+    a consumer needs it; long form is what downstream joins (e.g. per-dim
+    variance, whitening) consume directly."""
+    emb = load(spark, sf, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return emb.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("centroid_v"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
 _COS_DUCK = (
     "list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
 )
@@ -307,9 +325,21 @@ QUERIES = {
     "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_stats": q_embedding_label_stats,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 ORACLES = {
+    "embedding_centroids": """
+        SELECT label, (dim - 1)::INT AS dim,
+               round(avg(v), 6) AS centroid_v,
+               count(*) AS n_vectors
+        FROM (
+            SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        GROUP BY label, dim - 1
+    """,
     "knn_bruteforce": f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

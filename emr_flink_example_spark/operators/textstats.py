@@ -241,6 +241,67 @@ def q_repetition_ngram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: deterministic PII injection for the redaction demo (the fixture corpus is
+#: synthetic word-salad with no PII, so docs get a contact line appended by
+#: rule — the SAME rule runs in the oracle, keeping the check meaningful)
+PII_MOD = 7
+EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub: count and mask email / phone patterns per document.
+
+    Counts via regexp_count, masking via chained regexp_replace — all
+    JVM-side regex (patterns chosen to behave identically under Java regex
+    and DuckDB's RE2: no lookaround, no backreferences). The redacted text
+    is returned as an md5 so the row stays narrow; at 100 TB this is a pure
+    map over the scan, no shuffle."""
+    docs = load(spark, sf, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % PII_MOD == 0,
+            F.concat(
+                "text",
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(masked).alias("redacted_md5"),
+    )
+
+
+def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level vocabulary profile: token total, vocabulary size, hapax
+    count (freq = 1), type-token ratio. One token-keyed shuffle (partial
+    counts map-side), then a single-row reduce."""
+    docs = load(spark, sf, "documents")
+    freq = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    return freq.agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(F.count("*") / F.sum("freq"), 6).alias("type_token_ratio"),
+    )
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -250,6 +311,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "sentiment_score": q_sentiment_score,
     "repetition_ngram": q_repetition_ngram,
+    "pii_redaction": q_pii_redaction,
+    "vocab_stats": q_vocab_stats,
 }
 
 _REPETITION_ORACLE = f"""
@@ -281,8 +344,41 @@ _REPETITION_ORACLE = f"""
     FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
 """
 
+_PII_ORACLE = f"""
+    WITH with_pii AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {PII_MOD} = 0 THEN
+                   text || ' contact user' || doc_id::VARCHAR
+                        || '@example.com or 555-'
+                        || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM with_pii
+"""
+
+_VOCAB_ORACLE = f"""
+    WITH tok AS (
+        SELECT unnest({TOKENS_DUCK}) AS token FROM documents
+    ), freq AS (
+        SELECT token, count(*) AS freq FROM tok GROUP BY token
+    )
+    SELECT sum(freq)::BIGINT AS n_tokens,
+           count(*) AS vocab_size,
+           sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           round(count(*) / sum(freq), 6) AS type_token_ratio
+    FROM freq
+"""
+
 ORACLES = {
     "repetition_ngram": _REPETITION_ORACLE,
+    "pii_redaction": _PII_ORACLE,
+    "vocab_stats": _VOCAB_ORACLE,
     "lang_stats": f"""
         SELECT lang,
                count(*) AS n_docs,
