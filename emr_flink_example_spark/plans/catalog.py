@@ -22,6 +22,7 @@ from ..operators import (
     similarity,
     textstats,
     timeseries,
+    udfs,
 )
 
 _MODULES = (
@@ -34,6 +35,7 @@ _MODULES = (
     timeseries,
     sampling,
     analytics,
+    udfs,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

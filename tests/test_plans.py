@@ -22,7 +22,12 @@ ARROW_QUERIES = {
     "multimodal_frame_sample",
     "timeseries_dtw",
     "dedup_embedding_cosine_vectorized",
+    "udf_pandas_norm",
+    "udaf_pandas_mean_dim0",
 }
+
+#: the one deliberate row-at-a-time Python surface demo (BatchEvalPythonUDTF)
+UDTF_QUERIES = {"udtf_leading_tokens"}
 
 
 def _plan(spark, name: str) -> str:
@@ -111,8 +116,9 @@ def test_no_row_at_a_time_python(spark, name):
     """No query uses row-at-a-time Python UDFs; Python appears only as
     Arrow-batched mapInPandas in the multimodal decode path."""
     plan = _plan(spark, name)
-    assert "BatchEvalPython" not in plan
-    if name not in ARROW_QUERIES:
+    if name not in UDTF_QUERIES:
+        assert "BatchEvalPython" not in plan
+    if name not in ARROW_QUERIES | UDTF_QUERIES:
         assert "ArrowEvalPython" not in plan
         assert "MapInPandas" not in plan
         assert "FlatMapGroupsInPandas" not in plan

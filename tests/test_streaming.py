@@ -358,3 +358,58 @@ def test_running_stats_transform_with_state(spark, tmp_path):
     assert latest[7].n_events == 2, rows
     assert latest[7].ts_min == t0 and latest[7].ts_max == t0 + 1000
     assert latest[9].n_events == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Click attribution: stream-stream inner join with watermarks on both
+    sides and a two-sided event-time bound (state expires past the horizon).
+    A click outside the 10-minute window must not match."""
+    from emr_flink_example_spark.streaming.joins import click_attribution
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    base = 1617171790
+    _write_lines(
+        imp_dir,
+        [
+            json.dumps({"imp_uuid": "ad1", "imp_epoch": base}),
+            json.dumps({"imp_uuid": "ad2", "imp_epoch": base}),
+        ],
+        "i0.txt",
+    )
+    _write_lines(
+        clk_dir,
+        [
+            json.dumps({"click_uuid": "ad1", "click_epoch": base + 120}),   # in window
+            json.dumps({"click_uuid": "ad2", "click_epoch": base + 3600}),  # past horizon
+        ],
+        "c0.txt",
+    )
+
+    def stream(path, schema, ts_out, epoch_col):
+        return (
+            spark.readStream.schema("value string")
+            .format("text")
+            .load(path)
+            .select(F.from_json("value", schema).alias("j"))
+            .select("j.*")
+            .withColumn(ts_out, F.timestamp_seconds(F.col(epoch_col)))
+            .drop(epoch_col)
+        )
+
+    imps = stream(imp_dir, "imp_uuid string, imp_epoch long", "imp_ts", "imp_epoch")
+    clks = stream(clk_dir, "click_uuid string, click_epoch long", "click_ts", "click_epoch")
+    joined = click_attribution(imps, clks, horizon="10 minutes", watermark="1 minute")
+    qname = f"ssj_{int(time.time()*1000)}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    assert [r.imp_uuid for r in rows] == ["ad1"]
+    assert (rows[0].click_ts - rows[0].imp_ts).total_seconds() == 120
