@@ -678,6 +678,47 @@ def q_agg_argmin_argmax(spark: SparkSession, sf: str) -> DataFrame:
     return lo.join(hi, "o_orderpriority")
 
 
+#: replication factor for the salted-join demo
+JOIN_SALT_BUCKETS = 8
+
+
+def q_join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Manually salted fact-fact join: lineitem rows carry a salt derived
+    from a non-join column, orders rows are replicated once per salt value,
+    and the join key becomes (orderkey, salt) — splitting any hot orderkey's
+    rows across JOIN_SALT_BUCKETS reducers.
+
+    The result is identical to the plain join (the oracle IS the plain
+    join), which is the point: salting is a physical rewrite only. AQE's
+    skew-join splitting does this automatically per-partition; the manual
+    form is for key-level skew AQE can't split (a single key bigger than a
+    partition) and costs a JOIN_SALT_BUCKETS-times replication of the
+    smaller side — use it surgically, on the skewed keys only."""
+    lineitem = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    salted_fact = lineitem.withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(JOIN_SALT_BUCKETS))
+    )
+    replicated = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT_BUCKETS - 1))).alias("salt"),
+    )
+    return (
+        salted_fact.join(
+            replicated,
+            (salted_fact["l_orderkey"] == replicated["o_orderkey"])
+            & (salted_fact["salt"] == replicated["salt"]),
+            "inner",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            _r2(F.sum("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
 #: equi-width histogram bucket size for o_totalprice (constant bounds keep
 #: the bucket edges engine-exact; data-derived min/max edges would put rows
 #: on float boundaries that Spark and DuckDB could floor differently)
@@ -792,6 +833,7 @@ QUERIES = {
     "agg_corr_covar": q_agg_corr_covar,
     "agg_argmin_argmax": q_agg_argmin_argmax,
     "histogram_equiwidth": q_histogram_equiwidth,
+    "join_skew_salted": q_join_skew_salted,
 }
 
 ORACLES = {
@@ -1168,6 +1210,12 @@ ORACLES = {
         SELECT o_orderpriority, cheapest_orderkey, min_price,
                priciest_orderkey, max_price
         FROM lo JOIN hi USING (o_orderpriority)
+    """,
+    "join_skew_salted": """
+        SELECT o_orderstatus, count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
     """,
     "histogram_equiwidth": f"""
         SELECT floor(o_totalprice / {HIST_BUCKET_WIDTH})::BIGINT AS bucket,
