@@ -34,25 +34,38 @@ N_DAYS = 30
 REF_PATTERN = [math.sin(2 * math.pi * d / 7) for d in range(N_DAYS)]
 
 
+def _daily(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, day, v): per-user-day activity, v = round(sum(value), 2)."""
+    events = load(spark, sf, "events")
+    return events.groupBy("user_id", F.dayofmonth("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+
+
+def _day_grid(spark: SparkSession) -> DataFrame:
+    return spark.range(1, N_DAYS + 1).select(F.col("id").cast("int").alias("day"))
+
+
 def _dense_daily(spark: SparkSession, sf: str) -> DataFrame:
     """(user_id, day 1..30, v) with zero-filled gaps; v = round(sum(value),2)."""
     events = load(spark, sf, "events")
-    daily = (
-        events.groupBy("user_id", F.dayofmonth("ts").alias("day"))
-        .agg(F.round(F.sum("value"), 2).alias("v"))
-    )
     users = events.select("user_id").distinct()
-    days = spark.range(1, N_DAYS + 1).select(F.col("id").cast("int").alias("day"))
     return (
-        users.crossJoin(F.broadcast(days))
-        .join(daily, ["user_id", "day"], "left")
+        users.crossJoin(F.broadcast(_day_grid(spark)))
+        .join(_daily(spark, sf), ["user_id", "day"], "left")
         .select("user_id", "day", F.coalesce("v", F.lit(0.0)).alias("v"))
     )
 
 
 def q_timeseries_znorm_corr(spark: SparkSession, sf: str) -> DataFrame:
     """Correlation of each user's z-normalized daily series with the
-    z-normalized global daily series."""
+    z-normalized global daily series.
+
+    The global series is aggregated from the small per-(user, day) table +
+    the 30-row day grid, NOT from the dense zero-filled grid — summing the
+    dense branch would recompute its whole crossJoin+join chain a second
+    time (self-derived reuse gets no ReusedExchange; measured 1.15x), and
+    zero cells contribute nothing to a sum anyway."""
     dense = _dense_daily(spark, sf)
     wu = Window.partitionBy("user_id")
     user_z = dense.select(
@@ -62,9 +75,16 @@ def q_timeseries_znorm_corr(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("v") > 0, 1).otherwise(0)).over(wu).alias("active_days"),
     )
     glob = (
-        dense.groupBy("day")
-        .agg(F.round(F.sum("v"), 2).alias("g"))
+        _day_grid(spark)
+        .join(
+            _daily(spark, sf).groupBy("day").agg(F.round(F.sum("v"), 2).alias("g")),
+            "day",
+            "left",
+        )
+        .select("day", F.coalesce("g", F.lit(0.0)).alias("g"))
     )
+    # the z-norm stats window runs over the 30-row global series only — never
+    # an unpartitioned window over the big table
     wg = Window.partitionBy()
     glob_z = glob.select(
         "day",
