@@ -480,6 +480,66 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return per_doc.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
+#: SimHash near-dup threshold: pairs within this Hamming distance.
+SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = 4  # 16-bit fp split into 4 nibbles
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: documents whose 16-bit fingerprints differ in
+    at most SIMHASH_MAX_HAMMING bits (Manku et al.'s web-dedup scheme,
+    restated on Spark).
+
+    Pigeonhole banding makes it scale: a fingerprint differing in <= 3 bits
+    must agree EXACTLY on at least one of its 4 nibbles, so candidate
+    generation is a groupBy on (band, nibble value) — each doc emits 4
+    bucket keys, cost O(docs x bands), never O(n^2) — followed by the exact
+    bit_count(xor) filter inside each bucket. Same single-scan
+    groupBy-collect shape as the MinHash and cosine dedup paths."""
+    fps = q_simhash(spark, sf)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 4).bitwiseAND(F.lit(0xF)).alias("nibble"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.nibble").alias("nibble"))
+    grouped = (
+        bands.groupBy("band", "nibble")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    cand = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(members, (x, i) ->
+                        transform(slice(members, i + 2, size(members)),
+                                  y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                              x.simhash AS fp_a, y.simhash AS fp_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
 def _perm_values_duck() -> str:
     return ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(PERMS))
 
@@ -606,6 +666,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_connected_components": q_dedup_connected_components,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_vectorized": q_dedup_embedding_cosine_vectorized,
     "decontamination_overlap": q_decontamination_overlap,
@@ -643,6 +704,15 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_connected_components": _cc_oracle(),
+    # the nibble pigeonhole is exact for hamming <= 3 on 4 bands, so the
+    # oracle is simply the brute-force pair predicate
+    "simhash_hamming_pairs": f"""
+        WITH fp AS ({_simhash_oracle()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
     "dedup_embedding_cosine": _embedding_cosine_oracle(),
     "decontamination_overlap": f"""
         WITH {_TOK_CTE}, shingled AS (
