@@ -540,6 +540,56 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: max edit distance for a blocked pair to count as a fuzzy duplicate.
+FUZZY_MAX_EDITS = 3
+
+
+def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy-key dedup: part-name pairs within edit distance
+    FUZZY_MAX_EDITS, found via blocking + in-block pairwise Levenshtein.
+
+    Classic record-linkage shape: a cheap blocking key (leading name token +
+    p_size) bounds candidate generation to O(rows x 1) bucket emissions, and
+    the quadratic edit-distance work runs only WITHIN blocks, whose size the
+    key keeps small — never an all-pairs cross join. Same single-scan
+    groupBy-collect pattern as the MinHash/SimHash/cosine dedup paths; the
+    `levenshtein` kernel itself is a JVM builtin (no Python)."""
+    part = load(spark, sf, "part")
+    blocked = part.select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk_word"),
+        "p_size",
+    )
+    grouped = (
+        blocked.groupBy("blk_word", "p_size")
+        .agg(F.sort_array(F.collect_list(F.struct("p_partkey", "p_name"))).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    cand = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(members, (x, i) ->
+                        transform(slice(members, i + 2, size(members)),
+                                  y -> struct(x.p_partkey AS key_a, y.p_partkey AS key_b,
+                                              x.p_name AS name_a, y.p_name AS name_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    return cand.select(
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= FUZZY_MAX_EDITS)
+
+
 def _perm_values_duck() -> str:
     return ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(PERMS))
 
@@ -667,6 +717,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_connected_components": q_dedup_connected_components,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "dedup_fuzzy_levenshtein": q_dedup_fuzzy_levenshtein,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_vectorized": q_dedup_embedding_cosine_vectorized,
     "decontamination_overlap": q_decontamination_overlap,
@@ -712,6 +763,17 @@ ORACLES = {
                bit_count(xor(a.simhash, b.simhash))::INT AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    # each pair shares exactly one block, so the oracle is the plain
+    # blocked self-join with the same edit-distance predicate
+    "dedup_fuzzy_levenshtein": f"""
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name)::INT AS edit_dist
+        FROM part a JOIN part b
+          ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDITS}
     """,
     "dedup_embedding_cosine": _embedding_cosine_oracle(),
     "decontamination_overlap": f"""

@@ -573,6 +573,30 @@ def q_scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scalar_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-function surface: build a per-user event_type -> count map from an
+    aggregate (map_from_entries over a sorted entry list), then interrogate
+    it with size / map_keys / map_values+aggregate / map_contains_key /
+    map_filter / try_element_at — all JVM-side builtins. try_element_at, not
+    element_at: Spark 4 runs ANSI mode, where element_at on a missing key
+    throws instead of returning NULL."""
+    events = load(spark, sf, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = F.map_from_entries(F.sort_array(F.collect_list(F.struct("event_type", "cnt"))))
+    per_user = per_type.groupBy("user_id").agg(m.alias("m"))
+    return per_user.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.array_join(F.map_keys("m"), ",").alias("types_sorted"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "total_events"
+        ),
+        F.map_contains_key("m", "purchase").alias("has_purchase"),
+        F.size(F.map_filter("m", lambda k, v: v >= 3)).alias("n_hot_types"),
+        F.try_element_at("m", F.lit("purchase")).alias("purchase_cnt"),
+    )
+
+
 N_SALTS = 16
 
 
@@ -824,6 +848,7 @@ QUERIES = {
     "scalar_date_funcs": q_scalar_date_funcs,
     "scalar_math_funcs": q_scalar_math_funcs,
     "scalar_array_funcs": q_scalar_array_funcs,
+    "scalar_map_funcs": q_scalar_map_funcs,
     "agg_two_phase_salted": q_agg_two_phase_salted,
     "agg_percentiles": q_agg_percentiles,
     "subquery_scalar": q_subquery_scalar,
@@ -1133,6 +1158,21 @@ ORACLES = {
                MAP(['chars', 'words'],
                    [length(text)::BIGINT, len(tokens)::BIGINT])['words'][1] AS map_words
         FROM tok
+    """,
+    "scalar_map_funcs": """
+        WITH per_type AS (
+            SELECT user_id, event_type, count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               count(*)::INT AS n_types,
+               string_agg(event_type, ',' ORDER BY event_type) AS types_sorted,
+               sum(cnt)::BIGINT AS total_events,
+               bool_or(event_type = 'purchase') AS has_purchase,
+               (count(*) FILTER (WHERE cnt >= 3))::INT AS n_hot_types,
+               max(cnt) FILTER (WHERE event_type = 'purchase') AS purchase_cnt
+        FROM per_type
+        GROUP BY user_id
     """,
     "agg_two_phase_salted": """
         SELECT l_returnflag,

@@ -143,9 +143,51 @@ def q_timeseries_dtw(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_timeseries_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style resample: hourly rollup per event_type on a dense
+    time grid, empty buckets zero-counted and value gap-filled by
+    last-observation-carried-forward (LOCF).
+
+    Shape: one shuffle aggregates raw events to the (type, hour) rollup;
+    the dense grid is synthesized from that SMALL aggregate (types x
+    sequence(min,max)) — never by scanning raw events again — so grid
+    construction is O(types * hours) regardless of corpus size, and the
+    LOCF window runs per event_type over the hour axis (bounded, sorted,
+    never an unpartitioned window over the fact table)."""
+    events = load(spark, sf, "events")
+    hourly = events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    bounds = hourly.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.col("sum_value").isNull().alias("is_gap"),
+    )
+
+
 QUERIES = {
     "timeseries_znorm_corr": q_timeseries_znorm_corr,
     "timeseries_dtw": q_timeseries_dtw,
+    "timeseries_resample_gapfill": q_timeseries_resample_gapfill,
 }
 
 ORACLES = {
@@ -177,4 +219,28 @@ ORACLES = {
     """,
     # timeseries_dtw: intentionally no oracle — DTW is not SQL-expressible;
     # the driver applies its rows-only check.
+    "timeseries_resample_gapfill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(h) AS lo, max(h) AS hi FROM hourly
+        ), grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 HOUR)) AS h) g
+        )
+        SELECT g.event_type, g.h AS bucket,
+               coalesce(hourly.n_events, 0)::BIGINT AS n_events,
+               hourly.sum_value AS sum_value,
+               last_value(hourly.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+               hourly.sum_value IS NULL AS is_gap
+        FROM grid g LEFT JOIN hourly
+          ON hourly.event_type = g.event_type AND hourly.h = g.h
+    """,
 }
