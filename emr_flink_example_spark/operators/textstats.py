@@ -302,6 +302,77 @@ def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: fixed BM25 retrieval query (mid-df corpus terms) and the standard k1/b.
+BM25_TERMS = ("stream", "hash", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval: top-20 documents for a fixed 3-term query.
+
+    Single-pass wide aggregation: one explode + groupBy(doc_id) produces
+    doclen AND the per-query-term tf columns together (no per-term passes),
+    then stack() unpivots to (doc_id, term, tf) postings. df comes from a
+    count-over-window on the postings (only query terms survive, so the
+    per-term partitions are the posting lists of 3 terms). Corpus stats
+    (N, avgdl) are exact integer aggregates, so the double division is
+    bit-identical across engines; scores round to 4 decimals before the
+    rank so the top-k cut is engine-stable.
+
+    100 TB: the term filter prunes the postings to |query| lists before any
+    shuffle; corpus stats are a broadcast scalar. Re-deriving the doc-stats
+    chain for the global aggregate re-scans the corpus (self-derived
+    branches get no ReusedExchange) — for a real index, materialize
+    doc_stats once and reuse."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode_outer(F.expr(TOKENS)).alias("token"))
+    doc_stats = tok.groupBy("doc_id").agg(
+        F.count("token").alias("doclen"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    corpus = doc_stats.groupBy().agg(
+        F.count("*").alias("n_docs"), F.sum("doclen").alias("total_len")
+    )
+    stack_expr = "stack({n}, {args}) AS (term, tf)".format(
+        n=len(BM25_TERMS),
+        args=", ".join(f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS)),
+    )
+    postings = (
+        doc_stats.selectExpr("doc_id", "doclen", stack_expr)
+        .where(F.col("tf") > 0)
+    )
+    wdf = Window.partitionBy("term")
+    scored = (
+        postings.withColumn("df", F.count("*").over(wdf))
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        )
+        .withColumn("avgdl", F.col("total_len") / F.col("n_docs"))
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("doclen") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -313,6 +384,7 @@ QUERIES = {
     "repetition_ngram": q_repetition_ngram,
     "pii_redaction": q_pii_redaction,
     "vocab_stats": q_vocab_stats,
+    "bm25_topk": q_bm25_topk,
 }
 
 _REPETITION_ORACLE = f"""
@@ -375,7 +447,47 @@ _VOCAB_ORACLE = f"""
     FROM freq
 """
 
+_BM25_TF_COLS = ",\n               ".join(
+    f"sum(CASE WHEN t.token = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_POSTINGS = " UNION ALL ".join(
+    f"SELECT doc_id, doclen, '{t}' AS term, tf_{i} AS tf FROM doc_stats WHERE tf_{i} > 0"
+    for i, t in enumerate(BM25_TERMS)
+)
+# constant subexpressions are written as the same arithmetic Spark folds
+# (e.g. `1.2 + 1`, not `2.2`) so both engines produce bit-identical doubles
+_BM25_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+    ), doc_stats AS (
+        SELECT d.doc_id, count(t.token)::BIGINT AS doclen,
+               {_BM25_TF_COLS}
+        FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    ), corpus AS (
+        SELECT count(*) AS n_docs, sum(doclen)::BIGINT AS total_len FROM doc_stats
+    ), postings AS ({_BM25_POSTINGS}
+    ), scored AS (
+        SELECT doc_id, term, tf, doclen,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM postings
+    )
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * (tf * ({BM25_K1} + 1))
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen / (total_len / n_docs)))
+           ), 4) AS bm25,
+           count(*)::BIGINT AS n_terms_hit
+    FROM scored CROSS JOIN corpus
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+"""
+
 ORACLES = {
+    "bm25_topk": _BM25_ORACLE,
     "repetition_ngram": _REPETITION_ORACLE,
     "pii_redaction": _PII_ORACLE,
     "vocab_stats": _VOCAB_ORACLE,
