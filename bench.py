@@ -39,7 +39,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_quality",
     "tfidf_top_terms",
+    "bm25_topk",
     "timeseries_znorm_corr",
+    "timeseries_resample_gapfill",
     "multimodal_frame_sample",
     "repetition_ngram",
     "sample_stratified",
