@@ -289,6 +289,41 @@ def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of each embedding + reconstruction error.
+
+    Per-vector scale = max |component|; q_i = floor(x_i / scale * 127 + 0.5)
+    (floor(v + 0.5), NOT round(): floor is IEEE-exact and engine-identical,
+    while round() half-up vs half-away conventions differ between engines).
+    Reconstruction error is the L2 distance to the dequantized vector via
+    the same sequential fold as the cosine kernels (bit-identical to
+    DuckDB's list_dot_product). Pure map-side work — no shuffle at all;
+    at 100 TB this is a single pass that cuts vector storage 4x."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("amax", F.array_max(F.transform("e", lambda x: F.abs(x))))
+        .where(F.col("amax") > 0)
+        .withColumn(
+            "q",
+            F.transform("e", lambda x: F.floor(x / F.col("amax") * 127 + 0.5).cast("int")),
+        )
+        .withColumn(
+            "diff",
+            F.zip_with("e", "q", lambda x, v: x - v * F.col("amax") / 127),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round("amax", 6).alias("scale"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("q_sum"),
+        F.round(F.sqrt(_dot("diff", "diff")), 4).alias("l2_err"),
+    )
+
+
 _COS_DUCK = (
     "list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
 )
@@ -326,9 +361,33 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_stats": q_embedding_label_stats,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
 }
 
 ORACLES = {
+    "embedding_quantize_int8": """
+        WITH base AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+            FROM embeddings
+        ), quant AS (
+            SELECT vec_id, label, e, amax,
+                   list_transform(e, x -> floor(x / amax * 127 + 0.5)::INT) AS q
+            FROM base WHERE amax > 0
+        ), recon AS (
+            SELECT vec_id, label, amax, q,
+                   list_transform(generate_series(1, len(e)),
+                                  i -> e[i] - q[i] * amax / 127) AS diff
+            FROM quant
+        )
+        SELECT vec_id, label,
+               round(amax, 6) AS scale,
+               list_min(q) AS q_min,
+               list_max(q) AS q_max,
+               list_sum(q)::BIGINT AS q_sum,
+               round(sqrt(list_dot_product(diff, diff)), 4) AS l2_err
+        FROM recon
+    """,
     "embedding_centroids": """
         SELECT label, (dim - 1)::INT AS dim,
                round(avg(v), 6) AS centroid_v,

@@ -302,6 +302,42 @@ def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: training-chunk geometry: 64-token windows advancing 48 tokens (16 overlap).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Split each document into overlapping fixed-token-count training
+    chunks: (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+
+    Sliding windows over the materialized token array: explode the window
+    START positions (sequence(1, n_tokens, stride) — a scalar-range
+    generator, cheap even if Catalyst re-evaluates it under the Generate),
+    then slice the token array per start. The repartition barrier keeps the
+    tokenizer from being inlined per-element (see dedup.py); chunk rows are
+    map-side after it — output grows ~1/stride per token, linear in corpus
+    size, and chunks of one doc stay in one partition for downstream
+    packing."""
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.expr(TOKENS).alias("tokens"))
+        .repartition("doc_id")
+    )
+    starts = toks.where(F.size("tokens") > 0).select(
+        "doc_id",
+        "tokens",
+        F.explode(F.expr(f"sequence(1, size(tokens), {CHUNK_STRIDE})")).alias("start"),
+    )
+    chunk = F.expr(f"slice(tokens, start, {CHUNK_TOKENS})")
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
 #: fixed BM25 retrieval query (mid-df corpus terms) and the standard k1/b.
 BM25_TERMS = ("stream", "hash", "join")
 BM25_K1 = 1.2
@@ -385,6 +421,7 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "vocab_stats": q_vocab_stats,
     "bm25_topk": q_bm25_topk,
+    "chunk_documents": q_chunk_documents,
 }
 
 _REPETITION_ORACLE = f"""
@@ -486,8 +523,24 @@ _BM25_ORACLE = f"""
     LIMIT 20
 """
 
+_CHUNK_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+    ), starts AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens), {CHUNK_STRIDE})) AS start
+        FROM tok WHERE len(tokens) > 0
+    )
+    SELECT doc_id,
+           ((start - 1) // {CHUNK_STRIDE})::INT AS chunk_id,
+           array_to_string(tokens[start : start + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+           len(tokens[start : start + {CHUNK_TOKENS - 1}])::INT AS n_chunk_tokens
+    FROM starts
+"""
+
 ORACLES = {
     "bm25_topk": _BM25_ORACLE,
+    "chunk_documents": _CHUNK_ORACLE,
     "repetition_ngram": _REPETITION_ORACLE,
     "pii_redaction": _PII_ORACLE,
     "vocab_stats": _VOCAB_ORACLE,
