@@ -158,7 +158,46 @@ _RATE_CASE = (
     + f" ELSE {STRATA_DEFAULT_PCT} END"
 )
 
+#: per-shard token budget for contiguous corpus packing.
+SHARD_TOKEN_BUDGET = 4096
+
+
+def q_pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous token-budget sharding: within each lang, docs (in doc_id
+    order) are packed into shards of ~SHARD_TOKEN_BUDGET tokens — the
+    training-data step that turns a curated corpus into bounded-size
+    shards/batches. shard_id = which budget window the doc's running token
+    span ends in ((cum-1) div B + 1): pure integer arithmetic on one
+    running-sum window, engine-exact, no iteration.
+
+    Scale shape: one window per lang partition — at 100 TB a single lang is
+    a hot partition, so pre-shard by (lang, hash-bucket) first and pack
+    within buckets (same query with the bucket added to the partition key);
+    the assignment stays deterministic because the ordering key travels
+    with the rows."""
+    from pyspark.sql.window import Window
+
+    from .textstats import TOKENS
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "lang", F.expr(f"size({TOKENS})").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.withColumn("cum_tokens", F.sum("n_tokens").over(w)).select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"cast((cum_tokens - 1) div {SHARD_TOKEN_BUDGET} + 1 as int)").alias("shard_id"),
+    )
+
+
 QUERIES = {
+    "pack_token_shards": q_pack_token_shards,
     "split_train_val_test": q_split_train_val_test,
     "sample_stratified": q_sample_stratified,
     "sample_fixed_k": q_sample_fixed_k,
@@ -167,6 +206,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pack_token_shards": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '[a-zA-Z0-9]+'))::INT AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT lang, doc_id, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+            FROM t
+        )
+        SELECT lang, doc_id, n_tokens, cum_tokens,
+               ((cum_tokens - 1) // {SHARD_TOKEN_BUDGET} + 1)::INT AS shard_id
+        FROM c
+    """,
     "split_train_val_test": f"""
         SELECT doc_id, lang,
                CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
