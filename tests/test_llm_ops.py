@@ -1,0 +1,158 @@
+"""Semantic property tests for the LLM-pipeline operators added on top of
+the oracle-differential catalog checks (SURVEY.md §2 Part C rows: chunking,
+packing, quantization, gap-fill, fuzzy linkage, BM25).
+
+The DuckDB differential proves Spark computes the same values as the SQL
+oracle; these tests prove the *definitions* have the properties users rely
+on (coverage, bounds, monotonicity) — the reference repo's test style of
+asserting behavioral invariants rather than golden values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emr_flink_example_spark.operators.dedup import (
+    FUZZY_MAX_EDITS,
+    SIMHASH_MAX_HAMMING,
+    q_dedup_fuzzy_levenshtein,
+    q_simhash_hamming_pairs,
+)
+from emr_flink_example_spark.operators.sampling import (
+    SHARD_TOKEN_BUDGET,
+    q_pack_token_shards,
+)
+from emr_flink_example_spark.operators.similarity import q_embedding_quantize_int8
+from emr_flink_example_spark.operators.textstats import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    q_bm25_topk,
+    q_chunk_documents,
+)
+from emr_flink_example_spark.operators.timeseries import q_timeseries_resample_gapfill
+
+from conftest import SF_DIR
+
+
+def test_chunks_cover_every_token_with_bounded_size(spark):
+    chunks = q_chunk_documents(spark, SF_DIR).cache()
+    try:
+        # every chunk is 1..CHUNK_TOKENS tokens
+        bad = chunks.where(
+            (F.col("n_chunk_tokens") < 1) | (F.col("n_chunk_tokens") > CHUNK_TOKENS)
+        ).count()
+        assert bad == 0
+        # chunk_ids are dense from 1 per doc, and consecutive chunks overlap:
+        # total tokens across chunks = n_tokens + (n_chunks-1)*overlap_actual
+        # weaker invariant, exact per doc: last chunk ends at n_tokens, i.e.
+        # (n_chunks-1)*stride < n_tokens  for every doc
+        per_doc = chunks.groupBy("doc_id").agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_id").alias("max_id"),
+            F.min("chunk_id").alias("min_id"),
+            F.sum("n_chunk_tokens").alias("tok_in_chunks"),
+        )
+        assert per_doc.where(
+            (F.col("min_id") != 0) | (F.col("max_id") != F.col("n_chunks") - 1)
+        ).count() == 0
+        # chunked token mass >= original tokens (overlap re-counts some)
+        orig = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(
+                "doc_id",
+                F.expr("size(regexp_extract_all(text, '[a-zA-Z0-9]+', 0))").alias("n_tokens"),
+            )
+            .where(F.col("n_tokens") > 0)
+        )
+        joined = per_doc.join(orig, "doc_id")
+        assert joined.where(F.col("tok_in_chunks") < F.col("n_tokens")).count() == 0
+        assert joined.where(
+            ((F.col("n_chunks") - 1) * CHUNK_STRIDE) >= F.col("n_tokens")
+        ).count() == 0
+    finally:
+        chunks.unpersist()
+
+
+def test_pack_token_shards_budget_and_monotonicity(spark):
+    packed = q_pack_token_shards(spark, SF_DIR).cache()
+    try:
+        # shard ids are positive and non-decreasing in doc_id order per lang
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("lang").orderBy("doc_id")
+        regress = packed.withColumn("prev", F.lag("shard_id").over(w)).where(
+            F.col("prev").isNotNull() & (F.col("shard_id") < F.col("prev"))
+        )
+        assert regress.count() == 0
+        # every shard except a lang's last holds > 0 and spans <= budget + one
+        # straddling doc (the doc that closes the shard may overflow it)
+        spans = packed.groupBy("lang", "shard_id").agg(
+            F.sum("n_tokens").alias("shard_tokens"), F.max("n_tokens").alias("max_doc")
+        )
+        over = spans.where(
+            F.col("shard_tokens") > SHARD_TOKEN_BUDGET + F.col("max_doc")
+        )
+        assert over.count() == 0
+    finally:
+        packed.unpersist()
+
+
+def test_quantization_bounds_and_error(spark):
+    q = q_embedding_quantize_int8(spark, SF_DIR).cache()
+    try:
+        assert q.where((F.col("q_min") < -127) | (F.col("q_max") > 127)).count() == 0
+        assert q.where(F.col("scale") <= 0).count() == 0
+        # reconstruction error bounded by sqrt(dim) * (scale/254) * safety 2
+        bad = q.where(
+            F.col("l2_err") > 2 * F.sqrt(F.lit(64.0)) * F.col("scale") / 254
+        ).count()
+        assert bad == 0
+    finally:
+        q.unpersist()
+
+
+def test_gapfill_grid_dense_and_locf(spark):
+    g = q_timeseries_resample_gapfill(spark, SF_DIR).cache()
+    try:
+        # dense grid: every event_type has the same number of hourly buckets
+        per_type = g.groupBy("event_type").agg(F.count("*").alias("n"))
+        assert per_type.select(F.count_distinct("n")).first()[0] == 1
+        # gaps carry no sum but (after the first observation) a LOCF value
+        assert g.where(F.col("is_gap") & F.col("sum_value").isNotNull()).count() == 0
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("event_type").orderBy("bucket")
+        seen = g.withColumn(
+            "any_prior",
+            F.count("sum_value").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        assert seen.where(
+            (F.col("any_prior") > 0) & F.col("locf_value").isNull()
+        ).count() == 0
+    finally:
+        g.unpersist()
+
+
+def test_fuzzy_and_simhash_pair_predicates(spark):
+    fuzzy = q_dedup_fuzzy_levenshtein(spark, SF_DIR)
+    rows = fuzzy.collect()
+    for r in rows:
+        assert r.key_a < r.key_b
+        assert 0 <= r.edit_dist <= FUZZY_MAX_EDITS
+    sh = q_simhash_hamming_pairs(spark, SF_DIR)
+    assert sh.where(
+        (F.col("hamming") < 0) | (F.col("hamming") > SIMHASH_MAX_HAMMING)
+    ).count() == 0
+    assert sh.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_bm25_scores_rank_and_hit_counts(spark):
+    top = q_bm25_topk(spark, SF_DIR).collect()
+    assert 0 < len(top) <= 20
+    # scores are positive, sorted output is consistent with rank definition
+    scores = [r.bm25 for r in top]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms_hit <= 3 for r in top)
