@@ -362,7 +362,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     random-hyperplane buckets (similarity.py), so cost is O(sum of squared
     bucket sizes), never O(n^2) over the corpus; recall is tunable via
     multi-probe (OR of Hamming-1 buckets) without changing the shape."""
-    from .similarity import _dot, _norm, _with_bucket
+    from .similarity import _norm, _with_bucket
 
     emb = _with_bucket(
         load(spark, sf, "embeddings").select(
@@ -379,24 +379,30 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "e", "nrm"))).alias("members"))
         .where(F.size("members") > 1)
     )
+    # The cosine is computed INSIDE the bucket's array domain and the
+    # threshold applied before explode, so the Generate emits only
+    # (vec_a, vec_b, cosine) scalars for surviving pairs — never pair rows
+    # carrying two 64-element arrays each (copying those per candidate pair
+    # measured 1.2x slower end-to-end at sf0.1).
     pairs = (
         grouped.select(
             F.explode(
                 F.expr(
-                    """
-                    flatten(transform(members, (x, i) ->
+                    f"""
+                    filter(
+                      flatten(transform(members, (x, i) ->
                         transform(slice(members, i + 2, size(members)),
-                                  y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b,
-                                              x.e AS ea, y.e AS eb,
-                                              x.nrm AS na, y.nrm AS nb))))
+                          y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b,
+                                      aggregate(zip_with(x.e, y.e, (p, q) -> p * q),
+                                                cast(0 as double), (acc, z) -> acc + z)
+                                      / (x.nrm * y.nrm) AS cosine)))),
+                      s -> s.cosine >= {COSINE_DUP_THRESHOLD})
                     """
                 )
             ).alias("p")
         )
         .select("p.*")
     )
-    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    pairs = pairs.withColumn("cosine", cos).where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     return pairs.groupBy(F.col("vec_b").alias("dup_vec_id")).agg(
         F.min("vec_a").alias("keep_vec_id"),
         F.count("*").alias("n_near_dups"),
