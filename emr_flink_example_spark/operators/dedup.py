@@ -349,6 +349,52 @@ def q_decontamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: minimum probe-side containment for a (probe, corpus) pair to be reported.
+CONTAINMENT_MIN = 0.2
+
+
+def q_decontamination_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-pair eval-set containment: for each (probe doc, corpus doc) pair
+    sharing shingles, containment = |shared| / |probe shingles| — the
+    asymmetric overlap real decontamination uses (a tiny eval prompt fully
+    embedded in a huge training doc has low Jaccard but containment 1.0).
+
+    Same broadcast inverted-index shape as decontamination_overlap: the
+    probe side is small and broadcast; the corpus streams through the
+    equi-join once, aggregates per pair map-side, and only pairs above
+    CONTAINMENT_MIN are emitted. Containment is a ratio of exact ints, so
+    the threshold compare is engine-stable."""
+    docs = (
+        load(spark, sf, "documents")
+        .withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", "source", F.expr(SHINGLES).alias("shingles"))
+        .repartition("doc_id")  # same optimizer barrier as _shingled_docs
+    )
+    probe_inv = (
+        docs.where(F.col("source") == PROBE_SOURCE)
+        .select(
+            F.col("doc_id").alias("probe_doc_id"),
+            F.size("shingles").alias("n_probe_shingles"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    corpus_inv = (
+        docs.where(F.col("source") != PROBE_SOURCE)
+        .select(F.col("doc_id").alias("corpus_doc_id"), F.explode_outer("shingles").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+    )
+    return (
+        F.broadcast(probe_inv)
+        .join(corpus_inv, "shingle")
+        .groupBy("probe_doc_id", "corpus_doc_id", "n_probe_shingles")
+        .agg(F.count("*").alias("n_shared"))
+        .withColumn("containment", F.round(F.col("n_shared") / F.col("n_probe_shingles"), 6))
+        .where(F.col("containment") >= CONTAINMENT_MIN)
+        .select("probe_doc_id", "corpus_doc_id", "n_shared", "containment")
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.40
 
 
@@ -727,6 +773,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_vectorized": q_dedup_embedding_cosine_vectorized,
     "decontamination_overlap": q_decontamination_overlap,
+    "decontamination_containment": q_decontamination_containment,
     "simhash": q_simhash,
 }
 
@@ -782,6 +829,24 @@ ORACLES = {
         WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDITS}
     """,
     "dedup_embedding_cosine": _embedding_cosine_oracle(),
+    "decontamination_containment": f"""
+        WITH {_TOK_CTE}, shingled AS (
+            SELECT doc_id, source, {SHINGLES_DUCK} AS shingles
+            FROM tok JOIN documents USING (doc_id)
+        ), probe_inv AS (
+            SELECT doc_id AS probe_doc_id, len(shingles) AS n_probe_shingles,
+                   unnest(shingles) AS shingle
+            FROM shingled WHERE source = '{PROBE_SOURCE}'
+        ), corpus_inv AS (
+            SELECT doc_id AS corpus_doc_id, unnest(shingles) AS shingle
+            FROM shingled WHERE source != '{PROBE_SOURCE}'
+        )
+        SELECT probe_doc_id, corpus_doc_id, count(*)::BIGINT AS n_shared,
+               round(count(*)::DOUBLE / n_probe_shingles, 6) AS containment
+        FROM probe_inv JOIN corpus_inv USING (shingle)
+        GROUP BY probe_doc_id, corpus_doc_id, n_probe_shingles
+        HAVING round(count(*)::DOUBLE / n_probe_shingles, 6) >= {CONTAINMENT_MIN}
+    """,
     "decontamination_overlap": f"""
         WITH {_TOK_CTE}, shingled AS (
             SELECT doc_id, source, {SHINGLES_DUCK} AS shingles
