@@ -1,0 +1,124 @@
+"""Property-based Spark<->DuckDB parity fuzzing (SURVEY.md §5).
+
+Every oracle differential in the catalog rests on a handful of cross-engine
+primitives behaving bit-identically: the ASCII tokenizer regex (Java regex
+vs RE2), the md5-based portable hash, levenshtein, and double rounding of
+exact integer ratios. These tests drive each primitive with generated
+inputs through BOTH engines and require exact agreement — catching any
+environment/version drift in the foundations before it surfaces as a
+mysterious hash mismatch in some downstream query.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from emr_flink_example_spark.functions.hashing import (
+    portable_hash,
+    portable_hash_sql_duckdb,
+)
+from emr_flink_example_spark.operators.textstats import TOKEN_RE
+
+_SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: printable-ish text including unicode, quotes excluded to keep SQL literals
+#: trivial (parity is about the engines, not about escaping)
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_characters="'\\", blacklist_categories=("Cs",)),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _duck():
+    return duckdb.connect()
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_tokenizer_parity(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.toks
+        for r in df.select(
+            F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)").alias("toks")
+        ).collect()
+    ]
+    con = _duck()
+    want = [
+        con.execute(
+            f"SELECT regexp_extract_all(?, '{TOKEN_RE}')", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_portable_hash_parity(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [r.h for r in df.select(portable_hash(F.col("s")).alias("h")).collect()]
+    con = _duck()
+    want = [
+        con.execute(f"SELECT {portable_hash_sql_duckdb('?')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh xyz", max_size=30),
+            st.text(alphabet="abcdefgh xyz", max_size=30),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_levenshtein_parity(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [r.d for r in df.select(F.levenshtein("a", "b").alias("d")).collect()]
+    con = _duck()
+    want = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0] for a, b in pairs
+    ]
+    assert got == want
+
+
+@given(
+    ratios=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_int_ratio_round_parity(spark, ratios):
+    """round(int/int, 6) — the threshold arithmetic every jaccard/containment
+    comparison uses — must agree exactly."""
+    df = spark.createDataFrame(ratios, "n bigint, d bigint")
+    got = [
+        r.v for r in df.select(F.round(F.col("n") / F.col("d"), 6).alias("v")).collect()
+    ]
+    con = _duck()
+    want = [
+        con.execute("SELECT round(?::BIGINT / ?::BIGINT, 6)", [n, d]).fetchone()[0]
+        for n, d in ratios
+    ]
+    assert got == want
