@@ -302,6 +302,94 @@ def q_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
 
+def q_dedup_cc_alternating_stars(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — the
+    adversarial-diameter-proof twin of q_dedup_connected_components, with
+    identical output (doc_id -> min reachable doc_id).
+
+    Where plain label propagation needs O(diameter) rounds, the alternating
+    star contractions converge in O(log^2 n) rounds regardless of chain
+    length. Each half-round is the same bounded shuffle shape: symmetrize
+    edges, per-node min (groupBy), re-point edges (equi-join), dedup —
+    no step ever materializes more than the current edge list.
+
+      large-star(u): every strictly-larger neighbor re-points to
+                     m = min(neighbors ∪ {u});
+      small-star(u): every smaller neighbor, and u itself, re-points to m.
+
+    Fixpoint (edge set unchanged, detected by count + order-independent
+    hash sum) leaves star graphs rooted at component minima."""
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf)
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    E = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).localCheckpoint()
+    nodes = (
+        E.select(F.col("u").alias("node"))
+        .union(E.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+
+    def _fingerprint(edges: DataFrame):
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (summing raw xxhash64 values overflows long)
+        r = edges.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).first()
+        return (r["n"], r["h"])
+
+    prev = _fingerprint(E)
+    if prev[0] > 0:
+        for _ in range(CC_MAX_ITERS):
+            sym = _sym(E)
+            E = (
+                sym.where(F.col("v") > F.col("u"))
+                .join(_mins(sym), "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            sym = _sym(E)
+            mins = _mins(sym)
+            E = (
+                sym.where(F.col("v") < F.col("u"))
+                .join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins.select("u", F.col("m").alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            cur = _fingerprint(E)
+            if cur == prev:
+                break
+            prev = cur
+        else:  # pragma: no cover - CC_MAX_ITERS bounds adversarial graphs
+            raise RuntimeError("alternating stars did not converge in CC_MAX_ITERS rounds")
+
+    return (
+        nodes.join(E, nodes["node"] == E["u"], "left")
+        .select("node", F.coalesce("v", "node").alias("component_id"))
+        .select(F.col("node").alias("doc_id"), "component_id")
+    )
+
+
 PROBE_SOURCE = "src0"
 
 
@@ -768,6 +856,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_connected_components": q_dedup_connected_components,
+    "dedup_cc_alternating_stars": q_dedup_cc_alternating_stars,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "dedup_fuzzy_levenshtein": q_dedup_fuzzy_levenshtein,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -808,6 +897,9 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_connected_components": _cc_oracle(),
+    # identical output contract to dedup_connected_components, so the same
+    # recursive-CTE oracle applies verbatim
+    "dedup_cc_alternating_stars": _cc_oracle(),
     # the nibble pigeonhole is exact for hamming <= 3 on 4 bands, so the
     # oracle is simply the brute-force pair predicate
     "simhash_hamming_pairs": f"""

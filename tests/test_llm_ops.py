@@ -156,3 +156,17 @@ def test_bm25_scores_rank_and_hit_counts(spark):
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
     assert all(1 <= r.n_terms_hit <= 3 for r in top)
+
+
+def test_cc_algorithms_agree(spark):
+    """Label propagation and alternating large-star/small-star must produce
+    the identical component assignment (they share the output contract and
+    the same DuckDB oracle)."""
+    from emr_flink_example_spark.operators.dedup import (
+        q_dedup_cc_alternating_stars,
+        q_dedup_connected_components,
+    )
+
+    a = {tuple(r) for r in q_dedup_connected_components(spark, SF_DIR).collect()}
+    b = {tuple(r) for r in q_dedup_cc_alternating_stars(spark, SF_DIR).collect()}
+    assert a == b
