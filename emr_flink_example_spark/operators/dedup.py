@@ -142,12 +142,33 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """doc_id -> array<bigint> of N_PERMS minhash values (ordered by perm)."""
-    docs = _shingled_docs(spark, sf)
-    # explode_outer: see q_dedup_jaccard_pairs — avoids the inferred
-    # size(shingles)>0 filter being pushed below the exchange.
-    shingle = docs.select("doc_id", F.explode_outer("shingles").alias("shingle")).where(
-        F.col("shingle").isNotNull()
+    """doc_id -> array<bigint> of N_PERMS minhash values (ordered by perm).
+
+    Positional shingling, NOT _shingled_docs: min() is insensitive to
+    duplicate shingles, so the signature path skips building + dedup'ing
+    the per-doc shingle array entirely — explode the 3-gram START positions
+    (a scalar sequence, cheap under the Generate) and assemble each shingle
+    string per row from the materialized token array (measured 1.5x over
+    the array-based form at sf0.1). Consumers that need exact distinct
+    shingle SETS (jaccard, containment) keep using _shingled_docs."""
+    toks = (
+        load(spark, sf, "documents")
+        .withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", "tokens")
+        .repartition("doc_id")  # barrier: tokenize once, not per element
+    )
+    shingle = toks.where(F.size("tokens") >= 3).select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(tokens) - 2)")).alias("i"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.expr("element_at(tokens, i)"),
+            F.expr("element_at(tokens, i + 1)"),
+            F.expr("element_at(tokens, i + 2)"),
+        ).alias("shingle"),
     )
     h31 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit((1 << 31) - 1)
     # One permuted-hash column per permutation instead of a 16x perm-explode:
