@@ -188,6 +188,90 @@ def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: multi-table LSH: L independent tables of K hyperplanes each. Recall
+#: amplifies as 1-(1-p^K)^L while each table's bucket count (2^K) keeps
+#: per-bucket candidate lists small — the standard LSH amplification
+#: trade-off, complementary to multi-probe (which spends compute on extra
+#: buckets of ONE table instead of extra tables).
+N_TABLES = 3
+PLANES_PER_TABLE = 3
+_mt_rng = random.Random(11)
+MT_PLANES = [
+    [[float(_mt_rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(PLANES_PER_TABLE)]
+    for _ in range(N_TABLES)
+]
+
+
+def _mt_plane_lit(t: int, j: int) -> str:
+    return "array(" + ", ".join(f"{v}D" for v in MT_PLANES[t][j]) + ")"
+
+
+def _mt_plane_duck(t: int, j: int) -> str:
+    return "[" + ", ".join(str(v) for v in MT_PLANES[t][j]) + "]::DOUBLE[]"
+
+
+def _mt_bucket(t: int) -> F.Column:
+    bucket = None
+    for j in range(PLANES_PER_TABLE):
+        bit = F.when(_dot("e", _mt_plane_lit(t, j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def q_ann_lsh_multitable_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table LSH top-3: candidates are the union of same-bucket
+    matches across N_TABLES independent hyperplane tables.
+
+    Scale shape: each corpus vector emits exactly N_TABLES (table, bucket)
+    keys — the same bounded-emission pattern as MinHash banding — so
+    candidate generation is one equi-join on the composite key; pairs found
+    by several tables are deduped before the exact cosine rank. Corpus cost
+    grows linearly in L while recall amplifies as 1-(1-p^K)^L."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    keyed = emb.select(
+        "vec_id",
+        "e",
+        _norm("e").alias("nrm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), _mt_bucket(t).alias("bucket"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "e", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    q = keyed.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "tbl",
+        "bucket",
+    )
+    c = keyed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "tbl",
+        "bucket",
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id", "nn_rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 N_CENTROIDS = 8
 N_PROBE = 2
 
@@ -337,6 +421,14 @@ def _bucket_duck(e: str) -> str:
     return f"({bits})::INT"
 
 
+def _mt_bucket_duck(t: int, e: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({e}, {_mt_plane_duck(t, j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(PLANES_PER_TABLE)
+    )
+    return f"({bits})::INT"
+
+
 _IVF_CENT_DUCK = f"""
         cent AS (
             SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
@@ -359,6 +451,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_multitable_topk": q_ann_lsh_multitable_topk,
     "embedding_label_stats": q_embedding_label_stats,
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -425,6 +518,40 @@ ORACLES = {
         SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
                min(vec_id) AS min_vec_id
         FROM b GROUP BY bucket
+    """,
+    "ann_lsh_multitable_topk": f"""
+        WITH keyed AS (
+            {" UNION ALL ".join(
+                f"SELECT vec_id, embedding::DOUBLE[] AS e, {t} AS tbl, "
+                f"{_mt_bucket_duck(t, 'embedding::DOUBLE[]')} AS bucket FROM embeddings"
+                for t in range(N_TABLES)
+            )}
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe, tbl, bucket FROM keyed WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id, e AS ce, tbl, bucket FROM keyed
+        ), cand AS (
+            SELECT DISTINCT query_id, neighbor_id
+            FROM q JOIN c USING (tbl, bucket)
+            WHERE query_id != neighbor_id
+        ), vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(qv.v, cv.v)
+                       / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v)))
+                       AS cosine
+            FROM cand
+            JOIN vecs qv ON qv.vec_id = cand.query_id
+            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS nn_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, nn_rank, round(cosine, 4) AS cosine
+        FROM ranked WHERE nn_rank <= 3
     """,
     "ann_lsh_topk": f"""
         WITH b AS (

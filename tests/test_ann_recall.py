@@ -33,15 +33,20 @@ def test_ann_recall_ladder(spark):
     assert len(exact) > 0
     lsh = _pairs(S.q_ann_lsh_topk(spark, SF_DIR))
     multi = _pairs(S.q_ann_lsh_multiprobe_topk(spark, SF_DIR))
+    mtable = _pairs(S.q_ann_lsh_multitable_topk(spark, SF_DIR))
     ivf = _pairs(S.q_ann_ivf_topk(spark, SF_DIR))
 
     def recall(approx):
         return len(exact & approx) / len(exact)
 
     r_lsh, r_multi, r_ivf = recall(lsh), recall(multi), recall(ivf)
-    # floors under measured values
+    r_mtable = recall(mtable)
+    # floors under measured values (multitable L=3 K=3 measured 0.43-0.53:
+    # these synthetic embeddings have weak cosine structure, so hyperplane
+    # collision probability p is low and 1-(1-p^K)^L stays moderate)
     assert r_lsh >= 0.05
     assert r_multi >= 0.35
+    assert r_mtable >= 0.30
     assert r_ivf >= 0.75
     # the ladder: each richer candidate set recalls at least as much
     assert r_multi >= r_lsh
