@@ -304,9 +304,12 @@ def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     orders = load(spark, sf, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), _r2(F.sum("o_totalprice")).alias("total"))
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _r2(F.sum("o_totalprice")).alias("total"),
+        # grouping() flags disambiguate subtotal rows from genuine NULL keys
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
     )
 
 
@@ -999,7 +1002,9 @@ ORACLES = {
     """,
     "agg_rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               round(sum(o_totalprice), 2) AS total,
+               GROUPING(o_orderstatus)::INT AS g_status,
+               GROUPING(o_orderpriority)::INT AS g_priority
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     "agg_cube": """
