@@ -161,3 +161,33 @@ def test_tfidf_single_scan(spark):
     plan = _plan(spark, "tfidf_top_terms")
     assert plan.count("Scan parquet") <= 2  # term chain + count-only N scan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_never_sorts_globally(spark):
+    """BM25 top-20 executes as TakeOrderedAndProject (per-partition heaps),
+    not a global sort of the scored postings."""
+    plan = _plan(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multitable_lsh_broadcasts_queries(spark):
+    """Multi-table LSH keeps the probe side broadcast; the corpus is only
+    equi-joined on (table, bucket) — never cross-joined."""
+    plan = _plan(spark, "ann_lsh_multitable_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantization_is_pure_mapside(spark):
+    """int8 quantization must be a single scan with no shuffle at all."""
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_chunking_single_barrier(spark):
+    """Document chunking: exactly the one deliberate repartition barrier,
+    and a single scan of documents."""
+    plan = _plan(spark, "chunk_documents")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
