@@ -1,13 +1,22 @@
-"""Deduplication operators over `documents` (SURVEY.md §2 Part C).
+"""Deduplication / decontamination operators over `documents` (SURVEY.md §2
+Part C).
 
-Four tiers, from exact to sketch-based:
+Tiers, from exact to sketch-based:
   * exact            — md5-fingerprint groupBy (one shuffle on the hash)
   * n-gram Jaccard   — word-3-shingle set similarity via an inverted-index
                        self-join (exact pairwise, oracle-checkable)
   * MinHash + LSH    — 16 portable-hash permutations, 4 bands x 4 rows;
                        candidate pairs from band-bucket equality only — the
                        100 TB path (cost ~ O(docs x bands), never O(n^2))
-  * SimHash          — 16-bit fingerprint from per-bit token-hash voting
+  * SimHash          — 16-bit fingerprint from per-bit token-hash voting,
+                       plus Hamming-ball pairs via nibble pigeonhole banding
+  * fuzzy keys       — blocked pairwise Levenshtein record linkage
+  * embedding cosine — same-LSH-bucket pairs above a cosine threshold
+  * cluster resolution — connected components two ways: label propagation
+                       (O(diameter) rounds) and alternating large-star/
+                       small-star (O(log^2 n) rounds), identical output
+  * decontamination  — probe-vs-corpus n-gram overlap and per-pair
+                       asymmetric containment
 
 All hashing uses functions/hashing.py's md5-based portable hash so the DuckDB
 oracle reproduces results bit-for-bit: every operator here is fully
