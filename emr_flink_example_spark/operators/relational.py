@@ -576,6 +576,25 @@ def q_scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_json_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse_json into
+    a variant, typed variant_get extraction, grouped rollup. VARIANT keeps
+    the parsed tree in a binary columnar form, so repeated path accesses skip
+    re-parsing the JSON text — the modern path for schema-on-read columns
+    (the A2/A3 json surface, minus a fixed schema)."""
+    events = load(spark, sf, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        events.select(k.alias("k"), "value")
+        .groupBy(F.pmod(F.col("k"), F.lit(7)).alias("k_mod7"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("k").alias("n_distinct_k"),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
 def q_scalar_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """Map-function surface: build a per-user event_type -> count map from an
     aggregate (map_from_entries over a sorted entry list), then interrogate
@@ -852,6 +871,7 @@ QUERIES = {
     "scalar_math_funcs": q_scalar_math_funcs,
     "scalar_array_funcs": q_scalar_array_funcs,
     "scalar_map_funcs": q_scalar_map_funcs,
+    "json_variant_extract": q_json_variant_extract,
     "agg_two_phase_salted": q_agg_two_phase_salted,
     "agg_percentiles": q_agg_percentiles,
     "subquery_scalar": q_subquery_scalar,
@@ -1163,6 +1183,14 @@ ORACLES = {
                MAP(['chars', 'words'],
                    [length(text)::BIGINT, len(tokens)::BIGINT])['words'][1] AS map_words
         FROM tok
+    """,
+    "json_variant_extract": """
+        SELECT json_extract(props, '$.k')::INT % 7 AS k_mod7,
+               count(*) AS n_events,
+               count(DISTINCT json_extract(props, '$.k')::INT) AS n_distinct_k,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1
     """,
     "scalar_map_funcs": """
         WITH per_type AS (
