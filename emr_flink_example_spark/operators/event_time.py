@@ -145,6 +145,47 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the EARLIEST error event
+    at-or-after it per user (the look-ahead direction: "did this purchase
+    precede a failure?").
+
+    Same union-window shape as q_asof_join, mirrored: purchases sort before
+    errors at equal ts (side tag), ties among simultaneous errors break on
+    event_id, and `first(error_struct, ignoreNulls)` runs over a
+    currentRow..unboundedFollowing frame. One shuffle on user_id."""
+    events = load(spark, sf, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_err")
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_err")
+    )
+    unioned = purchases.unionByName(errors).withColumn(
+        "err_info",
+        F.when(
+            F.col("is_err") == 1,
+            F.struct(F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id")),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_err").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        unioned.withColumn("next_err", F.first("err_info", ignorenulls=True).over(w))
+        .where(F.col("is_err") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("next_err.e_ts").alias("error_ts"),
+            F.col("next_err.e_id").alias("error_id"),
+        )
+    )
+
+
 def q_join_range_binned(spark: SparkSession, sf: str) -> DataFrame:
     """Range (interval) join, binned form: events falling inside daily
     maintenance windows (08:00-11:00, first 10 days of Jan 2024).
@@ -200,11 +241,31 @@ QUERIES = {
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
     "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
     "join_range_binned": q_join_range_binned,
     "dedup_by_key": q_dedup_by_key,
 }
 
 ORACLES = {
+    "asof_join_forward": """
+        WITH p AS (
+            SELECT event_id AS pid, user_id, ts AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT event_id AS eid, user_id, ts AS ets
+            FROM events WHERE event_type = 'error'
+        ), cand AS (
+            SELECT p.pid, p.user_id, p.pts, e.ets, e.eid
+            FROM p LEFT JOIN e ON e.user_id = p.user_id AND e.ets >= p.pts
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY pid ORDER BY ets ASC NULLS LAST, eid ASC) AS rn
+            FROM cand
+        )
+        SELECT pid AS purchase_id, user_id, pts AS purchase_ts,
+               ets AS error_ts, eid AS error_id
+        FROM ranked WHERE rn = 1
+    """,
     "ad_events_partition_projection": """
         SELECT strftime(ts, '%Y-%m-%d') AS logday,
                strftime(ts, '%H') AS h,
