@@ -122,3 +122,45 @@ def test_int_ratio_round_parity(spark, ratios):
         for n, d in ratios
     ]
     assert got == want
+
+
+@given(
+    epochs=st.lists(
+        st.integers(min_value=0, max_value=4_102_444_800),  # 1970..2100
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_time_partition_format_parity(spark, epochs):
+    """logday/h/m partition projections (the A6 DATE_FORMAT surface) must
+    format identically to DuckDB's strftime for any second-precision
+    timestamp — the flagship query's partition columns depend on it."""
+    from emr_flink_example_spark.functions.timeutils import (
+        event_time_from_millis,
+        hour_part,
+        logday,
+        minute_part,
+    )
+
+    df = spark.createDataFrame([(e * 1000,) for e in epochs], "ms bigint")
+    t = event_time_from_millis(F.col("ms"))
+    got = [
+        (r.d, r.h, r.m)
+        for r in df.select(
+            logday(t).alias("d"), hour_part(t).alias("h"), minute_part(t).alias("m")
+        ).collect()
+    ]
+    con = _duck()
+    want = [
+        tuple(
+            con.execute(
+                "SELECT strftime(to_timestamp(?), '%Y-%m-%d'),"
+                "       strftime(to_timestamp(?), '%H'),"
+                "       strftime(to_timestamp(?), '%M')",
+                [e, e, e],
+            ).fetchone()
+        )
+        for e in epochs
+    ]
+    assert got == want
