@@ -214,13 +214,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        # the raw band slice IS the bucket key: only equality
-                        # matters, so hashing it buys nothing (md5 here
-                        # measured 1.3x slower end-to-end); a fixed-width
-                        # hash only pays off if key bytes dominate the
-                        # shuffle, and 4 CSV'd minhash values are already
-                        # ~32 bytes
-                        F.concat_ws(",", *[F.element_at("sig", b * BAND_ROWS + r + 1).cast("string") for r in range(BAND_ROWS)]).alias("bucket"),
+                        # xxhash64 over the 4 band values: an 8-byte
+                        # shuffle key with no string construction (1.21x
+                        # over the concat_ws form; md5-of-the-string had
+                        # measured 1.3x SLOWER — the win is skipping the
+                        # string, not the hashing). A hash collision can
+                        # only ADD candidate pairs, and the exact band-slice
+                        # equality filter inside the pair expansion removes
+                        # them, so the result is hash-independent.
+                        F.xxhash64(*[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)]).alias("bucket"),
                     )
                     for b in range(N_BANDS)
                 ]
@@ -247,11 +249,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             F.explode(
                 F.expr(
                     f"""
-                    flatten(transform(members, (x, i) ->
-                        transform(slice(members, i + 2, size(members)),
-                          y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                                      round(size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q),
-                                                        z -> z)) / {N_PERMS}, 6) AS est_jaccard))))
+                    transform(
+                      filter(
+                        flatten(transform(members, (x, i) ->
+                            transform(slice(members, i + 2, size(members)),
+                              y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                          slice(x.sig, band * {BAND_ROWS} + 1, {BAND_ROWS})
+                                            = slice(y.sig, band * {BAND_ROWS} + 1, {BAND_ROWS}) AS band_eq,
+                                          round(size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q),
+                                                            z -> z)) / {N_PERMS}, 6) AS est_jaccard)))),
+                        s -> s.band_eq),
+                      s -> struct(s.doc_a AS doc_a, s.doc_b AS doc_b, s.est_jaccard AS est_jaccard))
                     """
                 )
             ).alias("p")
