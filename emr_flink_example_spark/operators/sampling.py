@@ -150,6 +150,7 @@ def q_lang_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _SPLIT_BUCKET = _bucket_duck(f"doc_id::VARCHAR || '{SPLIT_SALT}'")
+_SRC_SPLIT_BUCKET = _bucket_duck(f"source || '{SPLIT_SALT}'")
 _SAMPLE_BUCKET = _bucket_duck(f"doc_id::VARCHAR || '{SAMPLE_SALT}'")
 _SAMPLE_HASH = portable_hash_sql_duckdb(f"doc_id::VARCHAR || '{SAMPLE_SALT}'")
 _RATE_CASE = (
@@ -157,6 +158,26 @@ _RATE_CASE = (
     + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(STRATA_PCT.items()))
     + f" ELSE {STRATA_DEFAULT_PCT} END"
 )
+
+def q_split_leakproof_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-integrity train/val/test split: the bucket is hashed from
+    `source`, not doc_id, so every document of a source lands in the SAME
+    split — near-duplicates and templated docs from one origin can never
+    straddle train and test (the leakage mode a per-doc split invites).
+
+    Same map-side hash-bucket mechanics as q_split_train_val_test; the only
+    difference is the grouping key, and that difference is the point."""
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.concat(F.col("source"), F.lit(SPLIT_SALT)))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
 
 #: per-shard token budget for contiguous corpus packing.
 SHARD_TOKEN_BUDGET = 4096
@@ -199,6 +220,7 @@ def q_pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "pack_token_shards": q_pack_token_shards,
     "split_train_val_test": q_split_train_val_test,
+    "split_leakproof_by_source": q_split_leakproof_by_source,
     "sample_stratified": q_sample_stratified,
     "sample_fixed_k": q_sample_fixed_k,
     "outlier_filter_quantile": q_outlier_filter_quantile,
@@ -225,6 +247,13 @@ ORACLES = {
         SELECT doc_id, lang,
                CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
                     WHEN {_SPLIT_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "split_leakproof_by_source": f"""
+        SELECT doc_id, source,
+               CASE WHEN {_SRC_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
+                    WHEN {_SRC_SPLIT_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     """,

@@ -170,3 +170,13 @@ def test_cc_algorithms_agree(spark):
     a = {tuple(r) for r in q_dedup_connected_components(spark, SF_DIR).collect()}
     b = {tuple(r) for r in q_dedup_cc_alternating_stars(spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_leakproof_split_group_integrity(spark):
+    """Every source maps to exactly one split — the property that makes the
+    source-hashed split leakage-proof."""
+    from emr_flink_example_spark.operators.sampling import q_split_leakproof_by_source
+
+    s = q_split_leakproof_by_source(spark, SF_DIR)
+    per_source = s.groupBy("source").agg(F.count_distinct("split").alias("n_splits"))
+    assert per_source.where(F.col("n_splits") != 1).count() == 0
