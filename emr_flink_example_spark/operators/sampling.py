@@ -159,6 +159,39 @@ _RATE_CASE = (
     + f" ELSE {STRATA_DEFAULT_PCT} END"
 )
 
+def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature rebalance, executed: per-lang keep-rates proportional to
+    weight/share (normalized so the most-upweighted language keeps 100%),
+    applied as a deterministic salted-hash sample. The output corpus's
+    language distribution approaches the alpha=0.5 temperature target of
+    q_lang_temperature_weights — this is that query's keep/drop step.
+
+    Two-phase broadcast shape: the rate table is |langs| rows (computed with
+    the exact same IEEE-exact sqrt arithmetic in the oracle), broadcast onto
+    the corpus; the keep decision is one hash compare per row, map-side,
+    partitioning-independent."""
+    docs = load(spark, sf, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = per_lang.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+    )
+    ratio = (F.sqrt(F.col("n_docs").cast("double")) / F.col("z")) / (
+        F.col("n_docs") / F.col("n_total")
+    )
+    rated = per_lang.crossJoin(F.broadcast(total)).select("lang", ratio.alias("ratio"))
+    rmax = rated.agg(F.max("ratio").alias("rmax"))
+    rates = rated.crossJoin(F.broadcast(rmax)).select(
+        "lang", (F.col("ratio") / F.col("rmax")).alias("keep_rate")
+    )
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))) % 10000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(h < F.col("keep_rate") * 10000)
+        .select("doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate"))
+    )
+
+
 def q_split_leakproof_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Group-integrity train/val/test split: the bucket is hashed from
     `source`, not doc_id, so every document of a source lands in the SAME
@@ -221,6 +254,7 @@ QUERIES = {
     "pack_token_shards": q_pack_token_shards,
     "split_train_val_test": q_split_train_val_test,
     "split_leakproof_by_source": q_split_leakproof_by_source,
+    "sample_temperature": q_sample_temperature,
     "sample_stratified": q_sample_stratified,
     "sample_fixed_k": q_sample_fixed_k,
     "outlier_filter_quantile": q_outlier_filter_quantile,
@@ -249,6 +283,25 @@ ORACLES = {
                     WHEN {_SPLIT_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """,
+    "sample_temperature": f"""
+        WITH per_lang AS (
+            SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+        ), total AS (
+            SELECT sum(n_docs)::BIGINT AS n_total, sum(sqrt(n_docs::DOUBLE)) AS z
+            FROM per_lang
+        ), rated AS (
+            SELECT lang,
+                   (sqrt(n_docs::DOUBLE) / z) / (n_docs / n_total) AS ratio
+            FROM per_lang CROSS JOIN total
+        ), rates AS (
+            SELECT lang, ratio / (SELECT max(ratio) FROM rated) AS keep_rate
+            FROM rated
+        )
+        SELECT d.doc_id, d.lang, round(r.keep_rate, 6) AS keep_rate
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ({portable_hash_sql_duckdb(f"doc_id::VARCHAR || '{SAMPLE_SALT}'")} % 10000)
+              < r.keep_rate * 10000
     """,
     "split_leakproof_by_source": f"""
         SELECT doc_id, source,
