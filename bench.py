@@ -76,10 +76,11 @@ def main() -> None:
     ):
         load(spark, sf_dir, t).count()
 
-    # Two runs per query, report the min: run 1 pays one-time plan/codegen
-    # compilation (a fixed cost irrelevant at real scale); run 2 measures
-    # steady-state distributed execution. Declared via "runs_per_query".
-    timings = {name: round(min(run(name) for _ in range(2)), 3) for name in HEADLINE}
+    # Three runs per query, report the min: run 1 pays one-time plan/codegen
+    # compilation (a fixed cost irrelevant at real scale); the min of the
+    # remaining runs measures steady-state execution and shields the
+    # recorded number from ambient-load spikes on a shared host.
+    timings = {name: round(min(run(name) for _ in range(3)), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -88,7 +89,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
