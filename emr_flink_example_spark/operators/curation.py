@@ -80,3 +80,127 @@ def curate_documents(
 
     kept.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     return CurationStats(n_input, n_quality, n_exact, n_near)
+
+
+@dataclass
+class TrainingCurationStats(CurationStats):
+    n_after_rebalance: int
+    n_chunks: int
+    n_shards: int
+
+
+def curate_for_training(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+) -> TrainingCurationStats:
+    """The full corpus-to-training-shards pipeline: the curation stages of
+    `curate_documents`, then temperature rebalancing, overlapping chunking,
+    and token-budget shard packing — ending in a lang-partitioned parquet
+    of training chunks carrying their shard assignment.
+
+      5. temperature rebalance — per-lang keep-rates (alpha=0.5 weights over
+         the CURATED corpus's language shares), deterministic hash sample
+      6. chunking             — CHUNK_TOKENS-token windows, CHUNK_STRIDE
+      7. shard packing        — running-token-sum windows per lang
+
+    Scale shape: the rate table is |langs| rows broadcast onto the corpus;
+    chunking is map-side behind the one tokenizer barrier; packing is one
+    window per lang partition (pre-shard by a hash bucket at real scale —
+    see q_pack_token_shards)."""
+    from .sampling import SAMPLE_SALT, SHARD_TOKEN_BUDGET, portable_hash
+    from .textstats import CHUNK_STRIDE, CHUNK_TOKENS, TOKENS
+
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    quality = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    kept = (
+        docs.join(quality, "doc_id")
+        .where((F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens))
+        .select(docs["*"])
+    )
+    n_quality = kept.count()
+
+    exact_keep = (
+        kept.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = kept.join(exact_keep, "doc_id", "left_semi")
+    n_exact = kept.count()
+
+    drop = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= NEAR_DUP_EST_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = kept.join(drop, "doc_id", "left_anti")
+    n_near = kept.count()
+
+    # 5. temperature rebalance (rates from the curated corpus's shares)
+    per_lang = kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    totals = per_lang.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+    )
+    ratio = (F.sqrt(F.col("n_docs").cast("double")) / F.col("z")) / (
+        F.col("n_docs") / F.col("n_total")
+    )
+    rated = per_lang.crossJoin(F.broadcast(totals)).select("lang", ratio.alias("ratio"))
+    rmax = rated.agg(F.max("ratio").alias("rmax"))
+    rates = rated.crossJoin(F.broadcast(rmax)).select(
+        "lang", (F.col("ratio") / F.col("rmax")).alias("keep_rate")
+    )
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))) % 10000
+    kept = (
+        kept.join(F.broadcast(rates), "lang")
+        .where(h < F.col("keep_rate") * 10000)
+        .drop("keep_rate")
+    )
+    n_rebalance = kept.count()
+
+    # 6. chunking (map-side behind the tokenizer barrier)
+    toks = kept.select("doc_id", "lang", F.expr(TOKENS).alias("tokens")).repartition("doc_id")
+    starts = toks.where(F.size("tokens") > 0).select(
+        "doc_id",
+        "lang",
+        "tokens",
+        F.explode(F.expr(f"sequence(1, size(tokens), {CHUNK_STRIDE})")).alias("start"),
+    )
+    chunk = F.expr(f"slice(tokens, start, {CHUNK_TOKENS})")
+    chunks = starts.select(
+        "doc_id",
+        "lang",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+    n_chunks = chunks.count()
+
+    # 7. shard packing (one running-sum window per lang)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        chunks.withColumn("cum_tokens", F.sum("n_chunk_tokens").over(w))
+        .withColumn(
+            "shard_id",
+            F.expr(f"cast((cum_tokens - 1) div {SHARD_TOKEN_BUDGET} + 1 as int)"),
+        )
+        .drop("cum_tokens")
+    )
+    n_shards = packed.select("lang", "shard_id").distinct().count()
+
+    packed.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    return TrainingCurationStats(
+        n_input, n_quality, n_exact, n_near, n_rebalance, n_chunks, n_shards
+    )
