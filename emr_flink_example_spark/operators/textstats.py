@@ -309,6 +309,32 @@ def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenizer pattern, simplified for cross-engine parity:
+#: contractions | space?letters | space?digits | space?other-runs.
+#: Deliberate deviations from the real GPT-2 regex, both REQUIRED here:
+#: no `\s+(?!\S)` trailing-space branch (RE2 has no lookahead) and explicit
+#: whitespace classes instead of `\s` (Java includes \x0B in \s, RE2 does
+#: not). No unicode property classes for the same reason.
+BPE_ISH_RE = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\r\\fa-zA-Z0-9']+"
+
+
+def q_token_counts_bpe_ish(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token counts under a BPE-style pre-tokenizer vs the
+    whitespace/word tokenizer — the 'how many LLM tokens is this corpus'
+    estimate. fertility = bpe/word ratio (rounded; a ratio of exact ints).
+    Pure map-side: two regexp_extract_all per row, no shuffle, no Python."""
+    docs = load(spark, sf, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), F.lit(0)))
+    words = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        bpe.alias("n_bpe_tokens"),
+        words.alias("n_word_tokens"),
+        F.when(words > 0, F.round(bpe / words, 4)).alias("fertility"),
+    )
+
+
 #: training-chunk geometry: 64-token windows advancing 48 tokens (16 overlap).
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
@@ -429,6 +455,7 @@ QUERIES = {
     "vocab_stats": q_vocab_stats,
     "bm25_topk": q_bm25_topk,
     "chunk_documents": q_chunk_documents,
+    "token_counts_bpe_ish": q_token_counts_bpe_ish,
 }
 
 _REPETITION_ORACLE = f"""
@@ -545,7 +572,19 @@ _CHUNK_ORACLE = f"""
     FROM starts
 """
 
+_BPE_RE_SQL = BPE_ISH_RE.replace("'", "''").replace("\\", "\\")
+
 ORACLES = {
+    "token_counts_bpe_ish": f"""
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '{{0}}'))::INT AS n_bpe_tokens,
+               len(regexp_extract_all(text, '{TOKEN_RE}'))::INT AS n_word_tokens,
+               CASE WHEN len(regexp_extract_all(text, '{TOKEN_RE}')) > 0
+                    THEN round(len(regexp_extract_all(text, '{{0}}'))
+                               / len(regexp_extract_all(text, '{TOKEN_RE}')), 4)
+               END AS fertility
+        FROM documents
+    """.replace("{{0}}", "{0}").format(_BPE_RE_SQL),
     "bm25_topk": _BM25_ORACLE,
     "chunk_documents": _CHUNK_ORACLE,
     "repetition_ngram": _REPETITION_ORACLE,
