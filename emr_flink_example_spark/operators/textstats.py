@@ -93,6 +93,27 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: polynomial rolling-hash parameters (Rabin-style: base-256 Horner mod P31)
+ROLL_BASE = 256
+ROLL_MOD = 2147483647
+
+
+def q_doc_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprint: the Rabin-style polynomial hash
+    h = fold(chars, h*B + code mod P), computed in its rolling (Horner)
+    form — the primitive behind content-defined chunking, where a window
+    hash hitting a cut mask splits shifted-but-identical content at the
+    same boundaries (the upgrade path for dedup of re-wrapped text).
+    Map-side only: one fold over the character array per row, no shuffle,
+    no Python."""
+    docs = load(spark, sf, "documents")
+    h = F.expr(
+        f"aggregate(transform(split(text, ''), c -> ascii(c)), cast(0 as bigint), "
+        f"(acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})"
+    )
+    return docs.select("doc_id", "n_chars", h.alias("rolling_hash"))
+
+
 def q_lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-lexicon language ID: score = |distinct lexicon hits|, argmax
     with a fixed tie-break order (en > es > fr, then 'und')."""
@@ -447,6 +468,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
     "lang_id_heuristic": q_lang_id_heuristic,
     "tfidf_top_terms": q_tfidf_top_terms,
     "sentiment_score": q_sentiment_score,
@@ -575,6 +597,14 @@ _CHUNK_ORACLE = f"""
 _BPE_RE_SQL = BPE_ISH_RE.replace("'", "''").replace("\\", "\\")
 
 ORACLES = {
+    "doc_fingerprint_rolling": f"""
+        SELECT doc_id, n_chars,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+                   (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD}) AS rolling_hash
+        FROM documents
+    """,
     "token_counts_bpe_ish": f"""
         SELECT doc_id, lang,
                len(regexp_extract_all(text, '{{0}}'))::INT AS n_bpe_tokens,
