@@ -164,3 +164,32 @@ def test_time_partition_format_parity(spark, epochs):
         for e in epochs
     ]
     assert got == want
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_shingle_construction_parity(spark, texts):
+    """Word-3-gram shingle sets (the dedup family's foundation) must build
+    identically in both engines, including the 0/1/2-token edge cases and
+    duplicate-shingle dedup."""
+    from emr_flink_example_spark.operators.dedup import SHINGLES, SHINGLES_DUCK
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.s
+        for r in df.selectExpr(
+            f"regexp_extract_all(text, '[a-zA-Z0-9]+', 0) AS tokens"
+        )
+        .selectExpr(f"{SHINGLES} AS s")
+        .collect()
+    ]
+    con = _duck()
+    want = [
+        con.execute(
+            "WITH tok AS (SELECT regexp_extract_all(?, '[a-zA-Z0-9]+') AS tokens) "
+            f"SELECT coalesce({SHINGLES_DUCK.strip()}, []) FROM tok",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert [sorted(g) for g in got] == [sorted(w) for w in want]
