@@ -191,3 +191,29 @@ def test_chunking_single_barrier(spark):
     plan = _plan(spark, "chunk_documents")
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_rolling_fingerprint_and_bpe_counts_are_mapside(spark):
+    """Per-document fingerprint/token-count projections must be pure
+    map-side scans — no exchange anywhere."""
+    for name in ("doc_fingerprint_rolling", "token_counts_bpe_ish"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert plan.count("Scan parquet") == 1, name
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """The per-lang rate table joins broadcast; the corpus is never
+    shuffled for the keep decision."""
+    plan = _plan(spark, "sample_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_forward_asof_single_union_window(spark):
+    """Forward as-of: one scan of events (union of two filters of the same
+    scan collapses to per-side scans), exactly one user_id shuffle, no
+    join at all."""
+    plan = _plan(spark, "asof_join_forward")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
