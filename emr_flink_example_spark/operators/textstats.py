@@ -330,6 +330,52 @@ def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: KMV sketch size (k minimum hash values).
+KMV_K = 64
+#: 2^60: portable_hash's range, as an exact double for normalization.
+_POW2_60 = float(1 << 60)
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per language, WITH its
+    exact answer and relative error — the oracle-checkable sketch: unlike
+    HLL (whose register layout is engine-private, so approx_count_distinct
+    can only be rows-only checked), KMV over the deterministic portable
+    hash is bit-reproducible in DuckDB.
+
+    Estimator: with h_(k) the k-th smallest of the distinct values' hashes
+    normalized to [0,1), est = (k-1) / h_(k); languages with < k distinct
+    tokens report the exact count. Mergeability is the point at scale: each
+    partition keeps its k smallest hashes, merges are union+truncate —
+    the same shape Spark's partial aggregation already gives the min-based
+    ranking below."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash
+
+    docs = load(spark, sf, "documents")
+    tok = docs.select("lang", F.explode(F.expr(TOKENS)).alias("token"))
+    hashed = tok.select("lang", portable_hash(F.col("token")).alias("h")).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    ranked = hashed.withColumn("r", F.row_number().over(w))
+    stats = ranked.groupBy("lang").agg(
+        F.count("*").alias("n_distinct_exact"),
+        F.max(F.when(F.col("r") == KMV_K, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_distinct_exact") < KMV_K, F.col("n_distinct_exact").cast("double")
+    ).otherwise(F.round((KMV_K - 1) / (F.col("h_k") / F.lit(_POW2_60)), 2))
+    return stats.select(
+        "lang",
+        F.lit(KMV_K).alias("k"),
+        est.alias("est_distinct"),
+        "n_distinct_exact",
+        F.round(
+            F.abs(est - F.col("n_distinct_exact")) / F.col("n_distinct_exact"), 4
+        ).alias("rel_error"),
+    )
+
+
 #: GPT-2-style pre-tokenizer pattern, simplified for cross-engine parity:
 #: contractions | space?letters | space?digits | space?other-runs.
 #: Deliberate deviations from the real GPT-2 regex, both REQUIRED here:
@@ -478,6 +524,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "chunk_documents": q_chunk_documents,
     "token_counts_bpe_ish": q_token_counts_bpe_ish,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
 }
 
 _REPETITION_ORACLE = f"""
@@ -596,7 +643,34 @@ _CHUNK_ORACLE = f"""
 
 _BPE_RE_SQL = BPE_ISH_RE.replace("'", "''").replace("\\", "\\")
 
+_KMV_ORACLE = f"""
+    WITH tok AS (
+        SELECT lang, unnest({TOKENS_DUCK}) AS token FROM documents
+    ), hashed AS (
+        SELECT DISTINCT lang,
+               ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        FROM tok
+    ), ranked AS (
+        SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+        FROM hashed
+    ), stats AS (
+        SELECT lang, count(*)::BIGINT AS n_distinct_exact,
+               max(CASE WHEN r = {KMV_K} THEN h END) AS h_k
+        FROM ranked GROUP BY lang
+    )
+    SELECT lang, {KMV_K} AS k,
+           CASE WHEN n_distinct_exact < {KMV_K} THEN n_distinct_exact::DOUBLE
+                ELSE round(({KMV_K} - 1) / (h_k / {float(1 << 60)}), 2) END AS est_distinct,
+           n_distinct_exact,
+           round(abs(CASE WHEN n_distinct_exact < {KMV_K} THEN n_distinct_exact::DOUBLE
+                          ELSE round(({KMV_K} - 1) / (h_k / {float(1 << 60)}), 2) END
+                     - n_distinct_exact) / n_distinct_exact, 4) AS rel_error
+    FROM stats
+"""
+
 ORACLES = {
+    "sketch_kmv_distinct": _KMV_ORACLE,
     "doc_fingerprint_rolling": f"""
         SELECT doc_id, n_chars,
                list_reduce(

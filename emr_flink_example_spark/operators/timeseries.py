@@ -193,13 +193,53 @@ def q_timeseries_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_timeseries_cascade_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style cascading rollup: minute → hour → day, each level
+    RE-AGGREGATED FROM THE PREVIOUS PRE-AGGREGATE, never from raw events.
+
+    This is the continuous-aggregate maintenance pattern: counts and sums
+    are mergeable, so the day level is computed from ~60x fewer rows than
+    the raw stream, and each level is itself a serving table. Rounding is
+    applied per level (the stored pre-aggregate IS the rounded value), and
+    the oracle mirrors the cascade exactly. One shuffle per level, each on
+    successively tinier data."""
+    events = load(spark, sf, "events")
+    minute = events.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    hour = minute.groupBy(
+        "event_type", F.date_trunc("hour", "m").alias("h")
+    ).agg(F.sum("n").alias("n"), F.round(F.sum("s"), 2).alias("s"))
+    return (
+        hour.groupBy("event_type", F.date_trunc("day", "h").alias("day"))
+        .agg(F.sum("n").alias("n_events"), F.round(F.sum("s"), 2).alias("sum_value"))
+    )
+
+
 QUERIES = {
     "timeseries_znorm_corr": q_timeseries_znorm_corr,
     "timeseries_dtw": q_timeseries_dtw,
     "timeseries_resample_gapfill": q_timeseries_resample_gapfill,
+    "timeseries_cascade_rollup": q_timeseries_cascade_rollup,
 }
 
 ORACLES = {
+    # mirrors the cascade level by level (incl. per-level rounding) — NOT a
+    # direct day aggregate, which would differ in the rounded cents
+    "timeseries_cascade_rollup": """
+        WITH minute AS (
+            SELECT event_type, date_trunc('minute', ts) AS m,
+                   count(*)::BIGINT AS n, round(sum(value), 2) AS s
+            FROM events GROUP BY 1, 2
+        ), hour AS (
+            SELECT event_type, date_trunc('hour', m) AS h,
+                   sum(n)::BIGINT AS n, round(sum(s), 2) AS s
+            FROM minute GROUP BY 1, 2
+        )
+        SELECT event_type, date_trunc('day', h)::TIMESTAMP AS day,
+               sum(n)::BIGINT AS n_events, round(sum(s), 2) AS sum_value
+        FROM hour GROUP BY 1, 2
+    """,
     # the same sparse-aggregate expression tree the Spark builder uses —
     # op-for-op, so the float arithmetic matches up to the accepted
     # summation-order noise absorbed by round(., 4)
