@@ -1089,10 +1089,10 @@ ORACLES = {
     "unpivot_stack": """
         WITH wide AS (
             SELECT o_orderstatus,
-                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS urgent,
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS high,
                    sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS other
+                            THEN 1 ELSE 0 END)::BIGINT AS other
             FROM orders GROUP BY o_orderstatus
         )
         SELECT o_orderstatus, 'urgent' AS priority_class, urgent AS n FROM wide

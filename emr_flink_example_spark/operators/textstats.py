@@ -700,7 +700,7 @@ ORACLES = {
                round(avg(n_chars), 4) AS avg_chars,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars,
-               sum(len({TOKENS_DUCK})) AS total_tokens,
+               sum(len({TOKENS_DUCK}))::BIGINT AS total_tokens,
                count(DISTINCT source) AS n_sources
         FROM documents GROUP BY lang
     """,

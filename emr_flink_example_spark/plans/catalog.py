@@ -25,20 +25,34 @@ from ..operators import (
     udfs,
 )
 
+# Module order IS driver-check order: the correctness driver walks the catalog
+# front-to-back, so the LLM-pipeline modules (the differentiated surface) come
+# first and `relational` (fully driver-proven in round 1) comes last.
 _MODULES = (
-    relational,
-    event_time,
-    textstats,
     dedup,
     similarity,
-    multimodal,
-    timeseries,
+    textstats,
     sampling,
+    timeseries,
+    multimodal,
     analytics,
     udfs,
+    event_time,
+    relational,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Hoisted to the head of the catalog regardless of module: queries whose
+# round-1 driver row was red (fixed since) must land inside the driver's
+# checked prefix so the fix is re-verified.
+_PRIORITY = ("unpivot_stack", "agg_approx_distinct")
+
+
+def _reorder(out: dict) -> dict:
+    head = {k: out[k] for k in _PRIORITY if k in out}
+    head.update(out)
+    return head
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -48,7 +62,7 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names {overlap} in {m.__name__}")
         out.update(m.QUERIES)
-    return out
+    return _reorder(out)
 
 
 def all_oracles() -> dict[str, str]:
@@ -58,4 +72,4 @@ def all_oracles() -> dict[str, str]:
         if unknown:
             raise ValueError(f"oracle without query {unknown} in {m.__name__}")
         out.update(m.ORACLES)
-    return out
+    return _reorder(out)
