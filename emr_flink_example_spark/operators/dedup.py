@@ -524,21 +524,30 @@ def q_decontamination_containment(spark: SparkSession, sf: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.40
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+def q_dedup_embedding_cosine(
+    spark: SparkSession, sf: str, n_planes: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup: same-LSH-bucket pairs above the cosine
     threshold, reduced to a survivor map (each duplicate points at the
     smallest-id near-duplicate that shadows it).
 
     Scale path mirrors MinHash-LSH: candidate pairs only within
     random-hyperplane buckets (similarity.py), so cost is O(sum of squared
-    bucket sizes), never O(n^2) over the corpus; recall is tunable via
-    multi-probe (OR of Hamming-1 buckets) without changing the shape."""
-    from .similarity import _norm, _with_bucket
+    bucket sizes), never O(n^2) over the corpus. `n_planes` is the fan-out
+    knob (VERDICT r1 #3): defaults to the oracle-pinned 4 planes /
+    16 buckets at test SFs; a production caller passes
+    `similarity.n_planes_for(corpus_rows)` so expected bucket size — and
+    with it the quadratic in-bucket term and the parallelism ceiling —
+    stays constant as the corpus grows (tests/test_lsh_fanout.py pins the
+    refinement property). Recall is tunable via multi-probe (OR of
+    Hamming-1 buckets) without changing the shape."""
+    from .similarity import N_PLANES, _norm, _with_bucket
 
     emb = _with_bucket(
         load(spark, sf, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
-        )
+        ),
+        n_planes=N_PLANES if n_planes is None else n_planes,
     ).withColumn("nrm", _norm("e"))
     # In-bucket pairs by grouping, not a self-join: the join form scans and
     # re-computes bucket+norm for both sides (no ReusedExchange across join
@@ -581,9 +590,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_dedup_embedding_cosine_vectorized(spark: SparkSession, sf: str) -> DataFrame:
+def q_dedup_embedding_cosine_vectorized(
+    spark: SparkSession, sf: str, n_planes: int | None = None
+) -> DataFrame:
     """Same survivor map as dedup_embedding_cosine, computed by a dense
     numpy kernel per LSH bucket instead of a pair-level JVM join.
+    `n_planes` sizes the bucket fan-out exactly as in the relational twin.
 
     applyInPandas receives one bucket's vectors (an m x 64 matrix), row-
     normalizes once, and scores all pairs in a single matmul — Arrow
@@ -595,12 +607,13 @@ def q_dedup_embedding_cosine_vectorized(spark: SparkSession, sf: str) -> DataFra
     boundary ties vs the SQL oracle cannot be guaranteed bit-equal."""
     import numpy as np
 
-    from .similarity import _with_bucket
+    from .similarity import N_PLANES, _with_bucket
 
     emb = _with_bucket(
         load(spark, sf, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
-        )
+        ),
+        n_planes=N_PLANES if n_planes is None else n_planes,
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -172,34 +172,36 @@ def q_sentiment_score(spark: SparkSession, sf: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF: top-3 most characteristic terms per document.
 
-    tf = in-doc term count; idf = ln(N / df). df comes from a count-over-
-    window partitioned by token, NOT from `tf.join(tf.groupBy(token))`: the
-    join form is a self-derived join, so Catalyst re-runs the whole
-    scan+tokenize+count chain for the df side (measured 1.3x slower at
-    sf0.1). The window keeps the chain single-pass: one shuffle to doc-term
-    counts, one to token partitions, one back to doc_id for the top-k rank
-    (executed as per-partition top-k).
+    tf = in-doc term count; idf = ln(N / df). df is an aggregated
+    vocabulary-sized table (`tf.groupBy(token).count`) broadcast-joined back
+    onto `tf`, with `tf` persisted so the df branch reads the materialized
+    doc-term counts instead of re-running the scan+tokenize chain
+    (self-derived branches get no ReusedExchange).
 
-    Rejected variant: pre-partitioning the raw token stream by token (so the
-    tf groupBy and df window share one exchange) measured 1.11x faster
-    locally but shuffles RAW token occurrences — the explicit repartition
-    forfeits the map-side partial aggregation this form gets on its first
-    shuffle, which is strictly more bytes moved at scale. Kept the
-    combine-friendly shape.
+    This replaces the round-1 count-over-`Window.partitionBy(token)` df: the
+    window form was single-pass but put every posting of the hottest
+    stopword into ONE task — a skewed-key full shuffle that dies at 100 TB.
+    The aggregate+broadcast form has no per-token partition anywhere: the df
+    aggregation gets map-side partial combine (hot tokens collapse to one
+    partial row per upstream partition before the shuffle), and the join
+    back is a broadcast, so `tf` itself is never re-shuffled. At 100 TB the
+    vocabulary (~tens of MB zipfian-truncated) still broadcasts; if it ever
+    doesn't, drop the hint and the join degrades to a combine-friendly
+    shuffle — still no single-task hot key.
 
-    100 TB caveat: the token-partition window puts every posting of a hot
-    stopword in one task. On a real cluster, materialize `tf` once
-    (persist/checkpoint), aggregate the vocabulary-sized df table from it,
-    and broadcast that back — same result, no skewed sort; the window form
-    is the right shape only while the hottest posting list fits a task."""
+    Rejected variant: pre-partitioning the raw token stream by token (so tf
+    and df share one exchange) measured 1.11x faster locally but shuffles
+    RAW token occurrences — forfeits map-side partial aggregation, strictly
+    more bytes at scale."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    dftab = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
+        tf.join(F.broadcast(dftab), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
     )
@@ -449,20 +451,22 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     Single-pass wide aggregation: one explode + groupBy(doc_id) produces
     doclen AND the per-query-term tf columns together (no per-term passes),
-    then stack() unpivots to (doc_id, term, tf) postings. df comes from a
-    count-over-window on the postings (only query terms survive, so the
-    per-term partitions are the posting lists of 3 terms). Corpus stats
-    (N, avgdl) are exact integer aggregates, so the double division is
+    then stack() unpivots to (doc_id, term, tf) postings. Per-term df rides
+    the SAME global corpus aggregate as N and avgdl (`sum(tf_i > 0)` — one
+    scalar per query term), so the broadcast corpus row carries everything
+    score needs and no per-term partitioning exists anywhere in the plan.
+    Round 1 computed df as count-over-`Window.partitionBy(term)` on the
+    postings — that puts a hot term's entire posting list in one task; the
+    scalar-aggregate form costs nothing extra (same pass) and has no skew.
+    Corpus stats are exact integer aggregates, so the double division is
     bit-identical across engines; scores round to 4 decimals before the
     rank so the top-k cut is engine-stable.
 
     100 TB: the term filter prunes the postings to |query| lists before any
-    shuffle; corpus stats are a broadcast scalar. Re-deriving the doc-stats
-    chain for the global aggregate re-scans the corpus (self-derived
-    branches get no ReusedExchange) — for a real index, materialize
-    doc_stats once and reuse."""
-    from pyspark.sql.window import Window
-
+    shuffle; corpus stats (incl. df) are a broadcast scalar row. Re-deriving
+    the doc-stats chain for the global aggregate re-scans the corpus
+    (self-derived branches get no ReusedExchange) — for a real index,
+    materialize doc_stats once and reuse."""
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode_outer(F.expr(TOKENS)).alias("token"))
     doc_stats = tok.groupBy("doc_id").agg(
@@ -473,7 +477,12 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     corpus = doc_stats.groupBy().agg(
-        F.count("*").alias("n_docs"), F.sum("doclen").alias("total_len")
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
     )
     stack_expr = "stack({n}, {args}) AS (term, tf)".format(
         n=len(BM25_TERMS),
@@ -483,10 +492,12 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         doc_stats.selectExpr("doc_id", "doclen", stack_expr)
         .where(F.col("tf") > 0)
     )
-    wdf = Window.partitionBy("term")
+    df_expr = F.lit(None).cast("bigint")
+    for i, t in enumerate(BM25_TERMS):
+        df_expr = F.when(F.col("term") == t, F.col(f"df_{i}")).otherwise(df_expr)
     scored = (
-        postings.withColumn("df", F.count("*").over(wdf))
-        .crossJoin(F.broadcast(corpus))
+        postings.crossJoin(F.broadcast(corpus))
+        .withColumn("df", df_expr)
         .withColumn(
             "idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
         )

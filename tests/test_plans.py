@@ -155,19 +155,36 @@ def test_embedding_cosine_single_scan(spark):
     assert plan.count("Scan parquet") == 1
 
 
-def test_tfidf_single_scan(spark):
-    """df via count-over-token-window, not a self-derived join: one scan of
-    documents for the term rows (plus the count-only scan for N)."""
+def test_tfidf_no_token_window(spark):
+    """df is an aggregated vocab table broadcast-joined back onto a persisted
+    tf — NOT a count-over-Window.partitionBy(token), which would put a hot
+    token's whole posting list in one task (VERDICT r1 item 4). The only
+    Window left is the per-doc top-k rank; the df join must be broadcast and
+    both df/tf branches must read the cached tf, not re-run the scan chain."""
     plan = _plan(spark, "tfidf_top_terms")
-    assert plan.count("Scan parquet") <= 2  # term chain + count-only N scan
+    assert plan.count("Window [") == 1  # doc_id rank only — no token window
     assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("InMemoryTableScan") == 2  # tf reused by both branches
 
 
-def test_bm25_topk_never_sorts_globally(spark):
-    """BM25 top-20 executes as TakeOrderedAndProject (per-partition heaps),
+def test_bm25_topk_no_token_window(spark):
+    """Per-term df rides the broadcast corpus aggregate as scalars, so the
+    plan has NO Window at all (r1 ranked df over Window.partitionBy(term)),
+    and the top-20 executes as TakeOrderedAndProject (per-partition heaps),
     not a global sort of the scored postings."""
     plan = _plan(spark, "bm25_topk")
     assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window [") == 0
+
+
+def test_ivf_assignment_is_mapside(spark):
+    """IVF corpus→centroid assignment is an HOF argmax over a one-row
+    broadcast centroid array: the corpus reaches the probe join with ZERO
+    Exchange (VERDICT r1 item 6). The only hash exchanges are the tiny
+    probe-side rank (vec_id < 10 rows) and the final per-query top-k."""
+    plan = _plan(spark, "ann_ivf_topk")
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_multitable_lsh_broadcasts_queries(spark):
