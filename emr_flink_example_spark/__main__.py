@@ -17,7 +17,15 @@ from .streaming import pipelines
 
 def main(argv: list[str] | None = None) -> None:
     cfg = parse_config(argv)
-    spark = build_session(app_name=f"emr-flink-example-spark-{cfg.job}", streaming=True)
+    spark = build_session(
+        app_name=f"emr-flink-example-spark-{cfg.job}",
+        streaming=True,
+        # hive job: register the Hive catalog before anything else touches
+        # the builder (≙ HiveCatalog registration, Kafka2S3Hive.scala:44-53)
+        enable_hive=cfg.job == "hive",
+        hive_metastore_uris=cfg.metastore_uris,
+        hive_conf_dir=cfg.hive_conf_dir,
+    )
     if cfg.job == "text":
         query = pipelines.text_sink(raw_string_stream(spark, cfg), cfg)
     elif cfg.job == "parquet":

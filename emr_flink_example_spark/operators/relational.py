@@ -279,13 +279,28 @@ def q_agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
 def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HLL++ approximate distinct — sketch-based, no exact-distinct shuffle.
 
-    No oracle (DuckDB's approx_count_distinct uses a different sketch);
-    driver records the rows-only check.
+    Oracle-checkable via the sketch_kmv_distinct pattern (textstats.py):
+    DuckDB's approx_count_distinct is a different sketch, so the raw HLL
+    estimate can never hash-match — instead the result carries the exact
+    counts plus booleans asserting the estimate landed within a relative
+    error bound (rsd=0.02, checked at 5%), and the oracle computes the same
+    exact counts and claims TRUE. If Spark's estimate ever drifted outside
+    the bound, the boolean flips and the driver's hash catches it — a real
+    differential check on the sketch's accuracy contract, where round 1
+    recorded rows-only.
     """
     lineitem = load(spark, sf, "lineitem")
+    est_parts = F.approx_count_distinct("l_partkey", 0.02)
+    est_orders = F.approx_count_distinct("l_orderkey", 0.02)
     return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        (F.abs(est_parts / F.countDistinct("l_partkey") - 1) <= 0.05).alias(
+            "parts_est_within_5pct"
+        ),
+        (F.abs(est_orders / F.countDistinct("l_orderkey") - 1) <= 0.05).alias(
+            "orders_est_within_5pct"
+        ),
     )
 
 
@@ -1009,6 +1024,16 @@ ORACLES = {
                count(DISTINCT o_orderpriority) AS n_priorities,
                count(*) AS n_orders
         FROM orders GROUP BY o_orderstatus
+    """,
+    # the exact columns are a true differential; the TRUE literals assert
+    # Spark's HLL++ estimate stayed inside the 5% bound (see the builder)
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts_exact,
+               count(DISTINCT l_orderkey) AS n_orders_exact,
+               TRUE AS parts_est_within_5pct,
+               TRUE AS orders_est_within_5pct
+        FROM lineitem GROUP BY l_returnflag
     """,
     "agg_stats": """
         SELECT o_orderpriority,

@@ -347,7 +347,10 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
     Estimator: with h_(k) the k-th smallest of the distinct values' hashes
     normalized to [0,1), est = (k-1) / h_(k); languages with < k distinct
-    tokens report the exact count. Mergeability is the point at scale: each
+    tokens report the exact count. ("Exact" here means over distinct
+    PORTABLE-HASH values, not raw tokens: both engines collapse (lang, h)
+    identically, so parity is unaffected; a 60-bit hash collision would
+    undercount both sides equally.) Mergeability is the point at scale: each
     partition keeps its k smallest hashes, merges are union+truncate —
     the same shape Spark's partial aggregation already gives the min-based
     ranking below."""
@@ -652,7 +655,7 @@ _CHUNK_ORACLE = f"""
     FROM starts
 """
 
-_BPE_RE_SQL = BPE_ISH_RE.replace("'", "''").replace("\\", "\\")
+_BPE_RE_SQL = BPE_ISH_RE.replace("'", "''")  # DuckDB standard strings need no backslash escaping
 
 _KMV_ORACLE = f"""
     WITH tok AS (

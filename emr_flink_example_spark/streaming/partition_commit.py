@@ -37,7 +37,7 @@ import json
 import os
 from datetime import datetime, timedelta
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,13 +49,33 @@ class PartitionCommitter:
         partition_cols: tuple[str, ...] = ("logday", "h", "m"),
         commit_delay_seconds: int = 60,
         watermark_lag_seconds: int = 5,
+        timestamp_pattern: str | None = None,
     ) -> None:
+        """`timestamp_pattern` ≙ partition.time-extractor.timestamp-pattern
+        (Kafka2S3Hive.scala:101): a strftime-style '%Y-%m-%d %H:%M:%S' string
+        with `$col` placeholders naming partition columns, e.g. the default
+        '$logday $h:$m:00'. Both the per-partition commit time and the
+        batch-watermark extraction derive from this one pattern, so any
+        partition_cols layout works as long as the pattern mentions them."""
         self.table = table
         self.path = path
         self.partition_cols = partition_cols
         self.commit_delay = timedelta(seconds=commit_delay_seconds)
         self.watermark_lag = timedelta(seconds=watermark_lag_seconds)
+        self.timestamp_pattern = timestamp_pattern or self._default_pattern(partition_cols)
         self.ledger_path = os.path.join(path, "_partition_commits.json")
+
+    @staticmethod
+    def _default_pattern(cols: tuple[str, ...]) -> str:
+        """(day, hour, minute)-shaped layouts get the reference pattern with
+        the caller's column names; anything else must pass a pattern."""
+        if len(cols) == 3:
+            d, h, m = cols
+            return f"${d} ${h}:${m}:00"
+        raise ValueError(
+            f"no default timestamp pattern for partition_cols {cols!r}; "
+            "pass timestamp_pattern='... $col ...'"
+        )
 
     # -- ledger ------------------------------------------------------------
     def _load_ledger(self) -> dict:
@@ -71,12 +91,44 @@ class PartitionCommitter:
         os.replace(tmp, self.ledger_path)
 
     # -- partition-time extraction ----------------------------------------
-    @staticmethod
-    def _partition_time(part: dict) -> datetime:
-        """'$logday $h:$m:00' pattern (Kafka2S3Hive.scala:101)."""
-        return datetime.strptime(
-            f"{part['logday']} {part['h']}:{part['m']}:00", "%Y-%m-%d %H:%M:%S"
+    def _pattern_segments(self) -> list[tuple[bool, str]]:
+        """Pattern split into (is_column, text) segments, longest col first
+        so `$logday` never half-matches a shorter name."""
+        segs: list[tuple[bool, str]] = []
+        rest = self.timestamp_pattern
+        cols = sorted(self.partition_cols, key=len, reverse=True)
+        while rest:
+            hit = min(
+                ((rest.index(f"${c}"), c) for c in cols if f"${c}" in rest),
+                key=lambda t: (t[0], -len(t[1])),  # earliest, then longest name
+                default=None,
+            )
+            if hit is None:
+                segs.append((False, rest))
+                break
+            idx, col = hit
+            if idx:
+                segs.append((False, rest[:idx]))
+            segs.append((True, col))
+            rest = rest[idx + len(col) + 1 :]
+        return segs
+
+    def _partition_time(self, part: dict) -> datetime:
+        """Substitute the partition's values into the pattern and parse
+        (≙ the reference's '$logday $h:$m:00', Kafka2S3Hive.scala:101)."""
+        rendered = "".join(
+            part[text] if is_col else text for is_col, text in self._pattern_segments()
         )
+        return datetime.strptime(rendered, "%Y-%m-%d %H:%M:%S")
+
+    def _partition_ts_col(self) -> Column:
+        """The same pattern as a Catalyst expression over the partition
+        columns — used for the batch max-event-time watermark."""
+        pieces = [
+            F.col(text) if is_col else F.lit(text)
+            for is_col, text in self._pattern_segments()
+        ]
+        return F.to_timestamp(F.concat(*pieces))
 
     def _add_partition_sql(self, part: dict) -> str:
         spec = ", ".join(f"{c}='{part[c]}'" for c in self.partition_cols)
@@ -93,10 +145,15 @@ class PartitionCommitter:
                 .partitionBy(*self.partition_cols)
                 .parquet(self.path)
             )
-            parts = [r.asDict() for r in batch_df.select(*self.partition_cols).distinct().collect()]
-            max_ts = batch_df.agg(
-                F.max(F.to_timestamp(F.concat_ws(" ", "logday", F.concat_ws(":", "h", "m")))).alias("m")
-            ).collect()[0]["m"]
+            # One driver job for both batch facts: the touched-partition set
+            # (collect_set over the partition struct — bounded by day*hour*
+            # minute, not rows) and the max event time for the watermark.
+            stats = batch_df.agg(
+                F.collect_set(F.struct(*self.partition_cols)).alias("parts"),
+                F.max(self._partition_ts_col()).alias("max_ts"),
+            ).collect()[0]
+            parts = [p.asDict() for p in stats["parts"]]
+            max_ts = stats["max_ts"]
         finally:
             batch_df.unpersist()
 

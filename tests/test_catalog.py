@@ -36,11 +36,11 @@ REPRESENTATIVE = [
 def test_every_oracle_has_a_query():
     qs, os_ = catalog.all_queries(), catalog.all_oracles()
     assert set(os_) <= set(qs)
-    # the rows-only set is intentional and small: sketches whose values are
-    # engine-specific (HLL), genuinely non-SQL-expressible kernels (DTW),
-    # and float-order-sensitive vectorized twins of oracle-checked queries
+    # the rows-only set is intentional and small: genuinely non-SQL-
+    # expressible kernels (DTW) and float-order-sensitive vectorized twins
+    # of oracle-checked queries. (agg_approx_distinct left this set in r2:
+    # its exact-counts-plus-error-bound shape is fully oracle-checked.)
     assert set(qs) - set(os_) == {
-        "agg_approx_distinct",
         "timeseries_dtw",
         "dedup_embedding_cosine_vectorized",
     }

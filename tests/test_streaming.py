@@ -91,8 +91,15 @@ def test_parquet_sink_event_date_and_error_bucket(spark, tmp_path):
 
 
 def test_hive_sink_partitions_and_commit(spark, tmp_path):
-    """≙ Kafka2S3Hive: day/hour/minute layout + watermark-gated commit."""
-    cfg = _file_cfg(tmp_path, hive_s3_path=str(tmp_path / "warehouse"))
+    """≙ Kafka2S3Hive: day/hour/minute layout + watermark-gated commit, with
+    committed partitions visible in the session CATALOG (SHOW PARTITIONS),
+    not just the ledger — the external table is created pre-stream (A13) so
+    the committer's ALTER TABLE ADD PARTITION has a target (A11)."""
+    cfg = _file_cfg(
+        tmp_path,
+        hive_s3_path=str(tmp_path / "warehouse"),
+        hive_table_name=f"source_log_{int(time.time() * 1000)}",
+    )
     base = 1617171790593  # 2021-03-31 06:23:10 UTC
     events = [
         dict(SAMPLE, uuid="e0", timestamp=base),
@@ -116,6 +123,21 @@ def test_hive_sink_partitions_and_commit(spark, tmp_path):
     assert ("2021-03-31", "06", "23") in committed
     assert ("2021-03-31", "06", "24") in committed
     assert ("2021-03-31", "06", "33") in pending
+
+    # catalog visibility: exactly the committed partitions are registered
+    table = f"default.{cfg.hive_table_name}"
+    assert spark.catalog.tableExists(table)
+    shown = {
+        tuple(kv.split("=")[1] for kv in r.partition.split("/"))
+        for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
+    }
+    assert shown == committed
+    # and the registered partitions are queryable through the table
+    n = spark.sql(
+        f"SELECT count(*) AS n FROM {table} WHERE logday='2021-03-31' AND h='06' AND m='23'"
+    ).collect()[0]["n"]
+    assert n == 1
+    spark.sql(f"DROP TABLE {table}")
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
@@ -413,3 +435,51 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql(f"SELECT * FROM {qname}").collect()
     assert [r.imp_uuid for r in rows] == ["ad1"]
     assert (rows[0].click_ts - rows[0].imp_ts).total_seconds() == 120
+
+
+def test_partition_committer_honors_custom_partition_cols(spark, tmp_path):
+    """The committer's time extraction derives from timestamp_pattern over
+    partition_cols (≙ partition.time-extractor.timestamp-pattern) — not a
+    hardcoded (logday, h, m): a (day, hh) hourly layout commits correctly."""
+    import pytest
+
+    path = str(tmp_path / "hourly")
+    committer = PartitionCommitter(
+        table=f"default.hourly_{int(time.time() * 1000)}",
+        path=path,
+        partition_cols=("day", "hh"),
+        commit_delay_seconds=60,
+        timestamp_pattern="$day $hh:00:00",
+    )
+    df = spark.createDataFrame(
+        [("a", "2021-03-31", "06"), ("b", "2021-03-31", "08")],
+        "uuid string, day string, hh string",
+    )
+    committer(df, 0)
+    with open(os.path.join(path, "_partition_commits.json")) as f:
+        ledger = json.load(f)
+    committed = {(p["day"], p["hh"]) for p in ledger["committed"]}
+    pending = {(p["day"], p["hh"]) for p in ledger["pending"]}
+    # watermark = 08:00:00 - 5s lag; 06:00 + 1 min delay <= wm -> committed,
+    # the watermark-carrying 08:00 partition itself still pending
+    assert committed == {("2021-03-31", "06")}
+    assert pending == {("2021-03-31", "08")}
+    # 2-col layouts have no default pattern: explicit pattern is required
+    with pytest.raises(ValueError, match="timestamp pattern"):
+        PartitionCommitter(table="t", path=path, partition_cols=("day", "hh"))
+
+
+def test_estimate_record_bytes_measures_source(spark, tmp_path):
+    """The text sink's bytes->records cap uses an OBSERVED average record
+    size (≙ withMaxPartSize rolls on bytes), not a fixed constant."""
+    from emr_flink_example_spark.streaming.pipelines import (
+        DEFAULT_RECORD_BYTES,
+        estimate_record_bytes,
+    )
+
+    src = str(tmp_path / "in")
+    _write_lines(src, ["x" * 99] * 10)  # 99 chars + newline
+    assert estimate_record_bytes(src, spark) == 100
+    # unsampleable sources fall back to the documented conservative default
+    assert estimate_record_bytes("", spark) == DEFAULT_RECORD_BYTES
+    assert estimate_record_bytes(str(tmp_path / "missing"), spark) == DEFAULT_RECORD_BYTES
