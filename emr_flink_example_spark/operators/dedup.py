@@ -87,6 +87,74 @@ _rng = random.Random(42)
 PERMS = [(_rng.randrange(1, 1 << 31), _rng.randrange(0, 1 << 31)) for _ in range(N_PERMS)]
 
 
+#: token length of the exact-substring spans; 8 words ≈ the scale at which a
+#: verbatim match stops being idiom and starts being copied text.
+SPAN_TOKENS = 8
+
+
+def q_dedup_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated-span detection (ExactSubstr-style dedup
+    diagnostic): for every document containing at least one SPAN_TOKENS-token
+    window that also appears verbatim in another document, report the span
+    count, how many span positions are duplicated, and the duplicated
+    fraction. Downstream curation drops or trims high-dup_frac docs — the
+    substring-level complement of whole-doc (exact) and set-level (MinHash)
+    dedup.
+
+    Shape: one pass materializes tokens (repartition barrier, see
+    _shingled_docs), explodes span starts, and hashes each window (md5 of
+    the space-joined slice — string+md5 measured faster than integer Horner
+    shingles, see minhash notes). The span stream is persisted; the
+    duplicated-hash set derives from it by a combine-friendly
+    countDistinct(doc_id) aggregation (no skewed single task: partial
+    distinct collapses map-side) and is semi-joined back. A span shared by
+    millions of docs skews its join key; AQE skew-join splits it, and the
+    semi-join output is bounded by the span stream itself. Output is
+    linear in total tokens throughout — never pairwise."""
+    toks = (
+        load(spark, sf, "documents")
+        .withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", "tokens")
+        .repartition("doc_id")
+    )
+    spans = (
+        toks.where(F.size("tokens") >= SPAN_TOKENS)
+        .select(
+            "doc_id",
+            (F.size("tokens") - SPAN_TOKENS + 1).alias("n_spans"),
+            "tokens",
+            F.explode(
+                F.expr(f"sequence(1, size(tokens) - {SPAN_TOKENS} + 1)")
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            F.md5(
+                F.array_join(F.expr(f"slice(tokens, start, {SPAN_TOKENS})"), " ")
+            ).alias("h"),
+        )
+        .persist()
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        spans.join(dup, "h", "left_semi")
+        .groupBy("doc_id", "n_spans")
+        .agg(F.count("*").alias("n_dup_spans"))
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: group by content fingerprint, keep the earliest doc_id.
 
@@ -102,12 +170,30 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+#: inverted-index document-frequency cap: a shingle in df docs yields df^2
+#: candidate pairs, so one boilerplate shingle ("all rights reserved...")
+#: can dominate the whole join. Shingles above the cap are dropped from the
+#: index on BOTH engines (n_common then counts rare shingles only — a lower
+#: bound on true Jaccard, standard prefix-filtering practice). 10k keeps the
+#: worst single-shingle term at <= 1e8 pairs regardless of corpus size; at
+#: the test SFs no shingle comes near it, so the capped result equals the
+#: exact one there.
+JACCARD_MAX_SHINGLE_DF = 10_000
+
+
+def q_dedup_jaccard_pairs(
+    spark: SparkSession, sf: str, max_shingle_df: int = JACCARD_MAX_SHINGLE_DF
+) -> DataFrame:
     """Exact n-gram Jaccard: top-20 most similar doc pairs.
 
     Inverted-index form: explode shingles, self-join on shingle equality (so
     only pairs sharing >= 1 shingle are ever materialized), count common
-    shingles, then jaccard = common / (|A| + |B| - common)."""
+    shingles, then jaccard = common / (|A| + |B| - common). Hot shingles
+    (df > max_shingle_df) are removed from the index first via a broadcast
+    anti-join — the df aggregation is combine-friendly (no skewed key:
+    partial counts collapse map-side) and the hot set is tiny by
+    construction, so the cap costs one extra aggregated pass and removes
+    the df^2 blowup that would otherwise sink the join at 100 TB."""
     docs = _shingled_docs(spark, sf)
     # Carry each doc's set size through the inverted index so no extra joins
     # (or second pass over the corpus) are needed to compute jaccard.
@@ -121,6 +207,16 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.size("shingles").alias("n_shingles"),
         F.explode_outer("shingles").alias("shingle"),
     ).where(F.col("shingle").isNotNull())
+    # df cap (see JACCARD_MAX_SHINGLE_DF): drop boilerplate shingles before
+    # the self-join. left_anti against the (tiny) hot set broadcasts; the
+    # hot-set aggregation itself has no skew (map-side partial counts).
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     # Self-join form: pairs stream straight into one map-side-combined
     # aggregate. Locally this beats group-by-shingle + in-bucket pairwise
     # expansion (measured 1.55 s vs 2.18 s at sf0.1: collect_list
@@ -198,6 +294,34 @@ def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, bucket) — one row per band per doc.
+
+    Bucket = xxhash64 over the band's 4 sig values: an 8-byte shuffle key
+    with no string construction (1.21x over the concat_ws form;
+    md5-of-the-string measured 1.3x SLOWER — the win is skipping the
+    string, not the hashing). A hash collision can only ADD candidate
+    pairs, and every consumer applies an exact band-slice equality filter
+    downstream, so results are hash-independent."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: pairs agreeing on >= 1 full band,
     with the signature-agreement estimate of Jaccard.
@@ -206,29 +330,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     candidate generation is a groupBy-style equi-join on (band, bucket-hash) —
     no pairwise comparison outside shared buckets."""
     sigs = _minhash_signatures(spark, sf)
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # xxhash64 over the 4 band values: an 8-byte
-                        # shuffle key with no string construction (1.21x
-                        # over the concat_ws form; md5-of-the-string had
-                        # measured 1.3x SLOWER — the win is skipping the
-                        # string, not the hashing). A hash collision can
-                        # only ADD candidate pairs, and the exact band-slice
-                        # equality filter inside the pair expansion removes
-                        # them, so the result is hash-independent.
-                        F.xxhash64(*[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)]).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = _band_buckets(sigs)
     # Pair generation by grouping, NOT a bands-self-join: a self-join re-runs
     # the whole tokenize->shingle->minhash chain for the second side (no
     # ReusedExchange across join aliases; measured 2 full scans), and at
@@ -274,6 +376,62 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # >= comparison is bit-identical between Spark and the DuckDB oracle.
 CC_EST_JACCARD = 0.5
 CC_MAX_ITERS = 20
+
+#: incremental-dedup corpus split: docs hashing below the pct are the
+#: "existing" corpus snapshot, the rest are the "incoming" batch.
+INCR_SALT = "incr-v1"
+INCR_EXISTING_PCT = 80
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup dedup: flag INCOMING documents that are MinHash
+    near-dups (est_jaccard >= CC_EST_JACCARD) of the EXISTING corpus — the
+    continuous-crawl scenario, where each ingest batch dedups against the
+    accumulated corpus without ever re-pairing the corpus with itself.
+
+    The existing/incoming split is a deterministic salted-hash bucket (80/20
+    here) so the oracle reproduces it; in production the two sides are
+    different tables. Shape: signatures are computed once (persisted) and
+    split map-side; the probe is an equi-join of incoming band-buckets
+    against existing band-buckets — cost ~ O(batch x bands) probe rows
+    against a bucketed index, NEVER corpus x corpus. At 100 TB the existing
+    side's (band, bucket) index is pre-materialized parquet bucketed by
+    `bucket`, so each ingest batch shuffles only itself; a boilerplate
+    bucket skews the join key, which AQE skew-join splits. The exact
+    band-slice equality filter keeps results independent of the xxhash64
+    bucket hashing."""
+    from ..functions.hashing import portable_hash
+
+    sigs = _minhash_signatures(spark, sf).persist()
+    is_new = (
+        portable_hash(F.concat(F.lit(INCR_SALT), F.col("doc_id").cast("string"))) % 100
+        >= INCR_EXISTING_PCT
+    )
+    new_b = _band_buckets(sigs.where(is_new)).select(
+        F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_n"), "band", "bucket"
+    )
+    old_b = _band_buckets(sigs.where(~is_new)).select(
+        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"), "band", "bucket"
+    )
+    band_eq = F.expr(
+        f"slice(sig_n, band * {BAND_ROWS} + 1, {BAND_ROWS})"
+        f" = slice(sig_o, band * {BAND_ROWS} + 1, {BAND_ROWS})"
+    )
+    est = F.round(
+        F.expr(f"size(filter(zip_with(sig_n, sig_o, (p, q) -> p = q), z -> z))") / N_PERMS, 6
+    )
+    pairs = (
+        new_b.join(old_b, ["band", "bucket"])
+        .where(band_eq)
+        .select("new_id", "old_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    return pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.count("*").alias("n_existing_dups"),
+        F.min("old_id").alias("dup_of"),
+        F.max("est_jaccard").alias("best_est"),
+    )
 
 
 def q_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
@@ -807,24 +965,55 @@ _EST_JACCARD_DUCK = f"""round(len(list_filter(generate_series(1, {N_PERMS}),
                                      i -> sig_a[i] = sig_b[i]))::DOUBLE / {N_PERMS}, 6)"""
 
 
-def _minhash_cand_ctes() -> str:
-    """Shared CTE chain sigs -> bands -> cand (doc_a, doc_b, sig_a, sig_b)."""
-    band_selects = " UNION ALL ".join(
+def _bands_cte_duck() -> str:
+    """The per-band bucket rows (doc_id, sig, band, bucket) over `sigs`."""
+    return " UNION ALL ".join(
         f"""SELECT doc_id, sig, {b} AS band,
                    concat_ws(',', {', '.join(f'sig[{b * BAND_ROWS + r + 1}]::VARCHAR' for r in range(BAND_ROWS))})
                    AS bucket FROM sigs"""
         for b in range(N_BANDS)
     )
+
+
+def _minhash_cand_ctes() -> str:
+    """Shared CTE chain sigs -> bands -> cand (doc_a, doc_b, sig_a, sig_b)."""
     return (
         _SIG_DUCK.format(perms=_perm_values_duck())
         + f""",
-        bands AS ({band_selects}),
+        bands AS ({_bands_cte_duck()}),
         cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                    x.sig AS sig_a, y.sig AS sig_b
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         )
+    """
+    )
+
+
+def _incremental_oracle() -> str:
+    from ..functions.hashing import portable_hash_sql_duckdb
+
+    salted = f"('{INCR_SALT}' || doc_id::VARCHAR)"
+    is_new = f"({portable_hash_sql_duckdb(salted)} % 100 >= {INCR_EXISTING_PCT})"
+    return (
+        _SIG_DUCK.format(perms=_perm_values_duck())
+        + f""",
+        bands AS ({_bands_cte_duck()}),
+        flags AS (SELECT doc_id, {is_new} AS is_new FROM documents),
+        pairs AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+                   n.sig AS sig_a, o.sig AS sig_b
+            FROM bands n JOIN flags fn ON fn.doc_id = n.doc_id AND fn.is_new
+                 JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+                 JOIN flags fo ON fo.doc_id = o.doc_id AND NOT fo.is_new
+        ),
+        scored AS (
+            SELECT new_id, old_id, {_EST_JACCARD_DUCK} AS est FROM pairs
+        )
+        SELECT new_id AS doc_id, count(*) AS n_existing_dups,
+               min(old_id) AS dup_of, max(est) AS best_est
+        FROM scored WHERE est >= {CC_EST_JACCARD} GROUP BY new_id
     """
     )
 
@@ -905,6 +1094,8 @@ def _embedding_cosine_oracle() -> str:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_repeated_spans": q_dedup_repeated_spans,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_connected_components": q_dedup_connected_components,
     "dedup_cc_alternating_stars": q_dedup_cc_alternating_stars,
@@ -931,8 +1122,14 @@ ORACLES = {
             SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM tok
         ), sizes AS (
             SELECT doc_id, len(shingles) AS n_shingles FROM docs
-        ), inv AS (
+        ), inv_all AS (
             SELECT doc_id, unnest(shingles) AS shingle FROM docs
+        ), hot AS (
+            SELECT shingle FROM inv_all GROUP BY shingle
+            HAVING count(*) > {JACCARD_MAX_SHINGLE_DF}
+        ), inv AS (
+            SELECT doc_id, shingle FROM inv_all
+            WHERE shingle NOT IN (SELECT shingle FROM hot)
         ), pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -946,7 +1143,28 @@ ORACLES = {
         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
         LIMIT 20
     """,
+    "dedup_repeated_spans": f"""
+        WITH {_TOK_CTE}, base AS (
+            SELECT doc_id, tokens, (len(tokens) - {SPAN_TOKENS} + 1)::INT AS n_spans
+            FROM tok WHERE len(tokens) >= {SPAN_TOKENS}
+        ), starts AS (
+            SELECT doc_id, n_spans, tokens,
+                   unnest(generate_series(1, len(tokens) - {SPAN_TOKENS} + 1)) AS start
+            FROM base
+        ), spans AS (
+            SELECT doc_id, n_spans,
+                   md5(array_to_string(tokens[start : start + {SPAN_TOKENS} - 1], ' ')) AS h
+            FROM starts
+        ), dup AS (
+            SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT doc_id, n_spans, count(*) AS n_dup_spans,
+               round(count(*)::DOUBLE / n_spans, 6) AS dup_frac
+        FROM spans WHERE h IN (SELECT h FROM dup)
+        GROUP BY doc_id, n_spans
+    """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_incremental_minhash": _incremental_oracle(),
     "dedup_connected_components": _cc_oracle(),
     # identical output contract to dedup_connected_components, so the same
     # recursive-CTE oracle applies verbatim

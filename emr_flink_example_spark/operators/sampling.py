@@ -250,7 +250,43 @@ def q_pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: global-shuffle shard fan-out: 2^k shards so shard_id is a hash prefix; at
+#: 100 TB pick shards ~ corpus_bytes / desired_shard_bytes (thousands).
+N_SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "shuffle-v1"
+
+
+def q_shuffle_to_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into training shards:
+    every doc gets a salted-hash sort key, a shard (key mod N), and its
+    position within the shard — the epoch-order assignment a trainer reads
+    back shard-by-shard. Hash-derived (not RNG) for the same reason as the
+    splits: identical output for any partitioning, re-run, or engine.
+
+    Scale shape: key and shard are pure map-side; the in-shard position is
+    rank-over-shard — at this catalog's N_SHUFFLE_SHARDS=8 that is 8 sort
+    tasks, and at 100 TB the same layout is written as
+    repartitionByRange(shuffle_key) + sortWithinPartitions with shard =
+    range bucket, which needs NO rank window at all (position = file
+    order); the explicit rank here exists so the assignment is a checkable
+    value, not a file side-effect."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents")
+    key = portable_hash(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            key.alias("shuffle_key"),
+            (key % N_SHUFFLE_SHARDS).cast("int").alias("shard_id"),
+        )
+        .withColumn("pos_in_shard", F.row_number().over(w))
+    )
+
+
 QUERIES = {
+    "shuffle_to_shards": q_shuffle_to_shards,
     "pack_token_shards": q_pack_token_shards,
     "split_train_val_test": q_split_train_val_test,
     "split_leakproof_by_source": q_split_leakproof_by_source,
@@ -262,6 +298,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "shuffle_to_shards": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   {portable_hash_sql_duckdb(f"('{SHUFFLE_SALT}' || doc_id::VARCHAR)")} AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id, shuffle_key,
+               (shuffle_key % {N_SHUFFLE_SHARDS})::INT AS shard_id,
+               row_number() OVER (PARTITION BY shuffle_key % {N_SHUFFLE_SHARDS}
+                                  ORDER BY shuffle_key, doc_id)::INT AS pos_in_shard
+        FROM keyed
+    """,
     "pack_token_shards": f"""
         WITH t AS (
             SELECT doc_id, lang,

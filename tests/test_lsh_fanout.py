@@ -78,3 +78,13 @@ def test_dedup_accepts_fanout_knob(spark):
     # splitting buckets can only LOSE candidate pairs, never invent them: any
     # pair co-bucketed under 6 planes is co-bucketed under its 4-bit prefix
     assert split <= base
+
+
+def test_jaccard_df_cap_prunes_hot_shingles(spark):
+    """The inverted-index df cap actually gates the join: with cap=1 every
+    shared shingle (df >= 2 by definition of a pair) leaves the index, so no
+    pair survives; the default cap reproduces the exact top-20."""
+    from emr_flink_example_spark.operators.dedup import q_dedup_jaccard_pairs
+
+    assert q_dedup_jaccard_pairs(spark, SF, max_shingle_df=1).count() == 0
+    assert q_dedup_jaccard_pairs(spark, SF).count() == 20
