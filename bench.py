@@ -48,6 +48,10 @@ HEADLINE = [
     "outlier_filter_quantile",
     "merge_upsert",
     "cohort_retention",
+    # r2 additions: substring-level dedup, ingest-vs-corpus probe, shuffle
+    "dedup_repeated_spans",
+    "dedup_incremental_minhash",
+    "shuffle_to_shards",
 ]
 
 

@@ -391,40 +391,58 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
     The existing/incoming split is a deterministic salted-hash bucket (80/20
     here) so the oracle reproduces it; in production the two sides are
-    different tables. Shape: signatures are computed once (persisted) and
-    split map-side; the probe is an equi-join of incoming band-buckets
-    against existing band-buckets — cost ~ O(batch x bands) probe rows
-    against a bucketed index, NEVER corpus x corpus. At 100 TB the existing
-    side's (band, bucket) index is pre-materialized parquet bucketed by
-    `bucket`, so each ingest batch shuffles only itself; a boilerplate
-    bucket skews the join key, which AQE skew-join splits. The exact
-    band-slice equality filter keeps results independent of the xxhash64
-    bucket hashing."""
+    different tables and the existing side's (band, bucket) index is
+    pre-materialized parquet bucketed by `bucket`, making each ingest batch
+    a pure probe join that shuffles only itself. This catalog query derives
+    BOTH sides from one corpus pass, so it uses the same shape as
+    q_dedup_minhash_lsh instead of a self-derived join (which would re-run
+    the tokenize->shingle->minhash chain per side and shuffle the
+    signatures twice — and persisting the array-typed sigs to dodge that
+    measured a ~20 s columnar cache build, 4x the whole query): ONE
+    groupBy (band, bucket) collecting incoming and existing members into
+    separate in-bucket arrays, with new x old pairs expanded, band-verified
+    exactly (hash-independence), and thresholded inside the array domain so
+    the Generate emits only scalar survivors."""
     from ..functions.hashing import portable_hash
 
-    sigs = _minhash_signatures(spark, sf).persist()
     is_new = (
         portable_hash(F.concat(F.lit(INCR_SALT), F.col("doc_id").cast("string"))) % 100
         >= INCR_EXISTING_PCT
     )
-    new_b = _band_buckets(sigs.where(is_new)).select(
-        F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_n"), "band", "bucket"
-    )
-    old_b = _band_buckets(sigs.where(~is_new)).select(
-        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"), "band", "bucket"
-    )
-    band_eq = F.expr(
-        f"slice(sig_n, band * {BAND_ROWS} + 1, {BAND_ROWS})"
-        f" = slice(sig_o, band * {BAND_ROWS} + 1, {BAND_ROWS})"
-    )
-    est = F.round(
-        F.expr(f"size(filter(zip_with(sig_n, sig_o, (p, q) -> p = q), z -> z))") / N_PERMS, 6
+    bands = _band_buckets(_minhash_signatures(spark, sf)).withColumn("is_new", is_new)
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_new"), F.struct("doc_id", "sig")))
+            ).alias("news"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("is_new"), F.struct("doc_id", "sig")))
+            ).alias("olds"),
+        )
+        .where((F.size("news") > 0) & (F.size("olds") > 0))
     )
     pairs = (
-        new_b.join(old_b, ["band", "bucket"])
-        .where(band_eq)
-        .select("new_id", "old_id", est.alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        grouped.select(
+            F.explode(
+                F.expr(
+                    f"""
+                    transform(
+                      filter(
+                        flatten(transform(news, n ->
+                            transform(olds, o ->
+                              struct(n.doc_id AS new_id, o.doc_id AS old_id,
+                                     slice(n.sig, band * {BAND_ROWS} + 1, {BAND_ROWS})
+                                       = slice(o.sig, band * {BAND_ROWS} + 1, {BAND_ROWS}) AS band_eq,
+                                     round(size(filter(zip_with(n.sig, o.sig, (p, q) -> p = q),
+                                                       z -> z)) / {N_PERMS}, 6) AS est)))),
+                        s -> s.band_eq AND s.est >= {CC_EST_JACCARD}),
+                      s -> struct(s.new_id AS new_id, s.old_id AS old_id, s.est AS est_jaccard))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .dropDuplicates(["new_id", "old_id"])
     )
     return pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
