@@ -234,3 +234,30 @@ def test_forward_asof_single_union_window(spark):
     plan = _plan(spark, "asof_join_forward")
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_repeated_spans_no_token_window(spark):
+    """Span-dedup finds duplicated hashes via a combine-friendly aggregation
+    + semi-join — never a Window over the span hash (hot-span skew), and the
+    span stream is cached so the dup-hash branch doesn't re-tokenize."""
+    plan = _plan(spark, "dedup_repeated_spans")
+    assert plan.count("Window [") == 0
+    assert "LeftSemi" in plan
+    assert plan.count("InMemoryTableScan") == 2  # spans reused by both branches
+
+
+def test_incremental_minhash_single_scan(spark):
+    """Ingest-vs-corpus probe derives both sides from ONE signature pass
+    (groupBy-bucket with per-side member arrays) — no self-derived join, no
+    second corpus scan, no persist of the array-typed signatures."""
+    plan = _plan(spark, "dedup_incremental_minhash")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan  # pairs expand inside the bucket arrays
+
+
+def test_shuffle_to_shards_is_one_exchange(spark):
+    """Deterministic shuffle: key and shard are map-side; the only exchange
+    is the per-shard rank's hash partitioning."""
+    plan = _plan(spark, "shuffle_to_shards")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
