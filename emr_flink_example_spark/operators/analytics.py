@@ -138,14 +138,82 @@ def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: inactivity gap that closes a session (the classic 30 minutes)
+SESSION_GAP_SECONDS = 1800
+
+
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch gap-based sessionization: a user's events split into sessions
+    wherever the gap to the previous event exceeds SESSION_GAP_SECONDS;
+    one output row per session with start/end/size/duration. The batch twin
+    of the streaming `session_window` query (event_time.py) — same
+    semantics, but over the whole history with exact output.
+
+    One Exchange on user_id serves both windows (lag for the gap flag, the
+    running sum that turns flags into session ordinals — same partition,
+    same sort, Catalyst plans one Window node pair over one sort); the
+    session rollup then groups by (user_id, session_id), which AQE executes
+    off the same partitioning lineage. Gap arithmetic is integer
+    microseconds (unix_micros / epoch_us) — exact and engine-portable,
+    no interval types."""
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    # events.ts is TIMESTAMP_NTZ (io.load nanos conversion); unix_micros
+    # needs TIMESTAMP — the cast is exact because the session tz is pinned UTC
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        ((us(F.max("ts")) - us(F.min("ts"))) / 1_000_000).alias("duration_secs"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
+    "sessionize_events": q_sessionize_events,
     "cohort_retention": q_cohort_retention,
     "merge_upsert": q_merge_upsert,
     "scd2_intervals": q_scd2_intervals,
 }
 
 ORACLES = {
+    "sessionize_events": f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN gap_us IS NULL
+                             OR gap_us > {SESSION_GAP_SECONDS} * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ordered
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS duration_secs
+        FROM sess GROUP BY user_id, session_id
+    """,
     "funnel_conversion": """
         WITH tv AS (
             SELECT user_id, min(ts) AS t_view FROM events

@@ -1,20 +1,24 @@
 """End-to-end training-data curation: the composite pipeline the individual
-operators exist for (quality filter -> exact dedup -> near-dup removal ->
-partitioned curated corpus).
+operators exist for (quality filter -> boilerplate gate -> exact dedup ->
+near-dup removal -> partitioned curated corpus).
 
 Each stage is one of the engine's tested operators applied as a filter:
   1. quality gate      — textstats.q_text_quality features
-  2. exact dedup       — md5-fingerprint groupBy, keep the smallest doc_id
-  3. near-dup removal  — MinHash+LSH candidates (dedup.q_dedup_minhash_lsh)
+  2. boilerplate gate  — dedup.q_dedup_repeated_spans: drop docs whose
+                         token spans are mostly duplicated elsewhere in the
+                         corpus (dup_frac > max_dup_frac) — substring-level
+                         dedup that whole-doc fingerprints can't see
+  3. exact dedup       — md5-fingerprint groupBy, keep the smallest doc_id
+  4. near-dup removal  — MinHash+LSH candidates (dedup.q_dedup_minhash_lsh)
                          at an estimated-Jaccard threshold; the larger
                          doc_id of each surviving pair is dropped
-  4. write             — parquet partitioned by lang (the layout a 100 TB
+  5. write             — parquet partitioned by lang (the layout a 100 TB
                          corpus would be read back by)
 
-Scale notes: stages 2-3 are the documented single-scan shuffle shapes from
-dedup.py; stage 4's partitionBy(lang) gives partition pruning for per-lang
+Scale notes: stages 2-4 are the documented single-scan shuffle shapes from
+dedup.py; stage 5's partitionBy(lang) gives partition pruning for per-lang
 consumers. Every intermediate stays a DataFrame — nothing is collected
-except the final stage counts (5 scalars).
+except the final stage counts (a handful of scalars).
 """
 
 from __future__ import annotations
@@ -25,18 +29,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
-from .dedup import q_dedup_minhash_lsh
+from .dedup import q_dedup_minhash_lsh, q_dedup_repeated_spans
 from .textstats import q_text_quality
 
 NEAR_DUP_EST_JACCARD = 0.8
+#: drop docs whose span-duplication fraction exceeds this (boilerplate /
+#: mostly-copied text); 0.8 keeps docs that merely QUOTE duplicated spans.
+MAX_DUP_FRAC = 0.8
 
 
 @dataclass
 class CurationStats:
     n_input: int
     n_after_quality: int
+    n_after_boilerplate: int
     n_after_exact_dedup: int
     n_after_near_dedup: int
+
+
+def _boilerplate_drop(spark: SparkSession, sf_dir: str, max_dup_frac: float) -> DataFrame:
+    """doc_ids to drop: span-duplication fraction above the threshold.
+    Measured corpus-wide (before any filtering) so the signal is independent
+    of gate order; the drop list is tiny and anti-joins map-side."""
+    return (
+        q_dedup_repeated_spans(spark, sf_dir)
+        .where(F.col("dup_frac") > max_dup_frac)
+        .select("doc_id")
+    )
 
 
 def curate_documents(
@@ -45,6 +64,7 @@ def curate_documents(
     out_dir: str,
     min_quality: float = 0.5,
     min_tokens: int = 10,
+    max_dup_frac: float = MAX_DUP_FRAC,
 ) -> CurationStats:
     docs = load(spark, sf_dir, "documents")
     n_input = docs.count()
@@ -56,6 +76,10 @@ def curate_documents(
         .select(docs["*"])
     )
     n_quality = kept.count()
+
+    # boilerplate gate: drop mostly-duplicated-span docs
+    kept = kept.join(_boilerplate_drop(spark, sf_dir, max_dup_frac), "doc_id", "left_anti")
+    n_boiler = kept.count()
 
     # exact dedup: keep the smallest doc_id per normalized-content fingerprint
     exact_keep = (
@@ -79,7 +103,7 @@ def curate_documents(
     n_near = kept.count()
 
     kept.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
-    return CurationStats(n_input, n_quality, n_exact, n_near)
+    return CurationStats(n_input, n_quality, n_boiler, n_exact, n_near)
 
 
 @dataclass
@@ -95,16 +119,17 @@ def curate_for_training(
     out_dir: str,
     min_quality: float = 0.5,
     min_tokens: int = 10,
+    max_dup_frac: float = MAX_DUP_FRAC,
 ) -> TrainingCurationStats:
     """The full corpus-to-training-shards pipeline: the curation stages of
     `curate_documents`, then temperature rebalancing, overlapping chunking,
     and token-budget shard packing — ending in a lang-partitioned parquet
     of training chunks carrying their shard assignment.
 
-      5. temperature rebalance — per-lang keep-rates (alpha=0.5 weights over
+      6. temperature rebalance — per-lang keep-rates (alpha=0.5 weights over
          the CURATED corpus's language shares), deterministic hash sample
-      6. chunking             — CHUNK_TOKENS-token windows, CHUNK_STRIDE
-      7. shard packing        — running-token-sum windows per lang
+      7. chunking             — CHUNK_TOKENS-token windows, CHUNK_STRIDE
+      8. shard packing        — running-token-sum windows per lang
 
     Scale shape: the rate table is |langs| rows broadcast onto the corpus;
     chunking is map-side behind the one tokenizer barrier; packing is one
@@ -126,6 +151,9 @@ def curate_for_training(
     )
     n_quality = kept.count()
 
+    kept = kept.join(_boilerplate_drop(spark, sf_dir, max_dup_frac), "doc_id", "left_anti")
+    n_boiler = kept.count()
+
     exact_keep = (
         kept.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
         .groupBy("fingerprint")
@@ -144,7 +172,7 @@ def curate_for_training(
     kept = kept.join(drop, "doc_id", "left_anti")
     n_near = kept.count()
 
-    # 5. temperature rebalance (rates from the curated corpus's shares)
+    # 6. temperature rebalance (rates from the curated corpus's shares)
     per_lang = kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
     totals = per_lang.agg(
         F.sum("n_docs").alias("n_total"),
@@ -166,7 +194,7 @@ def curate_for_training(
     )
     n_rebalance = kept.count()
 
-    # 6. chunking (map-side behind the tokenizer barrier)
+    # 7. chunking (map-side behind the tokenizer barrier)
     toks = kept.select("doc_id", "lang", F.expr(TOKENS).alias("tokens")).repartition("doc_id")
     starts = toks.where(F.size("tokens") > 0).select(
         "doc_id",
@@ -184,7 +212,7 @@ def curate_for_training(
     )
     n_chunks = chunks.count()
 
-    # 7. shard packing (one running-sum window per lang)
+    # 8. shard packing (one running-sum window per lang)
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id", "chunk_id")
@@ -202,5 +230,5 @@ def curate_for_training(
 
     packed.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     return TrainingCurationStats(
-        n_input, n_quality, n_exact, n_near, n_rebalance, n_chunks, n_shards
+        n_input, n_quality, n_boiler, n_exact, n_near, n_rebalance, n_chunks, n_shards
     )

@@ -443,6 +443,52 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lm_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained add-one-smoothed
+    unigram LM — the classic cheap perplexity proxy for quality filtering
+    (docs whose tokens are improbable under the corpus distribution score
+    high: gibberish, wrong-language, OCR noise).
+
+    p(t) = (cnt(t) + 1) / (N + V); doc score = mean over positions of
+    -ln p(t). Per-token surprisal is quantized to integer MICRO-NATS
+    (floor(x*1e6 + 0.5) — the engine-exact rounding) BEFORE the per-doc
+    sum, so the aggregation is integer arithmetic: order-independent,
+    bit-stable across partitionings, and exactly reproducible in DuckDB —
+    a float sum over shuffled rows would not be.
+
+    Shape: the vocabulary (token, cnt) aggregates combine-friendly (no
+    skewed task) and is persisted — the totals scalar and the token join
+    both read the cache instead of re-running the scan+tokenize chain.
+    The join back onto the token stream is broadcast (zipfian vocab is
+    tiny relative to the corpus; drop the hint past ~100M types and the
+    shuffle join remains skew-safe only with AQE splitting the hot-token
+    key). Per-doc aggregation is one combine-friendly shuffle."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt")).persist()
+    tot = vocab.agg(F.sum("cnt").alias("n_total"), F.count("*").alias("v"))
+    micro = F.expr(
+        "cast(floor(-ln(cast(cnt + 1 as double) / (n_total + v)) * 1000000 + 0.5) as bigint)"
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", micro.alias("micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("micro").alias("xent_micro"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "xent_micro",
+            F.round(F.col("xent_micro").cast("double") / 1000000 / F.col("n_tokens"), 6).alias(
+                "avg_surprisal_nats"
+            ),
+        )
+    )
+
+
 #: fixed BM25 retrieval query (mid-df corpus terms) and the standard k1/b.
 BM25_TERMS = ("stream", "hash", "join")
 BM25_K1 = 1.2
@@ -536,6 +582,7 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "vocab_stats": q_vocab_stats,
     "bm25_topk": q_bm25_topk,
+    "lm_unigram_surprisal": q_lm_unigram_surprisal,
     "chunk_documents": q_chunk_documents,
     "token_counts_bpe_ish": q_token_counts_bpe_ish,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
@@ -704,6 +751,23 @@ ORACLES = {
         FROM documents
     """.replace("{{0}}", "{0}").format(_BPE_RE_SQL),
     "bm25_topk": _BM25_ORACLE,
+    "lm_unigram_surprisal": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+        ), vocab AS (
+            SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        ), tot AS (
+            SELECT sum(cnt)::BIGINT AS n_total, count(*)::BIGINT AS v FROM vocab
+        ), scored AS (
+            SELECT t.doc_id,
+                   floor(-ln((vc.cnt + 1)::DOUBLE / (tot.n_total + tot.v))
+                         * 1000000 + 0.5)::BIGINT AS micro
+            FROM tok t JOIN vocab vc USING (token) CROSS JOIN tot
+        )
+        SELECT doc_id, count(*) AS n_tokens, sum(micro)::BIGINT AS xent_micro,
+               round(sum(micro)::DOUBLE / 1000000 / count(*), 6) AS avg_surprisal_nats
+        FROM scored GROUP BY doc_id
+    """,
     "chunk_documents": _CHUNK_ORACLE,
     "repetition_ngram": _REPETITION_ORACLE,
     "pii_redaction": _PII_ORACLE,

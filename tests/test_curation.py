@@ -15,9 +15,11 @@ def test_curation_pipeline(spark, tmp_path):
     stats = curate_documents(spark, SF_DIR, out, min_quality=0.5, min_tokens=10)
 
     # monotonically non-increasing through the stages, nothing degenerate
-    assert stats.n_input >= stats.n_after_quality >= stats.n_after_exact_dedup
-    assert stats.n_after_exact_dedup >= stats.n_after_near_dedup
+    assert stats.n_input >= stats.n_after_quality >= stats.n_after_boilerplate
+    assert stats.n_after_boilerplate >= stats.n_after_exact_dedup >= stats.n_after_near_dedup
     assert 0 < stats.n_after_near_dedup < stats.n_input
+    # the boilerplate gate fires on this corpus (fully-duplicated docs exist)
+    assert stats.n_after_boilerplate < stats.n_after_quality
 
     curated = spark.read.parquet(out)
     assert curated.count() == stats.n_after_near_dedup
@@ -41,7 +43,8 @@ def test_training_pipeline(spark, tmp_path):
     stats = curate_for_training(spark, SF_DIR, out, min_quality=0.5, min_tokens=10)
 
     # stage monotonicity through curation + rebalance
-    assert stats.n_input >= stats.n_after_quality >= stats.n_after_exact_dedup
+    assert stats.n_input >= stats.n_after_quality >= stats.n_after_boilerplate
+    assert stats.n_after_boilerplate >= stats.n_after_exact_dedup
     assert stats.n_after_exact_dedup >= stats.n_after_near_dedup >= stats.n_after_rebalance
     assert 0 < stats.n_after_rebalance
     # every surviving doc has >= min_tokens tokens, so >= 1 chunk each
