@@ -475,6 +475,10 @@ def q_lm_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", micro.alias("micro"))
     )
+    # The mean stays in integer micro-nats via floor(x + 0.5): xent/n is a
+    # small-denominator rational that CAN land exactly on a .5 boundary, so
+    # round(x, 6) flutters between engines (observed at sf0.1) while
+    # floor(+0.5) is exact on the identical double both engines compute.
     return (
         scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("micro").alias("xent_micro"))
@@ -482,9 +486,9 @@ def q_lm_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "xent_micro",
-            F.round(F.col("xent_micro").cast("double") / 1000000 / F.col("n_tokens"), 6).alias(
-                "avg_surprisal_nats"
-            ),
+            F.expr(
+                "cast(floor(cast(xent_micro as double) / n_tokens + 0.5) as bigint)"
+            ).alias("avg_surprisal_micronats"),
         )
     )
 
@@ -765,7 +769,7 @@ ORACLES = {
             FROM tok t JOIN vocab vc USING (token) CROSS JOIN tot
         )
         SELECT doc_id, count(*) AS n_tokens, sum(micro)::BIGINT AS xent_micro,
-               round(sum(micro)::DOUBLE / 1000000 / count(*), 6) AS avg_surprisal_nats
+               floor(sum(micro)::DOUBLE / count(*) + 0.5)::BIGINT AS avg_surprisal_micronats
         FROM scored GROUP BY doc_id
     """,
     "chunk_documents": _CHUNK_ORACLE,

@@ -216,14 +216,122 @@ def q_timeseries_cascade_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: trailing window (hours) and minimum history for a z-score
+ANOMALY_LOOKBACK_HOURS = 24
+ANOMALY_MIN_HISTORY = 12
+ANOMALY_Z = 3.0
+
+
+def q_timeseries_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly detection on per-type hourly event counts:
+    each dense-grid hour is scored against the trailing 24 hours (current
+    hour excluded), flagged when |z| >= 3 with at least 12 hours of history.
+
+    Determinism discipline: the rolling mean/std derive from INTEGER window
+    sums (sum n, sum n^2 over the frame — exact in any accumulation order,
+    so Spark's running-window accumulation and DuckDB's segment tree can't
+    diverge), with the float expression tree written identically on both
+    engines; a float avg/stddev window would be summation-order-sensitive.
+    The grid is dense (zero-filled from the small hourly aggregate, same
+    construction as the gapfill query) so "trailing 24 ROWS" means trailing
+    24 HOURS even across gaps. One shuffle to the hourly rollup; the window
+    runs per event_type over the bounded hour axis."""
+    events = load(spark, sf, "events")
+    hourly = events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n_events")
+    )
+    bounds = hourly.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOMALY_LOOKBACK_HOURS, -1)
+    )
+    scored = dense.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.col("n").alias("n_events"),
+        F.count("n").over(w).alias("hist"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("hist")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("hist")) / (
+        F.col("hist") - 1
+    )
+    z = F.round((F.col("n_events") - mean) / F.sqrt(var), 4)
+    ok = (F.col("hist") >= ANOMALY_MIN_HISTORY) & (var > 0)
+    return scored.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.round(mean, 4).alias("trailing_mean"),
+        F.when(ok, z).alias("zscore"),
+        F.when(ok, F.abs(z) >= ANOMALY_Z).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
 QUERIES = {
     "timeseries_znorm_corr": q_timeseries_znorm_corr,
+    "timeseries_anomaly_zscore": q_timeseries_anomaly_zscore,
     "timeseries_dtw": q_timeseries_dtw,
     "timeseries_resample_gapfill": q_timeseries_resample_gapfill,
     "timeseries_cascade_rollup": q_timeseries_cascade_rollup,
 }
 
 ORACLES = {
+    "timeseries_anomaly_zscore": f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(h) AS lo, max(h) AS hi FROM hourly
+        ), grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 HOUR)) AS h) g
+        ), dense AS (
+            SELECT g.event_type, g.h, coalesce(hourly.n_events, 0)::BIGINT AS n
+            FROM grid g LEFT JOIN hourly
+              ON hourly.event_type = g.event_type AND hourly.h = g.h
+        ), scored AS (
+            SELECT event_type, h AS bucket, n AS n_events,
+                   count(n) OVER w AS hist,
+                   (sum(n) OVER w)::BIGINT AS s1,
+                   (sum(n * n) OVER w)::BIGINT AS s2
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN {ANOMALY_LOOKBACK_HOURS} PRECEDING AND 1 PRECEDING)
+        ), final AS (
+            SELECT event_type, bucket, n_events, hist,
+                   s1::DOUBLE / hist AS mean,
+                   (s2::DOUBLE - s1::DOUBLE * s1 / hist) / (hist - 1) AS var
+            FROM scored
+        )
+        SELECT event_type, bucket, n_events,
+               round(mean, 4) AS trailing_mean,
+               CASE WHEN hist >= {ANOMALY_MIN_HISTORY} AND var > 0
+                    THEN round((n_events - mean) / sqrt(var), 4) END AS zscore,
+               coalesce(CASE WHEN hist >= {ANOMALY_MIN_HISTORY} AND var > 0
+                             THEN abs(round((n_events - mean) / sqrt(var), 4))
+                                  >= {ANOMALY_Z} END,
+                        FALSE) AS is_anomaly
+        FROM final
+    """,
     # mirrors the cascade level by level (incl. per-level rounding) — NOT a
     # direct day aggregate, which would differ in the rounded cents
     "timeseries_cascade_rollup": """
