@@ -48,10 +48,15 @@ HEADLINE = [
     "outlier_filter_quantile",
     "merge_upsert",
     "cohort_retention",
-    # r2 additions: substring-level dedup, ingest-vs-corpus probe, shuffle
+    # r2 additions: substring-level dedup, ingest-vs-corpus probe, shuffle,
+    # surprisal quality scoring, sessionization, anomaly flags, z-order layout
     "dedup_repeated_spans",
     "dedup_incremental_minhash",
     "shuffle_to_shards",
+    "lm_unigram_surprisal",
+    "sessionize_events",
+    "timeseries_anomaly_zscore",
+    "layout_zorder_files",
 ]
 
 

@@ -181,15 +181,83 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: z-order parameters: 16 bits per dimension; files span 2^18 z-cells (at
+#: the test SFs that yields ~15 files — at a real scale, derive the shift
+#: from target rows-per-file exactly like the LSH plane count).
+ZORDER_BITS = 16
+ZORDER_FILE_SHIFT = 18
+
+
+def _interleave_bits_sql(x: str, y: str, bits: int) -> str:
+    """Morton/Z-value: bit-interleave two `bits`-bit ints (x even positions,
+    y odd) — plain shift/mask arithmetic, identical in Spark and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_layout_zorder_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton-curve) file layout for multi-dimensional scan pruning:
+    orders are assigned a z-value interleaving customer-key and order-date
+    bits, then grouped into files of contiguous z-ranges; the output is the
+    per-file manifest (row count + min/max of BOTH dimensions) — exactly the
+    min/max column statistics a lake format would keep, demonstrating that
+    each file covers a narrow range in customer AND date simultaneously, so
+    a predicate on either dimension prunes most files.
+
+    This is the data-LAYOUT operator a 100 TB table needs: linear-order
+    sorting clusters one column at the expense of the other, while the
+    z-curve bounds both; writing is `repartitionByRange(zval)` +
+    `sortWithinPartitions(zval)` (one range shuffle — identical cost to a
+    plain sort). Pure integer bit arithmetic end-to-end: engine-exact."""
+    orders = load(spark, sf, "orders")
+    x = f"(o_custkey % {1 << ZORDER_BITS})"
+    y = f"(datediff(o_orderdate, DATE'1992-01-01') % {1 << ZORDER_BITS})"
+    z = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.expr(_interleave_bits_sql(x, y, ZORDER_BITS)).alias("zval"),
+    )
+    return z.groupBy(F.expr(f"zval div {1 << ZORDER_FILE_SHIFT}").alias("file_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_custkey").alias("custkey_min"),
+        F.max("o_custkey").alias("custkey_max"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
+    "layout_zorder_files": q_layout_zorder_files,
     "cohort_retention": q_cohort_retention,
     "merge_upsert": q_merge_upsert,
     "scd2_intervals": q_scd2_intervals,
 }
 
 ORACLES = {
+    "layout_zorder_files": f"""
+        WITH z AS (
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   {_interleave_bits_sql(
+                       f"(o_custkey % {1 << ZORDER_BITS})",
+                       f"(date_diff('day', DATE '1992-01-01', o_orderdate::DATE) % {1 << ZORDER_BITS})",
+                       ZORDER_BITS,
+                   )} AS zval
+            FROM orders
+        )
+        SELECT zval // {1 << ZORDER_FILE_SHIFT} AS file_id,
+               count(*) AS n_rows,
+               min(o_custkey) AS custkey_min,
+               max(o_custkey) AS custkey_max,
+               min(o_orderdate) AS date_min,
+               max(o_orderdate) AS date_max
+        FROM z GROUP BY 1
+    """,
     "sessionize_events": f"""
         WITH ordered AS (
             SELECT user_id, event_id, ts,
