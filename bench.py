@@ -57,6 +57,7 @@ HEADLINE = [
     "sessionize_events",
     "timeseries_anomaly_zscore",
     "layout_zorder_files",
+    "embedding_quantize_pq",
 ]
 
 

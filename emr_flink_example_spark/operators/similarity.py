@@ -437,6 +437,68 @@ def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: product quantization: M subspaces of SUB_DIM dims, K codewords each.
+PQ_M = 8
+PQ_SUB_DIM = DIM // PQ_M
+PQ_K = 16
+
+
+def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization: each embedding compressed to PQ_M 4-bit codes
+    (one per 8-dim subspace, nearest of PQ_K codewords by L2), packed into a
+    single 32-bit integer, with the total reconstruction error — the
+    IVF-PQ compression standard at 100 TB (4 bytes/vector vs 256).
+
+    Deterministic codebooks: the subvectors of the PQ_K smallest-vec_id
+    embeddings serve per-subspace codewords (the k-means stand-in, exactly
+    as the IVF query's centroids — seeded and oracle-reproducible). The
+    codebook is ONE broadcast row (sorted array<struct>); encoding is a pure
+    map-side argmin fold per subspace — zero shuffle, like int8
+    quantization. Distances use the sequential zip_with/aggregate fold,
+    bit-identical to DuckDB's list_dot_product; the strict `<` fold over
+    ascending codeword ids reproduces `ORDER BY dist, id` argmin ties."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cb = emb.where(F.col("vec_id") < PQ_K).agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("cw")
+    )
+    enc = emb.crossJoin(F.broadcast(cb))
+    code_cols = []
+    err_cols = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUB_DIM + 1
+        # per-codeword squared L2 of this subspace, then first-min argmin
+        best = F.expr(
+            f"""
+            aggregate(
+              transform(cw, (c, k) -> struct(k AS k,
+                  aggregate(
+                    zip_with(slice(e, {lo}, {PQ_SUB_DIM}), slice(c.e, {lo}, {PQ_SUB_DIM}),
+                             (x, y) -> (x - y) * (x - y)),
+                    cast(0 as double), (acc, d) -> acc + d) AS d2)),
+              struct(cast(-1 as int) AS k, cast('Infinity' as double) AS d2),
+              (best, c) -> IF(c.d2 < best.d2, c, best)
+            )
+            """
+        )
+        code_cols.append(best.getField("k").alias(f"code_{m}"))
+        err_cols.append(best.getField("d2").alias(f"err_{m}"))
+    enc = enc.select("vec_id", *code_cols, *err_cols)
+    packed = None
+    for m in range(PQ_M):
+        term = F.shiftleft(F.col(f"code_{m}").cast("bigint"), 4 * m)
+        packed = term if packed is None else packed + term
+    total_err = None
+    for m in range(PQ_M):
+        total_err = F.col(f"err_{m}") if total_err is None else total_err + F.col(f"err_{m}")
+    return enc.select(
+        "vec_id",
+        packed.alias("pq_code"),
+        F.round(F.sqrt(total_err), 4).alias("recon_err"),
+    )
+
+
 def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 quantization of each embedding + reconstruction error.
 
@@ -519,9 +581,48 @@ QUERIES = {
     "embedding_label_stats": q_embedding_label_stats,
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "embedding_quantize_pq": q_embedding_quantize_pq,
 }
 
+
+def _pq_oracle() -> str:
+    """Generated subspace-by-subspace mirror of q_embedding_quantize_pq:
+    per-codeword squared L2 via the sequential list_reduce fold (0-init-free
+    but (0+d1)==d1 exactly, so identical to Spark's aggregate), argmin =
+    list_position of list_min (first occurrence == Spark's strict-< fold)."""
+    d2_cols, outs = [], []
+    for m in range(PQ_M):
+        lo = m * PQ_SUB_DIM + 1
+        d2 = (
+            f"list_transform(cw, c -> list_reduce("
+            f"list_transform(generate_series(1, {PQ_SUB_DIM}),"
+            f" i -> (e[{lo} + i - 1] - c[{lo} + i - 1]) * (e[{lo} + i - 1] - c[{lo} + i - 1])),"
+            f" (a, b) -> a + b))"
+        )
+        d2_cols.append(f"{d2} AS d2l_{m}")
+        outs.append(m)
+    code_terms = " + ".join(
+        f"((list_position(d2l_{m}, list_min(d2l_{m})) - 1)::BIGINT << {4 * m})" for m in outs
+    )
+    err_terms = " + ".join(f"list_min(d2l_{m})" for m in outs)
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), cb AS (
+            SELECT list(e ORDER BY vec_id) AS cw FROM base WHERE vec_id < {PQ_K}
+        ), enc AS (
+            SELECT vec_id, {", ".join(d2_cols)}
+            FROM base CROSS JOIN cb
+        )
+        SELECT vec_id,
+               {code_terms} AS pq_code,
+               round(sqrt({err_terms}), 4) AS recon_err
+        FROM enc
+    """
+
+
 ORACLES = {
+    "embedding_quantize_pq": _pq_oracle(),
     "embedding_quantize_int8": """
         WITH base AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS e,
