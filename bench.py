@@ -58,6 +58,7 @@ HEADLINE = [
     "timeseries_anomaly_zscore",
     "layout_zorder_files",
     "embedding_quantize_pq",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -499,6 +499,62 @@ def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-3 over PQ-compressed vectors via asymmetric distance (ADC):
+    queries stay full-precision, the corpus is only its packed 4-bit codes,
+    and each candidate's distance is computed against its RECONSTRUCTED
+    vector (per-subspace codeword lookup) — the search half of IVF-PQ,
+    where a 100 TB corpus scan touches 4 bytes/vector plus a
+    kilobyte-scale broadcast codebook instead of raw embeddings.
+
+    Float discipline: both engines reconstruct v-hat and run ONE sequential
+    64-term squared-diff fold (not per-subspace partial sums — a different
+    addition grouping would not be bit-identical). Queries and codebook are
+    broadcast; the corpus side carries only (vec_id, pq_code); per-query
+    top-3 executes as WindowGroupLimit."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codes = q_embedding_quantize_pq(spark, sf).select("vec_id", "pq_code")
+    cb = emb.where(F.col("vec_id") < PQ_K).agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("cw")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    vhat = "flatten(transform(sequence(0, {M} - 1), m -> slice(element_at(cw, cast((pq_code >> (4 * m)) & 15 as int) + 1).e, m * {S} + 1, {S})))".format(
+        M=PQ_M, S=PQ_SUB_DIM
+    )
+    # Reconstruction is query-independent, so v-hat materializes ONCE per
+    # corpus row behind a repartition barrier — without it Catalyst collapses
+    # the encode+reconstruct projection into the pair join and re-runs the
+    # whole argmin chain per (query, candidate) pair (measured ~8x at sf0.1).
+    recon = (
+        codes.crossJoin(F.broadcast(cb))
+        .select("vec_id", F.expr(vhat).alias("vhat"))
+        .repartition("vec_id")
+    )
+    adc = (
+        "aggregate(zip_with(qe, vhat, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, d) -> acc + d)"
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(adc), 4).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id", "nn_rank", "adc_dist")
+    )
+
+
 def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 quantization of each embedding + reconstruction error.
 
@@ -582,7 +638,63 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_quantize_pq": q_embedding_quantize_pq,
+    "ann_pq_adc_topk": q_ann_pq_adc_topk,
 }
+
+
+def _pq_adc_oracle() -> str:
+    """ADC search mirror: reconstruct v-hat from the PQ codes (same
+    generated code CTEs as _pq_oracle) and run the identical single
+    64-term sequential squared-diff fold."""
+    d2_cols = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUB_DIM + 1
+        d2_cols.append(
+            f"list_transform(cw, c -> list_reduce("
+            f"list_transform(generate_series(1, {PQ_SUB_DIM}),"
+            f" i -> (e[{lo} + i - 1] - c[{lo} + i - 1]) * (e[{lo} + i - 1] - c[{lo} + i - 1])),"
+            f" (a, b) -> a + b)) AS d2l_{m}"
+        )
+    code_terms = " + ".join(
+        f"((list_position(d2l_{m}, list_min(d2l_{m})) - 1)::BIGINT << {4 * m})"
+        for m in range(PQ_M)
+    )
+    vhat = (
+        f"flatten(list_transform(generate_series(0, {PQ_M} - 1),"
+        f" m -> cw[((pq_code >> (4 * m)) & 15) + 1]"
+        f"[m * {PQ_SUB_DIM} + 1 : m * {PQ_SUB_DIM} + {PQ_SUB_DIM}]))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), cb AS (
+            SELECT list(e ORDER BY vec_id) AS cw FROM base WHERE vec_id < {PQ_K}
+        ), enc AS (
+            SELECT vec_id, {", ".join(d2_cols)}
+            FROM base CROSS JOIN cb
+        ), codes AS (
+            SELECT vec_id, {code_terms} AS pq_code FROM enc
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10
+        ), vh AS (
+            SELECT query_id, c.vec_id AS neighbor_id, qe, {vhat} AS vhat
+            FROM codes c CROSS JOIN q CROSS JOIN cb
+            WHERE query_id != c.vec_id
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_reduce(list_transform(generate_series(1, {DIM}),
+                         i -> (qe[i] - vhat[i]) * (qe[i] - vhat[i])),
+                         (a, b) -> a + b), 4) AS adc_dist
+            FROM vh
+        ), ranked AS (
+            SELECT query_id, neighbor_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC)::INT AS nn_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, nn_rank, adc_dist
+        FROM ranked WHERE nn_rank <= 3
+    """
 
 
 def _pq_oracle() -> str:
@@ -623,6 +735,7 @@ def _pq_oracle() -> str:
 
 ORACLES = {
     "embedding_quantize_pq": _pq_oracle(),
+    "ann_pq_adc_topk": _pq_adc_oracle(),
     "embedding_quantize_int8": """
         WITH base AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS e,
