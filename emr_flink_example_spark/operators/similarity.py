@@ -511,7 +511,13 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     64-term squared-diff fold (not per-subspace partial sums — a different
     addition grouping would not be bit-identical). Queries and codebook are
     broadcast; the corpus side carries only (vec_id, pq_code); per-query
-    top-3 executes as WindowGroupLimit."""
+    top-3 executes as WindowGroupLimit.
+
+    Retrieval quality: recall@3 vs exact L2 measured 0.10-0.20 on these
+    fixtures (tests/test_ann_recall.py) — the deterministic
+    first-16-subvector codebooks trade recall for oracle reproducibility;
+    production trains them with k-means and re-ranks ADC survivors with
+    exact distances."""
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

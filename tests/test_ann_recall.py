@@ -52,3 +52,34 @@ def test_ann_recall_ladder(spark):
     assert r_multi >= r_lsh
     # multiprobe candidates strictly contain the single-bucket candidates
     assert lsh <= multi or r_multi >= r_lsh
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """ADC search over PQ codes vs exact squared-L2 brute force.
+
+    Measured recall@3: 0.20 @ sf0.001, 0.10 @ sf0.01 — low in absolute
+    terms because the codebooks are the deterministic first-16-subvector
+    stand-in (oracle-reproducible, NOT k-means-trained) and the synthetic
+    embeddings have weak cluster structure, so PQ distortion is high; it is
+    still ~20-30x better than chance (3/corpus ~ 0.006). A real deployment
+    trains codebooks with k-means and re-ranks ADC candidates with exact
+    distances; the floor here pins the plumbing (code packing, codeword
+    lookup, distance fold), not retrieval quality."""
+    import numpy as np
+
+    from emr_flink_example_spark.io import load
+
+    rows = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.array(r.embedding, dtype=float) for r in rows])
+    exact = set()
+    for qi in range(len(ids)):
+        if ids[qi] >= 10:
+            continue
+        d = ((M - M[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))[:3]
+        exact |= {(ids[qi], ids[j]) for j in order}
+    adc = _pairs(S.q_ann_pq_adc_topk(spark, SF_DIR))
+    assert len(adc) == len(exact) == 30
+    assert len(exact & adc) / len(exact) >= 0.05
