@@ -261,3 +261,56 @@ def test_shuffle_to_shards_is_one_exchange(spark):
     plan = _plan(spark, "shuffle_to_shards")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_pq_encode_is_mapside(spark):
+    """PQ encoding never hash-shuffles the corpus: the only exchange is the
+    one-row codebook aggregate (SinglePartition); codes are a pure map."""
+    plan = _plan(spark, "embedding_quantize_pq")
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_pq_adc_barrier_and_rank_only(spark):
+    """ADC search: exactly two hash exchanges — the reconstruct-once barrier
+    and the per-query top-k rank; queries/codebook broadcast, no sort-merge."""
+    plan = _plan(spark, "ann_pq_adc_topk")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window [") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_surprisal_no_token_window(spark):
+    """Unigram-LM scoring joins the broadcast vocab back (cached, reused by
+    the totals branch) — no Window anywhere, no per-token partitioning."""
+    plan = _plan(spark, "lm_unigram_surprisal")
+    assert plan.count("Window [") == 0
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("InMemoryTableScan") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Gap flag, session ordinal, AND the session rollup all run off ONE
+    user_id hash exchange (HashPartitioning on a grouping-key subset
+    satisfies the rollup's distribution)."""
+    plan = _plan(spark, "sessionize_events")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_zorder_single_pass(spark):
+    """Z-order manifest: one scan, map-side z-values, one exchange for the
+    per-file aggregate (with map-side partials)."""
+    plan = _plan(spark, "layout_zorder_files")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_anomaly_window_on_grid_only(spark):
+    """The rolling-frame window runs over the dense per-type grid (bounded
+    by types x hours), never over raw event rows; grid join is broadcast."""
+    plan = _plan(spark, "timeseries_anomaly_zscore")
+    assert plan.count("Window [") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
