@@ -190,11 +190,15 @@ ZORDER_FILE_SHIFT = 18
 
 def _interleave_bits_sql(x: str, y: str, bits: int) -> str:
     """Morton/Z-value: bit-interleave two `bits`-bit ints (x even positions,
-    y odd) — plain shift/mask arithmetic, identical in Spark and DuckDB."""
+    y odd) — identical in Spark and DuckDB. Bit placement MULTIPLIES by a
+    precomputed power-of-two literal instead of shifting: `1 << 31` on an
+    INT32 operand overflows (wraps in Spark, errors in DuckDB — found by
+    tests/test_fuzz_r2.py), while literals >= 2^31 parse as 64-bit in both
+    engines, making the expression safe for any integer operand type."""
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
     return " + ".join(terms)
 
 
@@ -214,7 +218,9 @@ def q_layout_zorder_files(spark: SparkSession, sf: str) -> DataFrame:
     plain sort). Pure integer bit arithmetic end-to-end: engine-exact."""
     orders = load(spark, sf, "orders")
     x = f"(o_custkey % {1 << ZORDER_BITS})"
-    y = f"(datediff(o_orderdate, DATE'1992-01-01') % {1 << ZORDER_BITS})"
+    # cast: Spark datediff returns INT32 — bit 15 set (day 32768+) would
+    # otherwise widen differently than DuckDB's int64 date_diff
+    y = f"(cast(datediff(o_orderdate, DATE'1992-01-01') as bigint) % {1 << ZORDER_BITS})"
     z = orders.select(
         "o_orderkey",
         "o_custkey",
