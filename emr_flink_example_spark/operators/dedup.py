@@ -246,8 +246,10 @@ def q_dedup_jaccard_pairs(
     )
 
 
-def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """doc_id -> array<bigint> of N_PERMS minhash values (ordered by perm).
+def minhash_signatures_for(docs: DataFrame) -> DataFrame:
+    """doc_id -> array<bigint> of N_PERMS minhash values (ordered by perm),
+    for any (doc_id, text) frame — batch tables and micro-batches alike
+    (streaming/dedup_stream.py feeds foreachBatch frames through this).
 
     Positional shingling, NOT _shingled_docs: min() is insensitive to
     duplicate shingles, so the signature path skips building + dedup'ing
@@ -257,8 +259,7 @@ def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     the array-based form at sf0.1). Consumers that need exact distinct
     shingle SETS (jaccard, containment) keep using _shingled_docs."""
     toks = (
-        load(spark, sf, "documents")
-        .withColumn("tokens", F.expr(_TOKENS))
+        docs.withColumn("tokens", F.expr(_TOKENS))
         .select("doc_id", "tokens")
         .repartition("doc_id")  # barrier: tokenize once, not per element
     )
@@ -320,6 +321,11 @@ def _band_buckets(sigs: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Signatures for the fixture documents table (see minhash_signatures_for)."""
+    return minhash_signatures_for(load(spark, sf, "documents"))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
