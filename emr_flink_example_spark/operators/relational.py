@@ -849,6 +849,48 @@ def q_subquery_in(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_subquery_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2's shape on these fixtures: each customer's cheapest order(s)
+    via a correlated scalar aggregate subquery. Catalyst decorrelates it
+    into an aggregate + equi-join (no per-row re-execution) — the
+    decorrelation path the simple scalar/EXISTS/IN queries don't exercise.
+    Revenue-style doubles compare by equality safely: o_totalprice carries
+    2 decimals, exactly representable and untouched by arithmetic."""
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (
+            SELECT min(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+def q_filter_disjunctive_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19's shape: revenue under an OR-of-ANDs predicate mixing both
+    join sides (brand x quantity-band x size). Exercises disjunctive
+    pushdown (the lineitem scan still receives the OR of quantity ranges)
+    and common-condition factoring. The float sum is order-independent
+    EXACTLY: extendedprice (2dp) x discount-complement (2dp) products are
+    4dp values far inside double's 53-bit window, so every partial sum is
+    exact regardless of partitioning — same argument as Q6."""
+    load(spark, sf, "part").createOrReplaceTempView("part")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        """
+    )
+
+
 QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "projection_compute": q_projection_compute,
@@ -892,6 +934,8 @@ QUERIES = {
     "subquery_scalar": q_subquery_scalar,
     "subquery_exists": q_subquery_exists,
     "subquery_in": q_subquery_in,
+    "subquery_correlated_scalar": q_subquery_correlated_scalar,
+    "filter_disjunctive_pushdown": q_filter_disjunctive_pushdown,
     "window_first_last_nth": q_window_first_last_nth,
     "agg_corr_covar": q_agg_corr_covar,
     "agg_argmin_argmax": q_agg_argmin_argmax,
@@ -1269,6 +1313,22 @@ ORACLES = {
         FROM part
         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
         GROUP BY p_brand
+    """,
+    "subquery_correlated_scalar": """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (
+            SELECT min(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+    """,
+    "filter_disjunctive_pushdown": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
     """,
     "window_first_last_nth": """
         SELECT o_custkey, o_orderkey,

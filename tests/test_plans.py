@@ -314,3 +314,23 @@ def test_anomaly_window_on_grid_only(spark):
     assert plan.count("Window [") == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_correlated_scalar_decorrelates_to_join(spark):
+    """The Q2-style correlated scalar aggregate must decorrelate into an
+    aggregate + equi-join — not a per-outer-row subquery re-execution."""
+    plan = _plan(spark, "subquery_correlated_scalar")
+    assert plan.count("HashAggregate") >= 2  # partial+final per-customer min
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_disjunctive_predicate_pushes_to_both_scans(spark):
+    """Q19-style OR-of-ANDs: the quantity-range OR reaches the lineitem scan
+    and the brand/size OR reaches the part scan as DataFilters — the scans
+    prune before the join instead of filtering post-join."""
+    plan = _plan(spark, "filter_disjunctive_pushdown")
+    assert "Or(" in plan  # a disjunction survived into scan-level filters
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("l_quantity" in s and "DataFilters: [is" in s for s in scans)
+    assert any("p_brand" in s and "DataFilters: [is" in s for s in scans)
+    assert "CartesianProduct" not in plan
