@@ -328,13 +328,97 @@ def _minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_signatures_for(load(spark, sf, "documents"))
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+#: Skew guard: max members per side of one in-bucket pair-expansion task.
+#: A boilerplate-heavy corpus (dedup's actual target at 100 TB) produces
+#: mega-buckets whose O(|bucket|^2) in-array expansion would otherwise run
+#: inside ONE task — a straggler/OOM. Buckets above the cap are sliced into
+#: cap-sized chunks and expanded as chunk-pair rows spread across the
+#: cluster, each bounded at cap^2 comparisons. 1024 -> ~1M comparisons per
+#: task regardless of bucket size.
+LSH_BUCKET_CAP = 1024
+
+
+def _chunk_pairs_sql(cap: int) -> str:
+    """(ci, cj, ma, mb) chunk-pair structs over a sorted ``members`` array.
+
+    Chunks are consecutive cap-sized slices; every unordered chunk pair
+    (ci <= cj) becomes one struct. Diagonal structs carry an EMPTY mb
+    (their expansion only reads ma), so a row never carries more than
+    2*cap members — the quantity that bounds single-task memory and work.
+    A bucket at or under the cap emits exactly one (0, 0) struct whose
+    same-chunk expansion is the original unguarded expression."""
+    nch = f"int(ceil(size(members) / {cap}.0))"
+    return f"""
+        flatten(transform(sequence(0, {nch} - 1), ci ->
+          transform(sequence(ci, {nch} - 1), cj ->
+            struct(ci AS ci, cj AS cj,
+                   slice(members, ci * {cap} + 1, {cap}) AS ma,
+                   IF(ci = cj, slice(members, 1, 0),
+                      slice(members, cj * {cap} + 1, {cap})) AS mb))))
+    """
+
+
+def _skew_guarded_pairs(
+    grouped: DataFrame,
+    keys: list[str],
+    pair_sql: str,
+    keep_sql: str,
+    final_sql: str | None = None,
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Expand in-bucket candidate pairs with bounded per-task work.
+
+    ``grouped`` carries ``keys`` + ``members`` (a SORTED array of member
+    structs). ``pair_sql`` builds a pair struct from lambda vars ``x``/``y``
+    (key columns are in scope); ``keep_sql`` filters pair ``s``;
+    ``final_sql`` optionally re-projects ``s``. Returns exploded pairs in
+    column ``p``.
+
+    One lineage, one corpus scan: EVERY bucket goes through the chunk-pair
+    explode (a small/oversized union would re-run the whole upstream chain
+    per branch — measured 3 scans, no runtime exchange reuse). Buckets at or
+    under the cap emit a single (0, 0) row whose same-chunk expansion is the
+    exact pre-guard expression — bit-identical values. Oversized buckets
+    fan out into (ci, cj) rows, hash-repartitioned so the quadratic work
+    parallelizes instead of running as one straggler/OOM task; same-chunk
+    rows emit i<j pairs, cross-chunk rows the full product. Members are
+    globally sorted and chunks are consecutive slices, so pair orientation
+    (a < b) — and therefore the emitted pair set — is identical to the
+    unguarded expansion."""
+
+    def _finish(e: str) -> str:
+        e = f"filter({e}, s -> {keep_sql})"
+        if final_sql:
+            e = f"transform({e}, s -> {final_sql})"
+        return e
+
+    def _same(a: str) -> str:
+        return _finish(
+            f"flatten(transform({a}, (x, i) -> transform(slice({a}, i + 2, size({a})), y -> {pair_sql})))"
+        )
+
+    def _cross(a: str, b: str) -> str:
+        return _finish(f"flatten(transform({a}, x -> transform({b}, y -> {pair_sql})))")
+
+    return (
+        grouped.select(*keys, F.explode(F.expr(_chunk_pairs_sql(cap))).alias("ch"))
+        .repartition(*keys, F.col("ch.ci"), F.col("ch.cj"))
+        .select(
+            F.explode(
+                F.expr(f"IF(ch.ci = ch.cj, {_same('ch.ma')}, {_cross('ch.ma', 'ch.mb')})")
+            ).alias("p")
+        )
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """MinHash+LSH near-dup candidates: pairs agreeing on >= 1 full band,
     with the signature-agreement estimate of Jaccard.
 
     The scalable near-dup path: each doc emits exactly N_BANDS bucket keys, so
     candidate generation is a groupBy-style equi-join on (band, bucket-hash) —
-    no pairwise comparison outside shared buckets."""
+    no pairwise comparison outside shared buckets; oversized buckets (skewed
+    boilerplate) expand through the chunked path of `_skew_guarded_pairs`."""
     sigs = _minhash_signatures(spark, sf)
     bands = _band_buckets(sigs)
     # Pair generation by grouping, NOT a bands-self-join: a self-join re-runs
@@ -342,7 +426,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # ReusedExchange across join aliases; measured 2 full scans), and at
     # 100 TB it would shuffle the corpus signatures twice. Grouping shuffles
     # each signature once per band; pairwise expansion happens inside the
-    # bucket, whose size LSH keeps small by construction.
+    # bucket, bounded per task by the skew guard.
     grouped = (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
@@ -352,25 +436,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # the Generate emits (doc_a, doc_b, est_jaccard) scalars — pair rows
     # never carry the two 16-element signatures (copying those per pair,
     # then dropDuplicates over them, measured 1.17x slower at sf0.1).
+    pair_sql = (
+        f"struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        f"slice(x.sig, band * {BAND_ROWS} + 1, {BAND_ROWS})"
+        f" = slice(y.sig, band * {BAND_ROWS} + 1, {BAND_ROWS}) AS band_eq, "
+        f"round(size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), z -> z))"
+        f" / {N_PERMS}, 6) AS est_jaccard)"
+    )
     return (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    f"""
-                    transform(
-                      filter(
-                        flatten(transform(members, (x, i) ->
-                            transform(slice(members, i + 2, size(members)),
-                              y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                                          slice(x.sig, band * {BAND_ROWS} + 1, {BAND_ROWS})
-                                            = slice(y.sig, band * {BAND_ROWS} + 1, {BAND_ROWS}) AS band_eq,
-                                          round(size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q),
-                                                            z -> z)) / {N_PERMS}, 6) AS est_jaccard)))),
-                        s -> s.band_eq),
-                      s -> struct(s.doc_a AS doc_a, s.doc_b AS doc_b, s.est_jaccard AS est_jaccard))
-                    """
-                )
-            ).alias("p")
+        _skew_guarded_pairs(
+            grouped,
+            keys=["band", "bucket"],
+            pair_sql=pair_sql,
+            keep_sql="s.band_eq",
+            final_sql="struct(s.doc_a AS doc_a, s.doc_b AS doc_b, s.est_jaccard AS est_jaccard)",
+            cap=cap,
         )
         .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])
@@ -707,7 +787,7 @@ COSINE_DUP_THRESHOLD = 0.40
 
 
 def q_dedup_embedding_cosine(
-    spark: SparkSession, sf: str, n_planes: int | None = None
+    spark: SparkSession, sf: str, n_planes: int | None = None, cap: int = LSH_BUCKET_CAP
 ) -> DataFrame:
     """Embedding-cosine near-dup: same-LSH-bucket pairs above the cosine
     threshold, reduced to a survivor map (each duplicate points at the
@@ -745,26 +825,20 @@ def q_dedup_embedding_cosine(
     # threshold applied before explode, so the Generate emits only
     # (vec_a, vec_b, cosine) scalars for surviving pairs — never pair rows
     # carrying two 64-element arrays each (copying those per candidate pair
-    # measured 1.2x slower end-to-end at sf0.1).
-    pairs = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    f"""
-                    filter(
-                      flatten(transform(members, (x, i) ->
-                        transform(slice(members, i + 2, size(members)),
-                          y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b,
-                                      aggregate(zip_with(x.e, y.e, (p, q) -> p * q),
-                                                cast(0 as double), (acc, z) -> acc + z)
-                                      / (x.nrm * y.nrm) AS cosine)))),
-                      s -> s.cosine >= {COSINE_DUP_THRESHOLD})
-                    """
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+    # measured 1.2x slower end-to-end at sf0.1). Oversized buckets expand
+    # through the chunked skew-guard path with the same expression.
+    pair_sql = (
+        "struct(x.vec_id AS vec_a, y.vec_id AS vec_b, "
+        "aggregate(zip_with(x.e, y.e, (p, q) -> p * q), cast(0 as double), (acc, z) -> acc + z)"
+        " / (x.nrm * y.nrm) AS cosine)"
     )
+    pairs = _skew_guarded_pairs(
+        grouped,
+        keys=["bucket"],
+        pair_sql=pair_sql,
+        keep_sql=f"s.cosine >= {COSINE_DUP_THRESHOLD}",
+        cap=cap,
+    ).select("p.*")
     return pairs.groupBy(F.col("vec_b").alias("dup_vec_id")).agg(
         F.min("vec_a").alias("keep_vec_id"),
         F.count("*").alias("n_near_dups"),

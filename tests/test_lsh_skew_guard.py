@@ -1,0 +1,97 @@
+"""Skew guard for LSH in-bucket pair expansion (VERDICT r4 #5).
+
+An adversarial corpus (many identical/boilerplate docs) lands everything in
+one (band, bucket) — pre-guard, its O(B^2) expansion ran inside ONE task.
+The guard chunks oversized buckets into cap-sized slices and expands
+chunk-pairs as separate, repartitioned rows. The emitted pair SET must be
+identical to the unguarded expansion for every input.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from emr_flink_example_spark.operators import dedup as D
+
+from conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def identical_docs_dir(tmp_path_factory):
+    """60 byte-identical documents — every one a near-dup of every other."""
+    d = tmp_path_factory.mktemp("skew")
+    text = "the same boilerplate sentence repeated across the whole corpus again"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(60), type=pa.int64()),
+                "text": pa.array([text] * 60),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_identical_docs_all_pairs_through_chunked_path(spark, identical_docs_dir):
+    # cap=8 << 60 members/bucket: the whole expansion runs the chunked path.
+    out = D.q_dedup_minhash_lsh(spark, identical_docs_dir, cap=8).collect()
+    expect_n = 60 * 59 // 2
+    assert len(out) == expect_n
+    assert all(r.est_jaccard == 1.0 for r in out)
+    assert all(r.doc_a < r.doc_b for r in out)
+    assert {(r.doc_a, r.doc_b) for r in out} == {
+        (a, b) for a in range(60) for b in range(a + 1, 60)
+    }
+
+
+def test_capped_minhash_bit_identical_on_fixture(spark):
+    # A cap small enough that fixture buckets exceed it: chunked and
+    # unguarded paths must emit the same pairs and the same est_jaccard.
+    base = _rows(D.q_dedup_minhash_lsh(spark, SF_DIR))
+    capped = _rows(D.q_dedup_minhash_lsh(spark, SF_DIR, cap=4))
+    assert capped == base
+
+
+def test_capped_cosine_bit_identical_on_fixture(spark):
+    base = _rows(D.q_dedup_embedding_cosine(spark, SF_DIR))
+    capped = _rows(D.q_dedup_embedding_cosine(spark, SF_DIR, cap=8))
+    assert capped == base
+
+
+def test_chunk_rows_bounded(spark, identical_docs_dir):
+    """Pin of the bound, over the PRODUCTION chunking expression: no
+    expansion input row carries more than 2*cap members — the quantity that
+    controls single-task work."""
+    from pyspark.sql import functions as F
+
+    sigs = D.minhash_signatures_for(
+        spark.read.parquet(f"{identical_docs_dir}/documents.parquet")
+    )
+    grouped = (
+        D._band_buckets(sigs)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    cap = 8
+    chunk_rows = grouped.select(
+        F.explode(F.expr(D._chunk_pairs_sql(cap))).alias("ch")
+    ).select((F.size("ch.ma") + F.size("ch.mb")).alias("carried"))
+    assert chunk_rows.agg(F.max("carried")).first()[0] <= 2 * cap
+
+
+def test_single_scan_preserved_with_guard(spark):
+    """The guard must not duplicate the upstream scan/signature chain: the
+    static plan keeps exactly ONE parquet scan of the corpus."""
+    df = D.q_dedup_minhash_lsh(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Scan parquet") == 1
