@@ -27,6 +27,7 @@ part plain Spark cannot express without this component.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,18 +52,35 @@ class NearDupStreamFilter:
         out_path: str,
         index_path: str,
         est_threshold: float = CC_EST_JACCARD,
+        compact_every: int = 16,
     ) -> None:
         self.out_path = out_path
         self.index_path = index_path
         self.est_threshold = est_threshold
+        #: every N batches, merge the accumulated one-dir-per-batch index
+        #: partitions into one — unbounded small-file accretion otherwise
+        #: (a 100 TB stream is millions of micro-batches). 0 disables.
+        self.compact_every = compact_every
 
     def _existing_index(self, spark) -> DataFrame | None:
+        """The accumulated band index, or None ONLY when none exists yet.
+
+        Path-absent / no-data-files means first batch — proceed unfiltered.
+        Any other read failure (corrupt footer, transient IO) re-raises so
+        the micro-batch FAILS and the checkpoint retries: silently treating
+        a broken index as empty would admit near-dups — the one failure
+        mode this component exists to prevent. (Local-FS walk matches the
+        sandbox; a real lake would ask the Hadoop FileSystem API instead.)"""
         if not os.path.isdir(self.index_path):
             return None
-        try:
-            return spark.read.parquet(self.index_path)
-        except Exception:
+        has_data = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(self.index_path)
+            for f in files
+        )
+        if not has_data:
             return None
+        return spark.read.parquet(self.index_path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -102,6 +120,47 @@ class NearDupStreamFilter:
         surviving_bands.write.mode("overwrite").parquet(
             os.path.join(self.index_path, f"batch_id={batch_id}")
         )
+        if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
+            self._compact_index(spark, batch_id)
+
+    def _compact_index(self, spark, current_batch_id: int) -> None:
+        """Merge every index partition OLDER than the current batch into the
+        oldest one (fewer dirs/files, same rows).
+
+        Replay-safe: streaming replays only the LATEST batch, so rewriting
+        strictly-older partitions can never collide with a replay, and the
+        merged rows keep a batch_id (the oldest) that no replay will ever
+        exclude. Orphan-safe ordering: the merged dir lands BEFORE the other
+        old dirs are removed — a crash in between leaves duplicate index
+        rows, which the probe's distinct() makes harmless, and the next
+        compaction sweeps them up. Running the same compaction twice (batch
+        replay of the triggering batch) is a no-op second time around."""
+        old = sorted(
+            (
+                int(d.split("=", 1)[1]),
+                os.path.join(self.index_path, d),
+            )
+            for d in os.listdir(self.index_path)
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < current_batch_id
+        )
+        if len(old) <= 1:
+            return
+        # Merged rows all take the oldest dir's batch_id (partition-derived
+        # on read). Per-row original ids are disposable: replay exclusion
+        # only ever targets the CURRENT batch, and merged rows are strictly
+        # older by construction.
+        merged = (
+            spark.read.option("basePath", self.index_path)
+            .parquet(*[p for _, p in old])
+            .drop("batch_id")
+        )
+        target_id, target_dir = old[0]
+        tmp = os.path.join(self.index_path, f".compact-{current_batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+        for _, p in old[1:]:
+            shutil.rmtree(p)
 
 
 def near_dup_filter_sink(

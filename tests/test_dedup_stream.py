@@ -73,3 +73,84 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     sink(batch, 0)  # checkpoint replay of the same micro-batch id
     assert spark.read.parquet(out).count() == 1
     assert spark.read.parquet(idx).count() == 4  # one row per band, once
+
+
+def test_corrupt_index_fails_batch_instead_of_skipping(spark, tmp_path):
+    """A transient/corrupt index read must FAIL the micro-batch (so the
+    checkpoint retries) — silently treating a broken index as empty would
+    admit near-dups, the one failure mode this component prevents."""
+    import pytest
+
+    out, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    sink = NearDupStreamFilter(out, idx)
+    sink(spark.createDataFrame([(1, BASE)], "doc_id bigint, text string"), 0)
+    # corrupt the accumulated index: invalid parquet bytes
+    victim = next(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(idx)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    with open(victim, "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        sink(spark.createDataFrame([(2, NEAR)], "doc_id bigint, text string"), 1)
+
+
+def test_missing_or_empty_index_means_first_batch(spark, tmp_path):
+    out, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    sink = NearDupStreamFilter(out, idx)
+    assert sink._existing_index(spark) is None  # path absent
+    os.makedirs(idx)
+    assert sink._existing_index(spark) is None  # dir exists, no data files
+
+
+def _parquet_dirs(idx):
+    return sorted(d for d in os.listdir(idx) if d.startswith("batch_id="))
+
+
+def test_index_compaction_bounds_files_and_preserves_probes(spark, tmp_path):
+    """Every-N-batches compaction merges old index partitions (small-file
+    accretion bound) without changing probe results: a near-dup of a
+    long-compacted doc is still dropped, and replaying the triggering
+    batch (checkpoint crash) is idempotent."""
+    out, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    sink = NearDupStreamFilter(out, idx, compact_every=4)
+    texts = {
+        0: BASE,
+        1: DISTINCT,
+        2: "a third unrelated document about storage engines and bloom filters",
+        3: "fourth unique text mentioning watermark semantics and event time",
+    }
+    for b, t in texts.items():
+        sink(spark.createDataFrame([(b, t)], "doc_id bigint, text string"), b)
+    assert len(_parquet_dirs(idx)) == 4  # no compaction yet (4 % 4 == 0 at b=4)
+
+    # batch 4 triggers compaction of batches 0..3 -> dirs [0, 4]
+    sink(
+        spark.createDataFrame(
+            [(4, "fifth text about morton codes and zorder clustering")],
+            "doc_id bigint, text string",
+        ),
+        4,
+    )
+    assert _parquet_dirs(idx) == ["batch_id=0", "batch_id=4"]
+    index = spark.read.parquet(idx)
+    assert index.count() == 5 * 4  # every survivor's bands kept, 4 per doc
+    assert {r.doc_id for r in index.select("doc_id").distinct().collect()} == {0, 1, 2, 3, 4}
+
+    # probe against COMPACTED rows: near-dup of batch-0's doc still dropped
+    sink(spark.createDataFrame([(5, NEAR)], "doc_id bigint, text string"), 5)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 5 not in kept
+
+    # replay of the triggering batch: second compaction run is a no-op
+    sink(
+        spark.createDataFrame(
+            [(4, "fifth text about morton codes and zorder clustering")],
+            "doc_id bigint, text string",
+        ),
+        4,
+    )
+    assert _parquet_dirs(idx) == ["batch_id=0", "batch_id=4", "batch_id=5"]
+    assert spark.read.parquet(idx).where(F.col("doc_id") == 4).count() == 4
