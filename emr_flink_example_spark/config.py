@@ -45,6 +45,16 @@ class PipelineConfig:
     # of Kafka (the test harness has no broker)
     source_format: str = "kafka"
     source_path: str = ""
+    # Kafka start position on a FRESH start (no checkpoint). The reference
+    # defaults to the consumer group's committed offsets
+    # (Kafka2S3Text.scala:27-33, no explicit setStartFromX call); Spark has
+    # no committed-group-offset mode, so the safe parity default is
+    # "earliest" — a fresh start re-reads the topic instead of silently
+    # skipping everything before launch ("latest" was the old hardcoded
+    # behavior). Once a checkpoint exists it ALWAYS wins; this knob only
+    # governs the first start. Accepts earliest/latest or a per-partition
+    # offsets JSON string, passed through to `startingOffsets`.
+    starting_offsets: str = "earliest"
     # engine extension: kafka sink topic (engine -> topic, reverse of A1)
     sink_topic: str = ""
     extra: dict = field(default_factory=dict)
@@ -58,6 +68,13 @@ def _shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("-l", "--checkpointInterval", dest="checkpoint_interval", type=int, default=60)
     p.add_argument("--source-format", dest="source_format", default="kafka", choices=["kafka", "file"])
     p.add_argument("--source-path", dest="source_path", default="")
+    p.add_argument(
+        "--starting-offsets",
+        dest="starting_offsets",
+        default="earliest",
+        help="kafka start position for a fresh start (earliest/latest/offsets-JSON); "
+        "an existing checkpoint always wins",
+    )
 
 
 def parse_config(args: list[str] | None = None) -> PipelineConfig:

@@ -41,14 +41,18 @@ def raw_string_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
 
     Kafka path ≙ FlinkKafkaConsumer + SimpleStringSchema; Spark tracks
     offsets in the checkpoint rather than the consumer group (the group.id
-    is still forwarded for broker-side quota/ACL accounting).
+    is still forwarded for broker-side quota/ACL accounting). Start
+    position: checkpoint-first always; `cfg.starting_offsets` (default
+    "earliest") only governs a FRESH start — the reference's
+    committed-group-offset default (Kafka2S3Text.scala:27-33) has no Spark
+    equivalent, and "latest" would silently skip pre-launch data.
     """
     if cfg.source_format == "kafka":
         reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", cfg.broker_list)
             .option("subscribe", cfg.source_topic)
-            .option("startingOffsets", "latest")
+            .option("startingOffsets", cfg.starting_offsets or "earliest")
         )
         if cfg.group_id:
             reader = reader.option("kafka.group.id", cfg.group_id)
