@@ -59,6 +59,10 @@ HEADLINE = [
     "layout_zorder_files",
     "embedding_quantize_pq",
     "ann_pq_adc_topk",
+    # r5 additions: the rerank retrieval tier and the end-to-end curation
+    # pipeline (the product story: corpus -> training shards in one job)
+    "ann_pq_adc_rerank_topk",
+    "curate_for_training",
 ]
 
 
@@ -69,7 +73,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = catalog.all_queries()
 
+    import shutil
+    import tempfile
+
     def run(name: str) -> float:
+        if name == "curate_for_training":
+            # composite action pipeline (writes its own output), not a
+            # catalog DataFrame builder
+            from emr_flink_example_spark.operators.curation import curate_for_training
+
+            out = tempfile.mkdtemp(prefix="bench-curate-")
+            try:
+                t0 = time.time()
+                curate_for_training(spark, sf_dir, out)
+                return time.time() - t0
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.time() - t0
@@ -90,8 +109,17 @@ def main() -> None:
     # Three runs per query, report the min: run 1 pays one-time plan/codegen
     # compilation (a fixed cost irrelevant at real scale); the min of the
     # remaining runs measures steady-state execution and shields the
-    # recorded number from ambient-load spikes on a shared host.
-    timings = {name: round(min(run(name) for _ in range(3)), 3) for name in HEADLINE}
+    # recorded number from ambient-load spikes on a shared host. Cached
+    # intermediates (tfidf/vocab/spans persist for multi-consumer reuse
+    # WITHIN a query) are released between queries so the session's memory
+    # footprint stays flat across the whole headline sweep.
+    timings = {}
+    for name in HEADLINE:
+        # the composite curation pipeline is a multi-minute action chain
+        # with its own internal caching — one run, not min-of-3
+        runs = 1 if name == "curate_for_training" else 3
+        timings[name] = round(min(run(name) for _ in range(runs)), 3)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

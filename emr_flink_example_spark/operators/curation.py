@@ -58,38 +58,46 @@ def _boilerplate_drop(spark: SparkSession, sf_dir: str, max_dup_frac: float) -> 
     )
 
 
-def curate_documents(
+def _curation_gates(
     spark: SparkSession,
     sf_dir: str,
-    out_dir: str,
-    min_quality: float = 0.5,
-    min_tokens: int = 10,
-    max_dup_frac: float = MAX_DUP_FRAC,
-) -> CurationStats:
+    min_quality: float,
+    min_tokens: int,
+    max_dup_frac: float,
+) -> tuple[DataFrame, tuple[int, int, int, int, int], list[DataFrame]]:
+    """Quality -> boilerplate -> exact-dedup -> near-dup gates.
+
+    Each gate's survivor set is persisted: the per-stage stat count AND the
+    next gate both read the previous stage's cache instead of re-running
+    the whole upstream chain per action (unpersisted, the 5 counts + final
+    write re-executed the cumulative lineage 6x — measured 2x+ end-to-end).
+    The caller must unpersist the returned frames after its terminal action.
+    """
     docs = load(spark, sf_dir, "documents")
     n_input = docs.count()
 
     quality = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
-    kept = (
+    kept1 = (
         docs.join(quality, "doc_id")
         .where((F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens))
         .select(docs["*"])
+        .persist()
     )
-    n_quality = kept.count()
+    n_quality = kept1.count()
 
     # boilerplate gate: drop mostly-duplicated-span docs
-    kept = kept.join(_boilerplate_drop(spark, sf_dir, max_dup_frac), "doc_id", "left_anti")
-    n_boiler = kept.count()
+    kept2 = kept1.join(_boilerplate_drop(spark, sf_dir, max_dup_frac), "doc_id", "left_anti").persist()
+    n_boiler = kept2.count()
 
     # exact dedup: keep the smallest doc_id per normalized-content fingerprint
     exact_keep = (
-        kept.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
+        kept2.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kept = kept.join(exact_keep, "doc_id", "left_semi")
-    n_exact = kept.count()
+    kept3 = kept2.join(exact_keep, "doc_id", "left_semi").persist()
+    n_exact = kept3.count()
 
     # near-dup removal: drop the larger id of every high-estimated-Jaccard
     # candidate pair (anti-join against the drop list)
@@ -99,11 +107,30 @@ def curate_documents(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    kept = kept.join(drop, "doc_id", "left_anti")
-    n_near = kept.count()
+    kept4 = kept3.join(drop, "doc_id", "left_anti").persist()
+    n_near = kept4.count()
 
-    kept.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
-    return CurationStats(n_input, n_quality, n_boiler, n_exact, n_near)
+    stats = (n_input, n_quality, n_boiler, n_exact, n_near)
+    return kept4, stats, [kept1, kept2, kept3, kept4]
+
+
+def curate_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    max_dup_frac: float = MAX_DUP_FRAC,
+) -> CurationStats:
+    kept, stats, caches = _curation_gates(
+        spark, sf_dir, min_quality, min_tokens, max_dup_frac
+    )
+    try:
+        kept.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    finally:
+        for c in caches:
+            c.unpersist()
+    return CurationStats(*stats)
 
 
 @dataclass
@@ -140,37 +167,10 @@ def curate_for_training(
 
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents")
-    n_input = docs.count()
-
-    quality = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
-    kept = (
-        docs.join(quality, "doc_id")
-        .where((F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens))
-        .select(docs["*"])
+    kept, gate_stats, caches = _curation_gates(
+        spark, sf_dir, min_quality, min_tokens, max_dup_frac
     )
-    n_quality = kept.count()
-
-    kept = kept.join(_boilerplate_drop(spark, sf_dir, max_dup_frac), "doc_id", "left_anti")
-    n_boiler = kept.count()
-
-    exact_keep = (
-        kept.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    kept = kept.join(exact_keep, "doc_id", "left_semi")
-    n_exact = kept.count()
-
-    drop = (
-        q_dedup_minhash_lsh(spark, sf_dir)
-        .where(F.col("est_jaccard") >= NEAR_DUP_EST_JACCARD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    kept = kept.join(drop, "doc_id", "left_anti")
-    n_near = kept.count()
+    n_input, n_quality, n_boiler, n_exact, n_near = gate_stats
 
     # 6. temperature rebalance (rates from the curated corpus's shares)
     per_lang = kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
@@ -191,7 +191,9 @@ def curate_for_training(
         kept.join(F.broadcast(rates), "lang")
         .where(h < F.col("keep_rate") * 10000)
         .drop("keep_rate")
+        .persist()
     )
+    caches.append(kept)
     n_rebalance = kept.count()
 
     # 7. chunking (map-side behind the tokenizer barrier)
@@ -209,7 +211,8 @@ def curate_for_training(
         ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
-    )
+    ).persist()
+    caches.append(chunks)
     n_chunks = chunks.count()
 
     # 8. shard packing (one running-sum window per lang)
@@ -226,9 +229,12 @@ def curate_for_training(
         )
         .drop("cum_tokens")
     )
-    n_shards = packed.select("lang", "shard_id").distinct().count()
-
-    packed.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    try:
+        n_shards = packed.select("lang", "shard_id").distinct().count()
+        packed.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    finally:
+        for c in caches:
+            c.unpersist()
     return TrainingCurationStats(
         n_input, n_quality, n_boiler, n_exact, n_near, n_rebalance, n_chunks, n_shards
     )

@@ -810,7 +810,9 @@ def q_dedup_embedding_cosine(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         ),
         n_planes=N_PLANES if n_planes is None else n_planes,
-    ).withColumn("nrm", _norm("e"))
+    ).withColumn("nrm", _norm("e")).where(
+        F.col("nrm") > 0  # zero vector: cosine undefined, exclude
+    )
     # In-bucket pairs by grouping, not a self-join: the join form scans and
     # re-computes bucket+norm for both sides (no ReusedExchange across join
     # aliases) and shuffles the corpus twice; grouping shuffles each vector

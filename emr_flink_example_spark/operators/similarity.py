@@ -93,6 +93,7 @@ def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("nrm", _norm("e"))
+        .where(F.col("nrm") > 0)  # zero vector: cosine undefined, exclude
     )
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -154,7 +155,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-    ).withColumn("nrm", _norm("e"))
+    ).withColumn("nrm", _norm("e")).where(
+        F.col("nrm") > 0  # zero vector: cosine undefined, exclude
+    )
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -193,7 +196,9 @@ def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-    ).withColumn("nrm", _norm("e"))
+    ).withColumn("nrm", _norm("e")).where(
+        F.col("nrm") > 0  # zero vector: cosine undefined, exclude
+    )
     probe_buckets = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
     )
@@ -279,7 +284,11 @@ def q_ann_lsh_multitable_topk(spark: SparkSession, sf: str) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "e", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    ).select(
+        "vec_id", "e", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    ).where(
+        F.col("nrm") > 0  # zero vector: cosine undefined, exclude
+    )
     q = keyed.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -338,6 +347,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("nrm", _norm("e"))
+        .where(F.col("nrm") > 0)  # zero vector: cosine undefined, exclude
     )
     cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("cv"), F.col("nrm").alias("cvn")

@@ -30,6 +30,8 @@ def run(sf_dir: str, only: list[str]) -> int:
     names = only or list(qs)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
+        # flat memory across the sweep: release any intra-query persists
+        spark.catalog.clearCache()
         t0 = time.time()
         if name not in os_:
             try:
