@@ -811,7 +811,8 @@ def q_dedup_embedding_cosine(
         ),
         n_planes=N_PLANES if n_planes is None else n_planes,
     ).withColumn("nrm", _norm("e")).where(
-        F.col("nrm") > 0  # zero vector: cosine undefined, exclude
+        F.expr("exists(e, x -> x <> 0.0d)")  # all-zero vector: cosine undefined, exclude
+        # (exists short-circuits; `nrm > 0` would re-run the 64-term norm fold per row)
     )
     # In-bucket pairs by grouping, not a self-join: the join form scans and
     # re-computes bucket+norm for both sides (no ReusedExchange across join

@@ -93,7 +93,9 @@ def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("nrm", _norm("e"))
-        .where(F.col("nrm") > 0)  # zero vector: cosine undefined, exclude
+        # all-zero vector: cosine undefined, exclude (exists short-circuits;
+        # `nrm > 0` would re-run the 64-term norm fold per row)
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
     )
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -156,7 +158,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     ).withColumn("nrm", _norm("e")).where(
-        F.col("nrm") > 0  # zero vector: cosine undefined, exclude
+        F.expr("exists(e, x -> x <> 0.0d)")  # all-zero vector: cosine undefined, exclude
+        # (exists short-circuits; `nrm > 0` would re-run the 64-term norm fold per row)
     )
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -197,7 +200,8 @@ def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     ).withColumn("nrm", _norm("e")).where(
-        F.col("nrm") > 0  # zero vector: cosine undefined, exclude
+        F.expr("exists(e, x -> x <> 0.0d)")  # all-zero vector: cosine undefined, exclude
+        # (exists short-circuits; `nrm > 0` would re-run the 64-term norm fold per row)
     )
     probe_buckets = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
@@ -287,7 +291,8 @@ def q_ann_lsh_multitable_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "vec_id", "e", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     ).where(
-        F.col("nrm") > 0  # zero vector: cosine undefined, exclude
+        F.expr("exists(e, x -> x <> 0.0d)")  # all-zero vector: cosine undefined, exclude
+        # (exists short-circuits; `nrm > 0` would re-run the 64-term norm fold per row)
     )
     q = keyed.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -347,7 +352,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("nrm", _norm("e"))
-        .where(F.col("nrm") > 0)  # zero vector: cosine undefined, exclude
+        # all-zero vector: cosine undefined, exclude (exists short-circuits;
+        # `nrm > 0` would re-run the 64-term norm fold per row)
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
     )
     cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("cv"), F.col("nrm").alias("cvn")
