@@ -485,15 +485,20 @@ def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
     err_cols = []
     for m in range(PQ_M):
         lo = m * PQ_SUB_DIM + 1
-        # per-codeword squared L2 of this subspace, then first-min argmin
+        # Per-codeword squared L2 of this subspace, then first-min argmin.
+        # Index fold (element_at over a sequence), NOT zip_with over slices:
+        # the slice form allocates 2 subvectors per codeword per row —
+        # measured ~1.4x slower end-to-end. Addition order is identical
+        # (sequential over i), so results stay bit-equal to the oracle.
         best = F.expr(
             f"""
             aggregate(
               transform(cw, (c, k) -> struct(k AS k,
-                  aggregate(
-                    zip_with(slice(e, {lo}, {PQ_SUB_DIM}), slice(c.e, {lo}, {PQ_SUB_DIM}),
-                             (x, y) -> (x - y) * (x - y)),
-                    cast(0 as double), (acc, d) -> acc + d) AS d2)),
+                  aggregate(sequence(0, {PQ_SUB_DIM - 1}),
+                    cast(0 as double),
+                    (acc, i) -> acc
+                      + (element_at(e, {lo} + i) - element_at(c.e, {lo} + i))
+                      * (element_at(e, {lo} + i) - element_at(c.e, {lo} + i))) AS d2)),
               struct(cast(-1 as int) AS k, cast('Infinity' as double) AS d2),
               (best, c) -> IF(c.d2 < best.d2, c, best)
             )
