@@ -719,6 +719,107 @@ _IVF_CENT_DUCK = f"""
         )
 """
 
+#: Lloyd k-means defaults: small fixed budget, deterministic seeding —
+#: the codebook/coarse-quantizer trainer IVF and PQ reference in their
+#: docstrings ("production trains with k-means").
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _kmeans_assign_expr(cents: list[list[float]], dim: int) -> F.Column:
+    """Map-side argmin cluster id for column `e` against inlined centroids.
+
+    Same transform-then-fold shape as the PQ encode: each centroid's squared
+    L2 is computed ONCE (an IF over the raw fold would evaluate it twice),
+    and the strict `<` fold over ascending cid keeps the smallest id on
+    ties — matching numpy argmin's first-hit rule in the reference test."""
+    lit = "array(" + ", ".join(
+        "struct(%d as cid, array(%s) as cv)" % (cid, ", ".join(f"{v!r}D" for v in cv))
+        for cid, cv in enumerate(cents)
+    ) + ")"
+    return F.expr(
+        f"""
+        aggregate(
+          transform({lit}, c -> struct(c.cid AS cid,
+              aggregate(sequence(0, {dim - 1}), cast(0 as double),
+                (acc, i) -> acc + (element_at(e, i + 1) - element_at(c.cv, i + 1))
+                              * (element_at(e, i + 1) - element_at(c.cv, i + 1))) AS d2)),
+          struct(cast(-1 as int) AS cid, cast('Infinity' as double) AS d2),
+          (best, c) -> IF(c.d2 < best.d2, c, best)
+        ).cid
+        """
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> list[list[float]]:
+    """Distributed Lloyd iterations; returns the final k centroids.
+
+    Scale shape (the only sane one at 100 TB): the ASSIGNMENT step is a
+    zero-shuffle map-side argmin against the current centroids inlined as a
+    literal array (kilobytes); the UPDATE step is one combine-friendly
+    groupBy whose output is k rows x dim averages — per-dimension `avg`
+    partials collapse map-side, so the shuffle carries k*dim scalars, not
+    vectors. The driver only ever holds the k x dim centroid matrix;
+    iteration count is a fixed small budget (Lloyd converges fast on the
+    coarse scales a codebook needs).
+
+    Determinism: init = the k smallest vec_ids' vectors; each update is
+    rounded to 6 dp before the next assignment so results don't wander on
+    partial-aggregation merge order. Empty clusters keep their previous
+    centroid."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = [
+        list(r.e)
+        for r in base.orderBy("vec_id").limit(k).select("e").collect()
+    ]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assign = _kmeans_assign_expr(cents, dim)
+        updated = (
+            base.withColumn("cid", assign)
+            .groupBy("cid")
+            .agg(*[F.round(F.avg(F.col("e")[i]), 6).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = list(cents)  # empty clusters keep previous centroid
+        for r in updated:
+            new_cents[r.cid] = [r[f"c{i}"] for i in range(dim)]
+        cents = new_cents
+    return cents
+
+
+def q_embedding_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained k-means centroids in long form (centroid_id, dim, centroid_v)
+    plus each cluster's final member count — the codebook-training step the
+    IVF coarse quantizer and PQ codebooks stand in for elsewhere.
+
+    Iterative (driver-coordinated Lloyd rounds), so there is no single-query
+    SQL oracle; the driver rows-checks it and
+    tests/test_kmeans_reference.py value-pins the centroids against an
+    independent numpy Lloyd implementation."""
+    emb = load(spark, sf, "embeddings")
+    cents = kmeans_fit(emb)
+    dim = len(cents[0])
+    assign = _kmeans_assign_expr(cents, dim)
+    counts = (
+        emb.select(F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("cid", assign)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_members"))
+    )
+    rows = [
+        (cid, d, cv[d]) for cid, cv in enumerate(cents) for d in range(dim)
+    ]
+    cent_df = spark.createDataFrame(rows, "centroid_id int, dim int, centroid_v double")
+    return cent_df.join(
+        F.broadcast(counts.withColumnRenamed("cid", "centroid_id")),
+        "centroid_id",
+        "left",
+    ).select("centroid_id", "dim", "centroid_v", "n_members")
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -732,6 +833,9 @@ QUERIES = {
     "embedding_quantize_pq": q_embedding_quantize_pq,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "ann_pq_adc_rerank_topk": q_ann_pq_adc_rerank_topk,
+    # appended last (new r5 surface) so existing driver-checked prefix
+    # composition shifts as little as possible
+    "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
 }
 
 
