@@ -602,6 +602,33 @@ def q_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
 
+def q_dedup_cluster_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup output consumers actually apply: EVERY corpus doc mapped to
+    its survivor (the min doc_id of its near-dup connected component; itself
+    when unclustered), with the cluster size and a keep/drop flag.
+
+    Composition: connected components over the LSH dup edges resolve
+    transitive chains (A~B~C collapses to one survivor even when A~C alone
+    misses the threshold); cluster sizes ride the SAME component_id shuffle
+    as a window count (no second aggregation join); the corpus is then
+    left-joined once — unclustered docs (the overwhelming majority at any
+    scale) never enter the component machinery at all."""
+    comp = q_dedup_connected_components(spark, sf)
+    from pyspark.sql.window import Window
+
+    comp_sized = comp.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("component_id"))
+    )
+    docs = load(spark, sf, "documents").select("doc_id")
+    survivor = F.coalesce("component_id", "doc_id")
+    return docs.join(comp_sized, "doc_id", "left").select(
+        "doc_id",
+        survivor.alias("survivor_doc_id"),
+        F.coalesce("cluster_size", F.lit(1).cast("bigint")).alias("cluster_size"),
+        (F.col("doc_id") == survivor).alias("is_survivor"),
+    )
+
+
 def q_dedup_cc_alternating_stars(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components via alternating large-star/small-star (Kiveris
     et al., "Connected Components in MapReduce and Beyond") — the
@@ -1126,9 +1153,8 @@ def _minhash_oracle() -> str:
     )
 
 
-def _cc_oracle() -> str:
-    """Connected components over the dup edges via a recursive CTE: each
-    node's component is the min id among everything reachable from it."""
+def _cc_reach_ctes() -> str:
+    """Shared recursive-CTE prefix (through `reach`) for the CC oracles."""
     return (
         _minhash_cand_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
         + f""",
@@ -1146,7 +1172,39 @@ def _cc_oracle() -> str:
             UNION
             SELECT e.u AS node, reach.r FROM edges e JOIN reach ON reach.node = e.v
         )
+    """
+    )
+
+
+def _cc_oracle() -> str:
+    """Connected components over the dup edges via a recursive CTE: each
+    node's component is the min id among everything reachable from it."""
+    return (
+        _cc_reach_ctes()
+        + """
         SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+    """
+    )
+
+
+def _cc_survivors_oracle() -> str:
+    """Survivor-map mirror: component min per clustered doc, identity for
+    the rest, plus cluster sizes."""
+    return (
+        _cc_reach_ctes()
+        + """
+        , comp AS (
+            SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+        ), sizes AS (
+            SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY component_id
+        )
+        SELECT d.doc_id,
+               coalesce(c.component_id, d.doc_id) AS survivor_doc_id,
+               coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+               d.doc_id = coalesce(c.component_id, d.doc_id) AS is_survivor
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN sizes s ON s.component_id = c.component_id
     """
     )
 
@@ -1207,6 +1265,9 @@ QUERIES = {
     "decontamination_overlap": q_decontamination_overlap,
     "decontamination_containment": q_decontamination_containment,
     "simhash": q_simhash,
+    # appended last (new r5 surface) so the existing driver-checked prefix
+    # composition shifts as little as possible
+    "dedup_cluster_survivors": q_dedup_cluster_survivors,
 }
 
 ORACLES = {
@@ -1270,6 +1331,7 @@ ORACLES = {
     # identical output contract to dedup_connected_components, so the same
     # recursive-CTE oracle applies verbatim
     "dedup_cc_alternating_stars": _cc_oracle(),
+    "dedup_cluster_survivors": _cc_survivors_oracle(),
     # the nibble pigeonhole is exact for hamming <= 3 on 4 bands, so the
     # oracle is simply the brute-force pair predicate
     "simhash_hamming_pairs": f"""
