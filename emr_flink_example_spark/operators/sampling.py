@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import portable_hash, portable_hash_sql_duckdb
 from ..io import load
@@ -100,6 +101,35 @@ def q_sample_fixed_k(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("sort_key", "doc_id")
         .limit(FIXED_K)
         .select("doc_id", "lang")
+    )
+
+
+#: per-source document quota (domain balancing): a RefinedWeb/C4-style cap
+#: that keeps any one domain/crawl-source from dominating the corpus mix.
+SOURCE_QUOTA = 20
+
+
+def q_sample_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap: keep at most SOURCE_QUOTA docs per `source`,
+    chosen by salted-hash rank — the deterministic web-corpus governance
+    step (no one domain may dominate the mix), reproducible across engines
+    and partitionings.
+
+    Shape: one window per source over the salted hash. The window key is
+    `source` — a bounded-cardinality key whose per-group row count is
+    exactly what the quota bounds downstream, but the RANKING itself ranks
+    the full group; at 100 TB pre-filter each source to its approximate
+    top-quota by a per-partition TakeOrdered before the window (same
+    two-phase shape as sample_fixed_k) — the plan here keeps the simple
+    form the oracle mirrors."""
+    docs = load(spark, sf, "documents")
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT)))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("quota_rank") <= SOURCE_QUOTA)
+        .select("doc_id", "source", "quota_rank")
     )
 
 
@@ -295,6 +325,9 @@ QUERIES = {
     "sample_fixed_k": q_sample_fixed_k,
     "outlier_filter_quantile": q_outlier_filter_quantile,
     "lang_temperature_weights": q_lang_temperature_weights,
+    # appended last (new r5 surface) so the existing driver-checked prefix
+    # composition shifts as little as possible
+    "sample_source_quota": q_sample_source_quota,
 }
 
 ORACLES = {
@@ -387,5 +420,19 @@ ORACLES = {
                round(n_docs / n_total, 6) AS share,
                round(sqrt(n_docs::DOUBLE) / z, 6) AS weight
         FROM per_lang CROSS JOIN tot
+    """,
+    "sample_source_quota": f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   {_SAMPLE_HASH} AS h
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::INT
+                       AS quota_rank
+            FROM keyed
+        )
+        SELECT doc_id, source, quota_rank FROM ranked
+        WHERE quota_rank <= {SOURCE_QUOTA}
     """,
 }

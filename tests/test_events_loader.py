@@ -66,6 +66,21 @@ def test_micros_and_nanos_encodings_agree(spark, encoded_dirs):
     assert va[0][1] == ROWS[0][2]
 
 
+def test_millis_encoding_loads(spark, tmp_path):
+    """Third writer encoding: parquet TIMESTAMP_MILLIS also normalizes to
+    timestamp_ntz (values truncated to the millisecond by the writer)."""
+    millis = pa.array(
+        [r[2].replace(microsecond=r[2].microsecond // 1000 * 1000) for r in ROWS],
+        type=pa.timestamp("ms"),
+    )
+    d = _write(tmp_path, millis, ".")
+    df = load(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    got = sorted(r.ts for r in df.collect())
+    want = sorted(r[2].replace(microsecond=r[2].microsecond // 1000 * 1000) for r in ROWS)
+    assert got == want
+
+
 def test_real_testdata_loads_and_matches_duckdb(spark):
     df = load(spark, SF_DIR, "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
