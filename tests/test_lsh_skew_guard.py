@@ -95,3 +95,40 @@ def test_single_scan_preserved_with_guard(spark):
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_fuzz_random_corpora_capped_equals_uncapped(spark, tmp_path):
+    """Three seeded random corpora with heavy duplication, each at several
+    caps (including cap=1, maximal chunking): the emitted pair set and
+    est_jaccard values must equal the effectively-unguarded run exactly."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        base_docs = [
+            " ".join(rng.choices(vocab, k=rng.randint(4, 12))) for _ in range(12)
+        ]
+        # heavy duplication: each doc is a near-copy of a base doc
+        texts = [
+            rng.choice(base_docs) + (" tail" if rng.random() < 0.3 else "")
+            for _ in range(80)
+        ]
+        d = tmp_path / f"fuzz{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        base = _rows(D.q_dedup_minhash_lsh(spark, str(d), cap=10_000))
+        assert base, seed  # duplication guarantees candidate pairs
+        for cap in (1, 3, 7):
+            assert _rows(D.q_dedup_minhash_lsh(spark, str(d), cap=cap)) == base, (
+                seed,
+                cap,
+            )
