@@ -59,9 +59,10 @@ HEADLINE = [
     "layout_zorder_files",
     "embedding_quantize_pq",
     "ann_pq_adc_topk",
-    # r5 additions: the rerank retrieval tier and the end-to-end curation
-    # pipeline (the product story: corpus -> training shards in one job)
+    # r5 additions: the rerank retrieval tier, the full IVF-PQ ladder, and
+    # the end-to-end curation pipeline (corpus -> training shards in one job)
     "ann_pq_adc_rerank_topk",
+    "ann_ivfpq_topk",
     "curate_for_training",
 ]
 

@@ -460,6 +460,48 @@ PQ_SUB_DIM = DIM // PQ_M
 PQ_K = 16
 
 
+def _pq_best_sql(m: int) -> str:
+    """Subspace-m argmin as a (k, d2) struct over the broadcast codebook
+    column `cw` and embedding column `e`.
+
+    Index fold (element_at over a sequence), NOT zip_with over slices: the
+    slice form allocates 2 subvectors per codeword per row — measured ~1.4x
+    slower end-to-end. Addition order is identical (sequential over i), so
+    results stay bit-equal to the oracle. The strict `<` fold over ascending
+    codeword ids reproduces `ORDER BY dist, id` argmin ties."""
+    lo = m * PQ_SUB_DIM + 1
+    return f"""
+        aggregate(
+          transform(cw, (c, k) -> struct(k AS k,
+              aggregate(sequence(0, {PQ_SUB_DIM - 1}),
+                cast(0 as double),
+                (acc, i) -> acc
+                  + (element_at(e, {lo} + i) - element_at(c.e, {lo} + i))
+                  * (element_at(e, {lo} + i) - element_at(c.e, {lo} + i))) AS d2)),
+          struct(cast(-1 as int) AS k, cast('Infinity' as double) AS d2),
+          (best, c) -> IF(c.d2 < best.d2, c, best)
+        )
+    """
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """One-row broadcastable codebook: sorted array of the PQ_K
+    smallest-vec_id embeddings (the deterministic k-means stand-in)."""
+    return emb.where(F.col("vec_id") < PQ_K).agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("cw")
+    )
+
+
+def _packed_code_col() -> F.Column:
+    """The packed 4-bit-per-subspace code as one bigint column (requires
+    `e` and `cw` in scope)."""
+    packed = None
+    for m in range(PQ_M):
+        term = F.shiftleft(F.expr(_pq_best_sql(m)).getField("k").cast("bigint"), 4 * m)
+        packed = term if packed is None else packed + term
+    return packed
+
+
 def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
     """Product quantization: each embedding compressed to PQ_M 4-bit codes
     (one per 8-dim subspace, nearest of PQ_K codewords by L2), packed into a
@@ -477,33 +519,14 @@ def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cb = emb.where(F.col("vec_id") < PQ_K).agg(
-        F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("cw")
-    )
+    cb = _pq_codebook(emb)
     enc = emb.crossJoin(F.broadcast(cb))
     code_cols = []
     err_cols = []
     for m in range(PQ_M):
-        lo = m * PQ_SUB_DIM + 1
-        # Per-codeword squared L2 of this subspace, then first-min argmin.
-        # Index fold (element_at over a sequence), NOT zip_with over slices:
-        # the slice form allocates 2 subvectors per codeword per row —
-        # measured ~1.4x slower end-to-end. Addition order is identical
-        # (sequential over i), so results stay bit-equal to the oracle.
-        best = F.expr(
-            f"""
-            aggregate(
-              transform(cw, (c, k) -> struct(k AS k,
-                  aggregate(sequence(0, {PQ_SUB_DIM - 1}),
-                    cast(0 as double),
-                    (acc, i) -> acc
-                      + (element_at(e, {lo} + i) - element_at(c.e, {lo} + i))
-                      * (element_at(e, {lo} + i) - element_at(c.e, {lo} + i))) AS d2)),
-              struct(cast(-1 as int) AS k, cast('Infinity' as double) AS d2),
-              (best, c) -> IF(c.d2 < best.d2, c, best)
-            )
-            """
-        )
+        # per-codeword squared L2 of this subspace, then first-min argmin
+        # (shared with the IVF-PQ pipeline — see _pq_best_sql)
+        best = F.expr(_pq_best_sql(m))
         code_cols.append(best.getField("k").alias(f"code_{m}"))
         err_cols.append(best.getField("d2").alias(f"err_{m}"))
     enc = enc.select("vec_id", *code_cols, *err_cols)
@@ -549,6 +572,20 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: reconstruct v-hat from a packed `pq_code` + the broadcast codebook `cw`
+_VHAT_SQL = (
+    "flatten(transform(sequence(0, {M} - 1), m -> "
+    "slice(element_at(cw, cast((pq_code >> (4 * m)) & 15 as int) + 1).e, "
+    "m * {S} + 1, {S})))"
+).format(M=PQ_M, S=PQ_SUB_DIM)
+
+#: single sequential 64-term squared-diff fold (ADC distance qe vs vhat)
+_ADC_FOLD_SQL = (
+    "aggregate(zip_with(qe, vhat, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as double), (acc, d) -> acc + d)"
+)
+
+
 def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
     """(query_id, neighbor_id, adc_dist) for every query x corpus pair —
     the shared ADC scoring stage of `ann_pq_adc_topk` and the rerank tier."""
@@ -556,14 +593,9 @@ def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     codes = q_embedding_quantize_pq(spark, sf).select("vec_id", "pq_code")
-    cb = emb.where(F.col("vec_id") < PQ_K).agg(
-        F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("cw")
-    )
+    cb = _pq_codebook(emb)
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    vhat = "flatten(transform(sequence(0, {M} - 1), m -> slice(element_at(cw, cast((pq_code >> (4 * m)) & 15 as int) + 1).e, m * {S} + 1, {S})))".format(
-        M=PQ_M, S=PQ_SUB_DIM
     )
     # Reconstruction is query-independent, so v-hat materializes ONCE per
     # corpus row behind a repartition barrier — without it Catalyst collapses
@@ -571,12 +603,8 @@ def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
     # whole argmin chain per (query, candidate) pair (measured ~8x at sf0.1).
     recon = (
         codes.crossJoin(F.broadcast(cb))
-        .select("vec_id", F.expr(vhat).alias("vhat"))
+        .select("vec_id", F.expr(_VHAT_SQL).alias("vhat"))
         .repartition("vec_id")
-    )
-    adc = (
-        "aggregate(zip_with(qe, vhat, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as double), (acc, d) -> acc + d)"
     )
     return (
         recon.crossJoin(F.broadcast(q))
@@ -584,7 +612,7 @@ def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.expr(adc), 4).alias("adc_dist"),
+            F.round(F.expr(_ADC_FOLD_SQL), 4).alias("adc_dist"),
         )
     )
 
@@ -627,6 +655,117 @@ def q_ann_pq_adc_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     # shortlist is tiny (queries x L): broadcast it INTO the corpus scan so
     # full-precision vectors are only materialized for shortlisted rows.
+    cand = emb.join(
+        F.broadcast(shortlist), emb.vec_id == shortlist.neighbor_id, "inner"
+    ).select("query_id", "neighbor_id", F.col("e").alias("ce"))
+    l2 = (
+        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, d) -> acc + d)"
+    )
+    rescored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(l2), 4).alias("l2_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id", "nn_rank", "l2_dist")
+    )
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The full IVF-PQ retrieval ladder in one query — THE production ANN
+    shape at 100 TB: (1) coarse-quantizer routing confines each query to its
+    N_PROBE nearest inverted lists; (2) within those lists candidates are
+    scored by asymmetric distance against 4-byte PQ codes; (3) the ADC
+    top-PQ_RERANK_L shortlist is re-scored with exact L2 on full-precision
+    vectors and the top-3 returned.
+
+    Scale shape, stage by stage: centroid assignment AND PQ encoding happen
+    in ONE zero-shuffle map pass (both the centroid array and the codebook
+    are one-row broadcasts); v-hat reconstruction materializes once per
+    corpus row behind the same repartition barrier as `_adc_scored`; the
+    probe join touches only `n/NC * N_PROBE` candidate rows per query
+    (partition pruning on a real lake laid out by centroid_id); stage 3
+    touches `n_queries x PQ_RERANK_L` full-precision rows via a broadcast
+    shortlist semi-join. Routing uses cosine (the IVF convention here),
+    candidate scoring and rerank use L2 — each stage mirrored exactly in
+    the DuckDB oracle."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _norm("e"))
+        # all-zero vector: cosine undefined, exclude (see q_ann_ivf_topk)
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("cv"), F.col("nrm").alias("cvn")
+    )
+    cent_arr = cent.agg(
+        F.sort_array(F.collect_list(F.struct("centroid_id", "cv", "cvn"))).alias("cents")
+    )
+    cb = _pq_codebook(emb)
+    assign = F.expr(
+        """
+        aggregate(
+          transform(cents, c -> struct(
+              c.centroid_id AS centroid_id,
+              aggregate(zip_with(e, c.cv, (x, y) -> x * y),
+                        cast(0 as double), (acc, x) -> acc + x)
+                / (nrm * c.cvn) AS c_cos)),
+          struct(cast(-1 as bigint) AS centroid_id,
+                 cast('-Infinity' as double) AS c_cos),
+          (best, c) -> IF(c.c_cos > best.c_cos, c, best)
+        ).centroid_id
+        """
+    )
+    # one map pass: centroid id + packed code per corpus row, then v-hat
+    # below the barrier (same collapse-guard as _adc_scored)
+    corpus = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", assign.alias("centroid_id"), _packed_code_col().alias("pq_code"))
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", "centroid_id", F.expr(_VHAT_SQL).alias("vhat"))
+        .repartition("vec_id")
+    )
+    cos_c = _dot("e", "cv") / (F.col("nrm") * F.col("cvn"))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id").asc())
+    probes = (
+        emb.where(F.col("vec_id") < 10)
+        .join(F.broadcast(cent))
+        .withColumn("c_cos", cos_c)
+        .withColumn("c_rank", F.row_number().over(wa))
+        .where(F.col("c_rank") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            "centroid_id",
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(_ADC_FOLD_SQL), 4).alias("adc_dist"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .where(F.col("adc_rank") <= PQ_RERANK_L)
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
     cand = emb.join(
         F.broadcast(shortlist), emb.vec_id == shortlist.neighbor_id, "inner"
     ).select("query_id", "neighbor_id", F.col("e").alias("ce"))
@@ -836,13 +975,21 @@ QUERIES = {
     # appended last (new r5 surface) so existing driver-checked prefix
     # composition shifts as little as possible
     "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 
-def _pq_adc_scored_ctes() -> str:
-    """Shared CTE prefix (through `scored`) for the ADC oracles: encode the
-    corpus to PQ codes, reconstruct v-hat, and compute every query x corpus
-    ADC distance with the identical single 64-term sequential fold."""
+#: v-hat reconstruction in DuckDB list syntax (needs `pq_code` and `cw`)
+_VHAT_DUCK = (
+    f"flatten(list_transform(generate_series(0, {PQ_M} - 1),"
+    f" m -> cw[((pq_code >> (4 * m)) & 15) + 1]"
+    f"[m * {PQ_SUB_DIM} + 1 : m * {PQ_SUB_DIM} + {PQ_SUB_DIM}]))"
+)
+
+
+def _pq_codes_ctes() -> str:
+    """CTE fragment (no leading WITH) through `codes`: the corpus encoded
+    to packed PQ codes, exactly mirroring the Spark subspace argmin."""
     d2_cols = []
     for m in range(PQ_M):
         lo = m * PQ_SUB_DIM + 1
@@ -856,13 +1003,8 @@ def _pq_adc_scored_ctes() -> str:
         f"((list_position(d2l_{m}, list_min(d2l_{m})) - 1)::BIGINT << {4 * m})"
         for m in range(PQ_M)
     )
-    vhat = (
-        f"flatten(list_transform(generate_series(0, {PQ_M} - 1),"
-        f" m -> cw[((pq_code >> (4 * m)) & 15) + 1]"
-        f"[m * {PQ_SUB_DIM} + 1 : m * {PQ_SUB_DIM} + {PQ_SUB_DIM}]))"
-    )
     return f"""
-        WITH base AS (
+        base AS (
             SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
         ), cb AS (
             SELECT list(e ORDER BY vec_id) AS cw FROM base WHERE vec_id < {PQ_K}
@@ -871,10 +1013,20 @@ def _pq_adc_scored_ctes() -> str:
             FROM base CROSS JOIN cb
         ), codes AS (
             SELECT vec_id, {code_terms} AS pq_code FROM enc
-        ), q AS (
+        )
+    """
+
+
+def _pq_adc_scored_ctes() -> str:
+    """Shared CTE prefix (through `scored`) for the ADC oracles: encode the
+    corpus to PQ codes, reconstruct v-hat, and compute every query x corpus
+    ADC distance with the identical single 64-term sequential fold."""
+    return f"""
+        WITH {_pq_codes_ctes()}
+        , q AS (
             SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10
         ), vh AS (
-            SELECT query_id, c.vec_id AS neighbor_id, qe, {vhat} AS vhat
+            SELECT query_id, c.vec_id AS neighbor_id, qe, {_VHAT_DUCK} AS vhat
             FROM codes c CROSS JOIN q CROSS JOIN cb
             WHERE query_id != c.vec_id
         ), scored AS (
@@ -936,6 +1088,58 @@ def _pq_adc_rerank_oracle() -> str:
     """
 
 
+def _ivfpq_oracle() -> str:
+    """Full IVF-PQ ladder mirror: cosine-ranked centroid routing
+    (`_IVF_CENT_DUCK`, as ann_ivf_topk), ADC over PQ codes restricted to
+    each query's N_PROBE lists, exact-L2 rerank of the top-PQ_RERANK_L.
+    Same folds, rounding, and tie-breaks as the Spark pipeline."""
+    return f"""
+        WITH {_IVF_CENT_DUCK},
+        {_pq_codes_ctes()}
+        , assigned AS (
+            SELECT vec_id, centroid_id FROM ranked_c WHERE c_rank = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, v AS qe, centroid_id
+            FROM ranked_c WHERE vec_id < 10 AND c_rank <= {N_PROBE}
+        ), vh AS (
+            SELECT c.vec_id, a.centroid_id, {_VHAT_DUCK} AS vhat
+            FROM codes c
+            JOIN assigned a ON a.vec_id = c.vec_id
+            CROSS JOIN cb
+        ), scored AS (
+            SELECT p.query_id, v.vec_id AS neighbor_id,
+                   round(list_reduce(list_transform(generate_series(1, {DIM}),
+                         i -> (p.qe[i] - v.vhat[i]) * (p.qe[i] - v.vhat[i])),
+                         (a, b) -> a + b), 4) AS adc_dist
+            FROM probes p JOIN vh v ON v.centroid_id = p.centroid_id
+            WHERE p.query_id != v.vec_id
+        ), adc_ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+            FROM scored
+        ), shortlist AS (
+            SELECT query_id, neighbor_id FROM adc_ranked WHERE adc_rank <= {PQ_RERANK_L}
+        ), rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round(list_reduce(list_transform(generate_series(1, {DIM}),
+                         i -> (qq.qe[i] - bb.e[i]) * (qq.qe[i] - bb.e[i])),
+                         (a, b) -> a + b), 4) AS l2_dist
+            FROM shortlist s
+            JOIN base bb ON bb.vec_id = s.neighbor_id
+            JOIN (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10) qq
+              ON qq.query_id = s.query_id
+        ), reranked AS (
+            SELECT query_id, neighbor_id, l2_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY l2_dist ASC, neighbor_id ASC)::INT AS nn_rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, nn_rank, l2_dist
+        FROM reranked WHERE nn_rank <= 3
+    """
+
+
 def _pq_oracle() -> str:
     """Generated subspace-by-subspace mirror of q_embedding_quantize_pq:
     per-codeword squared L2 via the sequential list_reduce fold (0-init-free
@@ -976,6 +1180,7 @@ ORACLES = {
     "embedding_quantize_pq": _pq_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_adc_rerank_topk": _pq_adc_rerank_oracle(),
+    "ann_ivfpq_topk": _ivfpq_oracle(),
     "embedding_quantize_int8": """
         WITH base AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS e,
