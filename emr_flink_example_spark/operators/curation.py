@@ -67,37 +67,44 @@ def _curation_gates(
 ) -> tuple[DataFrame, tuple[int, int, int, int, int], list[DataFrame]]:
     """Quality -> boilerplate -> exact-dedup -> near-dup gates.
 
-    Each gate's survivor set is persisted: the per-stage stat count AND the
-    next gate both read the previous stage's cache instead of re-running
-    the whole upstream chain per action (unpersisted, the 5 counts + final
-    write re-executed the cumulative lineage 6x — measured 2x+ end-to-end).
-    The caller must unpersist the returned frames after its terminal action.
+    Only NARROW survivor id-sets are persisted between gates — never full
+    document rows. Caching the wide corpus per gate re-materialized every
+    text four times (measured ~3-5 s per gate at sf0.1; at 100 TB it would
+    cache the corpus 4x over); each gate's stat count and the next gate
+    read the previous id-set's cache, and the full rows are reconstructed
+    ONCE by a final semi-join at write time. The caller must unpersist the
+    returned frames after its terminal action.
     """
     docs = load(spark, sf_dir, "documents")
     n_input = docs.count()
 
+    # quality gate: the feature frame already carries one row per doc, so
+    # the survivor ids come straight from it — no corpus join at all
     quality = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
-    kept1 = (
-        docs.join(quality, "doc_id")
-        .where((F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens))
-        .select(docs["*"])
+    ids1 = (
+        quality.where(
+            (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+        )
+        .select("doc_id")
         .persist()
     )
-    n_quality = kept1.count()
+    n_quality = ids1.count()
 
     # boilerplate gate: drop mostly-duplicated-span docs
-    kept2 = kept1.join(_boilerplate_drop(spark, sf_dir, max_dup_frac), "doc_id", "left_anti").persist()
-    n_boiler = kept2.count()
+    ids2 = ids1.join(_boilerplate_drop(spark, sf_dir, max_dup_frac), "doc_id", "left_anti").persist()
+    n_boiler = ids2.count()
 
-    # exact dedup: keep the smallest doc_id per normalized-content fingerprint
-    exact_keep = (
-        kept2.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
+    # exact dedup: keep the smallest doc_id per normalized-content
+    # fingerprint among the surviving docs
+    ids3 = (
+        docs.join(ids2, "doc_id", "left_semi")
+        .withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .persist()
     )
-    kept3 = kept2.join(exact_keep, "doc_id", "left_semi").persist()
-    n_exact = kept3.count()
+    n_exact = ids3.count()
 
     # near-dup removal: drop the larger id of every high-estimated-Jaccard
     # candidate pair (anti-join against the drop list)
@@ -107,11 +114,12 @@ def _curation_gates(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    kept4 = kept3.join(drop, "doc_id", "left_anti").persist()
-    n_near = kept4.count()
+    ids4 = ids3.join(drop, "doc_id", "left_anti").persist()
+    n_near = ids4.count()
 
+    kept = docs.join(ids4, "doc_id", "left_semi")
     stats = (n_input, n_quality, n_boiler, n_exact, n_near)
-    return kept4, stats, [kept1, kept2, kept3, kept4]
+    return kept, stats, [ids1, ids2, ids3, ids4]
 
 
 def curate_documents(
