@@ -98,14 +98,17 @@ def main() -> None:
     # so parquet footer/listing caches are warm for every headline query —
     # the measurements are steady-state query execution, not metadata
     # bootstrap (which is a fixed cost, negligible at real scale).
-    run(HEADLINE[0])
     from emr_flink_example_spark.io import load  # noqa: E402
 
-    for t in (
-        "lineitem", "orders", "customer", "supplier", "nation", "region",
-        "part", "events", "documents", "embeddings",
-    ):
-        load(spark, sf_dir, t).count()
+    try:
+        run(HEADLINE[0])
+        for t in (
+            "lineitem", "orders", "customer", "supplier", "nation", "region",
+            "part", "events", "documents", "embeddings",
+        ):
+            load(spark, sf_dir, t).count()
+    except Exception:
+        pass  # a broken warmup query is re-reported by its own timed run
 
     # Three runs per query, report the min: run 1 pays one-time plan/codegen
     # compilation (a fixed cost irrelevant at real scale); the min of the
@@ -115,26 +118,34 @@ def main() -> None:
     # WITHIN a query) are released between queries so the session's memory
     # footprint stays flat across the whole headline sweep.
     timings = {}
+    errors = {}
     for name in HEADLINE:
         # the composite curation pipeline is a multi-minute action chain
         # with its own internal caching — one run, not min-of-3
         runs = 1 if name == "curate_for_training" else 3
-        timings[name] = round(min(run(name) for _ in range(runs)), 3)
+        try:
+            timings[name] = round(min(run(name) for _ in range(runs)), 3)
+        except Exception as exc:  # one broken query must not sink the whole
+            # bench artifact (rounds 3-4 recorded NO timings because a single
+            # failure crashed the run before the JSON line was printed)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": 3,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": 3,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    # a partial artifact is still an artifact, but failures must be loud
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
