@@ -334,3 +334,40 @@ def test_disjunctive_predicate_pushes_to_both_scans(spark):
     assert any("l_quantity" in s and "DataFilters: [is" in s for s in scans)
     assert any("p_brand" in s and "DataFilters: [is" in s for s in scans)
     assert "CartesianProduct" not in plan
+
+
+def test_pq_rerank_broadcast_only_joins(spark):
+    """Rerank tier: the shortlist and query sides broadcast; the corpus is
+    never sort-merge-joined or cartesian-producted. The only nested-loop
+    joins are one-row broadcast codebook attachments."""
+    plan = _plan(spark, "ann_pq_adc_rerank_topk")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # shortlist->corpus, q->cand
+
+
+def test_ivfpq_routing_is_mapside(spark):
+    """IVF-PQ ladder: centroid assignment + PQ encode ride broadcasts (no
+    corpus shuffle before the probe join), probes/shortlist/query sides all
+    broadcast — no sort-merge join anywhere."""
+    plan = _plan(spark, "ann_ivfpq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # probes, shortlist, q
+
+
+def test_cluster_survivors_single_scan_per_side(spark):
+    """Survivor map: cluster sizes ride the component shuffle as a window
+    count (no second aggregation join); the docs side is scanned once."""
+    plan = _plan(spark, "dedup_cluster_survivors")
+    assert plan.count("Window") == 1  # the size count only
+    assert plan.count("Scan parquet") <= 2  # docs + (checkpointed CC is RDD)
+
+
+def test_source_quota_one_exchange(spark):
+    """Per-source quota: exactly one hash exchange (the source window);
+    WindowGroupLimit pushes the rank filter below the shuffle."""
+    plan = _plan(spark, "sample_source_quota")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
