@@ -52,12 +52,16 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
         # Legacy TIMESTAMP(NANOS) encoding: Spark rejects the footer schema
-        # outright. Re-read the nanos as raw int64 (schema-conversion-time
-        # conf, harmless for non-NANOS columns, so it may stay set).
+        # outright (AnalysisException at plan time — IO errors like a
+        # missing path re-raise their own kind below). Re-read the nanos as
+        # raw int64 (schema-conversion-time conf, harmless for non-NANOS
+        # columns, so it may stay set).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
 
