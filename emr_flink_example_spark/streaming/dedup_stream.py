@@ -42,25 +42,34 @@ from ..operators.dedup import (
 )
 
 
-class NearDupStreamFilter:
-    """foreachBatch sink: drop micro-batch docs that are near-dups of any
-    previously accepted doc, append survivors to `out_path` and their
-    band-bucket rows to `index_path`."""
+class _IndexedDedupStreamFilter:
+    """Shared machinery for parquet-index-backed streaming dedup sinks:
+    index lifecycle (first-batch detection, fail-on-corrupt, every-N-batches
+    compaction) and the idempotent per-batch overwrite protocol. Subclasses
+    define the feature rows written to the index (`_features`) and the
+    probe that turns features x index into drop ids (`_dup_ids`)."""
+
+    #: id column joined between batch rows, feature rows, and drop lists
+    ID_COL = "doc_id"
 
     def __init__(
         self,
         out_path: str,
         index_path: str,
-        est_threshold: float = CC_EST_JACCARD,
         compact_every: int = 16,
     ) -> None:
         self.out_path = out_path
         self.index_path = index_path
-        self.est_threshold = est_threshold
         #: every N batches, merge the accumulated one-dir-per-batch index
         #: partitions into one — unbounded small-file accretion otherwise
         #: (a 100 TB stream is millions of micro-batches). 0 disables.
         self.compact_every = compact_every
+
+    def _features(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _dup_ids(self, feats: DataFrame, index: DataFrame) -> DataFrame:
+        raise NotImplementedError
 
     def _existing_index(self, spark) -> DataFrame | None:
         """The accumulated band index, or None ONLY when none exists yet.
@@ -84,40 +93,19 @@ class NearDupStreamFilter:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        bands = _band_buckets(minhash_signatures_for(batch_df))
+        feats = self._features(batch_df)
         index = self._existing_index(spark)
         if index is not None:
             # a replayed batch must not probe its own first attempt's rows
-            index = index.where(F.col("batch_id") != batch_id)
-            # probe: same exact band-slice verify + est threshold as the
-            # batch operator — xxhash64 bucket collisions only add
-            # candidates, the verify removes them (hash-independent)
-            band_eq = F.expr(
-                f"slice(sig, band * {BAND_ROWS} + 1, {BAND_ROWS})"
-                f" = slice(old_sig, band * {BAND_ROWS} + 1, {BAND_ROWS})"
-            )
-            est = F.expr(
-                f"size(filter(zip_with(sig, old_sig, (p, q) -> p = q), z -> z))"
-            ) / N_PERMS
-            dups = (
-                bands.join(
-                    index.select(
-                        "band", "bucket", F.col("sig").alias("old_sig")
-                    ),
-                    ["band", "bucket"],
-                )
-                .where(band_eq & (est >= self.est_threshold))
-                .select("doc_id")
-                .distinct()
-            )
-            survivors = batch_df.join(dups, "doc_id", "left_anti")
-            surviving_bands = bands.join(dups, "doc_id", "left_anti")
+            dups = self._dup_ids(feats, index.where(F.col("batch_id") != batch_id))
+            survivors = batch_df.join(dups, self.ID_COL, "left_anti")
+            surviving_feats = feats.join(dups, self.ID_COL, "left_anti")
         else:
-            survivors, surviving_bands = batch_df, bands
+            survivors, surviving_feats = batch_df, feats
         survivors.write.mode("overwrite").parquet(
             os.path.join(self.out_path, f"batch_id={batch_id}")
         )
-        surviving_bands.write.mode("overwrite").parquet(
+        surviving_feats.write.mode("overwrite").parquet(
             os.path.join(self.index_path, f"batch_id={batch_id}")
         )
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
@@ -163,6 +151,106 @@ class NearDupStreamFilter:
             shutil.rmtree(p)
 
 
+class NearDupStreamFilter(_IndexedDedupStreamFilter):
+    """Text near-dup filter: drop micro-batch docs that are MinHash
+    near-dups of any previously accepted doc; the index holds band-bucket
+    rows (doc_id, band, bucket, sig)."""
+
+    ID_COL = "doc_id"
+
+    def __init__(
+        self,
+        out_path: str,
+        index_path: str,
+        est_threshold: float = CC_EST_JACCARD,
+        compact_every: int = 16,
+    ) -> None:
+        super().__init__(out_path, index_path, compact_every)
+        self.est_threshold = est_threshold
+
+    def _features(self, batch_df: DataFrame) -> DataFrame:
+        return _band_buckets(minhash_signatures_for(batch_df))
+
+    def _dup_ids(self, feats: DataFrame, index: DataFrame) -> DataFrame:
+        # probe: same exact band-slice verify + est threshold as the batch
+        # operator — xxhash64 bucket collisions only add candidates, the
+        # verify removes them (hash-independent)
+        band_eq = F.expr(
+            f"slice(sig, band * {BAND_ROWS} + 1, {BAND_ROWS})"
+            f" = slice(old_sig, band * {BAND_ROWS} + 1, {BAND_ROWS})"
+        )
+        est = F.expr(
+            "size(filter(zip_with(sig, old_sig, (p, q) -> p = q), z -> z))"
+        ) / N_PERMS
+        return (
+            feats.join(
+                index.select("band", "bucket", F.col("sig").alias("old_sig")),
+                ["band", "bucket"],
+            )
+            .where(band_eq & (est >= self.est_threshold))
+            .select("doc_id")
+            .distinct()
+        )
+
+
+class EmbeddingNearDupStreamFilter(_IndexedDedupStreamFilter):
+    """Embedding near-dup filter: drop micro-batch vectors whose cosine
+    against any previously accepted vector in the same LSH bucket meets the
+    threshold — the streaming twin of `dedup.q_dedup_embedding_cosine`,
+    with the batch operator's exact cosine fold so stream and batch agree.
+
+    The index holds (vec_id, bucket, e, nrm); candidate probing is a
+    bucket equi-join (at 100 TB the index is laid out partitioned by
+    `bucket`, making the probe partition pruning). All-zero vectors pass
+    through unfiltered and unindexed (cosine undefined — same exclusion as
+    the batch family)."""
+
+    ID_COL = "vec_id"
+
+    def __init__(
+        self,
+        out_path: str,
+        index_path: str,
+        cosine_threshold: float | None = None,
+        compact_every: int = 16,
+    ) -> None:
+        super().__init__(out_path, index_path, compact_every)
+        from ..operators.dedup import COSINE_DUP_THRESHOLD
+
+        self.cosine_threshold = (
+            COSINE_DUP_THRESHOLD if cosine_threshold is None else cosine_threshold
+        )
+
+    def _features(self, batch_df: DataFrame) -> DataFrame:
+        from ..operators.similarity import _norm, _with_bucket
+
+        return (
+            _with_bucket(
+                batch_df.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+            )
+            .withColumn("nrm", _norm("e"))
+            .where(F.expr("exists(e, x -> x <> 0.0d)"))
+            .select("vec_id", "bucket", "e", "nrm")
+        )
+
+    def _dup_ids(self, feats: DataFrame, index: DataFrame) -> DataFrame:
+        cos = F.expr(
+            "aggregate(zip_with(e, old_e, (p, q) -> p * q),"
+            " cast(0 as double), (acc, x) -> acc + x)"
+        ) / (F.col("nrm") * F.col("old_nrm"))
+        return (
+            feats.join(
+                index.select(
+                    "bucket", F.col("e").alias("old_e"), F.col("nrm").alias("old_nrm")
+                ),
+                "bucket",
+            )
+            .where(cos >= self.cosine_threshold)
+            .select("vec_id")
+            .distinct()
+        )
+
+
 def near_dup_filter_sink(
     docs: DataFrame,
     out_path: str,
@@ -175,6 +263,25 @@ def near_dup_filter_sink(
     sink = NearDupStreamFilter(out_path, index_path, est_threshold)
     return (
         docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def embedding_near_dup_filter_sink(
+    vectors: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    cosine_threshold: float | None = None,
+    trigger_seconds: int = 1,
+) -> StreamingQuery:
+    """Start the streaming embedding near-dup filter over a
+    (vec_id, embedding) stream."""
+    sink = EmbeddingNearDupStreamFilter(out_path, index_path, cosine_threshold)
+    return (
+        vectors.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()

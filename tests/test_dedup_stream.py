@@ -154,3 +154,52 @@ def test_index_compaction_bounds_files_and_preserves_probes(spark, tmp_path):
     )
     assert _parquet_dirs(idx) == ["batch_id=0", "batch_id=4", "batch_id=5"]
     assert spark.read.parquet(idx).where(F.col("doc_id") == 4).count() == 4
+
+
+def _vec(seed, dim=64, flip=0):
+    import random
+
+    rng = random.Random(seed)
+    v = [rng.uniform(-1, 1) for _ in range(dim)]
+    for i in range(flip):  # small perturbation: stays a near-dup by cosine
+        v[i] += 0.01
+    return v
+
+
+def test_embedding_stream_filter_drops_cross_batch_near_dups(spark, tmp_path):
+    from emr_flink_example_spark.streaming.dedup_stream import (
+        EmbeddingNearDupStreamFilter,
+    )
+
+    out, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    sink = EmbeddingNearDupStreamFilter(out, idx, cosine_threshold=0.95)
+    schema = "vec_id bigint, embedding array<double>"
+    sink(spark.createDataFrame([(1, _vec(1))], schema), 0)
+    # batch 1: near-dup of vec 1 (tiny perturbation), one orthogonal-ish
+    # vector, and one all-zero vector (must pass through, not crash)
+    sink(
+        spark.createDataFrame(
+            [(2, _vec(1, flip=3)), (3, _vec(99)), (4, [0.0] * 64)], schema
+        ),
+        1,
+    )
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 4}  # 2 dropped as near-dup of 1; zero-vec kept
+    index = spark.read.parquet(idx)
+    # zero vector is never indexed (cosine undefined)
+    assert {r.vec_id for r in index.collect()} == {1, 3}
+
+
+def test_embedding_stream_filter_replay_idempotent(spark, tmp_path):
+    from emr_flink_example_spark.streaming.dedup_stream import (
+        EmbeddingNearDupStreamFilter,
+    )
+
+    out, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    sink = EmbeddingNearDupStreamFilter(out, idx, cosine_threshold=0.95)
+    schema = "vec_id bigint, embedding array<double>"
+    batch = spark.createDataFrame([(1, _vec(5))], schema)
+    sink(batch, 0)
+    sink(batch, 0)  # checkpoint replay: must not self-pair or duplicate
+    assert spark.read.parquet(out).count() == 1
+    assert spark.read.parquet(idx).count() == 1
