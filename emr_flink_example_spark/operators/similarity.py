@@ -547,16 +547,17 @@ def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
 def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN top-3 over PQ-compressed vectors via asymmetric distance (ADC):
     queries stay full-precision, the corpus is only its packed 4-bit codes,
-    and each candidate's distance is computed against its RECONSTRUCTED
-    vector (per-subspace codeword lookup) — the search half of IVF-PQ,
-    where a 100 TB corpus scan touches 4 bytes/vector plus a
+    and each candidate's distance comes from the query's precomputed M x K
+    distance LOOKUP TABLE (the classic ADC formulation) — the search half
+    of IVF-PQ, where a 100 TB corpus scan touches 4 bytes/vector plus a
     kilobyte-scale broadcast codebook instead of raw embeddings.
 
-    Float discipline: both engines reconstruct v-hat and run ONE sequential
-    64-term squared-diff fold (not per-subspace partial sums — a different
-    addition grouping would not be bit-identical). Queries and codebook are
-    broadcast; the corpus side carries only (vec_id, pq_code); per-query
-    top-3 executes as WindowGroupLimit.
+    Float discipline: BOTH engines group the summation identically — an
+    8-term sequential fold per subspace into the LUT, then an 8-term fold
+    across subspaces per candidate — so adc_dist is bit-identical to the
+    oracle. Queries (as LUT rows) and codebook are broadcast; the corpus
+    side carries only (vec_id, pq_code); per-query top-3 executes as
+    WindowGroupLimit.
 
     Retrieval quality: recall@3 vs exact L2 measured 0.10-0.20 on these
     fixtures (tests/test_ann_recall.py) — the deterministic
@@ -572,47 +573,62 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-#: reconstruct v-hat from a packed `pq_code` + the broadcast codebook `cw`
-_VHAT_SQL = (
-    "flatten(transform(sequence(0, {M} - 1), m -> "
-    "slice(element_at(cw, cast((pq_code >> (4 * m)) & 15 as int) + 1).e, "
-    "m * {S} + 1, {S})))"
+#: per-query ADC distance lookup table: lut[m][k] = squared L2 between the
+#: query's m-th subvector and codeword k's m-th subvector. The classic ADC
+#: trick — the table is M x K = 128 doubles computed ONCE per query, and a
+#: candidate's distance is M table lookups, not a DIM-term fold. Requires
+#: `qe` and `cw` in scope.
+_ADC_LUT_SQL = (
+    """
+    transform(sequence(0, {M} - 1), m ->
+      transform(cw, c ->
+        aggregate(sequence(0, {S} - 1), cast(0 as double),
+          (acc, i) -> acc
+            + (element_at(qe, m * {S} + i + 1) - element_at(c.e, m * {S} + i + 1))
+            * (element_at(qe, m * {S} + i + 1) - element_at(c.e, m * {S} + i + 1)))))
+    """
 ).format(M=PQ_M, S=PQ_SUB_DIM)
 
-#: single sequential 64-term squared-diff fold (ADC distance qe vs vhat)
-_ADC_FOLD_SQL = (
-    "aggregate(zip_with(qe, vhat, (x, y) -> (x - y) * (x - y)),"
-    " cast(0 as double), (acc, d) -> acc + d)"
-)
+#: candidate distance = sum of the M per-subspace LUT entries its packed
+#: code selects (requires `lut` and `pq_code` in scope)
+_ADC_LUT_DIST_SQL = (
+    "aggregate(sequence(0, {M} - 1), cast(0 as double),"
+    " (acc, m) -> acc + element_at(element_at(lut, m + 1),"
+    " cast((pq_code >> (4 * m)) & 15 as int) + 1))"
+).format(M=PQ_M)
 
 
 def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
     """(query_id, neighbor_id, adc_dist) for every query x corpus pair —
-    the shared ADC scoring stage of `ann_pq_adc_topk` and the rerank tier."""
+    the shared ADC scoring stage of `ann_pq_adc_topk` and the rerank tier.
+
+    LUT form: each query precomputes its M x K distance table against the
+    broadcast codebook (one row per query), so the per-candidate work is M
+    integer-indexed lookups — no v-hat reconstruction, no DIM-term fold per
+    pair. Summation is grouped per subspace then across subspaces on BOTH
+    engines, keeping adc_dist bit-identical to the oracle."""
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     codes = q_embedding_quantize_pq(spark, sf).select("vec_id", "pq_code")
     cb = _pq_codebook(emb)
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    q_lut = (
+        emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .crossJoin(F.broadcast(cb))
+        .select("query_id", F.expr(_ADC_LUT_SQL).alias("lut"))
     )
-    # Reconstruction is query-independent, so v-hat materializes ONCE per
-    # corpus row behind a repartition barrier — without it Catalyst collapses
-    # the encode+reconstruct projection into the pair join and re-runs the
-    # whole argmin chain per (query, candidate) pair (measured ~8x at sf0.1).
-    recon = (
-        codes.crossJoin(F.broadcast(cb))
-        .select("vec_id", F.expr(_VHAT_SQL).alias("vhat"))
-        .repartition("vec_id")
-    )
+    # barrier: materialize each corpus row's code ONCE — without it Catalyst
+    # collapses the encode projection into the pair join and re-runs the
+    # whole argmin chain per (query, candidate) pair (measured ~8x at sf0.1)
+    codes = codes.repartition("vec_id")
     return (
-        recon.crossJoin(F.broadcast(q))
+        codes.crossJoin(F.broadcast(q_lut))
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.expr(_ADC_FOLD_SQL), 4).alias("adc_dist"),
+            F.round(F.expr(_ADC_LUT_DIST_SQL), 4).alias("adc_dist"),
         )
     )
 
@@ -685,14 +701,15 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape, stage by stage: centroid assignment AND PQ encoding happen
     in ONE zero-shuffle map pass (both the centroid array and the codebook
-    are one-row broadcasts); v-hat reconstruction materializes once per
-    corpus row behind the same repartition barrier as `_adc_scored`; the
-    probe join touches only `n/NC * N_PROBE` candidate rows per query
-    (partition pruning on a real lake laid out by centroid_id); stage 3
-    touches `n_queries x PQ_RERANK_L` full-precision rows via a broadcast
-    shortlist semi-join. Routing uses cosine (the IVF convention here),
-    candidate scoring and rerank use L2 — each stage mirrored exactly in
-    the DuckDB oracle."""
+    are one-row broadcasts), materialized behind the same repartition
+    barrier as `_adc_scored`; each (query, probed-list) row carries the
+    query's M x K distance LUT, so the probe join touches only
+    `n/NC * N_PROBE` candidate rows per query at M lookups each (partition
+    pruning on a real lake laid out by centroid_id); stage 3 touches
+    `n_queries x PQ_RERANK_L` full-precision rows via a broadcast shortlist
+    semi-join. Routing uses cosine (the IVF convention here), candidate
+    scoring and rerank use L2 — each stage mirrored exactly in the DuckDB
+    oracle."""
     emb = (
         load(spark, sf, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
@@ -721,14 +738,12 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         ).centroid_id
         """
     )
-    # one map pass: centroid id + packed code per corpus row, then v-hat
-    # below the barrier (same collapse-guard as _adc_scored)
+    # one map pass: centroid id + packed code per corpus row, materialized
+    # behind the barrier (same collapse-guard as _adc_scored)
     corpus = (
         emb.crossJoin(F.broadcast(cent_arr))
         .crossJoin(F.broadcast(cb))
         .select("vec_id", assign.alias("centroid_id"), _packed_code_col().alias("pq_code"))
-        .crossJoin(F.broadcast(cb))
-        .select("vec_id", "centroid_id", F.expr(_VHAT_SQL).alias("vhat"))
         .repartition("vec_id")
     )
     cos_c = _dot("e", "cv") / (F.col("nrm") * F.col("cvn"))
@@ -745,14 +760,19 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
             "centroid_id",
         )
     )
+    # per-(query, probed-list) rows carry the query's M x K distance LUT;
+    # each candidate costs M lookups (see _adc_scored)
+    probes_lut = probes.crossJoin(F.broadcast(cb)).select(
+        "query_id", "centroid_id", F.expr(_ADC_LUT_SQL).alias("lut")
+    )
     scored = (
-        F.broadcast(probes)
+        F.broadcast(probes_lut)
         .join(corpus, "centroid_id")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.expr(_ADC_FOLD_SQL), 4).alias("adc_dist"),
+            F.round(F.expr(_ADC_LUT_DIST_SQL), 4).alias("adc_dist"),
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -979,14 +999,6 @@ QUERIES = {
 }
 
 
-#: v-hat reconstruction in DuckDB list syntax (needs `pq_code` and `cw`)
-_VHAT_DUCK = (
-    f"flatten(list_transform(generate_series(0, {PQ_M} - 1),"
-    f" m -> cw[((pq_code >> (4 * m)) & 15) + 1]"
-    f"[m * {PQ_SUB_DIM} + 1 : m * {PQ_SUB_DIM} + {PQ_SUB_DIM}]))"
-)
-
-
 def _pq_codes_ctes() -> str:
     """CTE fragment (no leading WITH) through `codes`: the corpus encoded
     to packed PQ codes, exactly mirroring the Spark subspace argmin."""
@@ -1017,24 +1029,39 @@ def _pq_codes_ctes() -> str:
     """
 
 
+#: LUT construction in DuckDB list syntax (needs `qe` and `cw`); the same
+#: per-subspace-then-across-subspaces summation grouping as the Spark side
+_ADC_LUT_DUCK = (
+    f"list_transform(generate_series(0, {PQ_M} - 1), m -> "
+    f"list_transform(cw, c -> "
+    f"list_reduce(list_transform(generate_series(1, {PQ_SUB_DIM}), "
+    f"i -> (qe[m * {PQ_SUB_DIM} + i] - c[m * {PQ_SUB_DIM} + i])"
+    f" * (qe[m * {PQ_SUB_DIM} + i] - c[m * {PQ_SUB_DIM} + i])), "
+    f"(a, b) -> a + b)))"
+)
+
+_ADC_LUT_DIST_DUCK = (
+    f"list_reduce(list_transform(generate_series(0, {PQ_M} - 1), "
+    f"m -> lut[m + 1][((pq_code >> (4 * m)) & 15) + 1]), (a, b) -> a + b)"
+)
+
+
 def _pq_adc_scored_ctes() -> str:
     """Shared CTE prefix (through `scored`) for the ADC oracles: encode the
-    corpus to PQ codes, reconstruct v-hat, and compute every query x corpus
-    ADC distance with the identical single 64-term sequential fold."""
+    corpus to PQ codes, build each query's M x K distance LUT, and score
+    every query x corpus pair by LUT lookup — the identical summation
+    grouping as the Spark side (per subspace, then across subspaces)."""
     return f"""
         WITH {_pq_codes_ctes()}
         , q AS (
             SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10
-        ), vh AS (
-            SELECT query_id, c.vec_id AS neighbor_id, qe, {_VHAT_DUCK} AS vhat
-            FROM codes c CROSS JOIN q CROSS JOIN cb
-            WHERE query_id != c.vec_id
+        ), lut_t AS (
+            SELECT query_id, {_ADC_LUT_DUCK} AS lut FROM q CROSS JOIN cb
         ), scored AS (
-            SELECT query_id, neighbor_id,
-                   round(list_reduce(list_transform(generate_series(1, {DIM}),
-                         i -> (qe[i] - vhat[i]) * (qe[i] - vhat[i])),
-                         (a, b) -> a + b), 4) AS adc_dist
-            FROM vh
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   round({_ADC_LUT_DIST_DUCK}, 4) AS adc_dist
+            FROM codes c CROSS JOIN lut_t
+            WHERE query_id != c.vec_id
         )
     """
 
@@ -1101,17 +1128,16 @@ def _ivfpq_oracle() -> str:
         ), probes AS (
             SELECT vec_id AS query_id, v AS qe, centroid_id
             FROM ranked_c WHERE vec_id < 10 AND c_rank <= {N_PROBE}
-        ), vh AS (
-            SELECT c.vec_id, a.centroid_id, {_VHAT_DUCK} AS vhat
-            FROM codes c
-            JOIN assigned a ON a.vec_id = c.vec_id
-            CROSS JOIN cb
+        ), probes_lut AS (
+            SELECT query_id, centroid_id, {_ADC_LUT_DUCK} AS lut
+            FROM probes CROSS JOIN cb
+        ), cand AS (
+            SELECT c.vec_id, a.centroid_id, c.pq_code
+            FROM codes c JOIN assigned a ON a.vec_id = c.vec_id
         ), scored AS (
             SELECT p.query_id, v.vec_id AS neighbor_id,
-                   round(list_reduce(list_transform(generate_series(1, {DIM}),
-                         i -> (p.qe[i] - v.vhat[i]) * (p.qe[i] - v.vhat[i])),
-                         (a, b) -> a + b), 4) AS adc_dist
-            FROM probes p JOIN vh v ON v.centroid_id = p.centroid_id
+                   round({_ADC_LUT_DIST_DUCK}, 4) AS adc_dist
+            FROM probes_lut p JOIN cand v ON v.centroid_id = p.centroid_id
             WHERE p.query_id != v.vec_id
         ), adc_ranked AS (
             SELECT query_id, neighbor_id,
