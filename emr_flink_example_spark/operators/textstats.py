@@ -573,6 +573,98 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: count-min sketch geometry: D independent hash rows x W buckets. Small on
+#: purpose (the fixture vocab is small, so collisions — and therefore a
+#: nonzero overestimate — actually occur and the error column is exercised).
+CMS_D = 4
+CMS_W = 16
+CMS_TOP = 10
+
+
+def q_sketch_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter tokens with their count-min sketch estimates: the
+    deterministic, MERGEABLE frequency sketch (cells are plain sums, so
+    partial aggregation merges them map-side — the property that lets a
+    100 TB corpus maintain one tiny D x W table instead of a full token
+    groupBy). Like the KMV sketch, fixed portable hashes make the whole
+    sketch bit-reproducible in DuckDB — estimate and overestimate are
+    value-checked, not just eyeballed.
+
+    Output: the CMS_TOP exact-top tokens with exact count, CMS estimate
+    (min over the D row cells each token hashes to), and the overestimate
+    (always >= 0 — count-min never undercounts). The D x W cell table is
+    one broadcastable row; per-token lookup is a map probe."""
+    from ..functions.hashing import portable_hash
+
+    docs = load(spark, sf, "documents")
+    tok = docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+    cell_keys = [
+        (F.lit(d * CMS_W) + portable_hash(F.concat(F.lit(f"cms{d}:"), F.col("token"))) % CMS_W)
+        for d in range(CMS_D)
+    ]
+    cells = (
+        tok.select(F.explode(F.array(*cell_keys)).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("cell", "cnt"))).alias("cm"))
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(CMS_TOP)
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                "cm",
+                (F.lit(d * CMS_W) + portable_hash(F.concat(F.lit(f"cms{d}:"), F.col("token"))) % CMS_W),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    return (
+        exact.crossJoin(F.broadcast(cells))
+        .select(
+            "token",
+            "exact_cnt",
+            est.alias("cms_est"),
+            (est - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def _cms_oracle() -> str:
+    """Count-min mirror: identical cell keys (portable hash per row, modulo
+    W, offset by row), identical min-over-rows estimate."""
+    from ..functions.hashing import portable_hash_sql_duckdb
+
+    def cell(d: int, token_expr: str) -> str:
+        h = portable_hash_sql_duckdb(f"('cms{d}:' || {token_expr})")
+        return f"({d * CMS_W} + ({h} % {CMS_W}))"
+
+    keys = ", ".join(cell(d, "token") for d in range(CMS_D))
+    lookups = ", ".join(
+        f"(SELECT cnt FROM cells WHERE cell = {cell(d, 'e.token')})" for d in range(CMS_D)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT unnest({TOKENS_DUCK}) AS token FROM documents
+        ), keyed AS (
+            SELECT unnest([{keys}]) AS cell FROM tok
+        ), cells AS (
+            SELECT cell, count(*) AS cnt FROM keyed GROUP BY cell
+        ), exact AS (
+            SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token
+            ORDER BY exact_cnt DESC, token ASC LIMIT {CMS_TOP}
+        )
+        SELECT e.token, e.exact_cnt,
+               least({lookups}) AS cms_est,
+               least({lookups}) - e.exact_cnt AS overestimate
+        FROM exact e
+    """
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -590,6 +682,9 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "token_counts_bpe_ish": q_token_counts_bpe_ish,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    # appended last (new r5 surface) so the existing driver-checked prefix
+    # composition shifts as little as possible
+    "sketch_countmin_heavy_hitters": q_sketch_countmin_heavy_hitters,
 }
 
 _REPETITION_ORACLE = f"""
@@ -736,6 +831,7 @@ _KMV_ORACLE = f"""
 
 ORACLES = {
     "sketch_kmv_distinct": _KMV_ORACLE,
+    "sketch_countmin_heavy_hitters": _cms_oracle(),
     "doc_fingerprint_rolling": f"""
         SELECT doc_id, n_chars,
                list_reduce(
