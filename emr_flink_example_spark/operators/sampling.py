@@ -133,6 +133,39 @@ def q_sample_source_quota(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: expected sample size of the weighted Bernoulli sample
+WEIGHTED_K = 200
+
+
+def q_sample_weighted_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic size-weighted sample: each doc kept with probability
+    proportional to its n_chars (expected total WEIGHTED_K docs), decided by
+    a salted-hash bucket — the char-budget-proportional sampling used when
+    a fixed TOKEN budget (not doc count) must be filled representatively.
+
+    No RNG and no transcendentals: keep iff hash-ppm < floor(w * K*1e6 /
+    total_w) — two IEEE double ops and a floor, identically evaluated in
+    both engines, so the sample is bit-reproducible (the ES exponential-
+    key scheme would rank by u^(1/w), whose pow() is not cross-engine
+    exact). The total weight is ONE broadcast scalar; the decision is pure
+    map-side."""
+    docs = load(spark, sf, "documents")
+    tot = docs.agg(F.sum("n_chars").cast("double").alias("total_chars"))
+    h_ppm = portable_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))
+    ) % 1_000_000
+    rate = F.least(
+        F.lit(1_000_000).cast("double"),
+        F.floor(F.col("n_chars").cast("double") * float(WEIGHTED_K * 1_000_000) / F.col("total_chars")),
+    )
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .withColumn("keep_rate_ppm", rate.cast("bigint"))
+        .where(h_ppm < F.col("keep_rate_ppm"))
+        .select("doc_id", "lang", "n_chars", "keep_rate_ppm")
+    )
+
+
 def q_outlier_filter_quantile(spark: SparkSession, sf: str) -> DataFrame:
     """Keep documents whose n_chars lies within the per-language [p05, p95]
     exact-percentile fence — the standard length-outlier gate before
@@ -328,6 +361,7 @@ QUERIES = {
     # appended last (new r5 surface) so the existing driver-checked prefix
     # composition shifts as little as possible
     "sample_source_quota": q_sample_source_quota,
+    "sample_weighted_bernoulli": q_sample_weighted_bernoulli,
 }
 
 ORACLES = {
@@ -434,5 +468,17 @@ ORACLES = {
         )
         SELECT doc_id, source, quota_rank FROM ranked
         WHERE quota_rank <= {SOURCE_QUOTA}
+    """,
+    "sample_weighted_bernoulli": f"""
+        WITH tot AS (
+            SELECT sum(n_chars)::DOUBLE AS total_chars FROM documents
+        )
+        SELECT doc_id, lang, n_chars,
+               least(1000000.0, floor(n_chars::DOUBLE * {float(WEIGHTED_K * 1_000_000)!r}
+                                      / total_chars))::BIGINT AS keep_rate_ppm
+        FROM documents CROSS JOIN tot
+        WHERE ({_SAMPLE_HASH} % 1000000)
+              < least(1000000.0, floor(n_chars::DOUBLE * {float(WEIGHTED_K * 1_000_000)!r}
+                                       / total_chars))::BIGINT
     """,
 }
