@@ -61,9 +61,11 @@ def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
             "n_viewed",
             "n_clicked",
             "n_purchased",
-            F.round(F.col("n_clicked") / F.col("n_viewed"), 6).alias("view_to_click"),
-            F.round(F.col("n_purchased") / F.col("n_clicked"), 6).alias("click_to_purchase"),
-            F.round(F.col("n_purchased") / F.col("n_viewed"), 6).alias("overall"),
+            # try_divide: an empty funnel stage (0 denominator — routine on a
+            # pruned/fresh partition) yields NULL rates, not a query crash
+            F.round(F.try_divide("n_clicked", "n_viewed"), 6).alias("view_to_click"),
+            F.round(F.try_divide("n_purchased", "n_clicked"), 6).alias("click_to_purchase"),
+            F.round(F.try_divide("n_purchased", "n_viewed"), 6).alias("overall"),
         )
     )
 

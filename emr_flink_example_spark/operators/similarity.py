@@ -933,6 +933,8 @@ def kmeans_fit(
         list(r.e)
         for r in base.orderBy("vec_id").limit(k).select("e").collect()
     ]
+    if not cents:  # empty corpus (pruned partition / fresh lake): no model
+        return []
     dim = len(cents[0])
     for _ in range(iters):
         assign = _kmeans_assign_expr(cents, dim)
@@ -960,6 +962,10 @@ def q_embedding_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     independent numpy Lloyd implementation."""
     emb = load(spark, sf, "embeddings")
     cents = kmeans_fit(emb)
+    if not cents:  # empty corpus: empty result with the contract schema
+        return spark.createDataFrame(
+            [], "centroid_id int, dim int, centroid_v double, n_members bigint"
+        )
     dim = len(cents[0])
     assign = _kmeans_assign_expr(cents, dim)
     counts = (
