@@ -81,7 +81,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     _ensure_utc(spark)
     if table == "events":
         return _load_events(spark, f"{sf_dir}/{table}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "documents":
+        # Ingestion contract: text is never NULL downstream. On a real lake
+        # null text rows are routine, and Spark's size(NULL) = -1 would
+        # silently poison every ratio feature; one coalesce at the single
+        # load point beats 40 per-operator guards. No-op on the fixtures
+        # (no nulls), so oracle parity is unaffected.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("text", F.coalesce("text", F.lit("")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -52,18 +52,23 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     n_uniq = F.size(F.array_distinct("tokens"))
     sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
     n_stop = F.expr(f"size(filter(tokens, x -> x IN ({_SW})))")
-    stop_ratio = F.round(n_stop / n_tokens, 4)
-    ttr = F.round(n_uniq / n_tokens, 4)
+    # try_divide: a 0-token document (empty/whitespace text — routine on a
+    # dirty lake) gets NULL ratios instead of crashing the job under ANSI
+    stop_ratio = F.round(F.try_divide(n_stop, n_tokens), 4)
+    ttr = F.round(F.try_divide(n_uniq, n_tokens), 4)
     return docs.select(
         "doc_id",
         "lang",
         n_tokens.alias("n_tokens"),
         n_uniq.alias("n_uniq_tokens"),
-        F.round(sum_len / n_tokens, 4).alias("avg_token_len"),
+        F.round(F.try_divide(sum_len, n_tokens), 4).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("type_token_ratio"),
         F.round(
-            F.log(1.0 + n_tokens) * (1 - n_stop / n_tokens) * (n_uniq / n_tokens), 4
+            F.log(1.0 + n_tokens)
+            * (1 - F.try_divide(n_stop, n_tokens))
+            * F.try_divide(n_uniq, n_tokens),
+            4,
         ).alias("quality_score"),
     )
 
@@ -155,7 +160,8 @@ def q_sentiment_score(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").withColumn("tokens", F.expr(TOKENS))
     n_pos = F.expr(f"size(filter(tokens, x -> x IN ({pos})))")
     n_neg = F.expr(f"size(filter(tokens, x -> x IN ({neg})))")
-    polarity = F.round((n_pos - n_neg) / F.size("tokens"), 4)
+    # try_divide: 0-token documents get NULL polarity, not an ANSI crash
+    polarity = F.round(F.try_divide(n_pos - n_neg, F.size("tokens")), 4)
     return docs.select(
         "doc_id",
         "lang",

@@ -36,3 +36,38 @@ def test_all_queries_survive_empty_corpus(spark, empty_sf_dir):
         except Exception as exc:  # collect everything, report once
             failures[name] = f"{type(exc).__name__}: {exc}"[:160]
     assert not failures, f"{len(failures)} queries crash on empty input: {failures}"
+
+
+@pytest.fixture(scope="module")
+def nully_sf_dir(tmp_path_factory):
+    """sf0.001 clone with every 5th document's text NULL'd — the routine
+    dirty-lake input the ingestion contract (io.load coalesces text to '')
+    must absorb."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLES:
+        src = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            import pandas as pd
+
+            pdf = src.to_pandas()
+            pdf.loc[pdf.index % 5 == 0, "text"] = None
+            src = pa.Table.from_pandas(pdf, preserve_index=False, schema=src.schema)
+        pq.write_table(src, d / f"{t}.parquet")
+    return str(d)
+
+
+def test_all_queries_survive_null_text(spark, nully_sf_dir):
+    """The whole catalog runs on null-bearing text (empty docs included),
+    and the size(NULL) = -1 sentinel never surfaces as a token count."""
+    qs = catalog.all_queries()
+    failures = {}
+    for name, fn in qs.items():
+        try:
+            fn(spark, nully_sf_dir).collect()
+        except Exception as exc:
+            failures[name] = f"{type(exc).__name__}: {exc}"[:160]
+    assert not failures, f"{len(failures)} queries crash on null text: {failures}"
+    rows = qs["text_quality"](spark, nully_sf_dir).collect()
+    assert all(r.n_tokens >= 0 for r in rows)
