@@ -91,6 +91,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("text", F.coalesce("text", F.lit("")))
+    if table == "embeddings":
+        # Ingestion contract: a NULL vector has no meaningful coalesce (the
+        # dim is gone) — such rows are excluded at the load point, the same
+        # way the cosine family excludes all-zero vectors. No-op on the
+        # fixtures, so oracle parity is unaffected.
+        from pyspark.sql import functions as F
+
+        df = df.where(F.col("embedding").isNotNull())
     return df
 
 

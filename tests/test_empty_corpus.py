@@ -71,3 +71,38 @@ def test_all_queries_survive_null_text(spark, nully_sf_dir):
     assert not failures, f"{len(failures)} queries crash on null text: {failures}"
     rows = qs["text_quality"](spark, nully_sf_dir).collect()
     assert all(r.n_tokens >= 0 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def null_embedding_dir(tmp_path_factory):
+    """sf0.001 clone with every 7th embedding NULL'd — excluded by the
+    io.load ingestion contract (a NULL vector has no meaningful coalesce)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_null_emb")
+    for t in TABLES:
+        src = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "embeddings":
+            pdf = src.to_pandas()
+            pdf.loc[pdf.index % 7 == 0, "embedding"] = None
+            src = pa.Table.from_pandas(pdf, preserve_index=False, schema=src.schema)
+        pq.write_table(src, d / f"{t}.parquet")
+    return str(d)
+
+
+def test_embedding_queries_survive_null_vectors(spark, null_embedding_dir):
+    emb_queries = [
+        n
+        for n in catalog.all_queries()
+        if n.startswith(("ann_", "knn_", "embedding_")) or "cosine" in n
+    ]
+    assert len(emb_queries) >= 15
+    qs = catalog.all_queries()
+    failures = {}
+    for name in emb_queries:
+        try:
+            qs[name](spark, null_embedding_dir).collect()
+        except Exception as exc:
+            failures[name] = f"{type(exc).__name__}: {exc}"[:160]
+    assert not failures, failures
