@@ -122,12 +122,37 @@ def _curation_gates(
     return kept, stats, [ids1, ids2, ids3, ids4]
 
 
+#: gate thresholds shared by the pipelines and the oracle-checked stats query
+MIN_QUALITY = 0.5
+MIN_TOKENS = 10
+
+
+def q_curation_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's gate counts as ONE oracle-checked row —
+    end-to-end verification of the composed quality -> boilerplate ->
+    exact-dedup -> near-dup filter chain (the write-bearing pipelines
+    `curate_documents` / `curate_for_training` share the exact same gates
+    via `_curation_gates`, so a green row here value-checks their whole
+    filtering semantics against DuckDB, not just each stage in isolation)."""
+    kept, stats, caches = _curation_gates(
+        spark, sf_dir, MIN_QUALITY, MIN_TOKENS, MAX_DUP_FRAC
+    )
+    for c in caches:  # counts are eager; nothing downstream reads the caches
+        c.unpersist()
+    n_input, n_quality, n_boiler, n_exact, n_near = stats
+    return spark.createDataFrame(
+        [(n_input, n_quality, n_boiler, n_exact, n_near)],
+        "n_input bigint, n_after_quality bigint, n_after_boilerplate bigint,"
+        " n_after_exact_dedup bigint, n_after_near_dedup bigint",
+    )
+
+
 def curate_documents(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
-    min_quality: float = 0.5,
-    min_tokens: int = 10,
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
     max_dup_frac: float = MAX_DUP_FRAC,
 ) -> CurationStats:
     kept, stats, caches = _curation_gates(
@@ -152,8 +177,8 @@ def curate_for_training(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
-    min_quality: float = 0.5,
-    min_tokens: int = 10,
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
     max_dup_frac: float = MAX_DUP_FRAC,
 ) -> TrainingCurationStats:
     """The full corpus-to-training-shards pipeline: the curation stages of
@@ -246,3 +271,97 @@ def curate_for_training(
     return TrainingCurationStats(
         n_input, n_quality, n_boiler, n_exact, n_near, n_rebalance, n_chunks, n_shards
     )
+
+
+def _gate_stats_oracle() -> str:
+    """DuckDB mirror of the full gate chain, composed from the component
+    oracles off ONE shared `tok` CTE: quality features (textstats), span
+    duplication (dedup_repeated_spans), MinHash-LSH near-dup candidates
+    (_minhash_cand_ctes pieces), and the id-set algebra of _curation_gates."""
+    from .dedup import (
+        _EST_JACCARD_DUCK,
+        _SIG_DUCK,
+        SPAN_TOKENS,
+        _bands_cte_duck,
+        _perm_values_duck,
+    )
+    from .textstats import _SW
+
+    sig = _SIG_DUCK.format(perms=_perm_values_duck())
+    return f"""
+        {sig},
+        bands AS ({_bands_cte_duck()}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.sig AS sig_a, y.sig AS sig_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ),
+        near_drop AS (
+            SELECT DISTINCT doc_b AS doc_id FROM cand
+            WHERE {_EST_JACCARD_DUCK} >= {NEAR_DUP_EST_JACCARD}
+        ),
+        q AS (
+            SELECT doc_id, len(tokens) AS n_tokens,
+                   round(ln(1.0 + len(tokens))
+                         * (1 - len(list_filter(tokens, x -> x IN ({_SW})))::DOUBLE / len(tokens))
+                         * (len(list_distinct(tokens))::DOUBLE / len(tokens)), 4)
+                       AS quality_score
+            FROM tok
+        ),
+        ids1 AS (
+            SELECT doc_id FROM q
+            WHERE quality_score >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}
+        ),
+        span_base AS (
+            SELECT doc_id, tokens, (len(tokens) - {SPAN_TOKENS} + 1)::INT AS n_spans
+            FROM tok WHERE len(tokens) >= {SPAN_TOKENS}
+        ),
+        span_starts AS (
+            SELECT doc_id, n_spans, tokens,
+                   unnest(generate_series(1, len(tokens) - {SPAN_TOKENS} + 1)) AS start
+            FROM span_base
+        ),
+        spans AS (
+            SELECT doc_id, n_spans,
+                   md5(array_to_string(tokens[start : start + {SPAN_TOKENS} - 1], ' ')) AS h
+            FROM span_starts
+        ),
+        span_dup AS (
+            SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ),
+        boiler_drop AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, count(*)::DOUBLE / n_spans AS dup_frac
+                FROM spans WHERE h IN (SELECT h FROM span_dup)
+                GROUP BY doc_id, n_spans
+            ) WHERE round(dup_frac, 6) > {MAX_DUP_FRAC}
+        ),
+        ids2 AS (
+            SELECT doc_id FROM ids1
+            WHERE doc_id NOT IN (SELECT doc_id FROM boiler_drop)
+        ),
+        ids3 AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM ids2)
+            GROUP BY md5(lower(trim(text)))
+        ),
+        ids4 AS (
+            SELECT doc_id FROM ids3
+            WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+        )
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+               (SELECT count(*) FROM ids1)::BIGINT AS n_after_quality,
+               (SELECT count(*) FROM ids2)::BIGINT AS n_after_boilerplate,
+               (SELECT count(*) FROM ids3)::BIGINT AS n_after_exact_dedup,
+               (SELECT count(*) FROM ids4)::BIGINT AS n_after_near_dedup
+    """
+
+
+QUERIES = {
+    "curation_gate_stats": q_curation_gate_stats,
+}
+
+ORACLES = {
+    "curation_gate_stats": _gate_stats_oracle(),
+}

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
     analytics,
+    curation,
     dedup,
     event_time,
     multimodal,
@@ -46,6 +47,9 @@ _MODULES = (
     udfs,
     event_time,
     relational,
+    # appended last (r5): the composed curation gate-stats query — new
+    # surface goes at the tail so the driver-checked prefix is undisturbed
+    curation,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
