@@ -157,11 +157,65 @@ def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return docs.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+#: audio framing: window length / hop in samples (one byte = one fake sample)
+AUDIO_WIN = 64
+AUDIO_HOP = 32
+
+AUDIO_SCHEMA = "doc_id bigint, win_idx int, n_samples int, energy bigint"
+
+
+def audio_windows_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake audio featurizer: the payload's bytes act as the
+    waveform (one byte = one sample, centered at 128); overlapping
+    AUDIO_WIN-sample windows at AUDIO_HOP, each reduced to an INTEGER
+    energy (sum of squared centered samples) — integer so the value is
+    order-independent and engine-exact."""
+    out: dict[str, list] = {"doc_id": [], "win_idx": [], "n_samples": [], "energy": []}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        samples = [b - 128 for b in payload]
+        n = len(samples)
+        idx = 0
+        start = 0
+        while start < n:
+            win = samples[start : start + AUDIO_WIN]
+            out["doc_id"].append(doc_id)
+            out["win_idx"].append(idx)
+            out["n_samples"].append(len(win))
+            out["energy"].append(sum(s * s for s in win))
+            idx += 1
+            start += AUDIO_HOP
+    return pd.DataFrame(out)
+
+
+def q_multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio featurization plumbing: binary waveform -> overlapping frame
+    windows with per-window energy, completing the image (decode/resize) /
+    video (frame sample) / AUDIO trio.
+
+    Same scale shape as the other mapInPandas kernels: the 1->N window
+    expansion happens inside the Python worker per Arrow batch (no
+    driver-side arrays, no explode of a Python-materialized column); real
+    deployments swap the byte-waveform stand-in for an actual audio decode
+    behind the identical schema and batching."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield audio_windows_batch(pdf)
+
+    return docs.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 QUERIES = {
     "multimodal_binary_meta": q_multimodal_binary_meta,
     "multimodal_decode_mapinpandas": q_multimodal_decode_mapinpandas,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    # appended last (new r5 surface) so the existing driver-checked prefix
+    # composition shifts as little as possible
+    "multimodal_audio_windows": q_multimodal_audio_windows,
 }
 
 ORACLES = {
@@ -192,6 +246,26 @@ ORACLES = {
                least(height, {MAX_H})::INT AS new_h,
                (least(width, {MAX_W})::BIGINT * least(height, {MAX_H}) // 16) AS resized_len
         FROM meta
+    """,
+    "multimodal_audio_windows": f"""
+        WITH wave AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ), wins AS (
+            SELECT doc_id, hx, n,
+                   unnest(generate_series(0, greatest(n - 1, 0), {AUDIO_HOP})) AS start
+            FROM wave
+        )
+        SELECT doc_id,
+               (start // {AUDIO_HOP})::INT AS win_idx,
+               least({AUDIO_WIN}, n - start)::INT AS n_samples,
+               list_sum(list_transform(
+                   generate_series(start + 1, least(start + {AUDIO_WIN}, n)),
+                   i -> (('0x' || substr(hx, 2 * i - 1, 2))::BIGINT - 128)
+                        * (('0x' || substr(hx, 2 * i - 1, 2))::BIGINT - 128)))::BIGINT
+                   AS energy
+        FROM wins
     """,
     "multimodal_frame_sample": f"""
         WITH v AS (
