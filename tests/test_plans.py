@@ -20,6 +20,7 @@ ARROW_QUERIES = {
     "multimodal_decode_mapinpandas",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_audio_windows",
     "timeseries_dtw",
     "dedup_embedding_cosine_vectorized",
     "udf_pandas_norm",
