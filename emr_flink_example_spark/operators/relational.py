@@ -891,6 +891,42 @@ def q_filter_disjunctive_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: recursive date-spine length: each recursion level executes as its own
+#: Spark job (~0.4 s), so the spine stays short — and well under Spark's
+#: default recursion level limit of 100
+SPINE_DAYS = 30
+
+
+def q_recursive_cte_date_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4): a SPINE_DAYS-day date spine generated by
+    recursion from min(o_orderdate), left-joined to per-day order counts
+    with zero-filled gaps — the dense-calendar shape reporting queries need
+    and non-recursive SQL has to fake with sequence()/explode. The
+    recursion itself is driver-side tiny (one row per day); the per-day
+    aggregate is one combine-friendly shuffle over orders."""
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(min(o_orderdate) AS DATE) AS d0 FROM orders
+        ), spine(d) AS (
+            SELECT d0 FROM bounds
+            UNION ALL
+            SELECT date_add(d, 1) FROM spine, bounds
+            WHERE d < date_add(d0, {SPINE_DAYS - 1})
+        ), per_day AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        )
+        SELECT spine.d AS order_date,
+               coalesce(cnt, 0) AS n_orders,
+               coalesce(rev, 0.0) AS revenue
+        FROM spine LEFT JOIN per_day ON per_day.d = spine.d
+        """
+    )
+
+
 QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "projection_compute": q_projection_compute,
@@ -941,6 +977,9 @@ QUERIES = {
     "agg_argmin_argmax": q_agg_argmin_argmax,
     "histogram_equiwidth": q_histogram_equiwidth,
     "join_skew_salted": q_join_skew_salted,
+    # appended last (new r5 surface) so the existing driver-checked prefix
+    # composition shifts as little as possible
+    "recursive_cte_date_spine": q_recursive_cte_date_spine,
 }
 
 ORACLES = {
@@ -1381,5 +1420,23 @@ ORACLES = {
                round(min(o_totalprice), 2) AS bucket_min,
                round(max(o_totalprice), 2) AS bucket_max
         FROM orders GROUP BY 1
+    """,
+    "recursive_cte_date_spine": f"""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(min(o_orderdate) AS DATE) AS d0 FROM orders
+        ), spine(d) AS (
+            SELECT d0 FROM bounds
+            UNION ALL
+            SELECT d + 1 FROM spine, bounds
+            WHERE d < d0 + {SPINE_DAYS - 1}
+        ), per_day AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        )
+        SELECT spine.d AS order_date,
+               coalesce(cnt, 0) AS n_orders,
+               coalesce(rev, 0.0) AS revenue
+        FROM spine LEFT JOIN per_day ON per_day.d = spine.d
     """,
 }
