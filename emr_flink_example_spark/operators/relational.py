@@ -927,6 +927,23 @@ def q_recursive_cte_date_spine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_regr_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group simple linear regression via SQL:2016 REGR_* aggregates:
+    slope/intercept/R² of extended price vs quantity per return flag.
+    Single partial+final HashAggregate pass — the moments (sums, sums of
+    squares, co-moments) are map-side combinable, so at 100 TB this is one
+    scan plus a |groups|-row shuffle, same cost as any sum()."""
+    lineitem = load(spark, sf, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        _r4(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        _r4(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
+        _r4(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+        _r4(F.regr_avgx("l_extendedprice", "l_quantity")).alias("avg_x"),
+        _r4(F.regr_avgy("l_extendedprice", "l_quantity")).alias("avg_y"),
+    )
+
+
 QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "projection_compute": q_projection_compute,
@@ -980,6 +997,7 @@ QUERIES = {
     # appended last (new r5 surface) so the existing driver-checked prefix
     # composition shifts as little as possible
     "recursive_cte_date_spine": q_recursive_cte_date_spine,
+    "agg_regr_linear": q_agg_regr_linear,
 }
 
 ORACLES = {
@@ -1438,5 +1456,15 @@ ORACLES = {
                coalesce(cnt, 0) AS n_orders,
                coalesce(rev, 0.0) AS revenue
         FROM spine LEFT JOIN per_day ON per_day.d = spine.d
+    """,
+    "agg_regr_linear": """
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n_pairs,
+               round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+               round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load
 
@@ -671,6 +672,142 @@ def _cms_oracle() -> str:
     """
 
 
+#: reciprocal-rank-fusion constant (the standard k=60 from Cormack et al.).
+RRF_K = 60
+
+
+def q_retrieval_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: fuse a BM25 ranking and a length-normalized TF-IDF
+    ranking of the same fixed query via reciprocal-rank fusion,
+    rrf = 1/(K+r_bm25) + 1/(K+r_tfidf), K=60.
+
+    Both rankers ride ONE postings build (the bm25_topk single-pass shape:
+    explode + groupBy(doc_id) yields doclen and per-term tf together; df/N/
+    avgdl ride the broadcast corpus row), so fusion costs no extra corpus
+    scan. Ranks are row_numbers over (rounded score desc, doc_id) — fully
+    deterministic in both engines. The two global rank windows run over the
+    CANDIDATE set only (docs hitting >=1 query term — |query| posting lists,
+    not the corpus), which is the standard top-k fusion working set; at
+    100 TB the candidate set is still bounded by the query's posting lists,
+    and a per-shard pre-top-N cut would precede the global window."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode_outer(F.expr(TOKENS)).alias("token"))
+    doc_stats = tok.groupBy("doc_id").agg(
+        F.count("token").alias("doclen"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    corpus = doc_stats.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (term, tf)".format(
+        n=len(BM25_TERMS),
+        args=", ".join(f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS)),
+    )
+    postings = doc_stats.selectExpr("doc_id", "doclen", stack_expr).where(F.col("tf") > 0)
+    df_expr = F.lit(None).cast("bigint")
+    for i, t in enumerate(BM25_TERMS):
+        df_expr = F.when(F.col("term") == t, F.col(f"df_{i}")).otherwise(df_expr)
+    scored = (
+        postings.crossJoin(F.broadcast(corpus))
+        .withColumn("df", df_expr)
+        .withColumn(
+            "bm25_term",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("doclen") / (F.col("total_len") / F.col("n_docs")))
+            ),
+        )
+        .withColumn(
+            "tfidf_term",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("bm25_term"), 4).alias("bm25"),
+        F.round(F.sum("tfidf_term") / F.min("doclen"), 6).alias("tfidf"),
+    )
+    w_bm25 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    w_tfidf = Window.orderBy(F.col("tfidf").desc(), F.col("doc_id").asc())
+    fused = per_doc.select(
+        "doc_id",
+        "bm25",
+        "tfidf",
+        F.row_number().over(w_bm25).alias("r_bm25"),
+        F.row_number().over(w_tfidf).alias("r_tfidf"),
+    ).select(
+        "doc_id",
+        "r_bm25",
+        "r_tfidf",
+        F.round(
+            1.0 / (RRF_K + F.col("r_bm25")) + 1.0 / (RRF_K + F.col("r_tfidf")), 6
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(20)
+
+
+def q_corpus_divergence_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language unigram KL divergence from the whole-corpus distribution
+    — the 'how far does this slice drift from the mixture' signal used for
+    corpus balancing and domain-shift detection.
+
+    KL(P_lang || P_corpus) = sum_t p_l(t) * ln(p_l(t)/p_c(t)), reported in
+    integer micro-nats exactly like lm_unigram_surprisal: the per-type log
+    term is floored to micro-nats FIRST, then weighted by integer counts and
+    integer-summed, so the result is order-independent and engine-exact
+    (P_lang's support is a subset of the corpus support, so no smoothing is
+    needed).
+
+    Shape: one token-keyed shuffle builds the (lang, token) counts; the
+    corpus vocabulary is re-aggregated FROM that aggregate (no second corpus
+    scan); language totals and the corpus total ride broadcast joins. At
+    100 TB the only heavy exchange is the (lang, token) partial-count
+    shuffle — map-side combine makes it proportional to the vocabulary, not
+    the token stream."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("lang", F.explode(F.expr(TOKENS)).alias("token"))
+    lt = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt_lt"))
+    vocab = lt.groupBy("token").agg(F.sum("cnt_lt").alias("cnt_t"))
+    langtot = lt.groupBy("lang").agg(
+        F.sum("cnt_lt").alias("n_l"), F.count("*").alias("n_types")
+    )
+    tot = vocab.groupBy().agg(F.sum("cnt_t").alias("n"))
+    ratio = (F.col("cnt_lt").cast("double") * F.col("n").cast("double")) / (
+        F.col("n_l").cast("double") * F.col("cnt_t").cast("double")
+    )
+    joined = (
+        lt.join(vocab, "token")
+        .join(F.broadcast(langtot), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "micro", F.floor(F.log(ratio) * 1000000 + 0.5).cast("bigint")
+        )
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.min("n_l").alias("n_tokens"),
+            F.min("n_types").alias("n_token_types"),
+            F.floor(
+                F.sum(F.col("cnt_lt") * F.col("micro")).cast("double") / F.min("n_l") + 0.5
+            )
+            .cast("bigint")
+            .alias("kl_micronats"),
+        )
+        .select("lang", "n_tokens", "n_token_types", "kl_micronats")
+    )
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -691,6 +828,8 @@ QUERIES = {
     # appended last (new r5 surface) so the existing driver-checked prefix
     # composition shifts as little as possible
     "sketch_countmin_heavy_hitters": q_sketch_countmin_heavy_hitters,
+    "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
+    "corpus_divergence_kl": q_corpus_divergence_kl,
 }
 
 _REPETITION_ORACLE = f"""
@@ -970,5 +1109,67 @@ ORACLES = {
                     WHEN {_lex_duck('fr')} > 0 THEN 'fr'
                     ELSE 'und' END AS predicted_lang
         FROM tok
+    """,
+    "retrieval_rrf_fusion": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+        ), doc_stats AS (
+            SELECT d.doc_id, count(t.token)::BIGINT AS doclen,
+                   {_BM25_TF_COLS}
+            FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        ), corpus AS (
+            SELECT count(*) AS n_docs, sum(doclen)::BIGINT AS total_len FROM doc_stats
+        ), postings AS ({_BM25_POSTINGS}
+        ), scored AS (
+            SELECT doc_id, term, tf, doclen,
+                   count(*) OVER (PARTITION BY term) AS df
+            FROM postings
+        ), per_doc AS (
+            SELECT doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * (tf * ({BM25_K1} + 1))
+                       / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen / (total_len / n_docs)))
+                   ), 4) AS bm25,
+                   round(sum(tf * ln(n_docs / df)) / min(doclen), 6) AS tfidf
+            FROM scored CROSS JOIN corpus
+            GROUP BY doc_id
+        ), ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25,
+                   row_number() OVER (ORDER BY tfidf DESC, doc_id ASC) AS r_tfidf
+            FROM per_doc
+        )
+        SELECT doc_id, r_bm25::INT AS r_bm25, r_tfidf::INT AS r_tfidf,
+               round(1.0 / ({RRF_K} + r_bm25) + 1.0 / ({RRF_K} + r_tfidf), 6) AS rrf_score
+        FROM ranked
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 20
+    """,
+    "corpus_divergence_kl": f"""
+        WITH tok AS (
+            SELECT lang, unnest({TOKENS_DUCK}) AS token FROM documents
+        ), lt AS (
+            SELECT lang, token, count(*)::BIGINT AS cnt_lt FROM tok GROUP BY lang, token
+        ), vocab AS (
+            SELECT token, sum(cnt_lt)::BIGINT AS cnt_t FROM lt GROUP BY token
+        ), langtot AS (
+            SELECT lang, sum(cnt_lt)::BIGINT AS n_l, count(*)::BIGINT AS n_types
+            FROM lt GROUP BY lang
+        ), tot AS (
+            SELECT sum(cnt_t)::BIGINT AS n FROM vocab
+        ), scored AS (
+            SELECT l.lang, l.cnt_lt, lg.n_l, lg.n_types,
+                   floor(ln((l.cnt_lt::DOUBLE * tot.n::DOUBLE)
+                            / (lg.n_l::DOUBLE * v.cnt_t::DOUBLE)) * 1000000 + 0.5)::BIGINT
+                       AS micro
+            FROM lt l JOIN vocab v USING (token)
+                      JOIN langtot lg USING (lang)
+                      CROSS JOIN tot
+        )
+        SELECT lang, min(n_l) AS n_tokens, min(n_types) AS n_token_types,
+               floor(sum(cnt_lt * micro)::DOUBLE / min(n_l) + 0.5)::BIGINT AS kl_micronats
+        FROM scored GROUP BY lang
     """,
 }

@@ -193,6 +193,76 @@ def q_timeseries_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_timeseries_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style resample with LINEAR interpolation: the gapfill
+    grid's missing hours get prev + (next - prev) * frac instead of LOCF —
+    the standard numeric-series gap repair (TimescaleDB `interpolate()`).
+
+    Engine-exactness: the interpolation fraction is a ratio of row-number
+    INTEGERS on the dense hourly grid (never of float timestamps), applied
+    to the 2-decimal hourly sums, so both engines compute the identical
+    double before the final round. Edges (gap before the first / after the
+    last observation) fall back to the nearest observed value.
+
+    Shape: identical to resample_gapfill — one aggregating shuffle, grid
+    synthesized from the small aggregate, per-type bounded windows. The
+    forward-looking window is the only addition (same exchange, second sort
+    is reused)."""
+    events = load(spark, sf, "events")
+    hourly = events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    bounds = hourly.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left")
+    w_idx = Window.partitionBy("event_type").orderBy("h")
+    back = w_idx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w_idx.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_rn = F.when(F.col("sum_value").isNotNull(), F.col("rn"))
+    indexed = filled.withColumn("rn", F.row_number().over(w_idx))
+    anchored = indexed.select(
+        "event_type",
+        "h",
+        "n_events",
+        "sum_value",
+        "rn",
+        F.last("sum_value", ignorenulls=True).over(back).alias("prev_val"),
+        F.first("sum_value", ignorenulls=True).over(fwd).alias("next_val"),
+        F.last(obs_rn, ignorenulls=True).over(back).alias("prev_rn"),
+        F.first(obs_rn, ignorenulls=True).over(fwd).alias("next_rn"),
+    )
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+            F.round(
+                F.col("prev_val")
+                + (F.col("next_val") - F.col("prev_val"))
+                * ((F.col("rn") - F.col("prev_rn")).cast("double")
+                   / (F.col("next_rn") - F.col("prev_rn")).cast("double")),
+                4,
+            ),
+        )
+        .otherwise(F.coalesce("prev_val", "next_val"))
+    )
+    return anchored.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        "sum_value",
+        interp.alias("interp_value"),
+        F.col("sum_value").isNull().alias("is_gap"),
+    )
+
+
 def q_timeseries_cascade_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style cascading rollup: minute → hour → day, each level
     RE-AGGREGATED FROM THE PREVIOUS PRE-AGGREGATE, never from raw events.
@@ -288,6 +358,8 @@ QUERIES = {
     "timeseries_dtw": q_timeseries_dtw,
     "timeseries_resample_gapfill": q_timeseries_resample_gapfill,
     "timeseries_cascade_rollup": q_timeseries_cascade_rollup,
+    # appended last (r5): linear-interpolation resample
+    "timeseries_interpolate_linear": q_timeseries_interpolate_linear,
 }
 
 ORACLES = {
@@ -402,5 +474,52 @@ ORACLES = {
                hourly.sum_value IS NULL AS is_gap
         FROM grid g LEFT JOIN hourly
           ON hourly.event_type = g.event_type AND hourly.h = g.h
+    """,
+    "timeseries_interpolate_linear": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(h) AS lo, max(h) AS hi FROM hourly
+        ), grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 HOUR)) AS h) g
+        ), filled AS (
+            SELECT g.event_type, g.h, hourly.n_events, hourly.sum_value
+            FROM grid g LEFT JOIN hourly
+              ON hourly.event_type = g.event_type AND hourly.h = g.h
+        ), indexed AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM filled
+        ), anchored AS (
+            SELECT event_type, h, n_events, sum_value, rn,
+                   last_value(sum_value IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+                   first_value(sum_value IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+                   last_value(CASE WHEN sum_value IS NOT NULL THEN rn END IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY h
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rn,
+                   first_value(CASE WHEN sum_value IS NOT NULL THEN rn END IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY h
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rn
+            FROM indexed
+        )
+        SELECT event_type, h AS bucket,
+               coalesce(n_events, 0)::BIGINT AS n_events,
+               sum_value,
+               CASE WHEN sum_value IS NOT NULL THEN sum_value
+                    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                        round(prev_val + (next_val - prev_val)
+                              * ((rn - prev_rn)::DOUBLE / (next_rn - prev_rn)::DOUBLE), 4)
+                    ELSE coalesce(prev_val, next_val) END AS interp_value,
+               sum_value IS NULL AS is_gap
+        FROM anchored
     """,
 }
