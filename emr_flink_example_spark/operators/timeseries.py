@@ -198,11 +198,15 @@ def q_timeseries_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
     grid's missing hours get prev + (next - prev) * frac instead of LOCF —
     the standard numeric-series gap repair (TimescaleDB `interpolate()`).
 
-    Engine-exactness: the interpolation fraction is a ratio of row-number
-    INTEGERS on the dense hourly grid (never of float timestamps), applied
-    to the 2-decimal hourly sums, so both engines compute the identical
-    double before the final round. Edges (gap before the first / after the
-    last observation) fall back to the nearest observed value.
+    Engine-exactness: interpolation is carried out in INTEGER arithmetic —
+    the 2-decimal anchor sums become exact cents, the fraction is a ratio
+    of row-number integers on the dense grid, and the half-up rounding to 4
+    decimals is the integer identity (200*M + b) div (2*b) — so no
+    float-rounding boundary exists anywhere (a first cut that rounded the
+    double product to 4 decimals hit round-half flutter between Spark's
+    BigDecimal HALF_UP and DuckDB's float round at e.g. x.63375). Edges
+    (gap before the first / after the last observation) fall back to the
+    nearest observed value.
 
     Shape: identical to resample_gapfill — one aggregating shuffle, grid
     synthesized from the small aggregate, per-type bounded windows. The
@@ -239,17 +243,21 @@ def q_timeseries_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
         F.last(obs_rn, ignorenulls=True).over(back).alias("prev_rn"),
         F.first(obs_rn, ignorenulls=True).over(fwd).alias("next_rn"),
     )
+    pv_c = F.floor(F.col("prev_val") * 100 + 0.5).cast("bigint")
+    nv_c = F.floor(F.col("next_val") * 100 + 0.5).cast("bigint")
+    a = (F.col("rn") - F.col("prev_rn")).cast("bigint")
+    b = (F.col("next_rn") - F.col("prev_rn")).cast("bigint")
+    # round-half-up of (M * 100 / b) without floats: (200*M + b) div (2*b);
+    # valid because the anchor sums (hence M) are non-negative
+    anchored = anchored.withColumn("__m", pv_c * (b - a) + nv_c * a).withColumn(
+        "__b", b
+    )
+    interp_micro = F.expr("(200 * __m + __b) div (2 * __b)")
     interp = (
         F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
         .when(
             F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
-            F.round(
-                F.col("prev_val")
-                + (F.col("next_val") - F.col("prev_val"))
-                * ((F.col("rn") - F.col("prev_rn")).cast("double")
-                   / (F.col("next_rn") - F.col("prev_rn")).cast("double")),
-                4,
-            ),
+            interp_micro / F.lit(10000.0),
         )
         .otherwise(F.coalesce("prev_val", "next_val"))
     )
@@ -511,15 +519,22 @@ ORACLES = {
                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rn
             FROM indexed
         )
+        , cents AS (
+            SELECT *,
+                   floor(prev_val * 100 + 0.5)::BIGINT AS pv_c,
+                   floor(next_val * 100 + 0.5)::BIGINT AS nv_c,
+                   (rn - prev_rn)::BIGINT AS a,
+                   (next_rn - prev_rn)::BIGINT AS b
+            FROM anchored
+        )
         SELECT event_type, h AS bucket,
                coalesce(n_events, 0)::BIGINT AS n_events,
                sum_value,
                CASE WHEN sum_value IS NOT NULL THEN sum_value
                     WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
-                        round(prev_val + (next_val - prev_val)
-                              * ((rn - prev_rn)::DOUBLE / (next_rn - prev_rn)::DOUBLE), 4)
+                        ((200 * (pv_c * (b - a) + nv_c * a) + b) // (2 * b)) / 10000.0
                     ELSE coalesce(prev_val, next_val) END AS interp_value,
                sum_value IS NULL AS is_gap
-        FROM anchored
+        FROM cents
     """,
 }
