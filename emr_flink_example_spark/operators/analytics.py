@@ -238,6 +238,39 @@ def q_layout_zorder_files(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count and probability of each (from_type -> to_type) step, ordered
+    within user by (ts, event_id) so ties are deterministic.
+
+    Shape: ONE user_id exchange feeds the lag window (the sessionize
+    pattern); the (from, to) aggregate that follows is |types|² rows, and
+    the per-from normalization runs as a window over that tiny aggregate —
+    at 100 TB nothing after the first exchange scales with the event
+    count. The probability is a ratio of exact integers rounded to 6, so
+    both engines agree bit-for-bit."""
+    events = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_from),
+            6,
+        ).alias("p_transition"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -245,6 +278,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "merge_upsert": q_merge_upsert,
     "scd2_intervals": q_scd2_intervals,
+    "event_transition_matrix": q_event_transition_matrix,
 }
 
 ORACLES = {
@@ -347,5 +381,22 @@ ORACLES = {
                lead(ts) OVER w IS NULL AS is_current
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "event_transition_matrix": """
+        WITH trans AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ), counts AS (
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM trans WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               round(n_transitions / sum(n_transitions)
+                     OVER (PARTITION BY from_type), 6) AS p_transition
+        FROM counts
     """,
 }

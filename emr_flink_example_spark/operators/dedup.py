@@ -1250,6 +1250,72 @@ def _embedding_cosine_oracle() -> str:
     """
 
 
+def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test leakage audit: near-duplicate pairs (MinHash-LSH
+    candidates at est-Jaccard >= CC_EST_JACCARD) whose two sides land in
+    DIFFERENT splits of the deterministic 90/5/5 assignment — i.e. eval
+    contamination the split alone cannot see.
+
+    Composition, not new machinery: candidate pairs come from the exact
+    dedup_minhash_lsh plan (banded, skew-guarded); the split label is a
+    PURE FUNCTION of doc_id (salted hash bucket), so labeling both pair
+    sides is map-side arithmetic on the pair stream — no join against a
+    split table, nothing new shuffles. At 100 TB this audit costs exactly
+    one near-dup candidate pass."""
+    from .sampling import SPLIT_SALT, TRAIN_PCT, VAL_PCT, _bucket
+
+    def split_of(c: str):
+        b = _bucket(F.concat(F.col(c).cast("string"), F.lit(SPLIT_SALT)))
+        return (
+            F.when(b < TRAIN_PCT, "train")
+            .when(b < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    pairs = q_dedup_minhash_lsh(spark, sf)
+    return (
+        pairs.where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .select(
+            "doc_a",
+            "doc_b",
+            split_of("doc_a").alias("split_a"),
+            split_of("doc_b").alias("split_b"),
+            "est_jaccard",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _leakage_oracle() -> str:
+    from ..functions.hashing import portable_hash_sql_duckdb
+    from .sampling import SPLIT_SALT, TRAIN_PCT, VAL_PCT
+
+    def split_of(col: str) -> str:
+        salted = f"{col}::VARCHAR || '{SPLIT_SALT}'"
+        b = f"({portable_hash_sql_duckdb(salted)} % 100)"
+        return (
+            f"CASE WHEN {b} < {TRAIN_PCT} THEN 'train' "
+            f"WHEN {b} < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+        )
+
+    return (
+        _minhash_cand_ctes()
+        + f""",
+        scored AS (
+            SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard FROM cand
+        ), labeled AS (
+            SELECT doc_a, doc_b,
+                   {split_of('doc_a')} AS split_a,
+                   {split_of('doc_b')} AS split_b,
+                   est_jaccard
+            FROM scored WHERE est_jaccard >= {CC_EST_JACCARD}
+        )
+        SELECT doc_a, doc_b, split_a, split_b, est_jaccard
+        FROM labeled WHERE split_a <> split_b
+    """
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1268,6 +1334,7 @@ QUERIES = {
     # appended last (new r5 surface) so the existing driver-checked prefix
     # composition shifts as little as possible
     "dedup_cluster_survivors": q_dedup_cluster_survivors,
+    "split_leakage_audit": q_split_leakage_audit,
 }
 
 ORACLES = {
@@ -1332,6 +1399,7 @@ ORACLES = {
     # recursive-CTE oracle applies verbatim
     "dedup_cc_alternating_stars": _cc_oracle(),
     "dedup_cluster_survivors": _cc_survivors_oracle(),
+    "split_leakage_audit": _leakage_oracle(),
     # the nibble pigeonhole is exact for hamming <= 3 on 4 bands, so the
     # oracle is simply the brute-force pair predicate
     "simhash_hamming_pairs": f"""
