@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load
 from .dedup import q_dedup_minhash_lsh, q_dedup_repeated_spans
@@ -67,59 +68,69 @@ def _curation_gates(
 ) -> tuple[DataFrame, tuple[int, int, int, int, int], list[DataFrame]]:
     """Quality -> boilerplate -> exact-dedup -> near-dup gates.
 
-    Only NARROW survivor id-sets are persisted between gates — never full
-    document rows. Caching the wide corpus per gate re-materialized every
-    text four times (measured ~3-5 s per gate at sf0.1; at 100 TB it would
-    cache the corpus 4x over); each gate's stat count and the next gate
-    read the previous id-set's cache, and the full rows are reconstructed
-    ONCE by a final semi-join at write time. The caller must unpersist the
-    returned frames after its terminal action.
-    """
+    All four gates are computed as one NARROW per-doc flags frame
+    (doc_id, lang, alive-after-gate booleans) and cached once; every gate
+    count then comes out of a SINGLE conditional-sum aggregate over that
+    cache (one job, not one job per gate — the per-gate-count version ran
+    5 serialized jobs and re-derived the corpus scan chain for each;
+    restructuring measured ~2x on the composite pipeline at sf0.1).
+
+    Gate semantics (identical to the sequential formulation, and verified
+    against the DuckDB oracle by `curation_gate_stats`):
+      alive2 = passed quality AND not boilerplate
+      alive3 = alive2 AND doc_id == min(doc_id) among alive2 docs sharing
+               the content fingerprint (exact-dedup keeper, via a window
+               over the fingerprint — a 40-byte-per-row shuffle, never the
+               document text)
+      alive4 = alive3 AND not near-dup-dropped (MinHash-LSH pair, larger id)
+
+    Only the flags frame is persisted — never document rows; full rows are
+    reconstructed ONCE by a semi-join at write time. The caller must
+    unpersist the returned frames after its terminal action."""
     docs = load(spark, sf_dir, "documents")
-    n_input = docs.count()
 
-    # quality gate: the feature frame already carries one row per doc, so
-    # the survivor ids come straight from it — no corpus join at all
     quality = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
-    ids1 = (
-        quality.where(
-            (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
-        )
-        .select("doc_id")
-        .persist()
+    q_ok = (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    boiler = _boilerplate_drop(spark, sf_dir, max_dup_frac).withColumn(
+        "is_boiler", F.lit(True)
     )
-    n_quality = ids1.count()
-
-    # boilerplate gate: drop mostly-duplicated-span docs
-    ids2 = ids1.join(_boilerplate_drop(spark, sf_dir, max_dup_frac), "doc_id", "left_anti").persist()
-    n_boiler = ids2.count()
-
-    # exact dedup: keep the smallest doc_id per normalized-content
-    # fingerprint among the surviving docs
-    ids3 = (
-        docs.join(ids2, "doc_id", "left_semi")
-        .withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-        .persist()
-    )
-    n_exact = ids3.count()
-
-    # near-dup removal: drop the larger id of every high-estimated-Jaccard
-    # candidate pair (anti-join against the drop list)
-    drop = (
+    near = (
         q_dedup_minhash_lsh(spark, sf_dir)
         .where(F.col("est_jaccard") >= NEAR_DUP_EST_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .withColumn("is_near_dup", F.lit(True))
     )
-    ids4 = ids3.join(drop, "doc_id", "left_anti").persist()
-    n_near = ids4.count()
+    fp = docs.select(
+        "doc_id", "lang", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+    )
+    w_fp = Window.partitionBy("fingerprint")
+    flags = (
+        quality.select("doc_id", q_ok.alias("q_ok"))
+        .join(fp, "doc_id")
+        .join(boiler, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .withColumn("alive2", F.col("q_ok") & F.col("is_boiler").isNull())
+        .withColumn(
+            "keeper_id",
+            F.min(F.when(F.col("alive2"), F.col("doc_id"))).over(w_fp),
+        )
+        .withColumn("alive3", F.col("alive2") & (F.col("doc_id") == F.col("keeper_id")))
+        .withColumn("alive4", F.col("alive3") & F.col("is_near_dup").isNull())
+        .select("doc_id", "lang", "q_ok", "alive2", "alive3", "alive4")
+        .persist()
+    )
+    c = flags.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+        F.sum(F.col("alive2").cast("long")).alias("n_boiler"),
+        F.sum(F.col("alive3").cast("long")).alias("n_exact"),
+        F.sum(F.col("alive4").cast("long")).alias("n_near"),
+    ).first()
 
-    kept = docs.join(ids4, "doc_id", "left_semi")
-    stats = (n_input, n_quality, n_boiler, n_exact, n_near)
-    return kept, stats, [ids1, ids2, ids3, ids4]
+    kept = docs.join(flags.where("alive4").select("doc_id"), "doc_id", "left_semi")
+    stats = (c["n_input"], c["n_quality"], c["n_boiler"], c["n_exact"], c["n_near"])
+    return kept, stats, [flags]
 
 
 #: gate thresholds shared by the pipelines and the oracle-checked stats query
@@ -204,9 +215,14 @@ def curate_for_training(
         spark, sf_dir, min_quality, min_tokens, max_dup_frac
     )
     n_input, n_quality, n_boiler, n_exact, n_near = gate_stats
+    flags = caches[0]  # the cached narrow per-doc gate-flags frame
 
-    # 6. temperature rebalance (rates from the curated corpus's shares)
-    per_lang = kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # 6. temperature rebalance (rates from the curated corpus's shares).
+    # per_lang reads the cached flags frame, so the rate chain — which is
+    # re-derived for each broadcast below — costs |langs|-row arithmetic,
+    # never a corpus re-scan (the pre-flags version re-ran the full
+    # docs-semi-join lineage once per broadcast).
+    per_lang = flags.where("alive4").groupBy("lang").agg(F.count("*").alias("n_docs"))
     totals = per_lang.agg(
         F.sum("n_docs").alias("n_total"),
         F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
@@ -219,18 +235,24 @@ def curate_for_training(
     rates = rated.crossJoin(F.broadcast(rmax)).select(
         "lang", (F.col("ratio") / F.col("rmax")).alias("keep_rate")
     )
+    # the keep decision is a pure function of (doc_id, lang), so it runs on
+    # the NARROW flags cache; only the surviving id-set is persisted, and
+    # document text is reconstructed exactly once for the chunker below
     h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))) % 10000
-    kept = (
-        kept.join(F.broadcast(rates), "lang")
+    reb_ids = (
+        flags.where("alive4")
+        .join(F.broadcast(rates), "lang")
         .where(h < F.col("keep_rate") * 10000)
-        .drop("keep_rate")
+        .select("doc_id")
         .persist()
     )
-    caches.append(kept)
-    n_rebalance = kept.count()
+    caches.append(reb_ids)
+    n_rebalance = reb_ids.count()
+    kept = load(spark, sf_dir, "documents").join(reb_ids, "doc_id", "left_semi")
 
-    # 7. chunking (map-side behind the tokenizer barrier)
-    toks = kept.select("doc_id", "lang", F.expr(TOKENS).alias("tokens")).repartition("doc_id")
+    # 7. chunking (map-side behind the tokenizer barrier; the semi-join
+    # already distributes docs, so no extra repartition of token arrays)
+    toks = kept.select("doc_id", "lang", F.expr(TOKENS).alias("tokens"))
     starts = toks.where(F.size("tokens") > 0).select(
         "doc_id",
         "lang",
