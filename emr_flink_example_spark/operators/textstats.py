@@ -768,15 +768,17 @@ def q_corpus_divergence_kl(spark: SparkSession, sf: str) -> DataFrame:
     (P_lang's support is a subset of the corpus support, so no smoothing is
     needed).
 
-    Shape: one token-keyed shuffle builds the (lang, token) counts; the
-    corpus vocabulary is re-aggregated FROM that aggregate (no second corpus
-    scan); language totals and the corpus total ride broadcast joins. At
-    100 TB the only heavy exchange is the (lang, token) partial-count
-    shuffle — map-side combine makes it proportional to the vocabulary, not
-    the token stream."""
+    Shape: one token-keyed shuffle builds the (lang, token) counts, which
+    are PERSISTED (the tfidf pattern — self-derived branches get no
+    ReusedExchange, so without the persist the vocab / language-total /
+    corpus-total branches each re-scanned the corpus: measured 4 scans);
+    everything downstream aggregates or broadcasts off that |vocab|-sized
+    cache. At 100 TB the only heavy exchange is the (lang, token)
+    partial-count shuffle — map-side combine makes it proportional to the
+    vocabulary, not the token stream."""
     docs = load(spark, sf, "documents")
     tok = docs.select("lang", F.explode(F.expr(TOKENS)).alias("token"))
-    lt = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt_lt"))
+    lt = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt_lt")).persist()
     vocab = lt.groupBy("token").agg(F.sum("cnt_lt").alias("cnt_t"))
     langtot = lt.groupBy("lang").agg(
         F.sum("cnt_lt").alias("n_l"), F.count("*").alias("n_types")

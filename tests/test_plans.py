@@ -372,3 +372,62 @@ def test_source_quota_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_transition_matrix_one_user_exchange(spark):
+    """Markov transitions: ONE user_id hash exchange feeds the lag window;
+    the normalization window runs over the tiny (from,to) aggregate."""
+    plan = _plan(spark, "event_transition_matrix")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_kl_divergence_caches_lang_token_counts(spark):
+    """KL divergence: the (lang, token) count aggregate is cached and every
+    downstream branch (vocab, lang totals, corpus total) reads the cache —
+    never a second corpus scan (uncached this measured 4 scans)."""
+    plan = _plan(spark, "corpus_divergence_kl")
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_shares_postings_build(spark):
+    """RRF fusion: both rankers ride the bm25 two-scan postings shape (one
+    doc_stats build + the self-derived corpus aggregate) — fusing a second
+    ranker must not add a third corpus scan, a join between rankers, or any
+    Python."""
+    plan = _plan(spark, "retrieval_rrf_fusion")
+    assert plan.count("Scan parquet") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_leakage_audit_adds_no_scan_or_join(spark):
+    """Split-leakage audit: the split label is map-side arithmetic on the
+    pair stream — exactly the minhash single-scan plan, no split-table
+    join."""
+    plan = _plan(spark, "split_leakage_audit")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_regr_single_partial_final_aggregate(spark):
+    """REGR_* moments are map-side combinable: one scan, one exchange,
+    partial+final HashAggregate."""
+    plan = _plan(spark, "agg_regr_linear")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_regr" in plan or "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_interpolate_matches_gapfill_shape(spark):
+    """Linear interpolation keeps the gapfill plan discipline: the dense
+    grid is synthesized from the small hourly aggregate (broadcast), the
+    anchor windows run per event_type, and no Python appears."""
+    plan = _plan(spark, "timeseries_interpolate_linear")
+    assert plan.count("Scan parquet") <= 3  # hourly + self-derived grid sides
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
