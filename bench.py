@@ -64,6 +64,11 @@ HEADLINE = [
     "ann_pq_adc_rerank_topk",
     "ann_ivfpq_topk",
     "curate_for_training",
+    # late-r5 additions: hybrid retrieval fusion, the cross-split leakage
+    # audit (a second full LSH pass), and per-user Markov transitions
+    "retrieval_rrf_fusion",
+    "split_leakage_audit",
+    "event_transition_matrix",
 ]
 
 
