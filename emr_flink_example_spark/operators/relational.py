@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import portable_hash_sql_duckdb
 from ..io import load
 
 
@@ -944,6 +945,73 @@ def q_agg_regr_linear(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: hash-sample keep percentage + salt for the sampled-quantile sketch
+QUANTILE_SAMPLE_PCT = 10
+QUANTILE_SAMPLE_SALT = "qsample-v1"
+
+
+def q_sketch_quantile_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile estimation from a deterministic 10% hash sample, WITH its
+    exact answer and relative error — the 100 TB pattern for percentiles:
+    a salted-hash Bernoulli sample is partitioning-independent and
+    re-runnable (same rows every time, unlike rdd.sample), and the
+    full-sort percentile then runs over 10% of the data. The exact side is
+    computed here only to value-check the estimator; at scale you would
+    ship the sampled side alone. Both sides are one scan each; rel_error
+    is a ratio of already-rounded doubles, so engines agree bit-for-bit."""
+    from ..functions.hashing import portable_hash
+
+    li = load(spark, sf, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(QUANTILE_SAMPLE_SALT),
+    )
+    sampled = li.where(portable_hash(key) % 100 < QUANTILE_SAMPLE_PCT)
+    est = sampled.groupBy("l_returnflag").agg(
+        _r4(F.expr("percentile(l_extendedprice, 0.5)")).alias("est_p50"),
+        F.count("*").alias("n_sampled"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        _r4(F.expr("percentile(l_extendedprice, 0.5)")).alias("exact_p50"),
+        F.count("*").alias("n_rows"),
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "est_p50",
+        "exact_p50",
+        "n_sampled",
+        "n_rows",
+        _r4(F.abs(F.col("est_p50") - F.col("exact_p50")) / F.col("exact_p50")).alias(
+            "rel_error"
+        ),
+    )
+
+
+def q_agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent l_quantity per return
+    flag, smallest value on count ties) via count + one row_number window
+    over the small (group, value) aggregate — NOT the engine's mode()
+    builtin, whose tie-breaking is engine-private and would never match
+    across engines. The windowed aggregate is |groups x distinct values|
+    rows, so the window is cheap at any corpus size."""
+    li = load(spark, sf, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_quantity"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
 QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "projection_compute": q_projection_compute,
@@ -998,6 +1066,8 @@ QUERIES = {
     # composition shifts as little as possible
     "recursive_cte_date_spine": q_recursive_cte_date_spine,
     "agg_regr_linear": q_agg_regr_linear,
+    "sketch_quantile_hash_sample": q_sketch_quantile_hash_sample,
+    "agg_mode_per_group": q_agg_mode_per_group,
 }
 
 ORACLES = {
@@ -1466,5 +1536,36 @@ ORACLES = {
                round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
                round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "sketch_quantile_hash_sample": f"""
+        WITH sampled AS (
+            SELECT l_returnflag, l_extendedprice FROM lineitem
+            WHERE ({portable_hash_sql_duckdb("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR || 'qsample-v1'")} % 100) < 10
+        ), est AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS est_p50,
+                   count(*) AS n_sampled
+            FROM sampled GROUP BY l_returnflag
+        ), exact AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, est_p50, exact_p50, n_sampled, n_rows,
+               round(abs(est_p50 - exact_p50) / exact_p50, 4) AS rel_error
+        FROM est JOIN exact USING (l_returnflag)
+    """,
+    "agg_mode_per_group": """
+        WITH counts AS (
+            SELECT l_returnflag, l_quantity, count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) AS rn
+            FROM counts
+        )
+        SELECT l_returnflag, l_quantity AS modal_quantity, cnt AS mode_count
+        FROM ranked WHERE rn = 1
     """,
 }
