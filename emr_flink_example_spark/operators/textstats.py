@@ -672,6 +672,70 @@ def _cms_oracle() -> str:
     """
 
 
+def q_lm_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained add-one-smoothed
+    BIGRAM LM — one order up from `lm_unigram_surprisal`, and the better
+    fluency proxy: shuffled or templated text that fools unigram stats
+    scores high here because its token TRANSITIONS are improbable.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), with V the continuation
+    vocabulary (distinct w2 types). Same integer micro-nat discipline as
+    the unigram scorer: quantize per-position surprisal FIRST, then
+    integer-sum — order-independent and engine-exact.
+
+    Shape: bigrams are built map-side from the token array (no window, no
+    self-join); the (pair, count) aggregate is persisted and BOTH model
+    tables (context totals, continuation vocab) derive from that cache —
+    one heavy combine-friendly shuffle total. Scoring joins are broadcast
+    (zipfian pair table; at a 100 TB corpus the pair model outgrows a
+    broadcast and becomes an AQE-skew-safe shuffle join)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks"))
+    bg = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("pair"),
+    )
+    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).persist()
+    ctx = (
+        pair_cnt.select(F.expr("split_part(pair, ' ', 1)").alias("w1"), "c_pair")
+        .groupBy("w1")
+        .agg(F.sum("c_pair").alias("c_ctx"))
+    )
+    vv = (
+        pair_cnt.select(F.expr("split_part(pair, ' ', 2)").alias("w2"))
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
+    micro = F.expr(
+        "cast(floor(-ln(cast(c_pair + 1 as double) / (c_ctx + v)) * 1000000 + 0.5)"
+        " as bigint)"
+    )
+    scored = (
+        bg.join(F.broadcast(pair_cnt), "pair")
+        .withColumn("w1", F.expr("split_part(pair, ' ', 1)"))
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vv))
+        .select("doc_id", micro.alias("micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("micro").alias("xent_micro"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "xent_micro",
+            F.expr(
+                "cast(floor(cast(xent_micro as double) / n_bigrams + 0.5) as bigint)"
+            ).alias("avg_surprisal_micronats"),
+        )
+    )
+
+
 #: reciprocal-rank-fusion constant (the standard k=60 from Cormack et al.).
 RRF_K = 60
 
@@ -832,6 +896,7 @@ QUERIES = {
     "sketch_countmin_heavy_hitters": q_sketch_countmin_heavy_hitters,
     "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
     "corpus_divergence_kl": q_corpus_divergence_kl,
+    "lm_bigram_surprisal": q_lm_bigram_surprisal,
 }
 
 _REPETITION_ORACLE = f"""
@@ -1173,5 +1238,33 @@ ORACLES = {
         SELECT lang, min(n_l) AS n_tokens, min(n_types) AS n_token_types,
                floor(sum(cnt_lt * micro)::DOUBLE / min(n_l) + 0.5)::BIGINT AS kl_micronats
         FROM scored GROUP BY lang
+    """,
+    "lm_bigram_surprisal": f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tokens) - 1),
+                                         i -> tokens[i] || ' ' || tokens[i + 1])) AS pair
+            FROM tok WHERE len(tokens) >= 2
+        ), pair_cnt AS (
+            SELECT pair, count(*)::BIGINT AS c_pair FROM bg GROUP BY pair
+        ), ctx AS (
+            SELECT split_part(pair, ' ', 1) AS w1, sum(c_pair)::BIGINT AS c_ctx
+            FROM pair_cnt GROUP BY 1
+        ), vv AS (
+            SELECT count(DISTINCT split_part(pair, ' ', 2))::BIGINT AS v FROM pair_cnt
+        ), scored AS (
+            SELECT bg.doc_id,
+                   floor(-ln((pc.c_pair + 1)::DOUBLE / (cx.c_ctx + vv.v))
+                         * 1000000 + 0.5)::BIGINT AS micro
+            FROM bg
+            JOIN pair_cnt pc USING (pair)
+            JOIN ctx cx ON cx.w1 = split_part(bg.pair, ' ', 1)
+            CROSS JOIN vv
+        )
+        SELECT doc_id, count(*) AS n_bigrams, sum(micro)::BIGINT AS xent_micro,
+               floor(sum(micro)::DOUBLE / count(*) + 0.5)::BIGINT AS avg_surprisal_micronats
+        FROM scored GROUP BY doc_id
     """,
 }
