@@ -736,6 +736,78 @@ def q_lm_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: number of BPE merge rules the trainer learns.
+N_BPE_MERGES = 12
+#: word-end marker appended to every symbol sequence (the classic BPE '</w>',
+#: outside the token alphabet [a-zA-Z0-9] so it can never collide).
+BPE_END = "</w>"
+
+
+def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Train the first N_BPE_MERGES byte-pair-encoding merge rules on the
+    corpus — the tokenizer-training operator of an LLM data pipeline
+    (Sennrich et al. 2016).
+
+    Distributed shape (the word-count-first formulation every scalable BPE
+    trainer uses): the corpus is scanned ONCE into a persisted
+    (word, freq) vocabulary — the only token-stream-sized shuffle; every
+    merge round then runs on that |word types| table: explode adjacent
+    symbol pairs weighted by word freq, pick the argmax pair (deterministic
+    lexicographic tie-break), and apply the merge with a map-side
+    left-to-right fold. The driver holds one winning pair per round;
+    lineage is truncated each round via localCheckpoint (the CC pattern),
+    so N rounds stay N shallow jobs.
+
+    Iterative and therefore not single-query-SQL-expressible: rows-only in
+    the driver check, value-pinned in tests/test_bpe_reference.py against
+    an independent pure-Python BPE on the same word counts."""
+    docs = load(spark, sf, "documents")
+    words = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = words.select(
+        "freq", F.expr(f"concat(split(word, ''), array('{BPE_END}'))").alias("syms")
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(N_BPE_MERGES):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS p1, syms[i+1] AS p2))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.p1", "p.p2")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.col("pair_freq").desc(), F.col("p1").asc(), F.col("p2").asc())
+            .first()
+        )
+        if best is None:
+            break
+        p1, p2, merged = best["p1"], best["p2"], best["p1"] + best["p2"]
+        merges.append((rank, p1, p2, merged, int(best["pair_freq"])))
+        # left-to-right greedy merge of non-overlapping occurrences — the
+        # standard BPE apply semantics ('aaa' + merge(a,a) -> ['aa','a'])
+        apply_sql = (
+            "aggregate(syms, cast(array() as array<string>),"
+            " (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{p1}'"
+            " AND s = '{p2}',"
+            " concat(slice(acc, 1, size(acc) - 1), array('{m}')),"
+            " concat(acc, array(s))))"
+        ).format(p1=p1, p2=p2, m=merged)
+        vocab = vocab.select("freq", F.expr(apply_sql).alias("syms")).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "rank int, p1 string, p2 string, merged string, pair_freq bigint"
+    )
+
+
 #: reciprocal-rank-fusion constant (the standard k=60 from Cormack et al.).
 RRF_K = 60
 
@@ -897,6 +969,7 @@ QUERIES = {
     "retrieval_rrf_fusion": q_retrieval_rrf_fusion,
     "corpus_divergence_kl": q_corpus_divergence_kl,
     "lm_bigram_surprisal": q_lm_bigram_surprisal,
+    "bpe_train_merges": q_bpe_train_merges,
 }
 
 _REPETITION_ORACLE = f"""

@@ -46,6 +46,9 @@ def test_every_oracle_has_a_query():
         # iterative Lloyd k-means: no single-query SQL oracle; value-pinned
         # against an independent numpy implementation instead
         "embedding_kmeans_centroids",
+        # iterative BPE merge training: no single-query SQL oracle;
+        # value-pinned against a pure-Python BPE in test_bpe_reference.py
+        "bpe_train_merges",
     }
 
 
