@@ -1316,6 +1316,65 @@ def _leakage_oracle() -> str:
     )
 
 
+def q_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimator calibration: every LSH candidate pair scored by BOTH the
+    16-permutation signature-agreement estimate and the exact shingle-set
+    Jaccard, with the absolute error alongside — the measurement that tells
+    you whether your MinHash geometry (N_PERMS, banding) is adequate before
+    you trust it to dedup 100 TB.
+
+    Shape: candidate pairs come from the exact dedup_minhash_lsh plan (one
+    corpus scan, banded, skew-guarded); the exact Jaccard then joins the
+    BOUNDED pair set back to the shingle arrays (two hash joins keyed by
+    doc id — pair-set-sized, not corpus-sized, and ReusedExchange shares
+    the one shingle materialization across both sides). est_jaccard is
+    k/16 (exact in binary) and exact_jaccard a ratio of ints rounded to 6,
+    so the error column is engine-exact."""
+    pairs = q_dedup_minhash_lsh(spark, sf)
+    sh = _shingled_docs(spark, sf)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    exact = F.round(inter.cast("double") / uni, 6)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+def _calibration_oracle() -> str:
+    return (
+        _minhash_cand_ctes()
+        + f""",
+        sets AS (
+            SELECT doc_id, {SHINGLES_DUCK} AS sh FROM tok
+        ), scored AS (
+            SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard FROM cand
+        )
+        SELECT s.doc_a, s.doc_b, s.est_jaccard,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS exact_jaccard,
+               round(abs(s.est_jaccard
+                         - round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                                 / (len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh))), 6)),
+                     6) AS abs_err
+        FROM scored s
+        JOIN sets a ON a.doc_id = s.doc_a
+        JOIN sets b ON b.doc_id = s.doc_b
+    """
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1335,6 +1394,7 @@ QUERIES = {
     # composition shifts as little as possible
     "dedup_cluster_survivors": q_dedup_cluster_survivors,
     "split_leakage_audit": q_split_leakage_audit,
+    "minhash_calibration": q_minhash_calibration,
 }
 
 ORACLES = {
@@ -1400,6 +1460,7 @@ ORACLES = {
     "dedup_cc_alternating_stars": _cc_oracle(),
     "dedup_cluster_survivors": _cc_survivors_oracle(),
     "split_leakage_audit": _leakage_oracle(),
+    "minhash_calibration": _calibration_oracle(),
     # the nibble pigeonhole is exact for hamming <= 3 on 4 bands, so the
     # oracle is simply the brute-force pair predicate
     "simhash_hamming_pairs": f"""

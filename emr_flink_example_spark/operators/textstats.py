@@ -736,6 +736,43 @@ def q_lm_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character-level Shannon entropy in integer micro-nats —
+    the compression-ratio-style quality signal (low entropy = repetitive /
+    degenerate text, high = encrypted-or-random junk; both are cut in
+    pretraining pipelines).
+
+    Same integer discipline as the surprisal scorers: the per-character-type
+    -ln p term is floored to micro-nats FIRST, then weighted by exact counts
+    and integer-summed — order-independent, engine-exact. Shape: one
+    (doc_id, char)-keyed combine-friendly shuffle (bounded at |alphabet|
+    per doc map-side), then a window for the per-doc total and a final
+    per-doc reduce."""
+    docs = load(spark, sf, "documents")
+    ch = (
+        docs.where(F.length("text") > 0)
+        .select("doc_id", F.explode(F.expr("split(text, '')")).alias("ch"))
+        .where(F.col("ch") != "")
+    )
+    per = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    per = per.withColumn("n", F.sum("cnt").over(w))
+    micro = F.expr(
+        "cast(floor(-ln(cast(cnt as double) / n) * 1000000 + 0.5) as bigint)"
+    )
+    return (
+        per.select("doc_id", "cnt", "n", micro.alias("micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("n").alias("n_chars_counted"),
+            F.count("*").alias("n_char_types"),
+            F.expr(
+                "cast(floor(cast(sum(cnt * micro) as double) / min(n) + 0.5) as bigint)"
+            ).alias("entropy_micronats"),
+        )
+    )
+
+
 #: number of BPE merge rules the trainer learns.
 N_BPE_MERGES = 12
 #: word-end marker appended to every symbol sequence (the classic BPE '</w>',
@@ -970,6 +1007,7 @@ QUERIES = {
     "corpus_divergence_kl": q_corpus_divergence_kl,
     "lm_bigram_surprisal": q_lm_bigram_surprisal,
     "bpe_train_merges": q_bpe_train_merges,
+    "text_entropy": q_text_entropy,
 }
 
 _REPETITION_ORACLE = f"""
@@ -1338,6 +1376,24 @@ ORACLES = {
         )
         SELECT doc_id, count(*) AS n_bigrams, sum(micro)::BIGINT AS xent_micro,
                floor(sum(micro)::DOUBLE / count(*) + 0.5)::BIGINT AS avg_surprisal_micronats
+        FROM scored GROUP BY doc_id
+    """,
+    "text_entropy": """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents WHERE length(text) > 0
+        ), per AS (
+            SELECT doc_id, ch, count(*)::BIGINT AS cnt
+            FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+        ), tot AS (
+            SELECT *, sum(cnt) OVER (PARTITION BY doc_id)::BIGINT AS n FROM per
+        ), scored AS (
+            SELECT doc_id, cnt, n,
+                   floor(-ln(cnt::DOUBLE / n) * 1000000 + 0.5)::BIGINT AS micro
+            FROM tot
+        )
+        SELECT doc_id, min(n) AS n_chars_counted, count(*) AS n_char_types,
+               floor(sum(cnt * micro)::DOUBLE / min(n) + 0.5)::BIGINT AS entropy_micronats
         FROM scored GROUP BY doc_id
     """,
 }
