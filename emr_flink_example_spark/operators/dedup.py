@@ -1326,12 +1326,14 @@ def q_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     Shape: candidate pairs come from the exact dedup_minhash_lsh plan (one
     corpus scan, banded, skew-guarded); the exact Jaccard then joins the
     BOUNDED pair set back to the shingle arrays (two hash joins keyed by
-    doc id — pair-set-sized, not corpus-sized, and ReusedExchange shares
-    the one shingle materialization across both sides). est_jaccard is
-    k/16 (exact in binary) and exact_jaccard a ratio of ints rounded to 6,
-    so the error column is engine-exact."""
+    doc id — pair-set-sized, not corpus-sized; the shingle frame is
+    PERSISTED because the a/b sides are distinct projections and get no
+    ReusedExchange — uncached this measured a third and fourth
+    tokenize+shingle pass). est_jaccard is k/16 (exact in binary) and
+    exact_jaccard a ratio of ints rounded to 6, so the error column is
+    engine-exact."""
     pairs = q_dedup_minhash_lsh(spark, sf)
-    sh = _shingled_docs(spark, sf)
+    sh = _shingled_docs(spark, sf).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

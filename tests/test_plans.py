@@ -431,3 +431,30 @@ def test_interpolate_matches_gapfill_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_entropy_single_scan(spark):
+    """Char entropy: one corpus scan, the (doc,char) aggregate plus one
+    doc-keyed window exchange — nothing else."""
+    plan = _plan(spark, "text_entropy")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_caches_pair_counts(spark):
+    """Bigram LM: context totals and the continuation vocab read the cached
+    pair-count aggregate; model tables attach by broadcast."""
+    plan = _plan(spark, "lm_bigram_surprisal")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_calibration_caches_shingles(spark):
+    """MinHash calibration: the shingle frame is cached so the a/b pair
+    sides don't re-run tokenize+shingle; exact-Jaccard joins stay hash
+    joins on the bounded pair set."""
+    plan = _plan(spark, "minhash_calibration")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
