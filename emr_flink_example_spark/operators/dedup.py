@@ -1377,6 +1377,31 @@ def _calibration_oracle() -> str:
     )
 
 
+def q_dedup_graph_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the near-dup candidate graph (dup-edge
+    threshold CC_EST_JACCARD): how many docs have 1, 2, ... near-dup
+    neighbours. The shape diagnostic for dedup at scale — a heavy tail
+    here is exactly the mega-cluster/boilerplate signal the LSH skew guard
+    and the CC survivor map exist for.
+
+    Shape: one pass over the bounded candidate-pair stream (the exact
+    dedup_minhash_lsh plan), symmetrized map-side (union of both
+    orientations), then two tiny combine-friendly aggregates — per-doc
+    degree, then the |max-degree|-row histogram."""
+    pairs = q_dedup_minhash_lsh(spark, sf).where(
+        F.col("est_jaccard") >= CC_EST_JACCARD
+    )
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+        .select("degree", "n_docs")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1397,6 +1422,7 @@ QUERIES = {
     "dedup_cluster_survivors": q_dedup_cluster_survivors,
     "split_leakage_audit": q_split_leakage_audit,
     "minhash_calibration": q_minhash_calibration,
+    "dedup_graph_degree_hist": q_dedup_graph_degree_hist,
 }
 
 ORACLES = {
@@ -1463,6 +1489,18 @@ ORACLES = {
     "dedup_cluster_survivors": _cc_survivors_oracle(),
     "split_leakage_audit": _leakage_oracle(),
     "minhash_calibration": _calibration_oracle(),
+    "dedup_graph_degree_hist": _minhash_cand_ctes() + f""",
+        dup_edges AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE {_EST_JACCARD_DUCK} >= {CC_EST_JACCARD}
+        ), ends AS (
+            SELECT doc_a AS doc_id FROM dup_edges
+            UNION ALL SELECT doc_b FROM dup_edges
+        ), deg AS (
+            SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id
+        )
+        SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+    """,
     # the nibble pigeonhole is exact for hamming <= 3 on 4 bands, so the
     # oracle is simply the brute-force pair predicate
     "simhash_hamming_pairs": f"""
