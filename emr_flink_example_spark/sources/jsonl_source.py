@@ -29,8 +29,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 
 #: documents-table shape, the default schema (DDL string form)
@@ -50,6 +52,9 @@ class JsonlDirDataSource(DataSource):
 
     def reader(self, schema) -> "JsonlDirReader":
         return JsonlDirReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> "JsonlDirWriter":
+        return JsonlDirWriter(self.options, overwrite)
 
 
 class JsonlDirReader(DataSourceReader):
@@ -92,3 +97,52 @@ class JsonlDirReader(DataSourceReader):
                 if any(rec.get(k) != v for k, v in self._eq):
                     continue
                 yield tuple(rec.get(n) for n in names)
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Sink half: one .jsonl file per input partition, two-phase commit.
+
+    Tasks write to `.staging-<pid>.jsonl` files (deterministic names from
+    the partition id — a re-run of the same task overwrites its own
+    staging file, never duplicates); `commit` renames staged files into
+    place and, for overwrite mode, removes pre-existing part files;
+    `abort` deletes the staging files. This is the same
+    stage-then-rename contract the reference's StreamingFileSink commits
+    on checkpoint (`Kafka2S3Text.scala:35-50`), scoped to a batch write."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self._path = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        staged = os.path.join(self._path, f".staging-{pid}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        msg = WriterCommitMessage()
+        msg.staged = staged  # type: ignore[attr-defined]
+        msg.n_rows = n  # type: ignore[attr-defined]
+        return msg
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".jsonl") and not f.startswith(".staging-"):
+                    os.remove(os.path.join(self._path, f))
+        for m in messages:
+            final = os.path.join(
+                self._path, os.path.basename(m.staged).removeprefix(".staging-")
+            )
+            os.replace(m.staged, f"{self._path}/part-{os.path.basename(final)}")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except FileNotFoundError:
+                pass

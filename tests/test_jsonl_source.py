@@ -76,3 +76,20 @@ def test_malformed_rows_dropped_permissively(spark, tmp_path):
     spark.dataSource.register(JsonlDirDataSource)
     got = spark.read.format("jsonl_dir").option("path", str(tmp_path)).load()
     assert got.count() == 2
+
+
+def test_writer_roundtrip_and_overwrite(spark, tmp_path):
+    spark.dataSource.register(JsonlDirDataSource)
+    out = tmp_path / "sink"
+    out.mkdir()
+    docs = load(spark, SF_DIR, "documents").limit(100)
+    docs.write.format("jsonl_dir").option("path", str(out)).mode("append").save()
+    back = spark.read.format("jsonl_dir").option("path", str(out)).load()
+    assert back.count() == 100
+    assert back.exceptAll(docs.select(*back.columns)).count() == 0
+    # overwrite replaces, not accumulates
+    docs2 = load(spark, SF_DIR, "documents").limit(30)
+    docs2.write.format("jsonl_dir").option("path", str(out)).mode("overwrite").save()
+    assert spark.read.format("jsonl_dir").option("path", str(out)).load().count() == 30
+    # no staging residue
+    assert not [f for f in out.iterdir() if f.name.startswith(".staging-")]
