@@ -69,6 +69,8 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "split_leakage_audit",
     "event_transition_matrix",
+    "lm_bigram_surprisal",
+    "timeseries_interpolate_linear",
 ]
 
 
