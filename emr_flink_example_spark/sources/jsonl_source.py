@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -55,6 +56,9 @@ class JsonlDirDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "JsonlDirWriter":
         return JsonlDirWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema) -> "JsonlDirStreamReader":
+        return JsonlDirStreamReader(schema, self.options)
 
 
 class JsonlDirReader(DataSourceReader):
@@ -146,3 +150,55 @@ class JsonlDirWriter(DataSourceWriter):
                 os.remove(m.staged)
             except FileNotFoundError:
                 pass
+
+
+class JsonlDirStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half: the directory consumed as an append-only stream,
+    one micro-batch per crop of new files — the reference's continuous
+    Kafka->S3 ingestion loop restated for a file-drop source.
+
+    The offset is a lexicographic filename high-watermark, so producers
+    must write monotonically-named files (part-000.., timestamps, ULIDs —
+    the standard file-drop contract). `read` advances the watermark;
+    `readBetweenOffsets` replays the half-open (start, end] window, which
+    is what makes checkpoint recovery exactly-once: a replayed batch
+    yields byte-identical rows."""
+
+    def __init__(self, schema, options) -> None:
+        self._schema = schema
+        self._path = options["path"]
+
+    def _files(self):
+        return sorted(f for f in os.listdir(self._path) if f.endswith(".jsonl"))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _rows(self, names):
+        # a LIST, not a generator: the simple stream reader's batch payload
+        # is pickled into the streaming prefetch cache, and generators
+        # don't pickle. Batch size is bounded by the files-per-trigger crop.
+        out = []
+        fields = [f.name for f in self._schema.fields]
+        for name in names:
+            with open(os.path.join(self._path, name), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    out.append(tuple(rec.get(n) for n in fields))
+        return out
+
+    def read(self, start: dict):
+        new = [f for f in self._files() if f > start["last"]]
+        if not new:
+            return [], start
+        return self._rows(new), {"last": new[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        names = [f for f in self._files() if start["last"] < f <= end["last"]]
+        return self._rows(names)

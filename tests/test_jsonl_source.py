@@ -93,3 +93,51 @@ def test_writer_roundtrip_and_overwrite(spark, tmp_path):
     assert spark.read.format("jsonl_dir").option("path", str(out)).load().count() == 30
     # no staging residue
     assert not [f for f in out.iterdir() if f.name.startswith(".staging-")]
+
+
+def test_stream_reader_picks_up_new_files_exactly_once(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    spark.dataSource.register(JsonlDirDataSource)
+    src = tmp_path / "stream-in"
+    src.mkdir()
+
+    def drop(name: str, ids):
+        with open(src / name, "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({
+                    "doc_id": i, "text": f"d{i}", "lang": "en",
+                    "source": "s", "n_chars": 2,
+                }) + "\n")
+
+    drop("part-000.jsonl", [1, 2])
+    q = (
+        spark.readStream.format("jsonl_dir")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("memory")
+        .queryName("jsonl_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM jsonl_stream").first()["c"] == 2:
+                break
+            _time.sleep(0.5)
+        drop("part-001.jsonl", [3])
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM jsonl_stream").first()["c"] == 3:
+                break
+            _time.sleep(0.5)
+        rows = spark.sql(
+            "SELECT doc_id, count(*) n FROM jsonl_stream GROUP BY doc_id"
+        ).collect()
+        got = {r["doc_id"]: r["n"] for r in rows}
+        # every doc exactly once — no replays, no drops
+        assert got == {1: 1, 2: 1, 3: 1}
+    finally:
+        q.stop()
