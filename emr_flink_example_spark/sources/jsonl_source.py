@@ -115,14 +115,20 @@ class JsonlDirWriter(DataSourceWriter):
     on checkpoint (`Kafka2S3Text.scala:35-50`), scoped to a batch write."""
 
     def __init__(self, options, overwrite: bool) -> None:
+        import uuid
+
         self._path = options["path"]
         self._overwrite = overwrite
+        # job-unique token minted ONCE on the driver and shipped to every
+        # task: append jobs never collide with an earlier job's part files,
+        # while a retried task still overwrites its own staging file
+        self._job = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        staged = os.path.join(self._path, f".staging-{pid}.jsonl")
+        staged = os.path.join(self._path, f".staging-{self._job}-{pid}.jsonl")
         n = 0
         with open(staged, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -194,11 +200,14 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict):
+        # iter(list): the runtime drives it with next() (so a bare list is
+        # rejected) AND pickles it into the prefetch cache (so a generator
+        # is rejected); a list_iterator satisfies both
         new = [f for f in self._files() if f > start["last"]]
         if not new:
-            return [], start
-        return self._rows(new), {"last": new[-1]}
+            return iter([]), start
+        return iter(self._rows(new)), {"last": new[-1]}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         names = [f for f in self._files() if start["last"] < f <= end["last"]]
-        return self._rows(names)
+        return iter(self._rows(names))

@@ -141,3 +141,15 @@ def test_stream_reader_picks_up_new_files_exactly_once(spark, tmp_path):
         assert got == {1: 1, 2: 1, 3: 1}
     finally:
         q.stop()
+
+
+def test_two_append_jobs_do_not_collide(spark, tmp_path):
+    spark.dataSource.register(JsonlDirDataSource)
+    out = tmp_path / "sink2"
+    out.mkdir()
+    docs = load(spark, SF_DIR, "documents").limit(10)
+    docs.write.format("jsonl_dir").option("path", str(out)).mode("append").save()
+    docs.write.format("jsonl_dir").option("path", str(out)).mode("append").save()
+    assert (
+        spark.read.format("jsonl_dir").option("path", str(out)).load().count() == 20
+    )
