@@ -235,6 +235,95 @@ def q_dedup_by_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the view closest in EITHER
+    time direction per user (tolerance-style as-of, pandas merge_asof
+    direction='nearest'), with fully deterministic tie-breaks: equal
+    distance prefers the earlier (backward) view; equal timestamps within
+    a direction break on event_id (max backward, min forward — the order
+    the window frames see).
+
+    Same single-exchange union-window shape as q_asof_join: ONE user_id
+    sort serves both the backward `last()` and the forward `first()`
+    frame, then the winner is integer-microsecond arithmetic per row —
+    no per-row range probe, no second shuffle."""
+    events = load(spark, sf, "events")
+
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_left")
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_left")
+    )
+    unioned = purchases.unionByName(views).withColumn(
+        "view_info",
+        F.when(
+            F.col("is_left") == 0,
+            F.struct(F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")),
+        ),
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("is_left").asc(), F.col("event_id").asc()
+    )
+    back = F.last("view_info", ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("view_info", ignorenulls=True).over(
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scored = (
+        unioned.withColumn("back", back)
+        .withColumn("fwd", fwd)
+        .where(F.col("is_left") == 1)
+        .withColumn("d_back", us(F.col("ts")) - us(F.col("back.v_ts")))
+        .withColumn("d_fwd", us(F.col("fwd.v_ts")) - us(F.col("ts")))
+    )
+    pick_back = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (F.col("d_back") <= F.col("d_fwd"))
+    )
+    nearest = F.when(pick_back, F.col("back")).otherwise(F.col("fwd"))
+    return (
+        scored.where(F.col("back").isNotNull() | F.col("fwd").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            nearest["v_id"].alias("view_id"),
+            nearest["v_ts"].alias("view_ts"),
+            (us(nearest["v_ts"]) - us(F.col("ts"))).alias("delta_us"),
+        )
+    )
+
+
+def q_window_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window DISTINCT aggregation: unique users and event types
+    per 1-hour window every 30 minutes — the dashboard staple that does
+    NOT decompose into partial sums (distinct state must survive to the
+    final aggregate). Spark plans the two-phase expand+distinct-aggregate
+    automatically; at 100 TB the pre-shuffle expand doubles rows (one per
+    overlapping window), which is the known, bounded cost of slide-based
+    windowing."""
+    events = load(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+            "n_event_types",
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
     "ad_events_partition_projection": q_ad_events_partition_projection,
     "window_tumbling": q_window_tumbling,
@@ -244,9 +333,52 @@ QUERIES = {
     "asof_join_forward": q_asof_join_forward,
     "join_range_binned": q_join_range_binned,
     "dedup_by_key": q_dedup_by_key,
+    "asof_join_nearest": q_asof_join_nearest,
+    "window_sliding_distinct": q_window_sliding_distinct,
 }
 
 ORACLES = {
+    "asof_join_nearest": """
+        WITH p AS (
+            SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+            WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT event_id AS v_id, user_id, ts AS v_ts FROM events
+            WHERE event_type = 'view'
+        ), cand AS (
+            SELECT p.p_id, p.user_id, p.p_ts, v.v_id, v.v_ts,
+                   row_number() OVER (
+                       PARTITION BY p.p_id
+                       ORDER BY abs(epoch_us(v.v_ts) - epoch_us(p.p_ts)) ASC,
+                                v.v_ts ASC,
+                                CASE WHEN v.v_ts <= p.p_ts THEN -v.v_id
+                                     ELSE v.v_id END ASC
+                   ) AS rn
+            FROM p JOIN v USING (user_id)
+        )
+        SELECT p_id AS purchase_id, user_id, p_ts AS purchase_ts,
+               v_id AS view_id, v_ts AS view_ts,
+               epoch_us(v_ts) - epoch_us(p_ts) AS delta_us
+        FROM cand WHERE rn = 1
+    """,
+    "window_sliding_distinct": """
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS window_start,
+                   user_id, event_type
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES,
+                   user_id, event_type
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_event_types,
+               count(*) AS n_events
+        FROM assigned
+        GROUP BY 1, 2
+    """,
     "asof_join_forward": """
         WITH p AS (
             SELECT event_id AS pid, user_id, ts AS pts
