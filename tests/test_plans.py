@@ -458,3 +458,20 @@ def test_calibration_caches_shingles(spark):
     plan = _plan(spark, "minhash_calibration")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_exchange(spark):
+    """Nearest as-of: both direction frames ride ONE user_id exchange —
+    no self-join, no range probe."""
+    plan = _plan(spark, "asof_join_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sliding_distinct_two_phase(spark):
+    """Sliding distinct: the window expand feeds a two-phase distinct
+    aggregate (partial on (window, value), final count) — one scan."""
+    plan = _plan(spark, "window_sliding_distinct")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
