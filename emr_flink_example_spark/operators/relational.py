@@ -1012,6 +1012,23 @@ def q_agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_boolean_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL:2023-style boolean/conditional aggregates per group: count_if,
+    bool_and / bool_or (EVERY / ANY), and the derived fraction — all
+    combine-friendly single-pass moments (deterministic by construction;
+    max_by/min_by are deliberately NOT used here because their tie-breaking
+    on non-unique values is engine-private)."""
+    li = load(spark, sf, "lineitem")
+    discounted = F.col("l_discount") > F.lit(0.05)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(discounted).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        _r4(F.count_if(discounted) / F.count("*")).alias("frac_discounted"),
+    )
+
+
 QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "projection_compute": q_projection_compute,
@@ -1068,6 +1085,7 @@ QUERIES = {
     "agg_regr_linear": q_agg_regr_linear,
     "sketch_quantile_hash_sample": q_sketch_quantile_hash_sample,
     "agg_mode_per_group": q_agg_mode_per_group,
+    "agg_boolean_aggs": q_agg_boolean_aggs,
 }
 
 ORACLES = {
@@ -1555,6 +1573,15 @@ ORACLES = {
         SELECT l_returnflag, est_p50, exact_p50, n_sampled, n_rows,
                round(abs(est_p50 - exact_p50) / exact_p50, 4) AS rel_error
         FROM est JOIN exact USING (l_returnflag)
+    """,
+    "agg_boolean_aggs": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count_if(l_discount > 0.05) AS n_discounted,
+               bool_and(l_quantity > 0) AS all_positive_qty,
+               bool_or(l_tax > 0.07) AS any_high_tax,
+               round(count_if(l_discount > 0.05)::DOUBLE / count(*), 4) AS frac_discounted
+        FROM lineitem GROUP BY l_returnflag
     """,
     "agg_mode_per_group": """
         WITH counts AS (
