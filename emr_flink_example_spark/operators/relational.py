@@ -1577,7 +1577,7 @@ ORACLES = {
     "agg_boolean_aggs": """
         SELECT l_returnflag,
                count(*) AS n_rows,
-               count_if(l_discount > 0.05) AS n_discounted,
+               count_if(l_discount > 0.05)::BIGINT AS n_discounted,
                bool_and(l_quantity > 0) AS all_positive_qty,
                bool_or(l_tax > 0.07) AS any_high_tax,
                round(count_if(l_discount > 0.05)::DOUBLE / count(*), 4) AS frac_discounted
