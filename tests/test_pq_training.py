@@ -1,0 +1,74 @@
+"""Value-pin for the codebook trainer: `subspace_kmeans_fit` must
+reproduce an INDEPENDENT numpy Lloyd implementation bit-for-bit.
+
+This is the determinism contract that lets the DuckDB oracles RE-TRAIN the
+same codebook inside plain SQL (`_train_ctes`): smallest-vec_id init,
+first-min argmin ties, 6-dp rounding of every update, empty codewords keep
+their previous value. If any of those knobs drifts, the PQ/ADC/IVF-PQ
+oracle rows all hash-mismatch — this test localizes the break to the
+trainer itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from emr_flink_example_spark.io import load
+from emr_flink_example_spark.operators import similarity as S
+
+from conftest import SF_DIR
+
+
+def _np_subspace_lloyd(X, n_sub, sub_dim, k, iters):
+    """Independent reference: per-subspace Lloyd, same determinism knobs."""
+    cbs = []
+    for m in range(n_sub):
+        Xm = X[:, m * sub_dim:(m + 1) * sub_dim]
+        C = Xm[:k].copy()
+        for _ in range(iters):
+            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(2)
+            a = d2.argmin(1)  # numpy argmin = first minimum, like the fold
+            newC = C.copy()
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    newC[j] = np.round(Xm[mask].mean(0), 6)
+            C = newC
+        cbs.append(C)
+    return np.concatenate(cbs, axis=1)  # K x DIM, codeword = concat over m
+
+
+def _corpus(spark):
+    rows = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.stack([np.array(r.embedding, dtype=float) for r in rows])
+
+
+def test_trained_codebooks_match_numpy(spark):
+    X = _corpus(spark)
+    base = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    for (n_sub, sub_dim, k) in [
+        (S.PQ_M, S.PQ_SUB_DIM, S.PQ_K),      # compression codebook
+        (S.ADC_M, S.ADC_SUB, S.ADC_K),       # search-tier codebook
+        (1, S.DIM, S.N_CENTROIDS),           # IVF coarse quantizer
+    ]:
+        got = np.array(S.subspace_kmeans_fit(base, n_sub, sub_dim, k))
+        want = _np_subspace_lloyd(X, n_sub, sub_dim, k, S.PQ_TRAIN_ITERS)
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), (n_sub, sub_dim, k)
+
+
+def test_trained_codebook_empty_corpus(spark):
+    base = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .where("vec_id < 0")
+    )
+    assert S.subspace_kmeans_fit(base, S.PQ_M, S.PQ_SUB_DIM, S.PQ_K) == []
