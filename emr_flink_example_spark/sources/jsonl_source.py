@@ -77,8 +77,13 @@ class JsonlDirReader(DataSourceReader):
                 yield f
 
     def partitions(self):
+        # hidden files (".staging-*" from in-flight or crashed writes) are
+        # NOT data: listing them would hand readers uncommitted rows and
+        # defeat the writer's stage-then-rename atomicity (ADVICE r5)
         files = sorted(
-            f for f in os.listdir(self._path) if f.endswith(".jsonl")
+            f
+            for f in os.listdir(self._path)
+            if f.endswith(".jsonl") and not f.startswith(".")
         )
         if not files:
             # zero-file directory still needs >= 1 partition (empty scan)
@@ -144,6 +149,18 @@ class JsonlDirWriter(DataSourceWriter):
             for f in os.listdir(self._path):
                 if f.endswith(".jsonl") and not f.startswith(".staging-"):
                     os.remove(os.path.join(self._path, f))
+        # garbage-collect staging leftovers from crashed earlier jobs: the
+        # sink directory is single-writer (the overwrite semantics above
+        # already assume it), so any staging file not staged by THIS job is
+        # a dead predecessor's orphan — without this, append mode
+        # accumulates them forever (ADVICE r5)
+        ours = {os.path.basename(m.staged) for m in messages}
+        for f in os.listdir(self._path):
+            if f.startswith(".staging-") and f not in ours:
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except FileNotFoundError:
+                    pass
         for m in messages:
             final = os.path.join(
                 self._path, os.path.basename(m.staged).removeprefix(".staging-")
@@ -175,7 +192,13 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
         self._path = options["path"]
 
     def _files(self):
-        return sorted(f for f in os.listdir(self._path) if f.endswith(".jsonl"))
+        # same hidden-file rule as the batch reader: staging files must
+        # never enter the watermark ordering or the replay window
+        return sorted(
+            f
+            for f in os.listdir(self._path)
+            if f.endswith(".jsonl") and not f.startswith(".")
+        )
 
     def initialOffset(self) -> dict:
         return {"last": ""}

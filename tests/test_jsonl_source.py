@@ -153,3 +153,28 @@ def test_two_append_jobs_do_not_collide(spark, tmp_path):
     assert (
         spark.read.format("jsonl_dir").option("path", str(out)).load().count() == 20
     )
+
+
+def test_staging_files_invisible_to_readers_and_gced(spark, tmp_path):
+    """ADVICE r5: in-flight/crashed '.staging-*.jsonl' files must never be
+    listed as data (batch or stream), and a later commit garbage-collects
+    orphans so append mode doesn't accumulate them forever."""
+    spark.dataSource.register(JsonlDirDataSource)
+    out = tmp_path / "sink"
+    out.mkdir()
+    docs = load(spark, SF_DIR, "documents").limit(10)
+    docs.write.format("jsonl_dir").option("path", str(out)).mode("append").save()
+    # simulate a crashed writer's leftover staging file with valid rows
+    orphan = out / ".staging-deadbeef-0.jsonl"
+    orphan.write_text('{"doc_id": 999999}\n', encoding="utf-8")
+    # batch reader: orphan rows invisible
+    assert spark.read.format("jsonl_dir").option("path", str(out)).load().count() == 10
+    # stream reader listing: orphan excluded from the watermark ordering
+    from emr_flink_example_spark.sources.jsonl_source import JsonlDirStreamReader
+
+    sr = JsonlDirStreamReader(docs.schema, {"path": str(out)})
+    assert all(not f.startswith(".") for f in sr._files())
+    # a subsequent commit GCs the orphan
+    docs.write.format("jsonl_dir").option("path", str(out)).mode("append").save()
+    assert not orphan.exists()
+    assert spark.read.format("jsonl_dir").option("path", str(out)).load().count() == 20
