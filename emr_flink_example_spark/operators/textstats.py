@@ -795,9 +795,31 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     lineage is truncated each round via localCheckpoint (the CC pattern),
     so N rounds stay N shallow jobs.
 
-    Iterative and therefore not single-query-SQL-expressible: rows-only in
-    the driver check, value-pinned in tests/test_bpe_reference.py against
-    an independent pure-Python BPE on the same word counts."""
+    Iterative and therefore not single-query-SQL-expressible at full depth:
+    rows-only in the driver check, value-pinned in
+    tests/test_bpe_reference.py against an independent pure-Python BPE on
+    the same word counts. The first TWO rounds, however, ARE
+    SQL-expressible (`bpe_first_merges` below unrolls them), which gives
+    the driver a hash-checkable row over this exact trainer logic."""
+    return _bpe_train(spark, sf, N_BPE_MERGES)
+
+
+def q_bpe_first_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """The first 2 BPE merge rules — same trainer, fixed 2-round budget,
+    so the DuckDB oracle can mirror it by UNROLLING both rounds in SQL
+    (VERDICT r5 item 7): pair counts from the char-split vocabulary, top-1
+    by (freq DESC, p1, p2), apply, recount, top-1 again. The oracle's merge
+    apply uses the string identity replace('|p1||p2|' -> '|p1p2|') over a
+    '|sym||sym|...' rendering — SQL replace() substitutes non-overlapping
+    occurrences LEFT-TO-RIGHT, which is exactly greedy BPE apply semantics
+    ('|a||a||a|' -> '|aa||a|'), and the per-token '|' wrapping makes a
+    cross-symbol-boundary match impossible ('|ba||a|' never matches
+    '|a||a|'). '|' is safe as a wrapper: symbols are TOKEN_RE alphanumerics
+    plus BPE_END, none of which contain it."""
+    return _bpe_train(spark, sf, 2)
+
+
+def _bpe_train(spark: SparkSession, sf: str, n_merges: int) -> DataFrame:
     docs = load(spark, sf, "documents")
     words = (
         docs.select(F.explode(F.expr(TOKENS)).alias("word"))
@@ -809,7 +831,7 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
     merges = []
-    for rank in range(N_BPE_MERGES):
+    for rank in range(n_merges):
         pairs = vocab.select(
             "freq",
             F.explode(
@@ -830,15 +852,26 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
         p1, p2, merged = best["p1"], best["p2"], best["p1"] + best["p2"]
         merges.append((rank, p1, p2, merged, int(best["pair_freq"])))
         # left-to-right greedy merge of non-overlapping occurrences — the
-        # standard BPE apply semantics ('aaa' + merge(a,a) -> ['aa','a'])
-        apply_sql = (
-            "aggregate(syms, cast(array() as array<string>),"
-            " (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{p1}'"
-            " AND s = '{p2}',"
-            " concat(slice(acc, 1, size(acc) - 1), array('{m}')),"
-            " concat(acc, array(s))))"
-        ).format(p1=p1, p2=p2, m=merged)
-        vocab = vocab.select("freq", F.expr(apply_sql).alias("syms")).localCheckpoint()
+        # standard BPE apply semantics ('aaa' + merge(a,a) -> ['aa','a']).
+        # Symbols enter the fold as F.lit() columns, never interpolated into
+        # SQL text: a quote (or any metacharacter) in a merged symbol is
+        # data, not syntax (ADVICE r5).
+        def _apply_merge(acc, s):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p1))
+                & (s == F.lit(p2))
+            )
+            return F.when(
+                hit, F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged)))
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        vocab = vocab.select(
+            "freq",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), _apply_merge
+            ).alias("syms"),
+        ).localCheckpoint()
 
     return spark.createDataFrame(
         merges, "rank int, p1 string, p2 string, merged string, pair_freq bigint"
@@ -1007,6 +1040,7 @@ QUERIES = {
     "corpus_divergence_kl": q_corpus_divergence_kl,
     "lm_bigram_surprisal": q_lm_bigram_surprisal,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_first_merges": q_bpe_first_merges,
     "text_entropy": q_text_entropy,
 }
 
@@ -1152,7 +1186,47 @@ _KMV_ORACLE = f"""
     FROM stats
 """
 
+def _bpe_round_ctes(r: int) -> str:
+    """pairs/best CTEs for unrolled BPE round `r` (needs `vocab{r}`)."""
+    return f"""
+        pairs{r} AS (
+            SELECT syms[i] AS p1, syms[i + 1] AS p2, sum(freq)::BIGINT AS pair_freq
+            FROM vocab{r}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+            GROUP BY p1, p2
+        ), best{r} AS (
+            SELECT {r} AS rank, p1, p2, p1 || p2 AS merged, pair_freq
+            FROM pairs{r} ORDER BY pair_freq DESC, p1 ASC, p2 ASC LIMIT 1
+        )"""
+
+
+#: unrolled 2-round mirror of `_bpe_train` — see q_bpe_first_merges for why
+#: replace('|p1||p2|' -> '|p1p2|') IS greedy left-to-right BPE apply.
+_BPE_FIRST_MERGES_ORACLE = f"""
+    WITH words AS (
+        SELECT word, count(*)::BIGINT AS freq
+        FROM (SELECT unnest({TOKENS_DUCK}) AS word FROM documents)
+        GROUP BY word
+    ), vocab0 AS (
+        SELECT freq, list_append(string_split(word, ''), '{BPE_END}') AS syms
+        FROM words
+    ), {_bpe_round_ctes(0)},
+    vocab1 AS (
+        SELECT freq, string_split(substr(s2, 2, len(s2) - 2), '||') AS syms
+        FROM (
+            SELECT freq,
+                   replace('|' || array_to_string(syms, '||') || '|',
+                           '|' || b.p1 || '||' || b.p2 || '|',
+                           '|' || b.merged || '|') AS s2
+            FROM vocab0 CROSS JOIN best0 b
+        )
+    ), {_bpe_round_ctes(1)}
+    SELECT rank::INT AS rank, p1, p2, merged, pair_freq
+    FROM (SELECT * FROM best0 UNION ALL SELECT * FROM best1)
+"""
+
+
 ORACLES = {
+    "bpe_first_merges": _BPE_FIRST_MERGES_ORACLE,
     "sketch_kmv_distinct": _KMV_ORACLE,
     "sketch_countmin_heavy_hitters": _cms_oracle(),
     "doc_fingerprint_rolling": f"""
