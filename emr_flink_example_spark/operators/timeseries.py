@@ -208,6 +208,13 @@ def q_timeseries_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
     (gap before the first / after the last observation) fall back to the
     nearest observed value.
 
+    DATA CONTRACT (ADVICE r5): both the floor(v*100 + 0.5) cents conversion
+    and the div identity assume NON-NEGATIVE anchor sums — a negative
+    sum(value) would silently round half-DOWN. events.value is a price-like
+    non-negative measure (min 0.01 across all fixtures);
+    tests/test_interp_identity.py asserts the contract so a future fixture
+    or source change that violates it fails loudly instead of mis-rounding.
+
     Shape: identical to resample_gapfill — one aggregating shuffle, grid
     synthesized from the small aggregate, per-type bounded windows. The
     forward-looking window is the only addition (same exchange, second sort

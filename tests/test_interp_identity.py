@@ -24,3 +24,18 @@ def test_integer_half_up_identity(pv_c, nv_c, a, gap):
     lo = exact.__floor__()
     expected = lo + (1 if exact - lo >= Fraction(1, 2) else 0)
     assert got == expected
+
+
+def test_events_value_nonnegative_contract(spark):
+    """DATA CONTRACT (ADVICE r5): the cents conversion floor(v*100 + 0.5)
+    and the div identity above are half-UP only for non-negative values —
+    this pins the contract on the fixtures so a source change that
+    introduces negative event values fails here, not as a silent
+    mis-rounding inside timeseries_interpolate_linear."""
+    from pyspark.sql import functions as F
+
+    from emr_flink_example_spark.io import load
+    from conftest import SF_DIR
+
+    lo = load(spark, SF_DIR, "events").agg(F.min("value")).first()[0]
+    assert lo is not None and lo >= 0, lo
