@@ -36,6 +36,37 @@ AD_EVENT_SCHEMA = StructType(
 )
 
 
+def kafka_reader_options(cfg: PipelineConfig) -> dict[str, str]:
+    """The kafka reader's option contract as a pure, broker-free function —
+    the exact mirror of the reference's consumer Properties
+    (Kafka2S3Text.scala:27-33 via Config.scala:29-33):
+
+    * ``bootstrap.servers`` <- ``-b brokerList``  ->  prefixed
+      ``kafka.bootstrap.servers`` (Spark forwards ``kafka.*`` options to the
+      underlying consumer verbatim);
+    * the subscribed topic   <- ``-t sourceTopic`` ->  ``subscribe``;
+    * ``group.id``           <- ``-g groupId``     ->  ``kafka.group.id``,
+      forwarded only when set (Spark manages offsets in the checkpoint; the
+      group id serves broker-side quota/ACL accounting);
+    * start position: the reference defaults to the group's committed
+      offsets, which has no Spark equivalent — ``startingOffsets`` defaults
+      to "earliest" (checkpoint-first on restart either way; "latest" would
+      silently skip pre-launch data).
+
+    The sandbox has no broker, so this contract is what
+    tests/test_kafka_contract.py pins (the ``format("kafka")`` branch
+    itself needs the connector JAR + a broker to execute).
+    """
+    opts = {
+        "kafka.bootstrap.servers": cfg.broker_list,
+        "subscribe": cfg.source_topic,
+        "startingOffsets": cfg.starting_offsets or "earliest",
+    }
+    if cfg.group_id:
+        opts["kafka.group.id"] = cfg.group_id
+    return opts
+
+
 def raw_string_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """Unbounded stream of raw record strings, column `value: string`.
 
@@ -48,14 +79,7 @@ def raw_string_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     equivalent, and "latest" would silently skip pre-launch data.
     """
     if cfg.source_format == "kafka":
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", cfg.broker_list)
-            .option("subscribe", cfg.source_topic)
-            .option("startingOffsets", cfg.starting_offsets or "earliest")
-        )
-        if cfg.group_id:
-            reader = reader.option("kafka.group.id", cfg.group_id)
+        reader = spark.readStream.format("kafka").options(**kafka_reader_options(cfg))
         return reader.load().select(F.col("value").cast("string").alias("value"))
     return spark.readStream.format("text").load(cfg.source_path).select(
         F.col("value").cast("string").alias("value")

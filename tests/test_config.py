@@ -60,17 +60,17 @@ def test_starting_offsets_reaches_kafka_reader_options(spark):
 
     fake = MagicMock()
     reader = fake.readStream.format.return_value
-    reader.option.return_value = reader
+    reader.options.return_value = reader
     cfg = PipelineConfig(
         source_format="kafka", broker_list="b:9092", source_topic="t",
         starting_offsets="latest",
     )
     raw_string_stream(fake, cfg)
-    opts = {c.args[0]: c.args[1] for c in reader.option.call_args_list}
+    opts = reader.options.call_args.kwargs
     assert opts["startingOffsets"] == "latest"
     # and the default path
-    reader.option.reset_mock()
+    reader.options.reset_mock()
     raw_string_stream(fake, PipelineConfig(
         source_format="kafka", broker_list="b:9092", source_topic="t"))
-    opts = {c.args[0]: c.args[1] for c in reader.option.call_args_list}
+    opts = reader.options.call_args.kwargs
     assert opts["startingOffsets"] == "earliest"
