@@ -26,15 +26,29 @@ META_SCHEMA = "doc_id bigint, byte_len bigint, width int, height int, format str
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decoder — gated on an optional dependency not present here."""
+    """Real decoder, gated on an optional dependency. This sandbox has no
+    Pillow and installs are prohibited (constraint recorded in SURVEY §7
+    "Hard parts" item 0), so here the ImportError branch is the only one
+    that ever runs; the decode path below is complete and is exercised by
+    tests/test_multimodal_real.py wherever Pillow IS installed (it
+    pytest-skips otherwise). Returns the same schema as
+    `fake_decode_batch` rows, so swapping kernels changes no plumbing."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
             "image decoding requires Pillow, not available in this container; "
             "use the deterministic fake decode for plumbing tests"
         ) from exc
-    raise NotImplementedError("wire PIL Image.open here when the codec lib exists")
+    import io as _io
+
+    with Image.open(_io.BytesIO(payload)) as im:  # pragma: no cover - needs PIL
+        return {
+            "byte_len": len(payload),
+            "width": im.width,
+            "height": im.height,
+            "format": (im.format or "").lower(),
+        }
 
 
 def fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
