@@ -19,7 +19,7 @@ from emr_flink_example_spark.session import local_test_session  # noqa: E402
 from emr_flink_example_spark.testing import compare, connect_oracle  # noqa: E402
 
 
-def run(sf_dir: str, only: list[str]) -> int:
+def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
     from __spark_entry__ import oracle_sql, queries
 
     spark = local_test_session()
@@ -29,6 +29,7 @@ def run(sf_dir: str, only: list[str]) -> int:
     qs, os_ = queries(), oracle_sql()
     names = only or list(qs)
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name in names:
         # flat memory across the sweep: release any intra-query persists
         spark.catalog.clearCache()
@@ -37,10 +38,12 @@ def run(sf_dir: str, only: list[str]) -> int:
             try:
                 n = len(qs[name](spark, sf_dir).collect())
                 print(f"rows  {name}: {n} rows (no oracle) [{time.time()-t0:.1f}s]")
+                results[name] = {"status": "rows_only", "rows": n}
                 n_rows_only += 1
             except Exception:
                 print(f"FAIL  {name}: spark error")
                 traceback.print_exc(limit=4)
+                results[name] = {"status": "fail", "detail": "spark error"}
                 n_fail += 1
             continue
         try:
@@ -48,20 +51,46 @@ def run(sf_dir: str, only: list[str]) -> int:
         except Exception:
             print(f"FAIL  {name}: error")
             traceback.print_exc(limit=4)
+            results[name] = {"status": "fail", "detail": "error"}
             n_fail += 1
             continue
         if ok:
             print(f"PASS  {name}: {msg} [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "pass", "detail": msg}
             n_pass += 1
         else:
             print(f"FAIL  {name}: {msg}")
+            results[name] = {"status": "fail", "detail": msg}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only of {len(names)}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "n_total": len(names),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
+    # usage: selfcheck.py [sf_dir] [--json OUT.json] [query ...]
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
-    sys.exit(run(sf, only))
+    sys.exit(run(sf, only, json_out))
