@@ -459,24 +459,37 @@ PQ_SUB_DIM = DIM // PQ_M
 PQ_K = 16
 
 
+def _unrolled_d2(a: str, b: str, lo: int | str, n: int) -> str:
+    """Squared-L2 over elements lo..lo+n-1 of `a` vs `b` as an UNROLLED
+    left-to-right sum — bit-equal to the 0-init sequential fold
+    ((0+d1)==d1 exactly), ~1.5x faster interpreted (no iterator or lambda
+    allocation per evaluation). `lo` may be a literal int or an expression
+    in the enclosing lambda's scope (e.g. "m * 2 + 1")."""
+    lo_s = f"({lo})" if isinstance(lo, str) else str(lo)
+    return " + ".join(
+        f"(element_at({a}, {lo_s} + {i}) - element_at({b}, {lo_s} + {i}))"
+        f" * (element_at({a}, {lo_s} + {i}) - element_at({b}, {lo_s} + {i}))"
+        for i in range(n)
+    )
+
+
 def _pq_best_sql(m: int) -> str:
     """Subspace-m argmin as a (k, d2) struct over the broadcast codebook
     column `cw` and embedding column `e`.
 
     Index fold (element_at over a sequence), NOT zip_with over slices: the
     slice form allocates 2 subvectors per codeword per row — measured ~1.4x
-    slower end-to-end. Addition order is identical (sequential over i), so
-    results stay bit-equal to the oracle. The strict `<` fold over ascending
-    codeword ids reproduces `ORDER BY dist, id` argmin ties."""
+    slower end-to-end. The sub_dim-term sum is UNROLLED (r6): the inner
+    aggregate+sequence allocated an iterator per codeword per row, ~1.5x
+    slower interpreted; the unrolled left-to-right sum has the identical
+    addition order ((0+d1)==d1 exactly), so results stay bit-equal to the
+    oracle. The strict `<` fold over ascending codeword ids reproduces
+    `ORDER BY dist, id` argmin ties."""
     lo = m * PQ_SUB_DIM + 1
+    d2 = _unrolled_d2("e", "c.e", lo, PQ_SUB_DIM)
     return f"""
         aggregate(
-          transform(cw, (c, k) -> struct(k AS k,
-              aggregate(sequence(0, {PQ_SUB_DIM - 1}),
-                cast(0 as double),
-                (acc, i) -> acc
-                  + (element_at(e, {lo} + i) - element_at(c.e, {lo} + i))
-                  * (element_at(e, {lo} + i) - element_at(c.e, {lo} + i))) AS d2)),
+          transform(cw, (c, k) -> struct(k AS k, {d2} AS d2)),
           struct(cast(-1 as int) AS k, cast('Infinity' as double) AS d2),
           (best, c) -> IF(c.d2 < best.d2, c, best)
         )
@@ -532,14 +545,15 @@ def subspace_kmeans_fit(
         [list(r.e[m * sub_dim:(m + 1) * sub_dim]) for r in seed]
         for m in range(n_sub)
     ]
+    d2_terms = " + ".join(
+        f"(element_at(e, m * {sub_dim} + {i}) - element_at(c, {i}))"
+        f" * (element_at(e, m * {sub_dim} + {i}) - element_at(c, {i}))"
+        for i in range(1, sub_dim + 1)
+    )
     ks_expr = f"""
         transform(
           transform(sequence(0, {n_sub - 1}), m ->
-            transform(element_at(allcw, m + 1), c ->
-              aggregate(sequence(1, {sub_dim}), cast(0 as double),
-                (acc, i) -> acc
-                  + (element_at(e, m * {sub_dim} + i) - element_at(c, i))
-                  * (element_at(e, m * {sub_dim} + i) - element_at(c, i))))),
+            transform(element_at(allcw, m + 1), c -> {d2_terms})),
           l -> cast(array_position(l, array_min(l)) - 1 as int))
     """
     for _ in range(iters):
@@ -703,10 +717,7 @@ def _adc_lut_sql(n_sub: int, sub_dim: int) -> str:
     return f"""
     transform(sequence(0, {n_sub} - 1), m ->
       transform(cw, c ->
-        aggregate(sequence(0, {sub_dim} - 1), cast(0 as double),
-          (acc, i) -> acc
-            + (element_at(qe, m * {sub_dim} + i + 1) - element_at(c.e, m * {sub_dim} + i + 1))
-            * (element_at(qe, m * {sub_dim} + i + 1) - element_at(c.e, m * {sub_dim} + i + 1)))))
+        {_unrolled_d2("qe", "c.e", f"m * {sub_dim} + 1", sub_dim)}))
     """
 
 
@@ -720,21 +731,77 @@ def _encode_codes_sql(n_sub: int, sub_dim: int) -> str:
         transform(
           transform(sequence(0, {n_sub} - 1), m ->
             transform(cw, c ->
-              aggregate(sequence(1, {sub_dim}), cast(0 as double),
-                (acc, i) -> acc
-                  + (element_at(e, m * {sub_dim} + i) - element_at(c.e, m * {sub_dim} + i))
-                  * (element_at(e, m * {sub_dim} + i) - element_at(c.e, m * {sub_dim} + i))))),
+              {_unrolled_d2("e", "c.e", f"m * {sub_dim} + 1", sub_dim)})),
           l -> cast(array_position(l, array_min(l)) - 1 as int))
     """
 
 
+def _adc_codes_with_e(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus rows as (vec_id, e, codes) with the ADC-geometry codes from a
+    VECTORIZED Arrow kernel (`mapInPandas` + numpy broadcasting).
+
+    Why Python here: the encode is argmin over ADC_M x ADC_K = 2048
+    codeword distances per row; as a higher-order-function fold that is
+    CodegenFallback — interpreted, ~1.8 ms/row measured at sf0.1 (3.7 s of
+    the old 4.8 s ADC query) — while the numpy kernel does the same flops
+    vectorized in microseconds. This is exactly the declared-Arrow-kernel
+    seam the repo uses wherever JVM expressions can't execute efficiently
+    (cf. dedup_embedding_cosine_vectorized), and the production shape: PQ
+    encode is a vectorized ingest-time kernel in every real ANN system.
+
+    Float discipline: d2 accumulates term-by-term in subvector-element
+    order ((x1-c1)^2 + (x2-c2)^2, elementwise numpy ops — the identical
+    IEEE operation sequence as the SQL fold and the DuckDB oracle), and
+    `argmin` keeps the first minimum — so the codes are bit-equal to the
+    relational `_encode_codes_sql` form (pinned by
+    test_pq_training.py::test_arrow_codes_match_relational). The python
+    node also materializes codes, so no repartition collapse-barrier is
+    needed above the pair join."""
+    cw = trained_codebook(spark, sf, ADC_M, ADC_SUB, ADC_K)
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    if not cw:  # empty corpus: no codebook, no rows — keep the contract
+        # schema. The empty codes column must NOT be a foldable literal:
+        # ANSI constant folding would evaluate element_at(codes, 1) in the
+        # downstream dist expression at PLAN time and raise even with zero
+        # rows, so derive it from `e` (non-foldable, still always empty).
+        return emb.select(
+            "vec_id", "e",
+            F.expr("transform(slice(e, 1, 0), x -> cast(x as int))").alias("codes"),
+        )
+    import numpy as np
+
+    C = np.asarray(cw, dtype=np.float64)  # K x DIM, codeword-id order
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            codes = np.empty((len(pdf), ADC_M), dtype=np.int32)
+            for m in range(ADC_M):
+                lo = m * ADC_SUB
+                d2 = (X[:, None, lo] - C[None, :, lo]) ** 2
+                for i in range(1, ADC_SUB):
+                    d2 = d2 + (X[:, None, lo + i] - C[None, :, lo + i]) ** 2
+                codes[:, m] = d2.argmin(1)  # first minimum, like the fold
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "e": pdf["e"], "codes": list(codes)}
+            )
+
+    return emb.mapInPandas(encode, "vec_id bigint, e array<double>, codes array<int>")
+
+
 def _adc_dist_sql(n_sub: int) -> str:
     """Candidate distance = sum of the M per-subspace LUT entries its codes
-    select (requires `lut` and `codes` in scope)."""
-    return (
-        f"aggregate(sequence(0, {n_sub} - 1), cast(0 as double),"
-        " (acc, m) -> acc + element_at(element_at(lut, m + 1),"
-        " element_at(codes, m + 1) + 1))"
+    select (requires `lut` and `codes` in scope). Unrolled left-to-right —
+    same addition order as the 0-init fold, ~2x faster interpreted."""
+    return " + ".join(
+        f"element_at(element_at(lut, {m + 1}), element_at(codes, {m + 1}) + 1)"
+        for m in range(n_sub)
     )
 
 
@@ -751,20 +818,15 @@ def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cb = _adc_codebook(spark, sf)
-    codes = (
-        emb.crossJoin(F.broadcast(cb))
-        .select("vec_id", F.expr(_encode_codes_sql(ADC_M, ADC_SUB)).alias("codes"))
-    )
+    # vectorized Arrow encode; the python node materializes codes, so the
+    # encode can never be collapsed into (and re-run per pair of) the join
+    codes = _adc_codes_with_e(spark, sf).select("vec_id", "codes")
     q_lut = (
         emb.where(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
         .crossJoin(F.broadcast(cb))
         .select("query_id", F.expr(_adc_lut_sql(ADC_M, ADC_SUB)).alias("lut"))
     )
-    # barrier: materialize each corpus row's codes ONCE — without it Catalyst
-    # collapses the encode projection into the pair join and re-runs the
-    # whole argmin chain per (query, candidate) pair (measured ~8x at sf0.1)
-    codes = codes.repartition("vec_id")
     return (
         codes.crossJoin(F.broadcast(q_lut))
         .where(F.col("query_id") != F.col("vec_id"))
@@ -879,17 +941,17 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         ).centroid_id
         """
     )
-    # one map pass: centroid id + ADC codes per corpus row, materialized
-    # behind the barrier (same collapse-guard as _adc_scored)
+    # one map pass over the Arrow-encoded corpus: the python node yields
+    # (vec_id, e, codes); the JVM layer above adds the centroid id with the
+    # broadcast-fold argmax (kept JVM-side: numpy dot products use pairwise
+    # summation, which would NOT be bit-equal to the oracle's sequential
+    # cosine fold). The python node materializes codes — no barrier needed.
     corpus = (
-        emb.crossJoin(F.broadcast(cent_arr))
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            assign.alias("centroid_id"),
-            F.expr(_encode_codes_sql(ADC_M, ADC_SUB)).alias("codes"),
-        )
-        .repartition("vec_id")
+        _adc_codes_with_e(spark, sf)
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+        .withColumn("nrm", _norm("e"))
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", assign.alias("centroid_id"), "codes")
     )
     cos_c = _dot("e", "cv") / (F.col("nrm") * F.col("cvn"))
     wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id").asc())

@@ -25,6 +25,12 @@ ARROW_QUERIES = {
     "dedup_embedding_cosine_vectorized",
     "udf_pandas_norm",
     "udaf_pandas_mean_dim0",
+    # r6: the ADC tier's PQ encode is a vectorized Arrow kernel (the HOF
+    # fold is CodegenFallback — ~1.8 ms/row interpreted; bit-equality with
+    # the relational form pinned in test_pq_training.py)
+    "ann_pq_adc_topk",
+    "ann_pq_adc_rerank_topk",
+    "ann_ivfpq_topk",
 }
 
 #: the one deliberate row-at-a-time Python surface demo (BatchEvalPythonUDTF)
@@ -272,10 +278,13 @@ def test_pq_encode_is_mapside(spark):
 
 
 def test_pq_adc_barrier_and_rank_only(spark):
-    """ADC search: exactly two hash exchanges — the reconstruct-once barrier
-    and the per-query top-k rank; queries/codebook broadcast, no sort-merge."""
+    """ADC search: the Arrow encode node materializes codes (so no
+    collapse-barrier exchange is needed any more) — the ONLY hash exchange
+    left is the per-query top-k rank; queries/codebook broadcast, no
+    sort-merge."""
     plan = _plan(spark, "ann_pq_adc_topk")
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("MapInPandas") == 1
     assert plan.count("Window [") == 1
     assert "SortMergeJoin" not in plan
 

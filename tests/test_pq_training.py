@@ -72,3 +72,32 @@ def test_trained_codebook_empty_corpus(spark):
         .where("vec_id < 0")
     )
     assert S.subspace_kmeans_fit(base, S.PQ_M, S.PQ_SUB_DIM, S.PQ_K) == []
+
+
+def test_arrow_codes_match_relational(spark):
+    """The vectorized Arrow encode must be BIT-EQUAL to the relational
+    `_encode_codes_sql` fold (same IEEE op sequence, first-min argmin) —
+    this is what keeps the ADC oracles hash-green while the executed path
+    is numpy."""
+    from emr_flink_example_spark.operators.similarity import (
+        ADC_M,
+        ADC_SUB,
+        _adc_codebook,
+        _adc_codes_with_e,
+        _encode_codes_sql,
+    )
+
+    arrow = {
+        r.vec_id: list(r.codes)
+        for r in _adc_codes_with_e(spark, SF_DIR).select("vec_id", "codes").collect()
+    }
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    rel = {
+        r.vec_id: list(r.codes)
+        for r in emb.crossJoin(F.broadcast(_adc_codebook(spark, SF_DIR)))
+        .select("vec_id", F.expr(_encode_codes_sql(ADC_M, ADC_SUB)).alias("codes"))
+        .collect()
+    }
+    assert arrow == rel and len(arrow) > 0
