@@ -71,6 +71,9 @@ HEADLINE = [
     "event_transition_matrix",
     "lm_bigram_surprisal",
     "timeseries_interpolate_linear",
+    # r6 addition: the tokenizer apply half (train-then-segment, trained
+    # merges memoized; min-of-3 measures steady-state segmentation)
+    "bpe_segment_docs",
 ]
 
 

@@ -1234,7 +1234,7 @@ def _train_ctes(n_sub: int, sub_dim: int, k: int, prefix: str, iters: int = PQ_T
         f" i -> (e[m * {sub_dim} + i] - c[i]) * (e[m * {sub_dim} + i] - c[i])), (a, b) -> a + b)"
     )
     parts = [f"""
-        {p}cb_0 AS (
+        {p}cb_0 AS MATERIALIZED (
             SELECT u.m AS m, vec_id::INT AS k,
                    list_transform(generate_series(1, {sub_dim}), i -> e[u.m * {sub_dim} + i]) AS sub
             FROM base, unnest(generate_series(0, {n_sub - 1})) AS u(m)
@@ -1257,7 +1257,7 @@ def _train_ctes(n_sub: int, sub_dim: int, k: int, prefix: str, iters: int = PQ_T
                    {", ".join(f"round(avg(e[u.m * {sub_dim} + {i}]), 6) AS c{i}" for i in range(1, sub_dim + 1))}
             FROM {p}a_{t}, unnest(generate_series(0, {n_sub - 1})) AS u(m)
             GROUP BY u.m, ks[u.m + 1]
-        ), {p}cb_{t + 1} AS (
+        ), {p}cb_{t + 1} AS MATERIALIZED (
             SELECT prev.m, prev.k,
                    CASE WHEN u.k IS NULL THEN prev.sub
                         ELSE [{", ".join(f"u.c{i}" for i in range(1, sub_dim + 1))}] END AS sub

