@@ -74,6 +74,7 @@ HEADLINE = [
     # r6 addition: the tokenizer apply half (train-then-segment, trained
     # merges memoized; min-of-3 measures steady-state segmentation)
     "bpe_segment_docs",
+    "ann_ivfpq_residual_topk",
 ]
 
 

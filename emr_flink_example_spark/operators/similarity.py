@@ -770,6 +770,18 @@ def _adc_codes_with_e(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id", "e",
             F.expr("transform(slice(e, 1, 0), x -> cast(x as int))").alias("codes"),
         )
+    return emb.mapInPandas(
+        _codes_kernel(cw, ["vec_id", "e"]),
+        "vec_id bigint, e array<double>, codes array<int>",
+    )
+
+
+def _codes_kernel(cw: list[list[float]], passthrough: list[str]):
+    """The shared vectorized encode kernel: batches of (…, e) in, the
+    passthrough columns plus per-subspace argmin `codes` out. d2 terms
+    accumulate in subvector-element order and argmin keeps the first
+    minimum — the identical IEEE sequence as `_encode_codes_sql` and the
+    oracle."""
     import numpy as np
 
     C = np.asarray(cw, dtype=np.float64)  # K x DIM, codeword-id order
@@ -788,11 +800,11 @@ def _adc_codes_with_e(spark: SparkSession, sf: str) -> DataFrame:
                 for i in range(1, ADC_SUB):
                     d2 = d2 + (X[:, None, lo + i] - C[None, :, lo + i]) ** 2
                 codes[:, m] = d2.argmin(1)  # first minimum, like the fold
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "e": pdf["e"], "codes": list(codes)}
-            )
+            out = {c: pdf[c] for c in passthrough}
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return emb.mapInPandas(encode, "vec_id bigint, e array<double>, codes array<int>")
+    return encode
 
 
 def _adc_dist_sql(n_sub: int) -> str:
@@ -896,6 +908,23 @@ def q_ann_pq_adc_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: map-side coarse-quantizer assignment: cosine argmax against the one-row
+#: broadcast `cents` array (needs `e`, `nrm`, `cents` in scope). Strict `>`
+#: over ascending centroid_id == the oracle's `ORDER BY cos DESC, id ASC`.
+_IVF_ASSIGN_SQL = """
+    aggregate(
+      transform(cents, c -> struct(
+          c.centroid_id AS centroid_id,
+          aggregate(zip_with(e, c.cv, (x, y) -> x * y),
+                    cast(0 as double), (acc, x) -> acc + x)
+            / (nrm * c.cvn) AS c_cos)),
+      struct(cast(-1 as bigint) AS centroid_id,
+             cast('-Infinity' as double) AS c_cos),
+      (best, c) -> IF(c.c_cos > best.c_cos, c, best)
+    ).centroid_id
+"""
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """The full IVF-PQ retrieval ladder in one query — THE production ANN
     shape at 100 TB: (1) coarse-quantizer routing confines each query to its
@@ -927,20 +956,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.sort_array(F.collect_list(F.struct("centroid_id", "cv", "cvn"))).alias("cents")
     )
     cb = _adc_codebook(spark, sf)
-    assign = F.expr(
-        """
-        aggregate(
-          transform(cents, c -> struct(
-              c.centroid_id AS centroid_id,
-              aggregate(zip_with(e, c.cv, (x, y) -> x * y),
-                        cast(0 as double), (acc, x) -> acc + x)
-                / (nrm * c.cvn) AS c_cos)),
-          struct(cast(-1 as bigint) AS centroid_id,
-                 cast('-Infinity' as double) AS c_cos),
-          (best, c) -> IF(c.c_cos > best.c_cos, c, best)
-        ).centroid_id
-        """
-    )
+    assign = F.expr(_IVF_ASSIGN_SQL)
     # one map pass over the Arrow-encoded corpus: the python node yields
     # (vec_id, e, codes); the JVM layer above adds the centroid id with the
     # broadcast-fold argmax (kept JVM-side: numpy dot products use pairwise
@@ -969,6 +985,153 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     # per-(query, probed-list) rows carry the query's M x K distance LUT;
     # each candidate costs M lookups (see _adc_scored)
+    probes_lut = probes.crossJoin(F.broadcast(cb)).select(
+        "query_id", "centroid_id", F.expr(_adc_lut_sql(ADC_M, ADC_SUB)).alias("lut")
+    )
+    scored = (
+        F.broadcast(probes_lut)
+        .join(corpus, "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(_adc_dist_sql(ADC_M)), 4).alias("adc_dist"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .where(F.col("adc_rank") <= PQ_RERANK_L)
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cand = emb.join(
+        F.broadcast(shortlist), emb.vec_id == shortlist.neighbor_id, "inner"
+    ).select("query_id", "neighbor_id", F.col("e").alias("ce"))
+    l2 = (
+        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, d) -> acc + d)"
+    )
+    rescored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(l2), 4).alias("l2_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id", "nn_rank", "l2_dist")
+    )
+
+
+def _residual_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, centroid_id, e, r) for the nonzero corpus: each vector's
+    assigned coarse centroid (map-side argmax fold) and its RESIDUAL
+    r = e - centroid — the quantity production IVF-PQ actually encodes
+    (residuals have far less variance than raw vectors, so the same
+    codebook budget buys less distortion). Assignment and the centroid
+    fetch are both against broadcast frames — zero corpus shuffle."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _norm("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    cent = _ivf_centroids(spark, sf)
+    cent_arr = cent.agg(
+        F.sort_array(F.collect_list(F.struct("centroid_id", "cv", "cvn"))).alias("cents")
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "e", F.expr(_IVF_ASSIGN_SQL).alias("centroid_id"))
+        .join(F.broadcast(cent.select("centroid_id", "cv")), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "e",
+            F.zip_with("e", "cv", lambda x, y: x - y).alias("r"),
+        )
+    )
+
+
+def _residual_codebook(spark: SparkSession, sf: str) -> list[list[float]]:
+    """ADC-geometry codebook trained on the RESIDUALS (chained training:
+    coarse quantizer first, then per-subspace Lloyd over e - centroid).
+    Memoized like every other codebook here."""
+    key = (sf, "resid", ADC_M, ADC_SUB, ADC_K, PQ_TRAIN_ITERS)
+    if key not in _CW_CACHE:
+        base = _residual_corpus(spark, sf).select("vec_id", F.col("r").alias("e"))
+        _CW_CACHE[key] = subspace_kmeans_fit(base, ADC_M, ADC_SUB, ADC_K)
+    return _CW_CACHE[key]
+
+
+def _residual_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, centroid_id, codes) — the residual corpus Arrow-encoded
+    with the residual-trained codebook (same kernel, same bit-equality
+    contract as `_adc_codes_with_e`)."""
+    cw = _residual_codebook(spark, sf)
+    resid = _residual_corpus(spark, sf).select(
+        "vec_id", "centroid_id", F.col("r").alias("e")
+    )
+    if not cw:  # empty corpus (see _adc_codes_with_e: non-foldable empty)
+        return resid.select(
+            "vec_id", "centroid_id",
+            F.expr("transform(slice(e, 1, 0), x -> cast(x as int))").alias("codes"),
+        )
+    return resid.mapInPandas(
+        _codes_kernel(cw, ["vec_id", "centroid_id"]),
+        "vec_id bigint, centroid_id bigint, codes array<int>",
+    )
+
+
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the canonical production variant
+    (Jégou et al. 2011): the PQ codebook is trained on and applied to
+    r = e - coarse_centroid(e) instead of the raw vectors, and each
+    query's ADC lookup table is built from ITS residual against every
+    probed list's centroid (qe - c_probe), so the asymmetric distance
+    approximates ||(qe - c) - (e - c)||² = ||qe - e||² with the lower
+    residual variance doing the work. Stage 3 reranks the ADC shortlist
+    with exact L2 on the ORIGINAL full-precision vectors, as before.
+
+    Chained training, mirrored end-to-end in the oracle: coarse k-means →
+    assignment → residuals → per-subspace k-means on residuals — the
+    DuckDB oracle re-runs the entire chain in unrolled MATERIALIZED CTEs
+    and every stage's floats are bit-equal (same folds, rounding, ties).
+
+    Scale shape: identical to `ann_ivfpq_topk` (assignment + encode in
+    broadcast-only map passes, Arrow encode node materializes codes, probe
+    join touches n/NC * N_PROBE candidates, rerank via broadcast shortlist
+    semi-join); the residual subtraction is a free map-side zip."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _norm("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    cent = _ivf_centroids(spark, sf)
+    cb = _codebook_df(spark, _residual_codebook(spark, sf))
+    corpus = _residual_codes(spark, sf)
+    cos_c = _dot("e", "cv") / (F.col("nrm") * F.col("cvn"))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id").asc())
+    probes = (
+        emb.where(F.col("vec_id") < 10)
+        .join(F.broadcast(cent))
+        .withColumn("c_cos", cos_c)
+        .withColumn("c_rank", F.row_number().over(wa))
+        .where(F.col("c_rank") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            # the query's residual AGAINST THE PROBED LIST's centroid
+            F.zip_with("e", "cv", lambda x, y: x - y).alias("qe"),
+            "centroid_id",
+        )
+    )
     probes_lut = probes.crossJoin(F.broadcast(cb)).select(
         "query_id", "centroid_id", F.expr(_adc_lut_sql(ADC_M, ADC_SUB)).alias("lut")
     )
@@ -1214,10 +1377,20 @@ QUERIES = {
     # composition shifts as little as possible
     "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    # r6: the production residual-encoding variant, appended at the module
+    # tail like every round's new surface
+    "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
 }
 
 
-def _train_ctes(n_sub: int, sub_dim: int, k: int, prefix: str, iters: int = PQ_TRAIN_ITERS) -> str:
+def _train_ctes(
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+    prefix: str,
+    iters: int = PQ_TRAIN_ITERS,
+    base: str = "base",
+) -> str:
     """CTE chain (no leading WITH; requires `base(vec_id, e)`) that
     RE-TRAINS the per-subspace Lloyd codebook inside the oracle — the exact
     mirror of `subspace_kmeans_fit`, with the fixed iteration budget
@@ -1237,7 +1410,7 @@ def _train_ctes(n_sub: int, sub_dim: int, k: int, prefix: str, iters: int = PQ_T
         {p}cb_0 AS MATERIALIZED (
             SELECT u.m AS m, vec_id::INT AS k,
                    list_transform(generate_series(1, {sub_dim}), i -> e[u.m * {sub_dim} + i]) AS sub
-            FROM base, unnest(generate_series(0, {n_sub - 1})) AS u(m)
+            FROM {base}, unnest(generate_series(0, {n_sub - 1})) AS u(m)
             WHERE vec_id < {k}
         )"""]
     for t in range(iters):
@@ -1251,7 +1424,7 @@ def _train_ctes(n_sub: int, sub_dim: int, k: int, prefix: str, iters: int = PQ_T
                      list_transform(generate_series(0, {n_sub - 1}), m ->
                        list_transform(allcw[m + 1], c -> {d2})),
                      l -> (list_position(l, list_min(l)) - 1)::INT) AS ks
-            FROM base CROSS JOIN {p}allcw_{t}
+            FROM {base} CROSS JOIN {p}allcw_{t}
         ), {p}u_{t} AS (
             SELECT u.m AS m, ks[u.m + 1] AS k,
                    {", ".join(f"round(avg(e[u.m * {sub_dim} + {i}]), 6) AS c{i}" for i in range(1, sub_dim + 1))}
@@ -1446,6 +1619,73 @@ def _ivfpq_oracle() -> str:
     """
 
 
+def _ivfpq_residual_oracle() -> str:
+    """Residual IVF-PQ mirror — the full chained-training ladder in SQL:
+    coarse k-means (`_ivf_cent_ctes`) → cosine assignment → residuals →
+    per-subspace k-means ON the residuals (`_train_ctes` over `resid`) →
+    residual encode → per-(query, probe) residual LUTs → ADC → exact-L2
+    rerank on the original vectors. Same folds, rounding, tie-breaks."""
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), {_ivf_cent_ctes()},
+        assigned AS (
+            SELECT vec_id, centroid_id FROM ranked_c WHERE c_rank = 1
+        ), resid AS MATERIALIZED (
+            SELECT b.vec_id,
+                   list_transform(generate_series(1, {DIM}), i -> b.e[i] - c.cv[i]) AS e
+            FROM base b JOIN assigned a USING (vec_id) JOIN cent c USING (centroid_id)
+        ),
+        {_train_ctes(ADC_M, ADC_SUB, ADC_K, prefix="ra_", base="resid")},
+        racb AS (SELECT cw FROM ra_cb),
+        codes_t AS (
+            SELECT r.vec_id, {_codes_duck(ADC_M, ADC_SUB)} AS codes
+            FROM resid r CROSS JOIN racb
+        ), probes AS (
+            SELECT vec_id AS query_id, v, centroid_id
+            FROM ranked_c WHERE vec_id < 10 AND c_rank <= {N_PROBE}
+        ), probes_r AS (
+            SELECT query_id, p.centroid_id,
+                   list_transform(generate_series(1, {DIM}), i -> p.v[i] - c.cv[i]) AS qe
+            FROM probes p JOIN cent c USING (centroid_id)
+        ), probes_lut AS (
+            SELECT query_id, centroid_id, {_adc_lut_duck(ADC_M, ADC_SUB)} AS lut
+            FROM probes_r CROSS JOIN racb
+        ), cand AS (
+            SELECT c.vec_id, a.centroid_id, c.codes
+            FROM codes_t c JOIN assigned a USING (vec_id)
+        ), scored AS (
+            SELECT p.query_id, v.vec_id AS neighbor_id,
+                   round({_adc_dist_duck(ADC_M)}, 4) AS adc_dist
+            FROM probes_lut p JOIN cand v ON v.centroid_id = p.centroid_id
+            WHERE p.query_id != v.vec_id
+        ), adc_ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+            FROM scored
+        ), shortlist AS (
+            SELECT query_id, neighbor_id FROM adc_ranked WHERE adc_rank <= {PQ_RERANK_L}
+        ), rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round(list_reduce(list_transform(generate_series(1, {DIM}),
+                         i -> (qq.qe[i] - bb.e[i]) * (qq.qe[i] - bb.e[i])),
+                         (a, b) -> a + b), 4) AS l2_dist
+            FROM shortlist s
+            JOIN base bb ON bb.vec_id = s.neighbor_id
+            JOIN (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10) qq
+              ON qq.query_id = s.query_id
+        ), reranked AS (
+            SELECT query_id, neighbor_id, l2_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY l2_dist ASC, neighbor_id ASC)::INT AS nn_rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, nn_rank, l2_dist
+        FROM reranked WHERE nn_rank <= 3
+    """
+
+
 def _pq_oracle() -> str:
     """Generated subspace-by-subspace mirror of q_embedding_quantize_pq:
     per-codeword squared L2 via the sequential list_reduce fold (0-init-free
@@ -1488,6 +1728,7 @@ ORACLES = {
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_adc_rerank_topk": _pq_adc_rerank_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
+    "ann_ivfpq_residual_topk": _ivfpq_residual_oracle(),
     "embedding_quantize_int8": """
         WITH base AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS e,

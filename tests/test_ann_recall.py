@@ -96,3 +96,10 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert len(ivfpq) == 30
     r = len(exact & ivfpq) / len(exact)
     assert r >= 0.8, r
+    # residual-encoding variant: same routing bound, so recall matches the
+    # plain ladder on these fixtures (0.90 at both SFs) — the residual's
+    # lower distortion matters when the shortlist, not the routing, is the
+    # bottleneck (bigger corpora / smaller PQ_RERANK_L)
+    ivfpq_r = _pairs(S.q_ann_ivfpq_residual_topk(spark, SF_DIR))
+    assert len(ivfpq_r) == 30
+    assert len(exact & ivfpq_r) / len(exact) >= 0.8

@@ -31,6 +31,7 @@ ARROW_QUERIES = {
     "ann_pq_adc_topk",
     "ann_pq_adc_rerank_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
 }
 
 #: the one deliberate row-at-a-time Python surface demo (BatchEvalPythonUDTF)

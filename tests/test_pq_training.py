@@ -101,3 +101,31 @@ def test_arrow_codes_match_relational(spark):
         .collect()
     }
     assert arrow == rel and len(arrow) > 0
+
+
+def test_residual_arrow_codes_match_relational(spark):
+    """Same bit-equality contract for the RESIDUAL tier: the Arrow kernel
+    over residuals must reproduce the relational argmin fold exactly."""
+    from emr_flink_example_spark.operators.similarity import (
+        ADC_M,
+        ADC_SUB,
+        _codebook_df,
+        _encode_codes_sql,
+        _residual_codebook,
+        _residual_codes,
+        _residual_corpus,
+    )
+
+    arrow = {
+        r.vec_id: list(r.codes)
+        for r in _residual_codes(spark, SF_DIR).select("vec_id", "codes").collect()
+    }
+    cb = _codebook_df(spark, _residual_codebook(spark, SF_DIR))
+    resid = _residual_corpus(spark, SF_DIR).select("vec_id", F.col("r").alias("e"))
+    rel = {
+        r.vec_id: list(r.codes)
+        for r in resid.crossJoin(F.broadcast(cb))
+        .select("vec_id", F.expr(_encode_codes_sql(ADC_M, ADC_SUB)).alias("codes"))
+        .collect()
+    }
+    assert arrow == rel and len(arrow) > 0
