@@ -348,6 +348,61 @@ def q_shuffle_to_shards(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: PSI bins: document length in fixed 64-char bins, capped at bin 9
+#: (fixture lengths span ~47-560 chars, so all 10 bins are exercised).
+PSI_BIN_WIDTH = 64
+PSI_N_BINS = 10
+
+
+def q_quality_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability-index audit between the deterministic train and
+    val splits — the standard drift check a training pipeline runs before
+    trusting a held-out set: per document-length bin, both splits' Laplace-
+    smoothed rates and the bin's PSI contribution
+    (p - q) * ln(p / q), reported in integer micro-nats (the repo's
+    established engine-exact form for ln-valued outputs: floor(x*1e6 + 0.5)
+    per bin, NO cross-bin float sum, so no summation-order sensitivity).
+
+    Scale shape: one map pass derives (bin, split) per row from the
+    hash-bucket split (no RNG, no shuffle), one groupBy(bin) with
+    conditional count partials carries <= PSI_N_BINS rows, and the totals
+    ride a single-row broadcast — at 100 TB this is one scan plus a
+    kilobyte aggregate. A fat PSI (sum of contributions >> 0.1e6 micro)
+    flags a split whose feature distribution drifted."""
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT)))
+    split = (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    binned = docs.select(
+        F.least(
+            F.lit(PSI_N_BINS - 1), F.floor(F.length("text") / PSI_BIN_WIDTH)
+        ).cast("int").alias("len_bin"),
+        split.alias("split"),
+    ).where(F.col("split") != "test")
+    counts = binned.groupBy("len_bin").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").alias("tot_train"), F.sum("n_val").alias("tot_val")
+    )
+    p = (F.col("n_train") + 1) / (F.col("tot_train") + PSI_N_BINS)
+    q = (F.col("n_val") + 1) / (F.col("tot_val") + PSI_N_BINS)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "len_bin",
+        "n_train",
+        "n_val",
+        F.round(p, 6).alias("train_rate"),
+        F.round(q, 6).alias("val_rate"),
+        F.floor((p - q) * F.log(p / q) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("psi_micro"),
+    )
+
+
 QUERIES = {
     "shuffle_to_shards": q_shuffle_to_shards,
     "pack_token_shards": q_pack_token_shards,
@@ -362,6 +417,8 @@ QUERIES = {
     # composition shifts as little as possible
     "sample_source_quota": q_sample_source_quota,
     "sample_weighted_bernoulli": q_sample_weighted_bernoulli,
+    # r6: distribution-drift audit between the deterministic splits
+    "quality_drift_psi": q_quality_drift_psi,
 }
 
 ORACLES = {
@@ -391,6 +448,33 @@ ORACLES = {
         SELECT lang, doc_id, n_tokens, cum_tokens,
                ((cum_tokens - 1) // {SHARD_TOKEN_BUDGET} + 1)::INT AS shard_id
         FROM c
+    """,
+    "quality_drift_psi": f"""
+        WITH binned AS (
+            SELECT least({PSI_N_BINS - 1}, length(text) // {PSI_BIN_WIDTH})::INT AS len_bin,
+                   CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
+                        WHEN {_SPLIT_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ), counts AS (
+            SELECT len_bin,
+                   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+                   sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val
+            FROM binned WHERE split != 'test'
+            GROUP BY len_bin
+        ), tot AS (
+            SELECT sum(n_train)::BIGINT AS tot_train, sum(n_val)::BIGINT AS tot_val
+            FROM counts
+        )
+        SELECT len_bin, n_train, n_val,
+               round((n_train + 1)::DOUBLE / (tot_train + {PSI_N_BINS}), 6) AS train_rate,
+               round((n_val + 1)::DOUBLE / (tot_val + {PSI_N_BINS}), 6) AS val_rate,
+               floor(((n_train + 1)::DOUBLE / (tot_train + {PSI_N_BINS})
+                      - (n_val + 1)::DOUBLE / (tot_val + {PSI_N_BINS}))
+                     * ln(((n_train + 1)::DOUBLE / (tot_train + {PSI_N_BINS}))
+                          / ((n_val + 1)::DOUBLE / (tot_val + {PSI_N_BINS})))
+                     * 1000000 + 0.5)::BIGINT AS psi_micro
+        FROM counts CROSS JOIN tot
     """,
     "split_train_val_test": f"""
         SELECT doc_id, lang,
