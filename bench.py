@@ -75,6 +75,7 @@ HEADLINE = [
     # merges memoized; min-of-3 measures steady-state segmentation)
     "bpe_segment_docs",
     "ann_ivfpq_residual_topk",
+    "ann_mmr_topk",
 ]
 
 

@@ -386,12 +386,22 @@ def q_quality_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
         F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
     )
-    tot = counts.agg(
-        F.sum("n_train").alias("tot_train"), F.sum("n_val").alias("tot_val")
+    # totals via an unpartitioned window over the <= PSI_N_BINS aggregate
+    # rows, NOT a second aggregate branch: a derived `counts.agg(...)`
+    # crossJoin re-computes the whole counts subtree — a second full corpus
+    # scan at 100 TB. The window costs one single-partition exchange of a
+    # handful of rows on top of the one real scan.
+    w_all = Window.partitionBy()
+    counts = counts.select(
+        "len_bin",
+        "n_train",
+        "n_val",
+        F.sum("n_train").over(w_all).alias("tot_train"),
+        F.sum("n_val").over(w_all).alias("tot_val"),
     )
     p = (F.col("n_train") + 1) / (F.col("tot_train") + PSI_N_BINS)
     q = (F.col("n_val") + 1) / (F.col("tot_val") + PSI_N_BINS)
-    return counts.crossJoin(F.broadcast(tot)).select(
+    return counts.select(
         "len_bin",
         "n_train",
         "n_val",

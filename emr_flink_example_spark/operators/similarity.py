@@ -117,6 +117,102 @@ def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: MMR diversified re-ranking: shortlist width, picks, relevance weight.
+MMR_C = 10
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def q_ann_mmr_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-K (Carbonell & Goldstein
+    1998): from each query's exact-cosine top-MMR_C shortlist, greedily
+    select MMR_K neighbors maximizing
+    lambda * cos(q, c) - (1 - lambda) * max_{s in selected} cos(c, s) —
+    the standard redundancy-penalized retrieval used to keep RAG contexts
+    and curated training batches from filling up with near-duplicates.
+
+    The greedy loop is SEQUENTIAL per query, but K is a constant — so the
+    K selection steps are UNROLLED as array-fold columns over the per-query
+    candidate array (sorted by neighbor id; strict `>` folds keep the
+    smallest id on score ties), and the DuckDB oracle unrolls the same K
+    steps over the same list ops, making the whole diversified ranking
+    hash-checkable. Scale shape: the shortlist stage is the brute-force
+    scan (swap in any ANN tier at real scale); after it, each query is ONE
+    row carrying a MMR_C-element array — the MMR math never touches the
+    corpus again, and the per-query fold work is K * C * K dot products of
+    kilobyte arrays."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _norm("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("nid").asc())
+    shortlist = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("nid"))
+        .withColumn("qsim", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+        .withColumn("sl_rank", F.row_number().over(w))
+        .where(F.col("sl_rank") <= MMR_C)
+    )
+    per_q = shortlist.groupBy("query_id").agg(
+        F.sort_array(F.collect_list(F.struct("nid", "qsim", "ce", "cn"))).alias("rem")
+    )
+    lam, pen = f"{MMR_LAMBDA}D", f"{1 - MMR_LAMBDA}D"
+    cos_cs = (
+        "aggregate(zip_with(c.ce, s.ce, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x) / (c.cn * s.cn)"
+    )
+    sel_t = "struct<nid:bigint,score:double,ce:array<double>,cn:double>"
+    df = per_q.withColumn("sel", F.expr(f"cast(array() as array<{sel_t}>)"))
+    for t in range(MMR_K):
+        if t == 0:
+            score = f"{lam} * c.qsim"
+        else:
+            score = (
+                f"{lam} * c.qsim - {pen} * aggregate(sel,"
+                f" cast('-Infinity' as double),"
+                f" (mx, s) -> IF({cos_cs} > mx, {cos_cs}, mx))"
+            )
+        best = f"""
+            aggregate(
+              transform(rem, c -> struct(c.nid AS nid, {score} AS score,
+                                         c.ce AS ce, c.cn AS cn)),
+              cast(null as {sel_t}),
+              (acc, c) -> IF(acc IS NULL OR c.score > acc.score, c, acc))
+        """
+        df = (
+            df.withColumn("best", F.expr(best))
+            .withColumn(
+                "sel",
+                F.expr("IF(best IS NULL, sel, concat(sel, array(best)))"),
+            )
+            .withColumn("rem", F.expr("filter(rem, c -> c.nid != best.nid)"))
+            .drop("best")
+            # truncate lineage per step (lazy — no job at build time): each
+            # step references the previous state twice, so CollapseProject
+            # would otherwise inline the chain into a 2^K-times-duplicated
+            # expression tree whose ANALYSIS alone takes ~70 s (the CC
+            # convergence-loop pattern, dedup.py)
+            .localCheckpoint(eager=False)
+        )
+    return df.select(
+        "query_id", F.posexplode("sel").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.nid").alias("neighbor_id"),
+        (F.col("pos") + 1).cast("int").alias("mmr_rank"),
+        F.round("s.score", 4).alias("mmr_score"),
+    )
+
+
 def _with_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Sign-bit bucket id from `n_planes` fixed hyperplanes.
 
@@ -1380,6 +1476,7 @@ QUERIES = {
     # r6: the production residual-encoding variant, appended at the module
     # tail like every round's new surface
     "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+    "ann_mmr_topk": q_ann_mmr_topk,
 }
 
 
@@ -1619,6 +1716,71 @@ def _ivfpq_oracle() -> str:
     """
 
 
+def _mmr_oracle() -> str:
+    """MMR mirror: the same K unrolled greedy steps, with the per-step
+    state held as TABLES (rem{t}/sel{t}) and the redundancy penalty as a
+    join + MAX aggregate. The table form exists because DuckDB v1.0
+    mis-evaluates an outer COLUMN reference (`sel`) captured inside nested
+    list lambdas once the vector carries multiple rows (single-row chains
+    evaluate correctly; multi-row ones silently zero the inner term) —
+    joins sidestep lambda capture entirely. Float discipline is unchanged:
+    MAX over doubles is exact and order-free (== Spark's strict-> fold),
+    cosine is list_dot_product (== the sequential fold), the 1-lambda
+    literal is emitted from the same Python float repr both sides, and
+    `ORDER BY score DESC, nid ASC` row_number == the first-max fold over
+    nid-ascending candidates."""
+    lam, pen = repr(MMR_LAMBDA), repr(1 - MMR_LAMBDA)
+    parts = [f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10
+        ), cscored AS (
+            SELECT query_id, b.vec_id AS nid, b.e AS ce,
+                   list_dot_product(qe, b.e)
+                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(b.e, b.e))) AS qsim,
+                   sqrt(list_dot_product(b.e, b.e)) AS cn
+            FROM q CROSS JOIN base b WHERE query_id != b.vec_id
+        ), rem0 AS MATERIALIZED (
+            SELECT query_id, nid, ce, qsim, cn FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY qsim DESC, nid ASC) AS sl_rank
+                FROM cscored)
+            WHERE sl_rank <= {MMR_C}
+        )"""]
+    for t in range(MMR_K):
+        if t == 0:
+            scored = f"""
+            SELECT query_id, nid, {lam} * qsim AS score, ce, cn FROM rem0"""
+        else:
+            scored = f"""
+            SELECT r.query_id, r.nid,
+                   {lam} * r.qsim - {pen} * max(
+                       list_dot_product(r.ce, s.ce) / (r.cn * s.cn)) AS score,
+                   r.ce, r.cn
+            FROM rem{t} r JOIN sel{t} s USING (query_id)
+            GROUP BY r.query_id, r.nid, r.qsim, r.ce, r.cn"""
+        parts.append(f""", pick{t} AS MATERIALIZED (
+            SELECT query_id, nid, score, ce, cn, {t + 1} AS mmr_rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, nid ASC) AS rn
+                FROM ({scored}))
+            WHERE rn = 1
+        ), sel{t + 1} AS MATERIALIZED (
+            {f"SELECT * FROM sel{t} UNION ALL " if t else ""}SELECT query_id, nid, score, ce, cn, mmr_rank FROM pick{t}
+        ), rem{t + 1} AS MATERIALIZED (
+            SELECT r.* FROM rem{t} r
+            LEFT JOIN pick{t} p ON p.query_id = r.query_id AND p.nid = r.nid
+            WHERE p.nid IS NULL
+        )""")
+    parts.append(f"""
+        SELECT query_id, nid AS neighbor_id, mmr_rank::INT AS mmr_rank,
+               round(score, 4) AS mmr_score
+        FROM sel{MMR_K}
+    """)
+    return "".join(parts)
+
+
 def _ivfpq_residual_oracle() -> str:
     """Residual IVF-PQ mirror — the full chained-training ladder in SQL:
     coarse k-means (`_ivf_cent_ctes`) → cosine assignment → residuals →
@@ -1729,6 +1891,7 @@ ORACLES = {
     "ann_pq_adc_rerank_topk": _pq_adc_rerank_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
     "ann_ivfpq_residual_topk": _ivfpq_residual_oracle(),
+    "ann_mmr_topk": _mmr_oracle(),
     "embedding_quantize_int8": """
         WITH base AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS e,

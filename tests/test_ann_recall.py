@@ -103,3 +103,19 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     ivfpq_r = _pairs(S.q_ann_ivfpq_residual_topk(spark, SF_DIR))
     assert len(ivfpq_r) == 30
     assert len(exact & ivfpq_r) / len(exact) >= 0.8
+
+
+def test_mmr_diversifies_vs_pure_topk(spark):
+    """MMR must (a) put the single most-similar neighbor at rank 1 (no
+    penalty applies to the first pick) and (b) actually diversify: across
+    queries, the MMR-5 set deviates from the pure cosine top-5 somewhere
+    (otherwise the penalty term is dead code)."""
+    exact = S.q_knn_bruteforce(spark, SF_DIR).collect()
+    top1 = {r.query_id: r.neighbor_id for r in exact if r.nn_rank == 1}
+    top5 = {(r.query_id, r.neighbor_id) for r in exact}
+    mmr = S.q_ann_mmr_topk(spark, SF_DIR).collect()
+    mmr1 = {r.query_id: r.neighbor_id for r in mmr if r.mmr_rank == 1}
+    assert mmr1 == top1
+    mmr_set = {(r.query_id, r.neighbor_id) for r in mmr}
+    assert len(mmr_set) == len(top5) == 50
+    assert mmr_set != top5

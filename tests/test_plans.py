@@ -485,3 +485,37 @@ def test_sliding_distinct_two_phase(spark):
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bpe_segment_single_scan_single_exchange(spark):
+    """Trained-tokenizer segmentation is a pure map (12-rule replace chain)
+    over one scan; the ONLY exchange is the doc_id rollup. No joins, no
+    windows, no Python."""
+    plan = _plan(spark, "bpe_segment_docs")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_psi_single_scan(spark):
+    """The split-drift PSI audit reads the corpus ONCE: bin+split are
+    map-side, counts are one <=10-group aggregate, and the totals ride a
+    single-partition window over those aggregate rows — a naive
+    counts.agg().crossJoin() would re-compute the counts subtree and scan
+    the corpus twice (VERDICT-class scale bug)."""
+    plan = _plan(spark, "quality_drift_psi")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_ivfpq_residual_shape(spark):
+    """Residual IVF-PQ keeps the plain ladder's shape: Arrow encode node
+    materializes codes, every join is broadcast (probe LUTs, centroid
+    fetch, shortlist, queries), no cartesian product, no sort-merge."""
+    plan = _plan(spark, "ann_ivfpq_residual_topk")
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
