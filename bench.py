@@ -76,6 +76,7 @@ HEADLINE = [
     "bpe_segment_docs",
     "ann_ivfpq_residual_topk",
     "ann_mmr_topk",
+    "quality_drift_psi",
 ]
 
 
