@@ -98,6 +98,18 @@ def as_kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
     return out
 
 
+def kafka_sink_options(cfg: PipelineConfig) -> dict[str, str]:
+    """The sink half of the option contract, as a pure broker-free function
+    (tests/test_kafka_contract.py): bootstrap servers, the target topic
+    (sink topic falling back to the source topic), and the checkpoint
+    location that carries exactly-once."""
+    return {
+        "kafka.bootstrap.servers": cfg.broker_list,
+        "topic": cfg.sink_topic or cfg.source_topic,
+        "checkpointLocation": cfg.checkpoint_dir,
+    }
+
+
 def kafka_sink_writer(df: DataFrame, cfg: PipelineConfig, key_col: str | None = None):
     """writeStream builder for the kafka sink (≙ the reverse of A1: engine ->
     topic). Offsets/exactly-once ride the same checkpoint mechanism as the
@@ -105,9 +117,7 @@ def kafka_sink_writer(df: DataFrame, cfg: PipelineConfig, key_col: str | None = 
     return (
         as_kafka_payload(df, key_col)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", cfg.broker_list)
-        .option("topic", cfg.sink_topic or cfg.source_topic)
-        .option("checkpointLocation", cfg.checkpoint_dir)
+        .options(**kafka_sink_options(cfg))
     )
 
 

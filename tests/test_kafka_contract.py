@@ -53,3 +53,39 @@ def test_group_id_forwarded_only_when_set():
     opts = kafka_reader_options(cfg)
     assert "kafka.group.id" not in opts
     assert set(opts) == {"kafka.bootstrap.servers", "subscribe", "startingOffsets"}
+
+
+def test_kafka_sink_payload_and_options(spark):
+    """Sink half of the contract: `as_kafka_payload` serializes non-key
+    columns to a JSON `value` (with the key cast to string when given),
+    and `kafka_sink_writer` wires bootstrap.servers / topic (sink topic
+    falling back to the source topic) / checkpointLocation. The payload
+    transform is pure and batch-testable; the writer options are read off
+    the built DataStreamWriter without a broker."""
+    import json
+
+    from emr_flink_example_spark.config import PipelineConfig
+    from emr_flink_example_spark.sources.streams import (
+        as_kafka_payload,
+        kafka_sink_options,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2.5)], "id bigint, name string, score double")
+    out = as_kafka_payload(df, key_col="id").collect()[0]
+    assert out.key == "1"
+    assert json.loads(out.value) == {"name": "a", "score": 2.5}
+    # keyless form: every column rides the JSON value
+    out2 = as_kafka_payload(df).collect()[0]
+    assert json.loads(out2.value) == {"id": 1, "name": "a", "score": 2.5}
+
+    cfg = PipelineConfig(
+        broker_list="h:9092", source_topic="src", sink_topic="",
+        checkpoint_dir="/tmp/ck",
+    )
+    opts = kafka_sink_options(cfg)
+    assert opts["kafka.bootstrap.servers"] == "h:9092"
+    assert opts["topic"] == "src"  # sink topic falls back to the source topic
+    assert opts["checkpointLocation"] == "/tmp/ck"
+    cfg2 = PipelineConfig(broker_list="h:9092", source_topic="src",
+                          sink_topic="out", checkpoint_dir="/tmp/ck")
+    assert kafka_sink_options(cfg2)["topic"] == "out"
