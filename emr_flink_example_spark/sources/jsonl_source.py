@@ -117,7 +117,19 @@ class JsonlDirWriter(DataSourceWriter):
     place and, for overwrite mode, removes pre-existing part files;
     `abort` deletes the staging files. This is the same
     stage-then-rename contract the reference's StreamingFileSink commits
-    on checkpoint (`Kafka2S3Text.scala:35-50`), scoped to a batch write."""
+    on checkpoint (`Kafka2S3Text.scala:35-50`), scoped to a batch write.
+
+    SINGLE-WRITER CONTRACT: at most one write job may target a directory
+    at a time (overwrite mode already assumes this — it deletes the other
+    job's committed files too). Commit-time garbage collection of a dead
+    predecessor's `.staging-*` orphans is AGE-GATED
+    (`STAGING_GC_AGE_SECONDS`) so that even a contract violation — two
+    concurrent appenders — cannot delete a live job's in-flight staging
+    files (ADVICE r6); a commit whose own staged file vanished anyway
+    raises with a pointer at concurrent-writer misuse."""
+
+    #: staging files younger than this are presumed in-flight, never GC'd.
+    STAGING_GC_AGE_SECONDS = 600.0
 
     def __init__(self, options, overwrite: bool) -> None:
         import uuid
@@ -150,22 +162,36 @@ class JsonlDirWriter(DataSourceWriter):
                 if f.endswith(".jsonl") and not f.startswith(".staging-"):
                     os.remove(os.path.join(self._path, f))
         # garbage-collect staging leftovers from crashed earlier jobs: the
-        # sink directory is single-writer (the overwrite semantics above
-        # already assume it), so any staging file not staged by THIS job is
-        # a dead predecessor's orphan — without this, append mode
-        # accumulates them forever (ADVICE r5)
+        # sink directory is single-writer (class docstring), so a staging
+        # file not staged by THIS job is a dead predecessor's orphan —
+        # without this, append mode accumulates them forever (ADVICE r5).
+        # Age gate (ADVICE r6): only files older than STAGING_GC_AGE_SECONDS
+        # are removed, so a contract-violating concurrent appender's
+        # in-flight files survive and its commit still succeeds.
+        import time
+
         ours = {os.path.basename(m.staged) for m in messages}
+        cutoff = time.time() - self.STAGING_GC_AGE_SECONDS
         for f in os.listdir(self._path):
             if f.startswith(".staging-") and f not in ours:
+                p = os.path.join(self._path, f)
                 try:
-                    os.remove(os.path.join(self._path, f))
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
                 except FileNotFoundError:
                     pass
         for m in messages:
             final = os.path.join(
                 self._path, os.path.basename(m.staged).removeprefix(".staging-")
             )
-            os.replace(m.staged, f"{self._path}/part-{os.path.basename(final)}")
+            try:
+                os.replace(m.staged, f"{self._path}/part-{os.path.basename(final)}")
+            except FileNotFoundError as exc:
+                raise RuntimeError(
+                    f"staged file {m.staged} vanished before commit — was a "
+                    "second write job running against this directory? The "
+                    "jsonl_dir sink is single-writer (see JsonlDirWriter)."
+                ) from exc
 
     def abort(self, messages) -> None:
         for m in messages:

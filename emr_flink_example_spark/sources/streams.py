@@ -121,15 +121,17 @@ def kafka_sink_writer(df: DataFrame, cfg: PipelineConfig, key_col: str | None = 
     )
 
 
-def parsed_ad_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
-    """Typed ad-event stream via permissive JSON parsing.
+def parse_ad_events(raw: DataFrame) -> DataFrame:
+    """Permissive JSON parse of a `value: string` frame into typed ad
+    events — the pure transform half of `parsed_ad_stream`, reusable over
+    any reader (tests and tools/streambench.py inject their own bounded
+    file streams).
 
     `from_json` PERMISSIVE mode: missing fields -> NULL (≙
     'json.fail-on-missing-field'='false') and fully unparseable records ->
     all-NULL struct, dropped below (≙ 'json.ignore-parse-errors'='true');
     Kafka2S3Hive.scala:77-78.
     """
-    raw = raw_string_stream(spark, cfg)
     parsed = raw.select(F.from_json("value", AD_EVENT_SCHEMA).alias("j"))
     # from_json yields an all-NULL struct (not NULL) for malformed records in
     # PERMISSIVE mode, so 'ignore-parse-errors' = drop rows with no parsed
@@ -138,3 +140,9 @@ def parsed_ad_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         *[F.col(f"j.{f.name}").cast("string") for f in AD_EVENT_SCHEMA.fields]
     )
     return parsed.where(any_field.isNotNull()).select("j.*")
+
+
+def parsed_ad_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Typed ad-event stream via permissive JSON parsing (see
+    `parse_ad_events`) over the configured source."""
+    return parse_ad_events(raw_string_stream(spark, cfg))

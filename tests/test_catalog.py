@@ -36,20 +36,15 @@ REPRESENTATIVE = [
 def test_every_oracle_has_a_query():
     qs, os_ = catalog.all_queries(), catalog.all_oracles()
     assert set(os_) <= set(qs)
-    # the rows-only set is intentional and small: genuinely non-SQL-
-    # expressible kernels (DTW) and float-order-sensitive vectorized twins
-    # of oracle-checked queries. (agg_approx_distinct left this set in r2:
-    # its exact-counts-plus-error-bound shape is fully oracle-checked.)
-    assert set(qs) - set(os_) == {
-        "timeseries_dtw",
-        "dedup_embedding_cosine_vectorized",
-        # iterative Lloyd k-means: no single-query SQL oracle; value-pinned
-        # against an independent numpy implementation instead
-        "embedding_kmeans_centroids",
-        # iterative BPE merge training: no single-query SQL oracle;
-        # value-pinned against a pure-Python BPE in test_bpe_reference.py
-        "bpe_train_merges",
-    }
+    # the rows-only set is intentional and minimal. r7 drained it to ONE
+    # entry (VERDICT r6 #1/#3): the vectorized cosine twin shares its
+    # relational sibling's oracle (bit-equality pinned in test_llm_ops),
+    # k-means re-trains in the oracle via the unrolled _train_ctes chain,
+    # and the BPE trainer's merge table comes from the same unrolled chain
+    # its segmenter oracle already ran. DTW remains: the O(len_a*len_b)
+    # memoized recurrence has no bounded SQL unrolling (value-pinned vs a
+    # pure-Python kernel in test_dtw_reference.py instead).
+    assert set(qs) - set(os_) == {"timeseries_dtw"}
 
 
 def test_catalog_is_nontrivial():

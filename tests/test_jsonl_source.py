@@ -156,25 +156,40 @@ def test_two_append_jobs_do_not_collide(spark, tmp_path):
 
 
 def test_staging_files_invisible_to_readers_and_gced(spark, tmp_path):
-    """ADVICE r5: in-flight/crashed '.staging-*.jsonl' files must never be
-    listed as data (batch or stream), and a later commit garbage-collects
-    orphans so append mode doesn't accumulate them forever."""
+    """ADVICE r5/r6: in-flight/crashed '.staging-*.jsonl' files must never
+    be listed as data (batch or stream); a later commit garbage-collects
+    STALE orphans (older than the GC age gate) so append mode doesn't
+    accumulate them forever, while FRESH foreign staging files — a
+    (contract-violating) concurrent appender's in-flight work — survive."""
+    import os
+    import time
+
+    from emr_flink_example_spark.sources.jsonl_source import (
+        JsonlDirStreamReader,
+        JsonlDirWriter,
+    )
+
     spark.dataSource.register(JsonlDirDataSource)
     out = tmp_path / "sink"
     out.mkdir()
     docs = load(spark, SF_DIR, "documents").limit(10)
     docs.write.format("jsonl_dir").option("path", str(out)).mode("append").save()
-    # simulate a crashed writer's leftover staging file with valid rows
+    # simulate a crashed writer's leftover staging file with valid rows,
+    # backdated past the GC age gate (a real orphan is hours old)
     orphan = out / ".staging-deadbeef-0.jsonl"
     orphan.write_text('{"doc_id": 999999}\n', encoding="utf-8")
-    # batch reader: orphan rows invisible
+    stale = time.time() - JsonlDirWriter.STAGING_GC_AGE_SECONDS - 60
+    os.utime(orphan, (stale, stale))
+    # and a FRESH foreign staging file (concurrent appender, just written)
+    inflight = out / ".staging-cafebabe-0.jsonl"
+    inflight.write_text('{"doc_id": 888888}\n', encoding="utf-8")
+    # batch reader: staging rows invisible
     assert spark.read.format("jsonl_dir").option("path", str(out)).load().count() == 10
-    # stream reader listing: orphan excluded from the watermark ordering
-    from emr_flink_example_spark.sources.jsonl_source import JsonlDirStreamReader
-
+    # stream reader listing: staging files excluded from the watermark ordering
     sr = JsonlDirStreamReader(docs.schema, {"path": str(out)})
     assert all(not f.startswith(".") for f in sr._files())
-    # a subsequent commit GCs the orphan
+    # a subsequent commit GCs the stale orphan but leaves the fresh file
     docs.write.format("jsonl_dir").option("path", str(out)).mode("append").save()
     assert not orphan.exists()
+    assert inflight.exists()
     assert spark.read.format("jsonl_dir").option("path", str(out)).load().count() == 20

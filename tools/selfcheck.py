@@ -84,13 +84,21 @@ def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
 
 
 if __name__ == "__main__":
-    # usage: selfcheck.py [sf_dir] [--json OUT.json] [query ...]
-    args = sys.argv[1:]
-    json_out = None
-    if "--json" in args:
-        i = args.index("--json")
-        json_out = args[i + 1]
-        args = args[:i] + args[i + 2:]
-    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    only = [a for a in args if "/" not in a]
-    sys.exit(run(sf, only, json_out))
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Local replica of the driver's correctness gate."
+    )
+    ap.add_argument("--json", metavar="OUT.json", default=None, dest="json_out")
+    ap.add_argument(
+        "rest",
+        nargs="*",
+        help="optional sf dir (any arg containing '/') and/or query names",
+    )
+    ns = ap.parse_args()
+    sf_dirs = [a for a in ns.rest if "/" in a]
+    if len(sf_dirs) > 1:
+        ap.error(f"multiple sf dirs given: {sf_dirs}")
+    sf = sf_dirs[0] if sf_dirs else "/root/testdata/sf0.01"
+    only = [a for a in ns.rest if "/" not in a]
+    sys.exit(run(sf, only, ns.json_out))

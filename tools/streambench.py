@@ -1,0 +1,190 @@
+"""Streaming-throughput bench for the three reference-parity pipelines
+(VERDICT r6 #5): the reference IS a streaming ingester (README.md:2-5 —
+Kafka JSON -> S3 as text / parquet / Hive-partitioned table), so the batch
+headline bench alone never exercised its actual workload shape. This tool
+drives each pipeline end-to-end over an ad-event JSON file stream derived
+from the sf events fixture (the brokerless stand-in the streaming tests
+use) and reports rows/sec plus per-micro-batch latency.
+
+    python tools/streambench.py            # sf dir via SPARK_GRAFT_SF_DIR
+                                           # (default /root/testdata/sf0.1)
+
+Prints ONE JSON line (committed per round as STREAMBENCH_r{N}.json):
+
+    {"metric": "streaming_throughput", "unit": "rows_per_sec",
+     "value": <aggregate rows/sec>, "sf": 0.1, "n_rows": ...,
+     "pipelines": {"text": {...}, "parquet": {...}, "hive": {...}}}
+
+Method: the input is split into N_FILES text files and consumed with
+maxFilesPerTrigger so each pipeline runs a real multi-batch stream (file
+listing, offset log, sink commit per batch — the costs the reference's
+rolling/checkpoint knobs govern; BASELINE.md rows 2-11). The trigger
+interval is 0 so measured latency is work, not idle waiting. Each
+pipeline gets fresh checkpoint/output dirs; rows/sec = input rows /
+wall-clock from start() to processAllAvailable() having drained every
+file, and per-batch latency comes from the query's own progress metrics
+(triggerExecution duration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from emr_flink_example_spark.config import PipelineConfig  # noqa: E402
+from emr_flink_example_spark.io import load  # noqa: E402
+from emr_flink_example_spark.session import local_test_session  # noqa: E402
+from emr_flink_example_spark.sources.streams import parse_ad_events  # noqa: E402
+from emr_flink_example_spark.streaming import pipelines  # noqa: E402
+
+#: input split / batching: 24 files consumed 2 per trigger = 12 micro-batches
+#: per pipeline — enough batches for a stable per-batch latency figure while
+#: keeping each batch large enough to measure work, not scheduling.
+N_FILES = 24
+FILES_PER_TRIGGER = 2
+
+
+def build_input(spark, sf_dir: str, in_dir: str) -> int:
+    """Render the events fixture as ad-event JSON lines (the reference's
+    record shape: uuid/date/timestamp/ad_type/ad_type_name — README.md:8-11)
+    into N_FILES text files; returns the row count."""
+    lines = load(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("ev-"), F.col("event_id")).alias("uuid"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("date"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+                (F.col("event_id") % 1000).cast("int").alias("ad_type"),
+                F.col("event_type").alias("ad_type_name"),
+            )
+        ).alias("value")
+    )
+    lines.repartition(N_FILES).write.mode("overwrite").text(in_dir)
+    return spark.read.text(in_dir).count()
+
+
+def _raw_stream(spark, in_dir: str):
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .load(in_dir)
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def _drive(query, n_rows: int, t0: float) -> dict:
+    query.processAllAvailable()
+    elapsed = time.time() - t0
+    query.stop()
+    query.awaitTermination(30)
+    batches = [
+        p
+        for p in (json.loads(str(j)) for j in query.recentProgress)
+        if p.get("numInputRows", 0) > 0
+    ]
+    trig_ms = [p["durationMs"]["triggerExecution"] for p in batches]
+    return {
+        "n_rows": n_rows,
+        "elapsed_sec": round(elapsed, 3),
+        "rows_per_sec": round(n_rows / elapsed, 1),
+        "n_batches": len(batches),
+        "avg_batch_ms": round(sum(trig_ms) / len(trig_ms), 1) if trig_ms else None,
+        "max_batch_ms": max(trig_ms) if trig_ms else None,
+    }
+
+
+def bench_text(spark, in_dir: str, work: str, n_rows: int) -> dict:
+    cfg = PipelineConfig(
+        source_format="file",
+        source_path=in_dir,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        output_path=os.path.join(work, "out"),
+        checkpoint_interval=0,
+    )
+    t0 = time.time()
+    return _drive(pipelines.text_sink(_raw_stream(spark, in_dir), cfg), n_rows, t0)
+
+
+def bench_parquet(spark, in_dir: str, work: str, n_rows: int) -> dict:
+    cfg = PipelineConfig(
+        source_format="file",
+        source_path=in_dir,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        output_path=os.path.join(work, "out"),
+        checkpoint_interval=0,
+    )
+    parsed = parse_ad_events(_raw_stream(spark, in_dir))
+    t0 = time.time()
+    return _drive(pipelines.parquet_sink(parsed, cfg), n_rows, t0)
+
+
+def bench_hive(spark, in_dir: str, work: str, n_rows: int) -> dict:
+    cfg = PipelineConfig(
+        source_format="file",
+        source_path=in_dir,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        output_path=os.path.join(work, "out"),
+        checkpoint_interval=0,
+        hive_s3_path=os.path.join(work, "warehouse"),
+        hive_table_name=f"source_log_bench_{int(time.time() * 1000)}",
+    )
+    parsed = parse_ad_events(_raw_stream(spark, in_dir))
+    t0 = time.time()
+    out = _drive(pipelines.hive_sink(parsed, cfg), n_rows, t0)
+    spark.sql(f"DROP TABLE IF EXISTS {cfg.hive_table_name}")
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = local_test_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="streambench-")
+    try:
+        in_dir = os.path.join(root, "in")
+        n_rows = build_input(spark, sf_dir, in_dir)
+        results = {}
+        for name, fn in (
+            ("text", bench_text),
+            ("parquet", bench_parquet),
+            ("hive", bench_hive),
+        ):
+            work = os.path.join(root, name)
+            os.makedirs(work, exist_ok=True)
+            results[name] = fn(spark, in_dir, work, n_rows)
+        agg = round(
+            sum(r["n_rows"] for r in results.values())
+            / sum(r["elapsed_sec"] for r in results.values()),
+            1,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_throughput",
+                    "unit": "rows_per_sec",
+                    "value": agg,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "n_rows": n_rows,
+                    "n_files": N_FILES,
+                    "files_per_trigger": FILES_PER_TRIGGER,
+                    "pipelines": results,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
