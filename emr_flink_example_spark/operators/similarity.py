@@ -602,6 +602,35 @@ def _pq_best_sql(m: int) -> str:
 #: compression, the ADC search tier, and the IVF coarse quantizer).
 PQ_TRAIN_ITERS = 4
 
+#: Training-sample bound (VERDICT r6 #4): Lloyd rounds never scan more than
+#: ~this many vectors. Standard practice (FAISS trains codebooks on a
+#: bounded sample) — without it, ITERS rounds cost ITERS extra full corpus
+#: scans at 100 TB. 100k x 64 doubles ~ 51 MB, comfortably executor-sized.
+TRAIN_SAMPLE_CAP = 100_000
+
+
+def _train_sample(base: DataFrame, cap: int = TRAIN_SAMPLE_CAP) -> DataFrame:
+    """Deterministic ~cap-row training sample: keep rows where
+    portable_hash(vec_id) % rate == 0, rate = ceil(n / cap) — the repo's
+    salted-hash sampling discipline (no RNG, partitioning-independent),
+    mirrored verbatim inside the oracle re-train chain (`_train_ctes`
+    computes the same rate in SQL). rate == 1 (corpus already within the
+    cap — every test fixture) returns `base` untouched, which is row-
+    identical to the oracle's `hash % 1 = 0`. A sampled corpus is
+    materialized ONCE (localCheckpoint), so the Lloyd rounds scan the
+    cap-bounded sample, not the corpus: total training cost is one full
+    scan (the sample filter) + the cheap parquet-count, regardless of
+    ITERS."""
+    from ..functions.hashing import portable_hash
+
+    n = base.count()
+    rate = max(1, (n + cap - 1) // cap)
+    if rate == 1:
+        return base
+    return base.where(
+        portable_hash(F.col("vec_id").cast("string")) % F.lit(rate) == 0
+    ).localCheckpoint()
+
 #: ADC search-tier geometry: 32 subspaces x 2 dims, 64 codewords (6 bits)
 #: per subspace -> 24 B/vector. Finer than the 4 B `embedding_quantize_pq`
 #: geometry because raw ADC *ranking* quality is the point of this tier:
@@ -619,18 +648,29 @@ _CW_CACHE: dict[tuple, list] = {}
 
 
 def subspace_kmeans_fit(
-    base: DataFrame, n_sub: int, sub_dim: int, k: int, iters: int = PQ_TRAIN_ITERS
+    base: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+    iters: int = PQ_TRAIN_ITERS,
+    sample_cap: int = TRAIN_SAMPLE_CAP,
 ) -> list[list[float]]:
     """Per-subspace Lloyd k-means over ALL subspaces in one pass per round;
     returns the trained codebook as K full-dim codewords (codeword j =
     concat over subspaces of that subspace's j-th centroid). n_sub=1 is
     plain full-vector k-means (the IVF coarse quantizer).
 
-    Scale shape (same contract as `kmeans_fit`): assignment is a map-side
-    argmin fold against the one-row broadcast codebook — zero corpus
-    shuffle; the update is ONE combine-friendly groupBy over (subspace,
-    codeword) whose shuffle carries n_sub*K*sub_dim scalars, not vectors;
-    the driver only ever holds the K x DIM codeword matrix (kilobytes).
+    Scale shape (same contract as `kmeans_fit`): training runs on a
+    deterministic hash-sample of at most ~sample_cap vectors
+    (`_train_sample` — one corpus scan total, FAISS-style, instead of one
+    per Lloyd round); assignment is a map-side argmin fold against the
+    one-row broadcast codebook — zero corpus shuffle; the update is ONE
+    combine-friendly groupBy over (subspace, codeword) whose shuffle
+    carries n_sub*K*sub_dim scalars, not vectors; the driver only ever
+    holds the K x DIM codeword matrix (kilobytes). The oracle re-train
+    chain applies the identical sample predicate (rate computed in SQL),
+    so sampling never breaks hash-equality — pinned cross-engine at a
+    forced rate>1 in tests/test_sampled_training.py.
 
     Determinism (what makes the DuckDB oracle able to re-train the SAME
     codebook): init = subvectors of the K smallest vec_ids; argmin keeps
@@ -640,13 +680,15 @@ def subspace_kmeans_fit(
     tests/test_pq_training.py pins the result against an independent numpy
     Lloyd at sf0.001."""
     spark = base.sparkSession
-    # Seed = the k SMALLEST vec_ids PRESENT, codeword id = position in that
-    # vec_id-ordered list (ADVICE r6): the oracle's init uses the same
-    # row_number()-over-vec_id renumber (`_train_ctes`), so the id mapping
-    # matches by construction even when ids have gaps (e.g. a corpus with
-    # null vectors dropped) — on the contiguous fixtures it degenerates to
-    # the old `vec_id < k` init bit-for-bit.
-    seed = base.orderBy("vec_id").limit(k).select("e").collect()
+    train = _train_sample(base, sample_cap)
+    # Seed = the k SMALLEST vec_ids PRESENT in the training sample,
+    # codeword id = position in that vec_id-ordered list (ADVICE r6): the
+    # oracle's init uses the same row_number()-over-vec_id renumber
+    # (`_train_ctes`), so the id mapping matches by construction even when
+    # ids have gaps (a sampled corpus always does) — on the contiguous
+    # unsampled fixtures it degenerates to the old `vec_id < k` init
+    # bit-for-bit.
+    seed = train.orderBy("vec_id").limit(k).select("e").collect()
     if not seed:
         return []
     cbs = [
@@ -667,7 +709,7 @@ def subspace_kmeans_fit(
     for _ in range(iters):
         allcw = spark.createDataFrame([(cbs,)], "allcw array<array<array<double>>>")
         upd = (
-            base.crossJoin(F.broadcast(allcw))
+            train.crossJoin(F.broadcast(allcw))
             .select("e", F.expr(ks_expr).alias("ks"))
             .select(
                 F.explode(
@@ -1412,42 +1454,18 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Distributed Lloyd iterations; returns the final k centroids.
 
-    Scale shape (the only sane one at 100 TB): the ASSIGNMENT step is a
-    zero-shuffle map-side argmin against the current centroids inlined as a
-    literal array (kilobytes); the UPDATE step is one combine-friendly
-    groupBy whose output is k rows x dim averages — per-dimension `avg`
-    partials collapse map-side, so the shuffle carries k*dim scalars, not
-    vectors. The driver only ever holds the k x dim centroid matrix;
-    iteration count is a fixed small budget (Lloyd converges fast on the
-    coarse scales a codebook needs).
-
-    Determinism: init = the k smallest vec_ids' vectors, cluster id =
-    position in that vec_id-ordered seed (the same renumbered init the
-    DuckDB re-train oracle uses — see subspace_kmeans_fit); each update is
-    rounded to 6 dp before the next assignment so results don't wander on
-    partial-aggregation merge order. Empty clusters keep their previous
-    centroid."""
+    Since r7 this DELEGATES to `subspace_kmeans_fit` with n_sub=1 (plain
+    full-vector k-means is the one-subspace special case): one trainer,
+    one determinism contract (k-smallest-vec_id positional seeding,
+    first-min argmin, 6-dp update rounding, empty clusters keep their
+    centroid), one scale shape (sample-bounded training scans, broadcast
+    assignment, k*dim-scalar update shuffle) — and the DuckDB re-train
+    oracle (`_kmeans_centroids_oracle`) mirrors that single contract."""
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cents = [
-        list(r.e)
-        for r in base.orderBy("vec_id").limit(k).select("e").collect()
-    ]
-    if not cents:  # empty corpus (pruned partition / fresh lake): no model
+    probe = base.where(F.col("e").isNotNull()).select(F.size("e").alias("d")).first()
+    if probe is None:  # empty corpus (pruned partition / fresh lake): no model
         return []
-    dim = len(cents[0])
-    for _ in range(iters):
-        assign = _kmeans_assign_expr(cents, dim)
-        updated = (
-            base.withColumn("cid", assign)
-            .groupBy("cid")
-            .agg(*[F.round(F.avg(F.col("e")[i]), 6).alias(f"c{i}") for i in range(dim)])
-            .collect()
-        )
-        new_cents = list(cents)  # empty clusters keep previous centroid
-        for r in updated:
-            new_cents[r.cid] = [r[f"c{i}"] for i in range(dim)]
-        cents = new_cents
-    return cents
+    return subspace_kmeans_fit(base, 1, probe.d, k, iters)
 
 
 def q_embedding_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
@@ -1522,6 +1540,7 @@ def _train_ctes(
     prefix: str,
     iters: int = PQ_TRAIN_ITERS,
     base: str = "base",
+    sample_cap: int = TRAIN_SAMPLE_CAP,
 ) -> str:
     """CTE chain (no leading WITH; requires `base(vec_id, e)`) that
     RE-TRAINS the per-subspace Lloyd codebook inside the oracle — the exact
@@ -1529,10 +1548,14 @@ def _train_ctes(
     unrolled into one CTE block per round. Ends in `{prefix}cwk(k, cvec)`
     (one row per codeword, full-dim) and `{prefix}cb(cw)` (the one-row
     list-of-codewords the encode/LUT fragments consume). Determinism knobs
-    are identical to the Spark trainer: smallest-vec_id init, first-min
-    argmin ties, 6-dp rounding per update, empty codewords keep their
-    previous value — so the trained floats are bit-equal across engines
-    (pinned vs numpy by tests/test_pq_training.py)."""
+    are identical to the Spark trainer: the `_train_sample` hash-sample
+    predicate with rate = ceil(n/cap) computed in SQL (rate 1 — every
+    fixture — keeps all rows, exactly like the Spark side's no-filter
+    shortcut), smallest-sampled-vec_id init, first-min argmin ties, 6-dp
+    rounding per update, empty codewords keep their previous value — so
+    the trained floats are bit-equal across engines (pinned vs numpy by
+    tests/test_pq_training.py, and at a forced rate>1 cross-engine by
+    tests/test_sampled_training.py)."""
     p = prefix
     d2 = (
         f"list_reduce(list_transform(generate_series(1, {sub_dim}),"
@@ -1543,12 +1566,18 @@ def _train_ctes(
     # on contiguous fixtures, and matching the Spark trainers' positional
     # keying by construction when ids have gaps (ADVICE r6)
     parts = [f"""
+        {p}tb AS MATERIALIZED (
+            SELECT vec_id, e FROM {base}
+            WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+                  % (SELECT greatest((count(*) + {sample_cap} - 1) // {sample_cap}, 1)
+                     FROM {base}) = 0
+        ),
         {p}cb_0 AS MATERIALIZED (
             SELECT u.m AS m, s.k,
                    list_transform(generate_series(1, {sub_dim}), i -> s.e[u.m * {sub_dim} + i]) AS sub
             FROM (
                 SELECT e, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS k
-                FROM {base} ORDER BY vec_id LIMIT {k}
+                FROM {p}tb ORDER BY vec_id LIMIT {k}
             ) s, unnest(generate_series(0, {n_sub - 1})) AS u(m)
         )"""]
     for t in range(iters):
@@ -1562,7 +1591,7 @@ def _train_ctes(
                      list_transform(generate_series(0, {n_sub - 1}), m ->
                        list_transform(allcw[m + 1], c -> {d2})),
                      l -> (list_position(l, list_min(l)) - 1)::INT) AS ks
-            FROM {base} CROSS JOIN {p}allcw_{t}
+            FROM {p}tb CROSS JOIN {p}allcw_{t}
         ), {p}u_{t} AS (
             SELECT u.m AS m, ks[u.m + 1] AS k,
                    {", ".join(f"round(avg(e[u.m * {sub_dim} + {i}]), 6) AS c{i}" for i in range(1, sub_dim + 1))}
