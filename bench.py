@@ -77,6 +77,9 @@ HEADLINE = [
     "ann_ivfpq_residual_topk",
     "ann_mmr_topk",
     "quality_drift_psi",
+    # r7 addition: SemDeDup over the trained k-means clusters (reuses the
+    # memoized IVF coarse quantizer; in-cluster pairs are skew-guarded)
+    "dedup_semantic_clusters",
 ]
 
 

@@ -940,6 +940,76 @@ def q_dedup_embedding_cosine_vectorized(
     )
 
 
+def q_dedup_semantic_clusters(
+    spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding corpus with the TRAINED k-means coarse quantizer,
+    then inside each cluster drop vectors whose cosine to a smaller-id
+    cluster-mate exceeds the threshold — the published recipe for pruning
+    semantically redundant (not just textually near-identical) training
+    data. Output is the survivor map (dup -> its smallest-id shadowing
+    neighbor) plus the cluster each duplicate was caught in.
+
+    Composition, not new machinery: the clusters come from the SAME
+    memoized trained centroids as the IVF tier (`_ivf_centroids` —
+    sample-bounded Lloyd, zero extra training cost here), assignment is
+    the zero-shuffle broadcast cosine-argmax fold, and the in-cluster
+    pairwise cosine runs through `_skew_guarded_pairs` exactly like the
+    LSH-bucketed `dedup_embedding_cosine` — so a dense cluster expands as
+    cap^2-bounded chunk tasks instead of a straggler. 100 TB posture: the
+    paper's k scales as n/target-cluster-size; here NC is the oracle-
+    stable 8, and the skew guard keeps any cluster's quadratic term
+    bounded regardless. The oracle re-runs the whole chain — coarse
+    k-means re-train, cosine-ranked assignment, in-cluster pairs — in
+    unrolled CTEs (`_ivf_cent_ctes`), hash-green."""
+    from .similarity import _IVF_ASSIGN_SQL, _ivf_centroids, _norm
+
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _norm("e"))
+        # all-zero vector: cosine undefined, exclude (see similarity.py)
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    cent_arr = _ivf_centroids(spark, sf).agg(
+        F.sort_array(F.collect_list(F.struct("centroid_id", "cv", "cvn"))).alias("cents")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "e", "nrm", F.expr(_IVF_ASSIGN_SQL).alias("cluster_id"))
+    )
+    grouped = (
+        assigned.groupBy("cluster_id")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "e", "nrm"))).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    # pair cosine computed inside the cluster's array domain, threshold
+    # applied before explode (the dedup_embedding_cosine shape: surviving
+    # pairs leave the map task as scalars, never as two 64-double arrays);
+    # the key column rides inside the pair struct (the helper's output is
+    # just `p`, but keys are in scope for pair_sql)
+    pair_sql = (
+        "struct(cluster_id AS cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b, "
+        "aggregate(zip_with(x.e, y.e, (p, q) -> p * q), cast(0 as double), (acc, z) -> acc + z)"
+        " / (x.nrm * y.nrm) AS cosine)"
+    )
+    pairs = _skew_guarded_pairs(
+        grouped,
+        keys=["cluster_id"],
+        pair_sql=pair_sql,
+        keep_sql=f"s.cosine >= {COSINE_DUP_THRESHOLD}",
+        cap=cap,
+    ).select("p.*")
+    return pairs.groupBy(F.col("vec_b").alias("dup_vec_id")).agg(
+        F.min("cluster_id").alias("cluster_id"),
+        F.min("vec_a").alias("keep_vec_id"),
+        F.count("*").alias("n_near_dups"),
+        F.round(F.max("cosine"), 4).alias("max_cosine"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash fingerprint per document: each bit is the sign of the
     token-hash vote sum for that bit position."""
@@ -1255,6 +1325,38 @@ def _embedding_cosine_oracle() -> str:
     """
 
 
+def _semantic_clusters_oracle() -> str:
+    """Mirror of q_dedup_semantic_clusters: re-train the coarse quantizer
+    (`_ivf_cent_ctes` — the identical sample-bounded Lloyd chain), assign
+    by cosine rank, pair within clusters, survivor-map above the
+    threshold. cluster_id is constant per dup (both pair sides share it),
+    so min() is a deterministic pick."""
+    from .similarity import _ivf_cent_ctes
+
+    cos = (
+        "list_dot_product(x.e, y.e)"
+        " / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), {_ivf_cent_ctes()},
+        assigned AS (
+            SELECT vec_id, v AS e, centroid_id AS cluster_id
+            FROM ranked_c WHERE c_rank = 1
+        ), pairs AS (
+            SELECT x.cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cosine
+            FROM assigned x JOIN assigned y
+              ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        )
+        SELECT vec_b AS dup_vec_id, min(cluster_id) AS cluster_id,
+               min(vec_a) AS keep_vec_id, count(*) AS n_near_dups,
+               round(max(cosine), 4) AS max_cosine
+        FROM pairs WHERE cosine >= {COSINE_DUP_THRESHOLD}
+        GROUP BY vec_b
+    """
+
+
 def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Train/val/test leakage audit: near-duplicate pairs (MinHash-LSH
     candidates at est-Jaccard >= CC_EST_JACCARD) whose two sides land in
@@ -1428,6 +1530,8 @@ QUERIES = {
     "split_leakage_audit": q_split_leakage_audit,
     "minhash_calibration": q_minhash_calibration,
     "dedup_graph_degree_hist": q_dedup_graph_degree_hist,
+    # appended last (new r7 surface): SemDeDup over the trained clusters
+    "dedup_semantic_clusters": q_dedup_semantic_clusters,
 }
 
 ORACLES = {
@@ -1533,6 +1637,7 @@ ORACLES = {
     # boundary flip on any SF swept since r4), so the SQL that checks the
     # relational form checks the vectorized form too.
     "dedup_embedding_cosine_vectorized": _embedding_cosine_oracle(),
+    "dedup_semantic_clusters": _semantic_clusters_oracle(),
     "decontamination_containment": f"""
         WITH {_TOK_CTE}, shingled AS (
             SELECT doc_id, source, {SHINGLES_DUCK} AS shingles

@@ -130,10 +130,25 @@ class PartitionCommitter:
         ]
         return F.to_timestamp(F.concat(*pieces))
 
-    def _add_partition_sql(self, part: dict) -> str:
+    #: partitions per ALTER statement — Hive DDL takes many PARTITION
+    #: clauses in one ADD, so a commit wave is O(ceil(n/chunk)) catalog
+    #: round-trips instead of O(n) (at minute granularity a backfill batch
+    #: can touch thousands of partitions; one statement each was the
+    #: dominant cost of the whole hive pipeline in streambench).
+    ALTER_CHUNK = 100
+
+    def _partition_clause(self, part: dict) -> str:
         spec = ", ".join(f"{c}='{part[c]}'" for c in self.partition_cols)
         loc = os.path.join(self.path, *[f"{c}={part[c]}" for c in self.partition_cols])
-        return f"ALTER TABLE {self.table} ADD IF NOT EXISTS PARTITION ({spec}) LOCATION '{loc}'"
+        return f"PARTITION ({spec}) LOCATION '{loc}'"
+
+    def _add_partitions_sql(self, parts: list[dict]) -> list[str]:
+        """Chunked multi-partition ALTER statements covering `parts`."""
+        return [
+            f"ALTER TABLE {self.table} ADD IF NOT EXISTS "
+            + " ".join(self._partition_clause(p) for p in parts[i : i + self.ALTER_CHUNK])
+            for i in range(0, len(parts), self.ALTER_CHUNK)
+        ]
 
     # -- foreachBatch entry point ------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -169,13 +184,16 @@ class PartitionCommitter:
                 wm = max(wm, datetime.strptime(prev, "%Y-%m-%d %H:%M:%S"))
             ledger["watermark"] = wm.strftime("%Y-%m-%d %H:%M:%S")
             table_exists = spark.catalog.tableExists(self.table)
-            for key in sorted(pending):
-                part = dict(key)
-                if self._partition_time(part) + self.commit_delay <= wm:
-                    if table_exists:
-                        spark.sql(self._add_partition_sql(part))
-                    committed.add(key)
-                    pending.discard(key)
+            due = [
+                key
+                for key in sorted(pending)
+                if self._partition_time(dict(key)) + self.commit_delay <= wm
+            ]
+            if due and table_exists:
+                for sql in self._add_partitions_sql([dict(k) for k in due]):
+                    spark.sql(sql)
+            committed.update(due)
+            pending.difference_update(due)
 
         ledger["pending"] = [dict(k) for k in sorted(pending)]
         ledger["committed"] = [dict(k) for k in sorted(committed)]

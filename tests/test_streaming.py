@@ -483,3 +483,24 @@ def test_estimate_record_bytes_measures_source(spark, tmp_path):
     # unsampleable sources fall back to the documented conservative default
     assert estimate_record_bytes("", spark) == DEFAULT_RECORD_BYTES
     assert estimate_record_bytes(str(tmp_path / "missing"), spark) == DEFAULT_RECORD_BYTES
+
+
+def test_partition_commit_batches_alter_statements(tmp_path):
+    """A commit wave covering many partitions must land in O(n/chunk)
+    catalog round-trips, not O(n): Hive DDL accepts many PARTITION clauses
+    per ALTER, and at minute granularity a backfill batch can make
+    thousands of partitions due at once (the dominant cost of the hive
+    pipeline in streambench before batching)."""
+    pc = PartitionCommitter(table="t", path=str(tmp_path))
+    parts = [
+        {"logday": f"2024-01-{d:02d}", "h": "00", "m": f"{m:02d}"}
+        for d in (1, 2)
+        for m in range(60)
+    ]
+    sqls = pc._add_partitions_sql(parts)
+    assert len(sqls) == 2  # ceil(120 / ALTER_CHUNK=100)
+    assert all(s.startswith("ALTER TABLE t ADD IF NOT EXISTS PARTITION") for s in sqls)
+    assert sqls[0].count("PARTITION (") == 100 and sqls[1].count("PARTITION (") == 20
+    joined = " ".join(sqls)
+    assert joined.count("logday='2024-01-01'") == 60
+    assert f"LOCATION '{tmp_path}/logday=2024-01-01/h=00/m=05'" in joined

@@ -51,22 +51,53 @@ from emr_flink_example_spark.streaming import pipelines  # noqa: E402
 N_FILES = 24
 FILES_PER_TRIGGER = 2
 
+#: The hive pipeline partitions at MINUTE granularity (day/hour/minute ≙
+#: Kafka2S3Hive.scala:97), and the events fixture replays a MONTH of event
+#: time — a verbatim replay would create ~39k partitions at sf0.1, i.e. a
+#: historical-backfill shape (2-3 rows per file, one catalog entry per
+#: minute of a month) that the reference's near-real-time ingest never
+#: sees. The hive input therefore gets event time linearly compressed onto
+#: this window, so per-batch new-partition counts (~10/batch) match a live
+#: stream's; text/parquet partition by DAY and use the verbatim input.
+HIVE_SPAN_MINUTES = 120
+
+
+def _ad_event_json(ts_col) -> F.Column:
+    """Ad-event JSON line (the reference's record shape:
+    uuid/date/timestamp/ad_type/ad_type_name — README.md:8-11)."""
+    return F.to_json(
+        F.struct(
+            F.concat(F.lit("ev-"), F.col("event_id")).alias("uuid"),
+            F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("date"),
+            F.unix_millis(ts_col.cast("timestamp")).alias("timestamp"),
+            (F.col("event_id") % 1000).cast("int").alias("ad_type"),
+            F.col("event_type").alias("ad_type_name"),
+        )
+    )
+
 
 def build_input(spark, sf_dir: str, in_dir: str) -> int:
-    """Render the events fixture as ad-event JSON lines (the reference's
-    record shape: uuid/date/timestamp/ad_type/ad_type_name — README.md:8-11)
-    into N_FILES text files; returns the row count."""
-    lines = load(spark, sf_dir, "events").select(
-        F.to_json(
-            F.struct(
-                F.concat(F.lit("ev-"), F.col("event_id")).alias("uuid"),
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("date"),
-                F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
-                (F.col("event_id") % 1000).cast("int").alias("ad_type"),
-                F.col("event_type").alias("ad_type_name"),
-            )
-        ).alias("value")
+    """Events fixture rendered verbatim into N_FILES text files."""
+    lines = load(spark, sf_dir, "events").select(_ad_event_json(F.col("ts")).alias("value"))
+    lines.repartition(N_FILES).write.mode("overwrite").text(in_dir)
+    return spark.read.text(in_dir).count()
+
+
+def build_hive_input(spark, sf_dir: str, in_dir: str) -> int:
+    """Events fixture with event time linearly compressed onto
+    HIVE_SPAN_MINUTES (see the constant's rationale), same JSON shape."""
+    ev = load(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.unix_millis(F.min("ts").cast("timestamp")).alias("lo"),
+        F.unix_millis(F.max("ts").cast("timestamp")).alias("hi"),
+    ).first()
+    span = max(mm.hi - mm.lo, 1)
+    factor = (HIVE_SPAN_MINUTES * 60_000) / span
+    squeezed = F.timestamp_millis(
+        (F.lit(mm.lo) + (F.unix_millis(F.col("ts").cast("timestamp")) - F.lit(mm.lo)) * F.lit(factor))
+        .cast("bigint")
     )
+    lines = ev.select(_ad_event_json(squeezed).alias("value"))
     lines.repartition(N_FILES).write.mode("overwrite").text(in_dir)
     return spark.read.text(in_dir).count()
 
@@ -152,16 +183,18 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="streambench-")
     try:
         in_dir = os.path.join(root, "in")
+        hive_in_dir = os.path.join(root, "in_hive")
         n_rows = build_input(spark, sf_dir, in_dir)
+        build_hive_input(spark, sf_dir, hive_in_dir)
         results = {}
-        for name, fn in (
-            ("text", bench_text),
-            ("parquet", bench_parquet),
-            ("hive", bench_hive),
+        for name, fn, src in (
+            ("text", bench_text, in_dir),
+            ("parquet", bench_parquet, in_dir),
+            ("hive", bench_hive, hive_in_dir),
         ):
             work = os.path.join(root, name)
             os.makedirs(work, exist_ok=True)
-            results[name] = fn(spark, in_dir, work, n_rows)
+            results[name] = fn(spark, src, work, n_rows)
         agg = round(
             sum(r["n_rows"] for r in results.values())
             / sum(r["elapsed_sec"] for r in results.values()),
@@ -177,6 +210,7 @@ def main() -> None:
                     "n_rows": n_rows,
                     "n_files": N_FILES,
                     "files_per_trigger": FILES_PER_TRIGGER,
+                    "hive_span_minutes": HIVE_SPAN_MINUTES,
                     "pipelines": results,
                 }
             )
