@@ -77,9 +77,11 @@ HEADLINE = [
     "ann_ivfpq_residual_topk",
     "ann_mmr_topk",
     "quality_drift_psi",
-    # r7 addition: SemDeDup over the trained k-means clusters (reuses the
-    # memoized IVF coarse quantizer; in-cluster pairs are skew-guarded)
+    # r7 additions: SemDeDup over the trained k-means clusters (reuses the
+    # memoized IVF coarse quantizer; in-cluster pairs are skew-guarded) and
+    # DSIR importance weights (two token-stream scans + B-row broadcast)
     "dedup_semantic_clusters",
+    "dsir_importance_weights",
 ]
 
 

@@ -419,6 +419,70 @@ def q_ann_lsh_multitable_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query vector, the top-3 most-similar DIFFERENT-label candidates (the
+    negatives that actually move a triplet/InfoNCE loss), each with the
+    query's best same-label cosine and the triplet margin
+    pos_cosine − neg_cosine (negative margin = the negative outranks every
+    positive — the "hardest" case miners prioritize).
+
+    One candidate pass: the cross-scored stream gets the per-query best
+    positive via a conditional MAX window over query_id, then wrong-label
+    rows rank by cosine — one exchange keyed on query_id, no second corpus
+    scan. Scale shape: the exact cross-score stage is the brute-force
+    baseline (queries broadcast, corpus scanned once); at 100 TB swap the
+    candidate generator for any ANN tier here (IVF/LSH shortlists) and the
+    window/rank tail is unchanged — mining cost then follows the ANN scan,
+    not n_queries x corpus."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _norm("e"))
+        # all-zero vector: cosine undefined, exclude (see q_knn_bruteforce)
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "pos_cosine",
+            F.max(F.when(F.col("q_label") == F.col("c_label"), F.col("cosine"))).over(w),
+        )
+        .where(F.col("q_label") != F.col("c_label"))
+        .withColumn("nn_rank", F.row_number().over(wr))
+        .where(F.col("nn_rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "nn_rank",
+            F.round("cosine", 4).alias("neg_cosine"),
+            F.round("pos_cosine", 4).alias("pos_cosine"),
+            F.round(F.col("pos_cosine") - F.col("cosine"), 4).alias("margin"),
+        )
+    )
+
+
 N_CENTROIDS = 8
 N_PROBE = 2
 
@@ -1530,6 +1594,8 @@ QUERIES = {
     # tail like every round's new surface
     "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     "ann_mmr_topk": q_ann_mmr_topk,
+    # appended last (new r7 surface): contrastive-training hard negatives
+    "embedding_hard_negatives": q_embedding_hard_negatives,
 }
 
 
@@ -2156,6 +2222,35 @@ ORACLES = {
             FROM scored
         )
         SELECT query_id, neighbor_id, nn_rank, round(cosine, 4) AS cosine
+        FROM ranked WHERE nn_rank <= 3
+    """,
+    "embedding_hard_negatives": f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, label AS q_label, e AS qe
+            FROM b WHERE vec_id < 10
+        ), scored AS (
+            SELECT query_id, q_label, c.vec_id AS neighbor_id, c.label AS c_label,
+                   list_dot_product(qe, c.e)
+                       / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e)))
+                       AS cosine
+            FROM q CROSS JOIN b c WHERE query_id != c.vec_id
+        ), wpos AS (
+            SELECT *,
+                   max(CASE WHEN q_label = c_label THEN cosine END)
+                       OVER (PARTITION BY query_id) AS pos_cos
+            FROM scored
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine, pos_cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS nn_rank
+            FROM wpos WHERE q_label != c_label
+        )
+        SELECT query_id, neighbor_id, nn_rank::INT AS nn_rank,
+               round(cosine, 4) AS neg_cosine,
+               round(pos_cos, 4) AS pos_cosine,
+               round(pos_cos - cosine, 4) AS margin
         FROM ranked WHERE nn_rank <= 3
     """,
     "embedding_label_stats": """

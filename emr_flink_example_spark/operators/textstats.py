@@ -934,6 +934,93 @@ def q_bpe_segment_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: DSIR (Xie et al. 2023, "Data Selection for Language Models via
+#: Importance Resampling"): hashed n-gram feature buckets + the target
+#: slice the importance weights steer toward. The paper hashes uni+bigrams
+#: into 10k buckets; 1024 keeps the broadcast table and oracle compact at
+#: test SFs while preserving the shape (the bucket count is a free knob).
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weight per document (Xie et al. 2023): features are
+    hashed uni+bigram buckets; fit two bag-of-ngrams models — p from the
+    TARGET slice (lang = en, the distribution to steer toward), q from the
+    rest — and score each doc by sum over its features of
+    ln p̂(b) − ln q̂(b) (add-one smoothed). High weight = looks like the
+    target; production then resamples ∝ weight. This is the standard
+    importance-resampling data-selection scorer for pretraining corpora.
+
+    Integer micro-nat discipline (the lm_* pattern): each bucket's two
+    -ln terms are floored to micro-nats ONCE per bucket, the per-doc score
+    is an integer sum of their differences — order-independent and
+    engine-exact. Shape: one token-stream scan builds the B-row bucket
+    count table (persisted — 1024 rows, the tfidf pattern), a second scan
+    joins the broadcast per-bucket weights and integer-sums per doc. At
+    100 TB: two corpus scans, one B-row broadcast, one doc_id rollup —
+    and the model-fitting scan can run on a sample (the paper's own
+    practice) without touching the scoring pass."""
+    from ..functions.hashing import portable_hash
+
+    docs = load(spark, sf, "documents")
+    # bigrams via zip_with against the shifted array: slice pads nothing,
+    # zip_with pads with NULL, concat nulls out the dangling last slot and
+    # the filter drops it — no sequence(1, 0) descending-range trap
+    bigrams = (
+        "filter(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
+    )
+    feats = (
+        docs.select("doc_id", "lang", F.expr(TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(f"concat(toks, {bigrams})")).alias("feature"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (portable_hash(F.col("feature")) % F.lit(DSIR_BUCKETS)).alias("bucket"),
+        )
+    )
+    counts = (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("p_cnt"),
+            F.sum(
+                F.when(F.col("lang") != DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("q_cnt"),
+        )
+        .persist()
+    )
+    tot = counts.agg(F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot"))
+
+    def micro(cnt: str, total: str) -> str:
+        return (
+            f"cast(floor(-ln(cast({cnt} + 1 as double) / ({total} + {DSIR_BUCKETS}))"
+            f" * 1000000 + 0.5) as bigint)"
+        )
+
+    bucket_w = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        # ln p̂ − ln q̂ == (−ln q̂) − (−ln p̂), each floored to micro-nats
+        (F.expr(micro("q_cnt", "q_tot")) - F.expr(micro("p_cnt", "p_tot"))).alias(
+            "w_micro"
+        ),
+    )
+    return (
+        feats.join(F.broadcast(bucket_w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("w_micro").alias("dsir_micronats"),
+        )
+    )
+
+
 #: reciprocal-rank-fusion constant (the standard k=60 from Cormack et al.).
 RRF_K = 60
 
@@ -1099,7 +1186,53 @@ QUERIES = {
     "bpe_first_merges": q_bpe_first_merges,
     "bpe_segment_docs": q_bpe_segment_docs,
     "text_entropy": q_text_entropy,
+    # appended last (new r7 surface): DSIR importance-resampling weights
+    "dsir_importance_weights": q_dsir_importance_weights,
 }
+
+
+def _dsir_oracle() -> str:
+    """Mirror of q_dsir_importance_weights: same hashed buckets, same
+    per-bucket micro-nat flooring (each -ln term floored once, differenced
+    as integers), HUGEINT sums cast back to BIGINT."""
+    from ..functions.hashing import portable_hash_sql_duckdb
+
+    h = portable_hash_sql_duckdb("feature")
+
+    def micro(cnt: str, total: str) -> str:
+        return (
+            f"floor(-ln(({cnt} + 1)::DOUBLE / ({total} + {DSIR_BUCKETS}))"
+            f" * 1000000 + 0.5)::BIGINT"
+        )
+
+    return f"""
+        WITH toks_t AS (
+            SELECT doc_id, lang, {TOKENS_DUCK} AS toks FROM documents
+        ), feats AS (
+            SELECT doc_id, lang, ({h} % {DSIR_BUCKETS}) AS bucket
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(list_concat(toks,
+                           list_transform(generate_series(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i + 1]))) AS feature
+                FROM toks_t)
+        ), counts AS (
+            SELECT bucket,
+                   sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT AS p_cnt,
+                   sum(CASE WHEN lang != '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT AS q_cnt
+            FROM feats GROUP BY bucket
+        ), tot AS (
+            SELECT sum(p_cnt)::BIGINT AS p_tot, sum(q_cnt)::BIGINT AS q_tot FROM counts
+        ), bw AS (
+            SELECT bucket,
+                   ({micro("q_cnt", "q_tot")} - {micro("p_cnt", "p_tot")}) AS w_micro
+            FROM counts CROSS JOIN tot
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_features,
+               sum(w_micro)::BIGINT AS dsir_micronats
+        FROM feats JOIN bw USING (bucket)
+        GROUP BY doc_id
+    """
 
 _REPETITION_ORACLE = f"""
     WITH tok AS (
@@ -1313,6 +1446,7 @@ def _bpe_segment_oracle(n: int) -> str:
 
 
 ORACLES = {
+    "dsir_importance_weights": _dsir_oracle(),
     # see q_bpe_first_merges for why replace('|p1||p2|' -> '|p1p2|') over
     # the '|'-rendered vocab IS greedy left-to-right BPE apply
     "bpe_first_merges": _bpe_train_oracle(2),
