@@ -82,6 +82,18 @@ HEADLINE = [
     # DSIR importance weights (two token-stream scans + B-row broadcast)
     "dedup_semantic_clusters",
     "dsir_importance_weights",
+    # late-r7 additions: the Gopher rule gate (pure map-side, runs at scan
+    # speed), PMI collocations (distinct-(doc,word) self-join bounded by
+    # per-doc vocabulary), and integer PageRank over the dup graph (5
+    # join+groupBy rounds, engine-exact integer mass)
+    "quality_gopher_rules",
+    "pmi_top_pairs",
+    "graph_pagerank",
+    # CCNet head/middle/tail stratification (surprisal scans + a
+    # value-bounded histogram window) and the DSIR Gumbel-top-k resample
+    # (scorer + one TakeOrderedAndProject)
+    "ccnet_perplexity_buckets",
+    "dsir_resample_topk",
 ]
 
 

@@ -1509,6 +1509,124 @@ def q_dedup_graph_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: PageRank over the near-dup graph: fixed iteration budget (the graph's
+#: components are boilerplate clusters with tiny diameter) and integer
+#: mass units so the result is engine-exact and summation-order-free.
+PAGERANK_ITERS = 5
+PAGERANK_SCALE = 10**12  # total rank mass, in e-12 units
+_PR_TELE = 15 * PAGERANK_SCALE // 100  # 0.15 * mass, exact
+_PR_DAMP_NUM = 85  # 0.85 damping as an exact integer ratio
+
+
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (Page et al. 1999) over the near-dup similarity graph —
+    centrality within dup clusters identifies the canonical/boilerplate
+    representative the rest of the cluster points at, the graph-side twin
+    of the min-id survivor rule in dedup_cluster_survivors.
+
+    Determinism discipline: rank mass is carried as integer e-12 units
+    (PAGERANK_SCALE) and every per-iteration step is integer arithmetic —
+    contribution = rank div degree, damped sum = (85 * sum) div 100 — so
+    the result is exact, independent of partition/summation order, and the
+    DuckDB oracle (the same {PAGERANK_ITERS} rounds unrolled as CTEs on
+    the same minhash edge CTEs) matches bit-for-bit. The symmetrized graph
+    gives every node an out-edge, so there is no dangling-mass term.
+
+    Scale shape: identical to label propagation (q_dedup_connected_components)
+    — per round ONE node-keyed equi-join (edges x ranks) + ONE groupBy v
+    with a map-side-combinable integer sum; `localCheckpoint` truncates the
+    per-round lineage. Degrees and the node count ride a one-row broadcast;
+    nothing data-sized ever reaches the driver."""
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf)
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    nn = deg.groupBy().agg(F.count("*").alias("n"))
+    # static per-node frame: (node, d, tele) — checkpointed once, reused
+    # every round; `tele` is the per-node teleport term 0.15*mass/N
+    base = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("u").alias("node"),
+            "d",
+            F.expr(f"cast({_PR_TELE} as bigint) div n").alias("tele"),
+        )
+        .localCheckpoint()
+    )
+    # ranks carry the out-degree so each round is ONE edge join, not two
+    ranks = base.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"cast({PAGERANK_SCALE} as bigint) div n").alias("r"), "d"
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = edges.join(ranks, edges["u"] == ranks["node"]).select(
+            "v", F.expr("r div d").alias("c")
+        )
+        nbr = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = (
+            base.join(nbr, base["node"] == nbr["v"])
+            .select(
+                "node",
+                F.expr(f"tele + ({_PR_DAMP_NUM} * s) div 100").alias("r"),
+                "d",
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank_e12"))
+
+
+def _pagerank_oracle() -> str:
+    """The same integer PageRank unrolled: minhash edge CTEs + deg/base,
+    then PAGERANK_ITERS join+groupBy rounds."""
+    prefix = (
+        _minhash_cand_ctes()
+        + f""",
+        dup_edges AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE {_EST_JACCARD_DUCK} >= {CC_EST_JACCARD}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM dup_edges
+            UNION SELECT doc_b, doc_a FROM dup_edges
+        ),
+        deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        nn AS (SELECT count(*) AS n FROM deg),
+        base AS (
+            SELECT u AS node, d,
+                   ({_PR_TELE} // n) AS tele,
+                   ({PAGERANK_SCALE} // n) AS r0
+            FROM deg CROSS JOIN nn
+        ),
+        it0 AS (SELECT node, r0 AS r FROM base)
+    """
+    )
+    rounds = "".join(
+        f""",
+        it{k + 1} AS (
+            SELECT b.node,
+                   (b.tele + ({_PR_DAMP_NUM} * sum(p.r // src.d)) // 100)::BIGINT AS r
+            FROM edges e
+            JOIN it{k} p ON p.node = e.u
+            JOIN base src ON src.node = e.u
+            JOIN base b ON b.node = e.v
+            GROUP BY b.node, b.tele
+        )
+    """
+        for k in range(PAGERANK_ITERS)
+    )
+    return (
+        prefix
+        + rounds
+        + f"SELECT node AS doc_id, r::BIGINT AS pagerank_e12 FROM it{PAGERANK_ITERS}"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1530,8 +1648,10 @@ QUERIES = {
     "split_leakage_audit": q_split_leakage_audit,
     "minhash_calibration": q_minhash_calibration,
     "dedup_graph_degree_hist": q_dedup_graph_degree_hist,
-    # appended last (new r7 surface): SemDeDup over the trained clusters
+    # appended last (new r7 surface): SemDeDup over the trained clusters,
+    # PageRank centrality over the dup graph
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLES = {
@@ -1680,4 +1800,5 @@ ORACLES = {
         LEFT JOIN overlap o ON o.probe_doc_id = p.doc_id
     """,
     "simhash": _simhash_oracle(),
+    "graph_pagerank": _pagerank_oracle(),
 }

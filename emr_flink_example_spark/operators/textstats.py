@@ -1159,6 +1159,342 @@ def q_corpus_divergence_kl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Gopher rule constants (Rae et al. 2021, "Scaling Language Models",
+#: Appendix A quality heuristics) — published bounds, applied verbatim.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+#: required-stopword lexicon. The paper's own list is ("the, be, to, of,
+#: and, that, have, with"); the rule is parameterized by the corpus lexicon
+#: (FineWeb/Dolma swap it per language), and the synthetic fixture corpus
+#: contains only "the" from the paper's list — which would make the
+#: conjunction vacuously all-false — so this uses the module's established
+#: STOPWORDS lexicon, under which the gate actually discriminates.
+GOPHER_STOPS = STOPWORDS
+_GSTOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+
+
+def q_quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality-rule bundle (Rae et al. 2021, Appendix A): per-doc
+    boolean verdicts for each published heuristic plus the conjunction —
+    the standard pre-training web-corpus gate (also the core of the
+    FineWeb / Dolma rule sets).
+
+    Rules: word count in [50, 100000]; mean word length in [3, 10];
+    '#'/'...'-to-word symbol ratio <= 0.1; >= 80% of words contain an
+    alphabetic character; >= 2 distinct hits from the paper's stop-word
+    list. (The paper's line-level bullet/ellipsis rules need line structure
+    the `documents` fixture doesn't have; the symbol-ratio rule covers the
+    same ellipsis signal at whole-doc granularity.)
+
+    Scale shape: pure map-side — one scan, one codegen stage, no shuffle,
+    no UDF; every rule is an array/higher-order expression over the same
+    tokenization the rest of the text stack uses. At 100 TB this is the
+    cheapest possible gate: it runs at scan speed and feeds the curation
+    semi-join without ever exchanging the text."""
+    docs = load(spark, sf, "documents")
+    docs = docs.withColumn("tokens", F.expr(TOKENS))
+    n_words = F.size("tokens")
+    sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
+    mean_len = F.try_divide(sum_len, n_words)
+    # occurrence counts via length-delta: stays in codegen, no regex engine
+    n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    n_alpha = F.expr("size(filter(tokens, x -> x rlike '[a-zA-Z]'))")
+    n_stop_types = F.size(
+        F.array_intersect(
+            F.array_distinct("tokens"),
+            F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+        )
+    )
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    ok_symbol = F.try_divide(n_hash + n_ellipsis, n_words) <= GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = F.try_divide(n_alpha, n_words) >= GOPHER_MIN_ALPHA_FRAC
+    ok_stops = n_stop_types >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        n_stop_types.alias("n_stop_types"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stops.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_symbol & ok_alpha & ok_stops).alias("passes_gopher"),
+    )
+
+
+_GOPHER_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, text, {TOKENS_DUCK} AS tokens FROM documents),
+    feat AS (
+        SELECT doc_id,
+               len(tokens) AS n_words,
+               list_sum(list_transform(tokens, x -> length(x)))::DOUBLE
+                   / len(tokens) AS mean_len,
+               (length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                   / len(tokens) AS symbol_ratio,
+               len(list_filter(tokens, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                   / len(tokens) AS alpha_frac,
+               len(list_intersect(list_distinct(tokens), [{_GSTOPS}])) AS n_stop_types
+        FROM tok
+    )
+    SELECT doc_id, n_words,
+           round(mean_len, 4) AS mean_word_len,
+           n_stop_types,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+               AS ok_word_count,
+           (mean_len >= {GOPHER_MIN_MEAN_LEN} AND mean_len <= {GOPHER_MAX_MEAN_LEN})
+               AS ok_mean_word_len,
+           (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+           (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha_words,
+           (n_stop_types >= {GOPHER_MIN_STOP_HITS}) AS ok_stopwords,
+           ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+            AND (mean_len >= {GOPHER_MIN_MEAN_LEN} AND mean_len <= {GOPHER_MAX_MEAN_LEN})
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND n_stop_types >= {GOPHER_MIN_STOP_HITS}) AS passes_gopher
+    FROM feat
+"""
+
+
+#: CCNet bucket cutoffs are computed at milli-nat granularity: the cutoff
+#: histogram then has at most (max-surprisal-in-nats * 1000) rows — bounded
+#: by the value range, NOT the corpus — so the cumulative window never
+#: touches a corpus-sized frame. CCNet's own thresholds are far coarser,
+#: but the fixtures' surprisals cluster within ~0.05 nats, so centi-nat
+#: bins would collapse the middle tercile.
+CCNET_QUANT = 1_000  # micro-nats per milli-nat
+
+
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): split the
+    corpus into head / middle / tail terciles by language-model surprisal —
+    the standard quality stratification for web pretraining data (head =
+    most fluent third under the LM, tail = least).
+
+    Scores are the integer micro-nat unigram surprisals of
+    q_lm_unigram_surprisal. Tercile cutoffs are exact on the MILLI-NAT
+    quantized score: cut1 = min quantized score whose cumulative doc count
+    reaches n/3 (3*cum >= n in exact integers), cut2 likewise at 2n/3 —
+    fully deterministic, no float percentile interpolation.
+
+    Scale shape: the surprisal machinery's two scans + one bounded
+    groupBy(quantized score); the cumulative window rides over the
+    value-bounded histogram (~thousands of rows, the PSI/dense-grid
+    pattern); the two cutoffs broadcast back as one row and the bucket
+    label is a map-side CASE."""
+    sc = q_lm_unigram_surprisal(spark, sf).select(
+        "doc_id",
+        F.col("avg_surprisal_micronats").alias("s"),
+        F.expr(f"avg_surprisal_micronats div {CCNET_QUANT}").alias("sq"),
+    )
+    hist = sc.groupBy("sq").agg(F.count("*").alias("c"))
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = sc.groupBy().agg(F.count("*").alias("n"))
+    cuts = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("sq"))).alias("cut1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("sq"))).alias("cut2"),
+    )
+    return sc.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        F.col("s").alias("avg_surprisal_micronats"),
+        F.when(F.col("sq") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("sq") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+#: the unigram-surprisal per-doc score CTE chain, shared by the CCNet oracle
+_SURPRISAL_CTES = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+    ), vocab AS (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), tots AS (
+        SELECT sum(cnt)::BIGINT AS n_total, count(*)::BIGINT AS v FROM vocab
+    ), scored AS (
+        SELECT t.doc_id,
+               floor(-ln((vc.cnt + 1)::DOUBLE / (tots.n_total + tots.v))
+                     * 1000000 + 0.5)::BIGINT AS micro
+        FROM tok t JOIN vocab vc USING (token) CROSS JOIN tots
+    ), perdoc AS (
+        SELECT doc_id,
+               floor(sum(micro)::DOUBLE / count(*) + 0.5)::BIGINT AS s
+        FROM scored GROUP BY doc_id
+    )
+"""
+
+_CCNET_ORACLE = (
+    _SURPRISAL_CTES
+    + f""",
+    q AS (SELECT doc_id, s, s // {CCNET_QUANT} AS sq FROM perdoc),
+    hist AS (SELECT sq, count(*) AS c FROM q GROUP BY sq),
+    cum AS (SELECT sq, sum(c) OVER (ORDER BY sq) AS cum FROM hist),
+    nn AS (SELECT count(*) AS n FROM q),
+    cuts AS (
+        SELECT min(CASE WHEN 3 * cum >= n THEN sq END) AS cut1,
+               min(CASE WHEN 3 * cum >= 2 * n THEN sq END) AS cut2
+        FROM cum CROSS JOIN nn
+    )
+    SELECT doc_id, s AS avg_surprisal_micronats,
+           CASE WHEN sq <= cut1 THEN 'head'
+                WHEN sq <= cut2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM q CROSS JOIN cuts
+"""
+)
+
+
+#: Gumbel-top-k resample size + the salt making the "noise" independent of
+#: every other hash decision in the repo
+DSIR_RESAMPLE_K = 100
+DSIR_GUMBEL_SALT = "dsir-gumbel-r7"
+
+
+def q_dsir_resample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The resampling half of DSIR (Xie et al. 2023 §2.3): draw K docs
+    ∝ exp(importance weight) via the Gumbel-top-k trick — key = log-weight
+    + Gumbel noise, take the K largest keys. The "noise" is deterministic:
+    u = (salted-hash(doc_id) mod 1e6 + 0.5) / 1e6 gives an exact-decimal
+    uniform, g = -ln(-ln(u)) is computed on that identical double in both
+    engines and floored ONCE to micro-nats, so key = dsir_micronats +
+    g_micro is pure integer arithmetic and the draw is reproducible
+    run-to-run and engine-to-engine (no RNG anywhere — the repo's salted
+    hash discipline).
+
+    Scale shape: the DSIR scorer's two scans + a map-side key computation
+    and ONE TakeOrderedAndProject — no global sort, no extra shuffle."""
+    from ..functions.hashing import portable_hash
+
+    scored = q_dsir_importance_weights(spark, sf)
+    u = (
+        portable_hash(
+            F.concat(F.col("doc_id").cast("string"), F.lit(DSIR_GUMBEL_SALT))
+        )
+        % 1000000
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    g_micro = F.floor(-F.log(-F.log(u)) * 1000000 + 0.5).cast("bigint")
+    return (
+        scored.select(
+            "doc_id",
+            "dsir_micronats",
+            g_micro.alias("gumbel_micronats"),
+            (F.col("dsir_micronats") + g_micro).alias("key_micronats"),
+        )
+        .orderBy(F.col("key_micronats").desc(), F.col("doc_id").asc())
+        .limit(DSIR_RESAMPLE_K)
+    )
+
+
+def _dsir_resample_oracle() -> str:
+    from ..functions.hashing import portable_hash_sql_duckdb
+
+    h = portable_hash_sql_duckdb(f"doc_id::VARCHAR || '{DSIR_GUMBEL_SALT}'")
+    base = _dsir_oracle()
+    return f"""
+        WITH w AS ({base}),
+        keyed AS (
+            SELECT doc_id, dsir_micronats,
+                   floor(-ln(-ln((({h} % 1000000) + 0.5) / 1000000.0))
+                         * 1000000 + 0.5)::BIGINT AS gumbel_micronats
+            FROM w
+        )
+        SELECT doc_id, dsir_micronats, gumbel_micronats,
+               (dsir_micronats + gumbel_micronats)::BIGINT AS key_micronats
+        FROM keyed
+        ORDER BY key_micronats DESC, doc_id ASC
+        LIMIT {DSIR_RESAMPLE_K}
+    """
+
+
+#: PMI support floor: a pair must co-occur in >= this many docs to be scored
+PMI_MIN_PAIR_DF = 5
+#: PMI result size
+PMI_TOP_K = 50
+
+
+def q_pmi_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level pointwise mutual information for within-document word
+    pairs (Church & Hanks 1990): PMI(x,y) = ln(N * df_xy / (df_x * df_y))
+    over document-frequency counts, top-{PMI_TOP_K} collocations by PMI.
+
+    The integer micro-nat discipline keeps it engine-exact: the single ln
+    is applied to a ratio of exact integers and floored once to micro-nats
+    (floor(x*1e6 + 0.5)), so Spark and the oracle compute the identical
+    double and the identical bigint.
+
+    Scale shape: distinct (doc, word) pairs shuffle once on word for the
+    df counts; the per-doc pair expansion is a doc_id-keyed self-join whose
+    blowup is bounded by the per-doc DISTINCT vocabulary (|V_doc|^2/2, the
+    standard co-occurrence cost — at web scale a df band [min_df, 0.5N]
+    caps it further by dropping hapaxes and near-universal words before the
+    join). The final groupBy is on the pair key; the top-K is a
+    TakeOrderedAndProject, never a full sort."""
+    docs = load(spark, sf, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(F.array_distinct(F.expr(TOKENS))).alias("w"))
+        .distinct()
+    ).persist()  # feeds both the df counts and the pair self-join: one scan
+    n_docs = docs.groupBy().agg(F.count("*").alias("n"))
+    df = dw.groupBy("w").agg(F.count("*").alias("df"))
+    pairs = (
+        dw.alias("a")
+        .join(dw.alias("b"), "doc_id")
+        .where(F.col("a.w") < F.col("b.w"))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("df_xy"))
+        .where(F.col("df_xy") >= PMI_MIN_PAIR_DF)
+    )
+    ratio = (F.col("df_xy").cast("double") * F.col("n").cast("double")) / (
+        F.col("df_x").cast("double") * F.col("df_y").cast("double")
+    )
+    return (
+        pairs.join(df.select(F.col("w").alias("w1"), F.col("df").alias("df_x")), "w1")
+        .join(df.select(F.col("w").alias("w2"), F.col("df").alias("df_y")), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi_micronats", F.floor(F.log(ratio) * 1000000 + 0.5).cast("bigint")
+        )
+        .select("w1", "w2", "df_xy", "df_x", "df_y", "pmi_micronats")
+        .orderBy(
+            F.col("pmi_micronats").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(PMI_TOP_K)
+    )
+
+
+_PMI_ORACLE = f"""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct({TOKENS_DUCK})) AS w
+        FROM documents
+    ), nn AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT w, count(*) AS df FROM dw GROUP BY w),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2, count(*) AS df_xy
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w HAVING count(*) >= {PMI_MIN_PAIR_DF}
+    )
+    SELECT w1, w2, df_xy, dx.df AS df_x, dy.df AS df_y,
+           floor(ln((df_xy::DOUBLE * n::DOUBLE) / (dx.df::DOUBLE * dy.df::DOUBLE))
+                 * 1000000 + 0.5)::BIGINT AS pmi_micronats
+    FROM pairs JOIN df dx ON dx.w = w1 JOIN df dy ON dy.w = w2 CROSS JOIN nn
+    ORDER BY pmi_micronats DESC, w1 ASC, w2 ASC
+    LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -1186,8 +1522,13 @@ QUERIES = {
     "bpe_first_merges": q_bpe_first_merges,
     "bpe_segment_docs": q_bpe_segment_docs,
     "text_entropy": q_text_entropy,
-    # appended last (new r7 surface): DSIR importance-resampling weights
+    # appended last (new r7 surface): DSIR importance-resampling weights,
+    # the Gopher rule gate, and PMI collocations
     "dsir_importance_weights": q_dsir_importance_weights,
+    "quality_gopher_rules": q_quality_gopher_rules,
+    "pmi_top_pairs": q_pmi_top_pairs,
+    "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
+    "dsir_resample_topk": q_dsir_resample_topk,
 }
 
 
@@ -1447,6 +1788,10 @@ def _bpe_segment_oracle(n: int) -> str:
 
 ORACLES = {
     "dsir_importance_weights": _dsir_oracle(),
+    "quality_gopher_rules": _GOPHER_ORACLE,
+    "pmi_top_pairs": _PMI_ORACLE,
+    "ccnet_perplexity_buckets": _CCNET_ORACLE,
+    "dsir_resample_topk": _dsir_resample_oracle(),
     # see q_bpe_first_merges for why replace('|p1||p2|' -> '|p1p2|') over
     # the '|'-rendered vocab IS greedy left-to-right BPE apply
     "bpe_first_merges": _bpe_train_oracle(2),

@@ -1,0 +1,167 @@
+"""Property tests for the r7 additions: the Gopher rule gate, PMI
+collocations, and integer PageRank over the near-dup graph.
+
+The DuckDB differential (tools/selfcheck.py) proves value equality with the
+oracle SQL; these pin the semantic invariants — rule conjunction, PMI
+bounds/independence behavior, and rank-mass conservation — the style the
+rest of the suite uses for Part C operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emr_flink_example_spark.operators.dedup import (
+    PAGERANK_ITERS,
+    PAGERANK_SCALE,
+    q_dedup_connected_components,
+    q_graph_pagerank,
+)
+from emr_flink_example_spark.operators.textstats import (
+    DSIR_RESAMPLE_K,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+    PMI_MIN_PAIR_DF,
+    PMI_TOP_K,
+    q_ccnet_perplexity_buckets,
+    q_dsir_importance_weights,
+    q_dsir_resample_topk,
+    q_pmi_top_pairs,
+    q_quality_gopher_rules,
+)
+
+from conftest import SF_DIR
+
+
+def test_gopher_flags_are_the_conjunction_and_match_recomputation(spark):
+    rows = q_quality_gopher_rules(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    n_pass = 0
+    for r in rows:
+        expected = (
+            r.ok_word_count
+            and r.ok_mean_word_len
+            and r.ok_symbol_ratio
+            and r.ok_alpha_words
+            and r.ok_stopwords
+        )
+        assert r.passes_gopher == expected
+        # flag definitions recomputed from the emitted features
+        assert r.ok_word_count == (GOPHER_MIN_WORDS <= r.n_words <= 100_000)
+        assert r.ok_stopwords == (r.n_stop_types >= GOPHER_MIN_STOP_HITS)
+        n_pass += bool(r.passes_gopher)
+    # the gate must actually discriminate on the fixture: some docs pass,
+    # some fail (all-pass or all-fail would make the rule bundle vacuous)
+    assert 0 < n_pass < len(rows)
+
+
+def test_pmi_support_bounds_and_k(spark):
+    rows = q_pmi_top_pairs(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= PMI_TOP_K
+    for r in rows:
+        assert r.w1 < r.w2  # canonical unordered-pair orientation
+        assert r.df_xy >= PMI_MIN_PAIR_DF
+        # co-occurrence df can never exceed either marginal df
+        assert r.df_xy <= min(r.df_x, r.df_y)
+    # descending-PMI order with the (w1, w2) tie-break
+    keys = [(-r.pmi_micronats, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_pagerank_mass_conserved_and_nodes_match_cc(spark):
+    pr = q_graph_pagerank(spark, SF_DIR)
+    rows = pr.collect()
+    assert len(rows) > 0
+    assert all(r.pagerank_e12 > 0 for r in rows)
+    # node set == the connected-components node set (same edge threshold)
+    cc_nodes = {r.doc_id for r in q_dedup_connected_components(spark, SF_DIR).collect()}
+    assert {r.doc_id for r in rows} == cc_nodes
+    # integer PageRank only loses mass to `div` truncation: each of the N
+    # nodes floors twice per iteration (contribution + damped sum), so the
+    # total is within N * (ITERS + 1) * 100 e-12 of the full mass and
+    # never exceeds it
+    total = sum(r.pagerank_e12 for r in rows)
+    n = len(rows)
+    assert total <= PAGERANK_SCALE
+    assert total >= PAGERANK_SCALE - n * (PAGERANK_ITERS + 1) * 100
+
+
+def test_ccnet_terciles_are_ordered_and_balanced(spark):
+    rows = q_ccnet_perplexity_buckets(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    by_bucket: dict[str, list[int]] = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by_bucket[r.bucket].append(r.avg_surprisal_micronats)
+    # every bucket non-empty and scores strictly stratified across buckets
+    assert all(by_bucket.values())
+    assert max(by_bucket["head"]) <= min(by_bucket["tail"])
+    # tercile balance: cutoffs are at milli-nat granularity, so each
+    # boundary can spill by at most the largest milli-nat bin; the head
+    # must still reach n/3 and middle must end by 2n/3 (cut definition)
+    n = len(rows)
+    assert len(by_bucket["head"]) >= n // 3
+    assert len(by_bucket["head"]) + len(by_bucket["middle"]) >= 2 * n // 3
+
+
+def test_dsir_resample_is_topk_by_key(spark):
+    import hashlib
+    import math
+
+    from emr_flink_example_spark.operators.textstats import DSIR_GUMBEL_SALT
+
+    picked = q_dsir_resample_topk(spark, SF_DIR).collect()
+    assert 0 < len(picked) <= DSIR_RESAMPLE_K
+    for r in picked:
+        assert r.key_micronats == r.dsir_micronats + r.gumbel_micronats
+
+    def gumbel_micro(doc_id: int) -> int:
+        h = int(
+            hashlib.md5(f"{doc_id}{DSIR_GUMBEL_SALT}".encode()).hexdigest()[:15], 16
+        )
+        u = (h % 1_000_000 + 0.5) / 1_000_000.0
+        return math.floor(-math.log(-math.log(u)) * 1_000_000 + 0.5)
+
+    # the picked gumbel terms match an independent Python recomputation
+    # (±1 micronat for libm last-ulp differences)
+    for r in picked:
+        assert abs(r.gumbel_micronats - gumbel_micro(r.doc_id)) <= 1
+    # dominance: every picked key >= every unpicked doc's recomputed key
+    weights = {
+        r.doc_id: r.dsir_micronats
+        for r in q_dsir_importance_weights(spark, SF_DIR).collect()
+    }
+    picked_ids = {r.doc_id for r in picked}
+    assert picked_ids <= set(weights)
+    kth = min(r.key_micronats for r in picked)
+    unpicked_max = max(
+        (w + gumbel_micro(d) for d, w in weights.items() if d not in picked_ids),
+        default=None,
+    )
+    if unpicked_max is not None:
+        assert kth >= unpicked_max - 1
+
+
+def test_pagerank_favors_hubs(spark):
+    # within a component, rank must correlate with degree: the max-rank
+    # node of the whole graph must be one of the max-degree nodes' cluster
+    pr = {r.doc_id: r.pagerank_e12 for r in q_graph_pagerank(spark, SF_DIR).collect()}
+    from emr_flink_example_spark.operators.dedup import (
+        CC_EST_JACCARD,
+        q_dedup_minhash_lsh,
+    )
+
+    pairs = (
+        q_dedup_minhash_lsh(spark, SF_DIR)
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .collect()
+    )
+    deg: dict[int, int] = {}
+    for p in pairs:
+        deg[p.doc_a] = deg.get(p.doc_a, 0) + 1
+        deg[p.doc_b] = deg.get(p.doc_b, 0) + 1
+    max_deg = max(deg.values())
+    # a maximal-degree node must outrank every degree-1 leaf
+    top_hub_rank = max(pr[n] for n, d in deg.items() if d == max_deg)
+    leaf_ranks = [pr[n] for n, d in deg.items() if d == 1]
+    if leaf_ranks and max_deg > 1:
+        assert top_hub_rank > max(leaf_ranks)
