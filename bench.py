@@ -94,6 +94,9 @@ HEADLINE = [
     # (scorer + one TakeOrderedAndProject)
     "ccnet_perplexity_buckets",
     "dsir_resample_topk",
+    # n-gram novelty: one shingle-df shuffle + rejoin (the decontamination
+    # shape applied corpus-reflexively)
+    "ngram_novelty",
 ]
 
 

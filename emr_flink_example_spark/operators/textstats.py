@@ -1178,25 +1178,10 @@ GOPHER_STOPS = STOPWORDS
 _GSTOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
 
 
-def q_quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher quality-rule bundle (Rae et al. 2021, Appendix A): per-doc
-    boolean verdicts for each published heuristic plus the conjunction —
-    the standard pre-training web-corpus gate (also the core of the
-    FineWeb / Dolma rule sets).
-
-    Rules: word count in [50, 100000]; mean word length in [3, 10];
-    '#'/'...'-to-word symbol ratio <= 0.1; >= 80% of words contain an
-    alphabetic character; >= 2 distinct hits from the paper's stop-word
-    list. (The paper's line-level bullet/ellipsis rules need line structure
-    the `documents` fixture doesn't have; the symbol-ratio rule covers the
-    same ellipsis signal at whole-doc granularity.)
-
-    Scale shape: pure map-side — one scan, one codegen stage, no shuffle,
-    no UDF; every rule is an array/higher-order expression over the same
-    tokenization the rest of the text stack uses. At 100 TB this is the
-    cheapest possible gate: it runs at scan speed and feeds the curation
-    semi-join without ever exchanging the text."""
-    docs = load(spark, sf, "documents")
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """The Gopher rule bundle over ANY (doc_id, text) frame — shared by the
+    batch query and the streaming curation gate (a frame-level map so the
+    stream applies bit-identical rules per micro-batch)."""
     docs = docs.withColumn("tokens", F.expr(TOKENS))
     n_words = F.size("tokens")
     sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
@@ -1230,6 +1215,27 @@ def q_quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
         ok_stops.alias("ok_stopwords"),
         (ok_words & ok_mean & ok_symbol & ok_alpha & ok_stops).alias("passes_gopher"),
     )
+
+
+def q_quality_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality-rule bundle (Rae et al. 2021, Appendix A): per-doc
+    boolean verdicts for each published heuristic plus the conjunction —
+    the standard pre-training web-corpus gate (also the core of the
+    FineWeb / Dolma rule sets).
+
+    Rules: word count in [50, 100000]; mean word length in [3, 10];
+    '#'/'...'-to-word symbol ratio <= 0.1; >= 80% of words contain an
+    alphabetic character; >= 2 distinct hits from the paper's stop-word
+    list. (The paper's line-level bullet/ellipsis rules need line structure
+    the `documents` fixture doesn't have; the symbol-ratio rule covers the
+    same ellipsis signal at whole-doc granularity.)
+
+    Scale shape: pure map-side — one scan, one codegen stage, no shuffle,
+    no UDF; every rule is an array/higher-order expression over the same
+    tokenization the rest of the text stack uses. At 100 TB this is the
+    cheapest possible gate: it runs at scan speed and feeds the curation
+    semi-join without ever exchanging the text."""
+    return gopher_flags(load(spark, sf, "documents"))
 
 
 _GOPHER_ORACLE = f"""
@@ -1419,6 +1425,84 @@ def _dsir_resample_oracle() -> str:
     """
 
 
+#: novelty shingle width (the dedup modules' 3-token shingling)
+NOVELTY_SHINGLE_W = 3
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-token shingles that appear in NO other document — the inverse of the
+    boilerplate/memorization signal (low novelty = the doc is assembled
+    from corpus-common n-grams; high = mostly unique text). Used to rank
+    docs for dedup triage and to estimate memorization risk before
+    training.
+
+    Scale shape: the decontamination/minhash shape — distinct
+    (doc, shingle) pairs shuffle ONCE on the shingle for document
+    frequencies, rejoin on the same key, then a doc_id rollup; short docs
+    (< {NOVELTY_SHINGLE_W} tokens) have zero shingles and surface with
+    NULL ratio via try_divide, never a crash."""
+    docs = load(spark, sf, "documents")
+    # guard: sequence(1, 0) is a DESCENDING range in Spark (the dsir
+    # comment's trap), so short docs take the empty-array branch
+    shingle_arr = (
+        "CASE WHEN size(tokens) >= 3 THEN"
+        " array_distinct(transform(sequence(1, size(tokens) - 2),"
+        " i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1])))"
+        " ELSE array() END"
+    )
+    sh = (
+        docs.select("doc_id", F.expr(TOKENS).alias("tokens"))
+        .select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
+    ).persist()  # feeds the df count and the rejoin: one tokenize pass
+    sdf = sh.groupBy("s").agg(F.count("*").alias("df"))
+    per = (
+        sh.join(sdf, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(F.try_divide(F.col("n_novel"), F.col("n_shingles")), 4).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
+
+
+_NOVELTY_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            list_distinct(list_transform(
+                generate_series(1, len(tokens) - 2),
+                i -> concat_ws(' ', tokens[i], tokens[i + 1], tokens[i + 2])))
+        ) AS s
+        FROM tok
+    ),
+    sdf AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    per AS (
+        SELECT doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        FROM sh JOIN sdf USING (s) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_shingles, 0) AS n_shingles,
+           coalesce(per.n_novel, 0) AS n_novel,
+           round(coalesce(per.n_novel, 0)::DOUBLE / per.n_shingles, 4)
+               AS novelty_ratio
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
 #: PMI support floor: a pair must co-occur in >= this many docs to be scored
 PMI_MIN_PAIR_DF = 5
 #: PMI result size
@@ -1529,6 +1613,7 @@ QUERIES = {
     "pmi_top_pairs": q_pmi_top_pairs,
     "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
     "dsir_resample_topk": q_dsir_resample_topk,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 
@@ -1792,6 +1877,7 @@ ORACLES = {
     "pmi_top_pairs": _PMI_ORACLE,
     "ccnet_perplexity_buckets": _CCNET_ORACLE,
     "dsir_resample_topk": _dsir_resample_oracle(),
+    "ngram_novelty": _NOVELTY_ORACLE,
     # see q_bpe_first_merges for why replace('|p1||p2|' -> '|p1p2|') over
     # the '|'-rendered vocab IS greedy left-to-right BPE apply
     "bpe_first_merges": _bpe_train_oracle(2),

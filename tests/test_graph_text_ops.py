@@ -141,6 +141,25 @@ def test_dsir_resample_is_topk_by_key(spark):
         assert kth >= unpicked_max - 1
 
 
+def test_ngram_novelty_bounds_and_coverage(spark):
+    from emr_flink_example_spark.operators.textstats import q_ngram_novelty
+    from emr_flink_example_spark.io import load
+
+    rows = q_ngram_novelty(spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    # every corpus doc surfaces exactly once (left join from documents)
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        if r.n_shingles > 0:
+            assert 0.0 <= r.novelty_ratio <= 1.0
+        else:
+            assert r.novelty_ratio is None
+    # the fixture corpus has near-dups, so both regimes must be populated
+    ratios = [r.novelty_ratio for r in rows if r.novelty_ratio is not None]
+    assert min(ratios) < 0.5 and max(ratios) > 0.5
+
+
 def test_pagerank_favors_hubs(spark):
     # within a component, rank must correlate with degree: the max-rank
     # node of the whole graph must be one of the max-degree nodes' cluster

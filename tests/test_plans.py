@@ -519,3 +519,52 @@ def test_ivfpq_residual_shape(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_gopher_gate_is_pure_mapside(spark):
+    """The quality gate must run at scan speed: one parquet scan, zero
+    exchanges, no joins, no Python — it's the first gate every doc passes
+    at 100 TB, so anything beyond a map would dominate the pipeline."""
+    plan = _plan(spark, "quality_gopher_rules")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pmi_reuses_tokenize_and_takes_topk(spark):
+    """PMI: the distinct-(doc,word) frame is cached (df counts AND the
+    pair self-join read the cache, not two tokenize scans) and the top-K
+    is a TakeOrderedAndProject, never a global sort of all pairs."""
+    plan = _plan(spark, "pmi_top_pairs")
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_resample_takes_topk_no_global_sort(spark):
+    """The Gumbel draw is a map over the scorer's output + ONE
+    TakeOrderedAndProject — resampling must never globally sort the
+    corpus by key."""
+    plan = _plan(spark, "dsir_resample_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_histogram_window_is_bounded(spark):
+    """CCNet cutoffs: the cumulative window runs over the quantized-score
+    HISTOGRAM (single partition of value-bounded rows), and the corpus
+    never enters a global sort; the cutoffs come back as one broadcast
+    row."""
+    plan = _plan(spark, "ccnet_perplexity_buckets")
+    assert "Exchange SinglePartition" in plan  # the tiny histogram window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row cutoffs broadcast
+
+
+def test_novelty_single_tokenize_pass(spark):
+    """N-gram novelty: the (doc, shingle) stream is cached so the df count
+    and the rejoin share ONE tokenize pass; no cartesian anywhere."""
+    plan = _plan(spark, "ngram_novelty")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan

@@ -48,3 +48,21 @@ def test_hive_input_is_time_compressed(spark, tmp_path):
     assert span_min <= SB.HIVE_SPAN_MINUTES + 1
     # compression rescales, it must not collapse: the span is still real
     assert span_min >= SB.HIVE_SPAN_MINUTES * 0.9
+
+
+def test_docs_input_round_trips_losslessly(spark, tmp_path):
+    """The curation-pipeline input: every (doc_id, text) must survive the
+    JSON rendering byte-for-byte — a lossy input would both inflate
+    rows/sec and feed the gate different text than the fixture."""
+    from emr_flink_example_spark.io import load
+
+    n = SB.build_docs_input(spark, SF_DIR, str(tmp_path / "docs"))
+    parsed = (
+        spark.read.text(str(tmp_path / "docs"))
+        .select(F.from_json("value", "doc_id bigint, text string").alias("d"))
+        .select("d.doc_id", "d.text")
+    )
+    assert parsed.count() == n > 0
+    src = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    assert parsed.exceptAll(src).count() == 0
+    assert src.exceptAll(parsed).count() == 0
