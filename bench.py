@@ -97,6 +97,11 @@ HEADLINE = [
     # n-gram novelty: one shingle-df shuffle + rejoin (the decontamination
     # shape applied corpus-reflexively)
     "ngram_novelty",
+    # the one-row corpus data card (map-side features + one aggregate +
+    # the fingerprint groupBy)
+    "corpus_datacard",
+    # semantic eval-set decontamination (bucketed probe x corpus cosine)
+    "embedding_decontamination",
 ]
 
 

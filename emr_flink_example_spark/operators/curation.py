@@ -380,10 +380,141 @@ def _gate_stats_oracle() -> str:
     """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card (the datasheet/data-card summary every
+    training-corpus handoff ships with — Gebru et al. 2021): size, source
+    and language diversity, token volume, quality-gate pass rate, and
+    exact-duplication profile, all from the engine's own gate definitions
+    so the card can never drift from what the pipeline actually enforces.
+
+    Determinism discipline: the quality mean rides as an integer sum of
+    the per-doc 4-dp scores scaled to 1e4 (each doc's scaled score is
+    exact on the identical double both engines compute), so no float sum
+    ever crosses a partition boundary.
+
+    Scale shape: per-doc narrow features (token count, gopher verdict,
+    fingerprint, quality score) are ONE map-side pass; the card is one
+    global aggregate plus a fingerprint groupBy (40-byte keys — the exact
+    dedup shuffle, never the text)."""
+    from .textstats import gopher_flags, q_text_quality
+
+    docs = load(spark, sf_dir, "documents")
+    quality = q_text_quality(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("cast(round(quality_score * 10000) as bigint)").alias("q4"),
+    )
+    gopher = gopher_flags(docs).select("doc_id", "passes_gopher")
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.trim("text"))).alias("fingerprint"),
+    )
+    dup = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"))
+        .agg(
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+                "n_dup_groups"
+            ),
+            F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+        )
+    )
+    card = (
+        fp.join(quality, "doc_id")
+        .join(gopher, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.try_divide(F.sum("n_tokens").cast("double"), F.count("*")), 4
+            ).alias("avg_doc_tokens"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("passes_gopher").cast("long")).cast("double"),
+                    F.count("*"),
+                ),
+                4,
+            ).alias("gopher_pass_rate"),
+            F.round(
+                F.try_divide(F.sum("q4").cast("double"), F.count("*") * 10000), 6
+            ).alias("avg_quality_score"),
+        )
+    )
+    return card.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "total_tokens",
+        "avg_doc_tokens",
+        "gopher_pass_rate",
+        "avg_quality_score",
+        "n_dup_groups",
+        "n_dup_docs",
+    )
+
+
+def _datacard_oracle() -> str:
+    from .textstats import _GSTOPS, GOPHER_MIN_STOP_HITS  # noqa: F401
+
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, lang, source, n_chars, text,
+                   regexp_extract_all(text, '[a-zA-Z0-9]+') AS tokens
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, lang, source, n_chars,
+                   md5(lower(trim(text))) AS fingerprint,
+                   len(tokens) AS n_tokens,
+                   round(ln(1.0 + len(tokens))
+                         * (1 - len(list_filter(tokens, x -> x IN ({_GSTOPS})))::DOUBLE / len(tokens))
+                         * (len(list_distinct(tokens))::DOUBLE / len(tokens)), 4) AS qs,
+                   (len(tokens) BETWEEN 50 AND 100000
+                    AND (list_sum(list_transform(tokens, x -> length(x)))::DOUBLE / len(tokens)) BETWEEN 3.0 AND 10.0
+                    AND ((length(text) - length(replace(text, '#', ''))
+                          + (length(text) - length(replace(text, '...', ''))) / 3.0) / len(tokens)) <= 0.1
+                    AND (len(list_filter(tokens, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(tokens)) >= 0.8
+                    AND len(list_intersect(list_distinct(tokens), [{_GSTOPS}])) >= {GOPHER_MIN_STOP_HITS}
+                   ) AS passes
+            FROM tok
+        ),
+        dup AS (
+            SELECT sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+                   sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs
+            FROM (SELECT fingerprint, count(*) AS n FROM feat GROUP BY fingerprint)
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources,
+               sum(n_chars)::BIGINT AS total_chars,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               round(sum(n_tokens)::DOUBLE / count(*), 4) AS avg_doc_tokens,
+               round(sum(CASE WHEN passes THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+                   AS gopher_pass_rate,
+               round(sum(round(qs * 10000)::BIGINT)::DOUBLE / (count(*) * 10000), 6)
+                   AS avg_quality_score,
+               min(dup.n_dup_groups) AS n_dup_groups,
+               min(dup.n_dup_docs) AS n_dup_docs
+        FROM feat CROSS JOIN dup
+    """
+
+
 QUERIES = {
     "curation_gate_stats": q_curation_gate_stats,
+    # appended last (new r7 surface): the one-row corpus data card
+    "corpus_datacard": q_corpus_datacard,
 }
 
 ORACLES = {
     "curation_gate_stats": _gate_stats_oracle(),
+    "corpus_datacard": _datacard_oracle(),
 }

@@ -1581,6 +1581,111 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank_e12"))
 
 
+#: the eval slice for semantic decontamination: label-0 vectors play the
+#: benchmark/eval set, every other label is the training corpus
+EMB_DECON_LABEL = 0
+
+
+def q_embedding_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic (embedding-level) eval-set decontamination: for every
+    eval-slice vector (label {EMB_DECON_LABEL}), count training-corpus
+    vectors whose cosine reaches the near-dup threshold — the embedding
+    twin of the n-gram `decontamination_overlap`, catching paraphrased or
+    reformatted leakage that shingle overlap misses (the SemDeDup-style
+    eval-hygiene pass).
+
+    Shape: ONE bucketed scan split into probe/corpus sides, a bucket
+    equi-join (cost O(sum of per-bucket probe x corpus), never
+    probe x corpus globally), exact cosine inside the bucket, then a
+    probe rollup; clean probes surface with zeros via the left join. The
+    zero-vector exclusion is mirrored IN THE ORACLE (not assumed from the
+    fixture — ADVICE r6)."""
+    from .similarity import _norm, _with_bucket
+
+    emb = (
+        _with_bucket(
+            load(spark, sf, "embeddings").select(
+                "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+            )
+        )
+        .withColumn("nrm", _norm("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))  # cosine undefined on 0-vectors
+    )
+    probe = emb.where(F.col("label") == EMB_DECON_LABEL).select(
+        F.col("vec_id").alias("probe_vec_id"),
+        "bucket",
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    corpus = emb.where(F.col("label") != EMB_DECON_LABEL).select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        "bucket",
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(pe, ce, (p, q) -> p * q), cast(0 as double),"
+        " (acc, z) -> acc + z)"
+    ) / (F.col("pn") * F.col("cn"))
+    hits = (
+        probe.join(corpus, "bucket")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+    per = hits.groupBy("probe_vec_id").agg(
+        F.count("*").alias("n_contaminated"),
+        F.round(F.max("cosine"), 4).alias("best_cosine"),
+        F.min("corpus_vec_id").alias("min_match_vec_id"),
+    )
+    return (
+        probe.select("probe_vec_id")
+        .join(per, "probe_vec_id", "left")
+        .select(
+            "probe_vec_id",
+            F.coalesce("n_contaminated", F.lit(0).cast("bigint")).alias(
+                "n_contaminated"
+            ),
+            "best_cosine",
+            "min_match_vec_id",
+        )
+    )
+
+
+def _embedding_decon_oracle() -> str:
+    from .similarity import _bucket_duck
+
+    cos = (
+        "list_dot_product(p.e, c.e)"
+        " / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e)))"
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                   {_bucket_duck('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        ),
+        hits AS (
+            SELECT p.vec_id AS probe_vec_id, c.vec_id AS corpus_vec_id,
+                   {cos} AS cosine
+            FROM b p JOIN b c ON p.bucket = c.bucket
+            WHERE p.label = {EMB_DECON_LABEL} AND c.label != {EMB_DECON_LABEL}
+        ),
+        per AS (
+            SELECT probe_vec_id, count(*)::BIGINT AS n_contaminated,
+                   round(max(cosine), 4) AS best_cosine,
+                   min(corpus_vec_id) AS min_match_vec_id
+            FROM hits WHERE cosine >= {COSINE_DUP_THRESHOLD}
+            GROUP BY probe_vec_id
+        )
+        SELECT p.vec_id AS probe_vec_id,
+               coalesce(per.n_contaminated, 0) AS n_contaminated,
+               per.best_cosine, per.min_match_vec_id
+        FROM b p LEFT JOIN per ON per.probe_vec_id = p.vec_id
+        WHERE p.label = {EMB_DECON_LABEL}
+    """
+
+
 def _pagerank_oracle() -> str:
     """The same integer PageRank unrolled: minhash edge CTEs + deg/base,
     then PAGERANK_ITERS join+groupBy rounds."""
@@ -1652,6 +1757,7 @@ QUERIES = {
     # PageRank centrality over the dup graph
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "graph_pagerank": q_graph_pagerank,
+    "embedding_decontamination": q_embedding_decontamination,
 }
 
 ORACLES = {
@@ -1801,4 +1907,5 @@ ORACLES = {
     """,
     "simhash": _simhash_oracle(),
     "graph_pagerank": _pagerank_oracle(),
+    "embedding_decontamination": _embedding_decon_oracle(),
 }

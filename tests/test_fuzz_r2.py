@@ -95,3 +95,68 @@ def test_committer_pattern_segments_roundtrip(cols):
     # value substitution parses back to the expected datetime
     part = {d: "2021-03-31", h: "06", m: "23"}
     assert committer._partition_time(part).isoformat() == "2021-03-31T06:23:00"
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule gate: the DuckDB oracle (the same expressions the Spark gate
+# mirrors, proven hash-equal on the fixtures) against an independent pure-
+# Python reference over adversarial text — covers shapes the fixture corpus
+# never produces (symbols, unicode, digit runs, boundary word counts).
+
+import re
+
+from emr_flink_example_spark.operators.textstats import (
+    _GOPHER_ORACLE,
+    GOPHER_MAX_MEAN_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_MEAN_LEN,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPS,
+)
+
+
+def _gopher_ref(text: str) -> tuple[bool, bool, bool, bool, bool]:
+    toks = re.findall("[a-zA-Z0-9]+", text)
+    n = len(toks)
+    mean = sum(len(t) for t in toks) / n
+    sym = (text.count("#") + (len(text) - len(text.replace("...", ""))) / 3.0) / n
+    alpha = sum(1 for t in toks if re.search("[a-zA-Z]", t)) / n
+    stops = len(set(toks) & set(GOPHER_STOPS))
+    return (
+        GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN <= mean <= GOPHER_MAX_MEAN_LEN,
+        sym <= GOPHER_MAX_SYMBOL_RATIO,
+        alpha >= GOPHER_MIN_ALPHA_FRAC,
+        stops >= GOPHER_MIN_STOP_HITS,
+    )
+
+
+_VOCAB = ["the", "a", "of", "data", "table", "x9", "123", "scan", "##", "...",
+          "zzzzzzzzzzzz", "it", "is", "q"]
+
+
+@given(
+    words=st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=80),
+    tail=st.text(
+        alphabet="ab1 #.é", min_size=0, max_size=40
+    ),
+)
+@settings(**_SETTINGS)
+def test_gopher_oracle_matches_python_reference(words, tail):
+    text = " ".join(words) + " " + tail
+    if not re.findall("[a-zA-Z0-9]+", text):
+        return  # 0-token docs carry NULL ratios by contract; not this test
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    row = con.execute(_GOPHER_ORACLE).fetchone()
+    # (doc_id, n_words, mean_word_len, n_stop_types, ok_word_count,
+    #  ok_mean_word_len, ok_symbol_ratio, ok_alpha_words, ok_stopwords,
+    #  passes_gopher)
+    got = tuple(row[4:9])
+    ref = _gopher_ref(text)
+    assert got == ref, f"{text!r}: oracle {got} != reference {ref}"
+    assert row[9] == all(ref)

@@ -184,3 +184,29 @@ def test_pagerank_favors_hubs(spark):
     leaf_ranks = [pr[n] for n, d in deg.items() if d == 1]
     if leaf_ranks and max_deg > 1:
         assert top_hub_rank > max(leaf_ranks)
+
+
+def test_embedding_decontamination_covers_probe_slice(spark):
+    from emr_flink_example_spark.io import load
+    from emr_flink_example_spark.operators.dedup import (
+        EMB_DECON_LABEL,
+        q_embedding_decontamination,
+    )
+
+    rows = q_embedding_decontamination(spark, SF_DIR).collect()
+    # exactly the nonzero eval-slice vectors, each once
+    probe_n = (
+        load(spark, SF_DIR, "embeddings")
+        .where(F.col("label") == EMB_DECON_LABEL)
+        .where(F.expr("exists(embedding, x -> x <> cast(0 as float))"))
+        .count()
+    )
+    assert len(rows) == probe_n > 0
+    contaminated = [r for r in rows if r.n_contaminated > 0]
+    clean = [r for r in rows if r.n_contaminated == 0]
+    assert contaminated, "fixture has near-dup cosines above threshold"
+    for r in contaminated:
+        assert -1.0001 <= r.best_cosine <= 1.0001
+        assert r.min_match_vec_id is not None
+    for r in clean:
+        assert r.best_cosine is None and r.min_match_vec_id is None
