@@ -102,6 +102,10 @@ HEADLINE = [
     "corpus_datacard",
     # semantic eval-set decontamination (bucketed probe x corpus cosine)
     "embedding_decontamination",
+    # TPC-H Q10: returned-item revenue (fact-fact join + top-20 TakeOrdered)
+    "top_customers_q10",
+    # TPC-H Q18: large-volume customers (HAVING-subquery aggregate-then-join)
+    "large_orders_q18",
 ]
 
 

@@ -228,6 +228,65 @@ def q_join_regional_revenue_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_top_customers_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10-style: returned-item revenue per customer over one year —
+    fact-fact join with a date-window pushdown on orders and the returnflag
+    pushdown on lineitem, nation broadcast, then a customer rollup and a
+    top-20 TakeOrderedAndProject (never a global sort). Ties break on
+    c_custkey so the LIMIT boundary is deterministic in both engines."""
+    nation = F.broadcast(load(spark, sf, "nation"))
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2000-01-01")
+    )
+    lineitem = load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_large_orders_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18-style: large-volume customers — the aggregate-then-semi-
+    join pattern (HAVING subquery): per-order quantity totals filtered
+    above a threshold, joined back to orders + customer, top-100 by order
+    value. The order-key aggregate is combine-friendly (map-side partial
+    sums), the qualifying-key set is a tiny fraction of orders so the
+    join back prunes the fact scan, and the top-100 is a
+    TakeOrderedAndProject with an o_orderkey tie-break."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    lineitem = load(spark, sf, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            _r2(F.col("sum_qty")).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
@@ -1101,6 +1160,10 @@ QUERIES = {
     "sketch_quantile_hash_sample": q_sketch_quantile_hash_sample,
     "agg_mode_per_group": q_agg_mode_per_group,
     "agg_boolean_aggs": q_agg_boolean_aggs,
+    # appended last (new r7 surface): TPC-H Q10 returned-item revenue and
+    # Q18 large-volume customers
+    "top_customers_q10": q_top_customers_q10,
+    "large_orders_q18": q_large_orders_q18,
 }
 
 ORACLES = {
@@ -1609,5 +1672,32 @@ ORACLES = {
         )
         SELECT l_returnflag, l_quantity AS modal_quantity, cnt AS mode_count
         FROM ranked WHERE rn = 1
+    """,
+    "top_customers_q10": """
+        SELECT c_custkey, c_name, c_acctbal, n_name AS nation_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "large_orders_q18": """
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum_qty, 2) AS sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
     """,
 }
