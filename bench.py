@@ -106,6 +106,11 @@ HEADLINE = [
     "top_customers_q10",
     # TPC-H Q18: large-volume customers (HAVING-subquery aggregate-then-join)
     "large_orders_q18",
+    # TPC-H Q7: nation-pair volume shipping (6-way join, dims pre-filtered
+    # before broadcast) and Q13: customer order-count distribution (outer
+    # join with ON-clause predicate + two-level aggregate)
+    "volume_shipping_q7",
+    "customer_distribution_q13",
 ]
 
 

@@ -287,6 +287,244 @@ def q_large_orders_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_order_priority_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-style order-priority checking: count orders per priority
+    that have at least one late lineitem (shipped >90 days after the order
+    date — the fixture has no commit/receipt dates, so lateness is restated
+    against o_orderdate). The EXISTS becomes a LEFT SEMI join with a
+    non-equi residual: the quarter window pushes into the orders scan, the
+    semi join deduplicates order keys without materializing match
+    multiplicity, and the final groupBy is 5 groups — combine-friendly."""
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "1999-04-01")
+    )
+    lineitem = load(spark, sf, "lineitem")
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_volume_shipping_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping between two nations: revenue per
+    (supplier nation, customer nation, ship year) for the NATION_3/NATION_7
+    pair in either direction. Both nation dims are pre-filtered to the two
+    names BEFORE joining (so the broadcast hash joins also act as
+    semi-filters on the fact stream); the cross-pair OR residual only has
+    to exclude the two same-nation combinations that survive."""
+    pair = ("NATION_3", "NATION_7")
+    n1 = F.broadcast(
+        load(spark, sf, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        load(spark, sf, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    )
+    supplier = load(spark, sf, "supplier")
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    lineitem = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "2001-01-01")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(n1, supplier.s_nationkey == F.col("s_nkey"))
+        .join(n2, customer.c_nationkey == F.col("c_nkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_market_share_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8-style national market share: NATION_5 suppliers' share of
+    PROMO-part revenue sold into ASIA customers, per order year. The share
+    is a conditional-sum ratio inside one aggregate pass; supplier-nation
+    attribution joins nation a second time (aliased), all dims broadcast,
+    and only the two fact tables shuffle."""
+    region = F.broadcast(load(spark, sf, "region").where(F.col("r_name") == "ASIA"))
+    n_cust = F.broadcast(
+        load(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    n_supp = F.broadcast(
+        load(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    part = F.broadcast(load(spark, sf, "part").where(F.col("p_type") == "PROMO"))
+    supplier = load(spark, sf, "supplier")
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "2001-01-01")
+    )
+    lineitem = load(spark, sf, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n_cust, customer.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cn_region") == region.r_regionkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(n_supp, supplier.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _r4(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(0.0))
+                / F.sum(volume)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_customer_distribution_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    with a predicate in the ON clause (priority filter must NOT push below
+    the outer join — customers with only excluded orders count as zero),
+    then a two-level aggregate: per-customer order counts, then the
+    histogram of those counts. Both groupBys are combine-friendly and the
+    second one runs over at most |customers| rows."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    counts = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return (
+        counts.groupBy("order_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("order_count").desc())
+    )
+
+
+def q_promo_revenue_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: percentage of one month's revenue
+    that came from PROMO-type parts — a conditional-sum ratio in a single
+    aggregate pass over the month's lineitems, part dim broadcast."""
+    part = F.broadcast(load(spark, sf, "part"))
+    lineitem = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1999-09-01") & (F.col("l_shipdate") < "1999-10-01")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .agg(
+            _r4(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0))
+                / F.sum(volume)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_top_supplier_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: per-supplier revenue over a quarter,
+    then the supplier(s) whose revenue equals the global maximum. Revenue
+    is rounded to cents BEFORE the max comparison so the equality is exact
+    in both engines. The scalar max rides a one-row broadcast cross join —
+    no second scan of the fact table, no collect."""
+    supplier = load(spark, sf, "supplier")
+    lineitem = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "1999-04-01")
+    )
+    revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_small_qty_revenue_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: yearly revenue lost if
+    Brand#11 orders below 20% of that part's average quantity were not
+    taken. The correlated AVG subquery becomes an aggregate + self-join on
+    the brand-filtered slice; the threshold test is restated in INTEGER
+    arithmetic (qty < 0.2*avg  ⟺  5*qty*cnt < sum, quantities are
+    integral) so the boundary is bit-exact in both engines. The per-part
+    stats frame is tiny (one brand) and broadcast."""
+    part = F.broadcast(
+        load(spark, sf, "part").where(F.col("p_brand") == "Brand#11").select("p_partkey")
+    )
+    lineitem = load(spark, sf, "lineitem")
+    li_p = (
+        lineitem.join(part, lineitem.l_partkey == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            "l_extendedprice",
+        )
+    )
+    stats = li_p.groupBy("p_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        li_p.join(F.broadcast(stats), "p_partkey")
+        .where(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(_r2(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q_global_sales_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22-style dormant high-balance customers: per market segment,
+    customers whose balance exceeds the positive-balance average and who
+    placed no order since 2001-06-01. The scalar-average filter is restated
+    in INTEGER CENTS (bal > avg ⟺ cents*n > sum_cents — balances are
+    exact cents in the fixture) riding a one-row broadcast cross join; the
+    "no recent orders" EXISTS becomes a LEFT ANTI join against the
+    date-pruned orders scan."""
+    customer = load(spark, sf, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    pos = customer.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("n_pos")
+    )
+    recent = (
+        load(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= "2001-06-01")
+        .select("o_custkey")
+    )
+    return (
+        customer.crossJoin(F.broadcast(pos))
+        .where(cents * F.col("n_pos") > F.col("sum_cents"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            _r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
@@ -1164,6 +1402,19 @@ QUERIES = {
     # Q18 large-volume customers
     "top_customers_q10": q_top_customers_q10,
     "large_orders_q18": q_large_orders_q18,
+    # appended last (late-r7 surface): the remaining TPC-H shapes the
+    # trimmed fixture schema can express (no partsupp / commitdate /
+    # shipmode / phone columns -> Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 restated
+    # or out of scope; lateness/inactivity predicates adapted, documented
+    # per-query)
+    "order_priority_q4": q_order_priority_q4,
+    "volume_shipping_q7": q_volume_shipping_q7,
+    "market_share_q8": q_market_share_q8,
+    "customer_distribution_q13": q_customer_distribution_q13,
+    "promo_revenue_q14": q_promo_revenue_q14,
+    "top_supplier_q15": q_top_supplier_q15,
+    "small_qty_revenue_q17": q_small_qty_revenue_q17,
+    "global_sales_q22": q_global_sales_q22,
 }
 
 ORACLES = {
@@ -1699,5 +1950,125 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 100
+    """,
+    "order_priority_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate < TIMESTAMP '1999-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "volume_shipping_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+          AND n2.n_name IN ('NATION_3', 'NATION_7')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '2001-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "market_share_q8": """
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate < TIMESTAMP '2001-01-01'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "customer_distribution_q13": """
+        SELECT order_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS order_count
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        )
+        GROUP BY order_count
+        ORDER BY custdist DESC, order_count DESC
+    """,
+    "promo_revenue_q14": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1999-09-01'
+          AND l_shipdate < TIMESTAMP '1999-10-01'
+    """,
+    "top_supplier_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+              AND l_shipdate < TIMESTAMP '1999-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "small_qty_revenue_q17": """
+        WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        lp AS (
+            SELECT p_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                   l_extendedprice
+            FROM lineitem JOIN pf ON l_partkey = p_partkey
+        ),
+        st AS (
+            SELECT p_partkey AS pk, sum(qty) AS sum_qty, count(*) AS cnt
+            FROM lp GROUP BY p_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lp JOIN st ON p_partkey = pk
+        WHERE 5 * qty * cnt < sum_qty
+    """,
+    "global_sales_q22": """
+        WITH pos AS (
+            SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS sum_cents,
+                   count(*) AS n_pos
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer, pos
+        WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n_pos > sum_cents
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2001-06-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
 }
