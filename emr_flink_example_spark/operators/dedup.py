@@ -155,6 +155,87 @@ def q_dedup_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_span_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr CUT step (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): rewrite documents with cross-document
+    duplicated spans REMOVED, keeping one canonical occurrence corpus-wide.
+    `dedup_repeated_spans` is the diagnostic half (who is duplicated, how
+    much); this is the curation half (the cleaned text itself).
+
+    Canonicalization rule (deterministic, order-free): for every duplicated
+    SPAN_TOKENS-window hash the owner is the smallest doc_id containing it;
+    every occurrence in any OTHER doc marks its covered token positions for
+    removal, overlapping spans union via the position mask. Output is the
+    affected docs only (n_removed > 0 by construction) with the rebuilt
+    text.
+
+    Shape: the span stream (one tokenize pass, linear in tokens) aggregates
+    to per-hash (owner, distinct-doc count) — combine-friendly; foreign dup
+    spans join back and collapse to ONE row per affected doc carrying the
+    sorted start-position array, so the rebuild is a map-side array fold
+    over the token list (positions not covered by any bad start survive,
+    order preserved). Never pairwise, never a per-position shuffle: the
+    position mask lives inside an array expression, and the final join
+    touches only affected docs."""
+    toks = (
+        load(spark, sf, "documents")
+        .withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", "tokens")
+        .repartition("doc_id")
+    )
+    spans = (
+        toks.where(F.size("tokens") >= SPAN_TOKENS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, size(tokens) - {SPAN_TOKENS} + 1)")
+            ).alias("start"),
+            "tokens",
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.md5(
+                F.array_join(F.expr(f"slice(tokens, start, {SPAN_TOKENS})"), " ")
+            ).alias("h"),
+        )
+        .persist()
+    )
+    owners = (
+        spans.groupBy("h")
+        .agg(F.min("doc_id").alias("owner"), F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    bad = (
+        spans.join(owners, "h")
+        .where(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("bad_starts"))
+    )
+    keep = F.expr(
+        "filter(sequence(1, size(tokens)), "
+        f"p -> NOT exists(bad_starts, s -> p >= s AND p < s + {SPAN_TOKENS}))"
+    )
+    return (
+        toks.join(bad, "doc_id")
+        .select(
+            "doc_id",
+            F.size("tokens").alias("n_tokens"),
+            "tokens",
+            keep.alias("keep"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("keep")).alias("n_removed"),
+            F.array_join(
+                F.expr("transform(keep, p -> tokens[p - 1])"), " "
+            ).alias("trimmed_text"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: group by content fingerprint, keep the earliest doc_id.
 
@@ -1758,6 +1839,9 @@ QUERIES = {
     "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "graph_pagerank": q_graph_pagerank,
     "embedding_decontamination": q_embedding_decontamination,
+    # appended last (late-r7 surface): the ExactSubstr cut step — the
+    # curation half of dedup_repeated_spans
+    "dedup_span_trim": q_dedup_span_trim,
 }
 
 ORACLES = {
@@ -1814,6 +1898,49 @@ ORACLES = {
                round(count(*)::DOUBLE / n_spans, 6) AS dup_frac
         FROM spans WHERE h IN (SELECT h FROM dup)
         GROUP BY doc_id, n_spans
+    """,
+    "dedup_span_trim": f"""
+        WITH {_TOK_CTE}, base AS (
+            SELECT doc_id, tokens FROM tok WHERE len(tokens) >= {SPAN_TOKENS}
+        ), starts AS (
+            SELECT doc_id, tokens,
+                   unnest(generate_series(1, len(tokens) - {SPAN_TOKENS} + 1)) AS start
+            FROM base
+        ), spans AS (
+            SELECT doc_id, start,
+                   md5(array_to_string(tokens[start : start + {SPAN_TOKENS} - 1], ' ')) AS h
+            FROM starts
+        ), own AS (
+            SELECT h, min(doc_id) AS owner FROM spans
+            GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ), badpos AS (
+            SELECT DISTINCT s.doc_id,
+                   unnest(generate_series(s.start, s.start + {SPAN_TOKENS} - 1)) AS p
+            FROM spans s JOIN own o ON s.h = o.h AND s.doc_id <> o.owner
+        ), affected AS (
+            SELECT doc_id, count(*) AS n_removed FROM badpos GROUP BY doc_id
+        ), posi AS (
+            SELECT b.doc_id, len(b.tokens) AS n_tokens,
+                   unnest(generate_series(1, len(b.tokens))) AS p,
+                   tokens
+            FROM base b JOIN affected a USING (doc_id)
+        ), keep AS (
+            SELECT t.doc_id, t.n_tokens, t.p, t.tokens[t.p] AS tok
+            FROM posi t LEFT JOIN badpos bp
+              ON t.doc_id = bp.doc_id AND t.p = bp.p
+            WHERE bp.p IS NULL
+        ), rebuilt AS (
+            SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                   string_agg(tok, ' ' ORDER BY p) AS trimmed_text
+            FROM keep GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               coalesce(r.n_tokens, b.nt)::INT AS n_tokens,
+               a.n_removed::INT AS n_removed,
+               coalesce(r.trimmed_text, '') AS trimmed_text
+        FROM affected a
+        LEFT JOIN rebuilt r USING (doc_id)
+        LEFT JOIN (SELECT doc_id, len(tokens) AS nt FROM base) b USING (doc_id)
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_incremental_minhash": _incremental_oracle(),

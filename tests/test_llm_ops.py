@@ -180,3 +180,52 @@ def test_leakproof_split_group_integrity(spark):
     s = q_split_leakproof_by_source(spark, SF_DIR)
     per_source = s.groupBy("source").agg(F.count_distinct("split").alias("n_splits"))
     assert per_source.where(F.col("n_splits") != 1).count() == 0
+
+
+def test_span_trim_rebuild_matches_python_reference(spark):
+    """ExactSubstr cut: re-derive the owner/mask/rebuild chain in pure
+    Python over the raw fixture text and require byte-identical trimmed
+    output, plus the structural invariants (n_removed >= 1, trimmed token
+    count = n_tokens - n_removed, affected docs are exactly the non-owner
+    dup-span docs)."""
+    import re
+
+    from emr_flink_example_spark.operators.dedup import (
+        SPAN_TOKENS,
+        q_dedup_span_trim,
+    )
+    from emr_flink_example_spark.operators.textstats import TOKEN_RE
+
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    tok = {d: re.findall(TOKEN_RE, t) for d, t in rows.items()}
+    span_owner: dict[tuple, int] = {}
+    span_docs: dict[tuple, set] = {}
+    for d in sorted(tok):
+        ts = tok[d]
+        for i in range(len(ts) - SPAN_TOKENS + 1):
+            key = tuple(ts[i : i + SPAN_TOKENS])
+            span_owner.setdefault(key, d)
+            span_docs.setdefault(key, set()).add(d)
+    expected = {}
+    for d in sorted(tok):
+        ts = tok[d]
+        bad = set()
+        for i in range(len(ts) - SPAN_TOKENS + 1):
+            key = tuple(ts[i : i + SPAN_TOKENS])
+            if len(span_docs[key]) >= 2 and span_owner[key] != d:
+                bad.update(range(i, i + SPAN_TOKENS))
+        if bad:
+            kept = [t for i, t in enumerate(ts) if i not in bad]
+            expected[d] = (len(ts), len(bad), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["trimmed_text"])
+        for r in q_dedup_span_trim(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert all(nr >= 1 for _, nr, _ in got.values())
+    for nt, nr, txt in got.values():
+        n_kept = len(txt.split()) if txt else 0
+        assert n_kept == nt - nr

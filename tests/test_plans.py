@@ -568,3 +568,55 @@ def test_novelty_single_tokenize_pass(spark):
     plan = _plan(spark, "ngram_novelty")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_with_lateness_residual(spark):
+    """TPC-H Q4: the EXISTS runs as ONE semi join carrying the non-equi
+    lateness residual — never a full join + distinct — and the quarter
+    predicate reaches the orders scan."""
+    plan = _plan(spark, "order_priority_q4")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed quarter window
+
+
+def test_q17_threshold_stats_broadcast(spark):
+    """TPC-H Q17: the per-part avg-quantity thresholds (one brand's parts)
+    broadcast back onto the brand slice — the correlated subquery becomes
+    aggregate + broadcast self-join, no shuffle of lineitem on partkey for
+    the probe side, no cartesian."""
+    plan = _plan(spark, "small_qty_revenue_q17")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_one_row_average(spark):
+    """TPC-H Q22: the inactivity EXISTS is a LEFT ANTI against the
+    date-pruned orders scan; the positive-balance average is a one-row
+    IdentityBroadcast cross — the only nested-loop join in the plan."""
+    plan = _plan(spark, "global_sales_q22")
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "IdentityBroadcastMode" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # recent-window pushdown
+
+
+def test_q13_priority_filter_stays_in_join_condition(spark):
+    """TPC-H Q13: the priority exclusion lives in the LEFT OUTER join
+    condition (customers with only excluded orders must still count as
+    zero) — it must appear as a join-side filter, not above the join, and
+    the outer join itself must survive (not be rewritten to inner)."""
+    plan = _plan(spark, "customer_distribution_q13")
+    assert "LeftOuter" in plan
+    assert "5-LOW" in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final aggregates
+
+
+def test_span_trim_linear_rebuild(spark):
+    """ExactSubstr cut: one tokenize pass feeds both the span stream and
+    the rebuild (persisted toks), the mask is an array fold (no
+    per-position shuffle/exchange beyond the owner agg + doc join), and
+    nothing goes pairwise."""
+    plan = _plan(spark, "dedup_span_trim")
+    assert "CartesianProduct" not in plan
+    assert "posexplode" not in plan.lower()  # positions stay inside arrays
