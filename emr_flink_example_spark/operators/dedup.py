@@ -1365,6 +1365,94 @@ def _cc_survivors_oracle() -> str:
     )
 
 
+def _triangle_oracle() -> str:
+    """Same degree-oriented wedge construction as q_graph_triangle_count,
+    over the shared minhash candidate CTEs."""
+    return (
+        _minhash_cand_ctes()
+        + f""",
+        dup_edges AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE {_EST_JACCARD_DUCK} >= {CC_EST_JACCARD}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM dup_edges
+            UNION SELECT doc_b, doc_a FROM dup_edges
+        ),
+        deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
+        oriented AS (
+            SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                        THEN p.doc_a ELSE p.doc_b END AS src,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                        THEN p.doc_b ELSE p.doc_a END AS dst,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+                        THEN db.d ELSE da.d END AS dd
+            FROM dup_edges p
+            JOIN deg da ON da.node = p.doc_a
+            JOIN deg db ON db.node = p.doc_b
+        ),
+        tri AS (
+            SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+            FROM oriented w1
+            JOIN oriented w2 ON w1.src = w2.src
+             AND (w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.dst < w2.dst))
+            JOIN oriented e ON e.src = w1.dst AND e.dst = w2.dst
+        ),
+        pern AS (
+            SELECT node, count(*) AS t FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT deg.node AS doc_id, deg.d AS degree,
+               coalesce(pern.t, 0)::BIGINT AS n_triangles
+        FROM deg LEFT JOIN pern ON pern.node = deg.node
+    """
+    )
+
+
+def _bloom_oracle() -> str:
+    """Bit-exact re-build of the bloom filter and probe verdicts."""
+    m, k = BLOOM_M_BITS, BLOOM_K_HASH
+    corpus_pos = ", ".join(
+        f"('0x' || substr(fp, {8 * i + 1}, 8))::BIGINT % {m}" for i in range(k)
+    )
+    probe_pos = ", ".join(
+        f"('0x' || substr(pfp, {8 * i + 1}, 8))::BIGINT % {m}" for i in range(k)
+    )
+    return f"""
+        WITH fp AS (
+            SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+        ), cells AS (
+            SELECT unnest([{corpus_pos}]) AS h FROM fp
+        ), filt AS (
+            SELECT h // 32 AS word, bit_or(1::BIGINT << (h % 32)::INT) AS bits
+            FROM cells GROUP BY 1
+        ), probes AS (
+            SELECT doc_id, 'member' AS kind, md5(lower(trim(text))) AS pfp
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 'derived',
+                   md5(lower(trim(text || ' __bloom_probe__')))
+            FROM documents WHERE doc_id % 5 = 1
+        ), pcells AS (
+            SELECT doc_id, kind, pfp, unnest([{probe_pos}]) AS h FROM probes
+        ), pv AS (
+            SELECT doc_id, kind, pfp,
+                   bool_and((coalesce(f.bits, 0) & (1::BIGINT << (p.h % 32)::INT))
+                            = (1::BIGINT << (p.h % 32)::INT)) AS bloom_hit
+            FROM (SELECT doc_id, kind, pfp, h // 32 AS word, h FROM pcells) p
+            LEFT JOIN filt f ON f.word = p.word
+            GROUP BY 1, 2, 3
+        )
+        SELECT v.doc_id AS probe_id, v.kind, v.bloom_hit,
+               (m.fp IS NOT NULL) AS exact_member,
+               (v.bloom_hit AND m.fp IS NULL) AS is_false_positive
+        FROM pv v LEFT JOIN fp m ON m.fp = v.pfp
+    """
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
@@ -1662,6 +1750,204 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank_e12"))
 
 
+def q_graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc triangle counts over the near-dup graph: how tightly knit
+    each doc's dup neighbourhood is. Triangle density separates true
+    duplicate CLIQUES (template boilerplate where every copy matches every
+    other copy — triangle-rich) from chain-shaped false-positive paths
+    (A~B~C where A and C are unrelated — triangle-free), so it grades the
+    precision of the LSH edge set beyond what degree alone shows.
+
+    Algorithm: degree-oriented wedge join (Schank & Wagner 2005 forward;
+    Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
+    Last Reducer"). Every undirected edge is oriented from its lower
+    (degree, id) endpoint to the higher one, which bounds every node's
+    out-degree at O(sqrt(m)); wedges are ONE self-equi-join of the
+    oriented edges on the shared source, and each wedge closes into a
+    triangle via ONE more equi-join back onto the oriented edge set (the
+    closing edge is oriented b->c by construction, because the wedge
+    ordering and the edge orientation use the same (degree, id) rank).
+    Each triangle is found exactly once, as (a, b, c) in rank order.
+
+    Scale shape: never pairwise outside LSH buckets (edges come from the
+    skew-guarded dedup_minhash_lsh stream), wedge fan-out is capped by the
+    orientation trick (the max-degree hub generates wedges only for its
+    HIGHER-ranked neighbours — the curse-of-the-last-reducer fix), and all
+    three stages are plain equi-joins the engine can hash-partition. The
+    bounded pair stream is localCheckpoint-ed once and reused by the
+    degree, orientation, and closing scans instead of re-running the
+    tokenize->minhash->band chain three times."""
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf)
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    ends = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("d"))
+    withdeg = pairs.join(
+        deg.select(F.col("node").alias("doc_a"), F.col("d").alias("da")), "doc_a"
+    ).join(deg.select(F.col("node").alias("doc_b"), F.col("d").alias("db")), "doc_b")
+    # orient lower (degree, id) -> higher; pairs carry doc_a < doc_b so the
+    # equal-degree tie-break is doc_a-first
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(lower_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        # dst's degree rides along: the wedge ordering below needs the
+        # (degree, id) rank of both wedge tips without re-joining deg
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint()
+    w1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("rb")
+    )
+    w2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("rc")
+    )
+    wedges = w1.join(w2, "a").where(
+        (F.col("rb") < F.col("rc"))
+        | ((F.col("rb") == F.col("rc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    tcnt = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return deg.join(tcnt, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+#: Bloom filter geometry: M_BITS bits packed 32 per BIGINT word (32, not
+#: 64, so every mask and bit_or stays in the non-negative BIGINT range in
+#: both engines), K_HASH independent positions per key from disjoint
+#: 8-hex-char slices of one md5 — one hash computation per key, like the
+#: minhash permutation family.
+BLOOM_M_BITS = 32768
+BLOOM_K_HASH = 4
+
+
+def q_dedup_bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership probe over corpus fingerprints — the
+    sketch that makes STREAMING exact-dedup cheap at 100 TB: a new batch
+    probes a few-KB bit array first and only the (rare) positives pay the
+    authoritative anti-join against the corpus fingerprint store. This
+    query builds the filter, probes it with a half member / half
+    non-member probe set, and reports per-probe bloom verdict vs exact
+    membership, so the false-positive behaviour is part of the checked
+    result (false NEGATIVES are impossible by construction, and the
+    oracle proves that here).
+
+    Determinism: positions are md5-derived (no RNG), the filter is a
+    bit_or aggregate (order-free), so the whole artifact is engine-exact.
+
+    Scale shape: the build is ONE combine-friendly aggregate — each key
+    emits K_HASH (word, mask) cells, partial bit_or runs map-side, and the
+    result is at most M_BITS/32 = 1024 one-word rows (a few KB broadcast
+    no matter the corpus size). The probe side joins that broadcast frame
+    on word index and reduces with bool_and — map-side work only; the
+    exact-membership comparison is a fingerprint equi-join against the
+    distinct corpus fingerprints (what the bloom filter would gate in
+    production)."""
+    m, k = BLOOM_M_BITS, BLOOM_K_HASH
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp")
+    )
+    corpus_fp = docs.select("fp").distinct()
+    positions = ", ".join(
+        f"cast(conv(substring(fp, {8 * i + 1}, 8), 16, 10) as bigint) % {m}"
+        for i in range(k)
+    )
+    hashes = F.explode(F.expr(f"array({positions})")).alias("h")
+    filt = (
+        corpus_fp.select(hashes)
+        .select(
+            F.expr("h div 32").alias("word"),
+            F.expr("shiftleft(1L, int(h % 32))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    # probe set: doc_id % 5 == 0 replays corpus text (members, must ALL
+    # hit); doc_id % 5 == 1 probes a derived never-inserted string (any
+    # hit is a false positive)
+    base = load(spark, sf, "documents")
+    probes = (
+        base.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.lit("member").alias("kind"), F.col("text").alias("ptext"))
+        .unionAll(
+            base.where(F.col("doc_id") % 5 == 1).select(
+                "doc_id",
+                F.lit("derived").alias("kind"),
+                F.concat(F.col("text"), F.lit(" __bloom_probe__")).alias("ptext"),
+            )
+        )
+        .select("doc_id", "kind", F.md5(F.lower(F.trim("ptext"))).alias("pfp"))
+    )
+    probe_cells = probes.select(
+        "doc_id",
+        "kind",
+        "pfp",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"cast(conv(substring(pfp, {8 * i + 1}, 8), 16, 10) as bigint) % {m}"
+                    for i in range(k)
+                )
+                + ")"
+            )
+        ).alias("h"),
+    ).select(
+        "doc_id",
+        "kind",
+        "pfp",
+        F.expr("h div 32").alias("word"),
+        F.expr("shiftleft(1L, int(h % 32))").alias("mask"),
+    )
+    verdict = (
+        probe_cells.join(F.broadcast(filt), "word", "left")
+        .select(
+            "doc_id",
+            "kind",
+            "pfp",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).alias("bit_set"),
+        )
+        .groupBy("doc_id", "kind", "pfp")
+        .agg(F.expr("bool_and(bit_set)").alias("bloom_hit"))
+    )
+    # exact membership is a plain fingerprint equi-join (NOT broadcast:
+    # the distinct corpus fingerprint set is data-sized at 100 TB — this
+    # is exactly the expensive authoritative check the bloom gate exists
+    # to amortize)
+    member = corpus_fp.select(F.col("fp").alias("pfp"), F.lit(True).alias("em"))
+    return (
+        verdict.join(member, "pfp", "left")
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            "kind",
+            "bloom_hit",
+            F.coalesce(F.col("em"), F.lit(False)).alias("exact_member"),
+            (F.col("bloom_hit") & ~F.coalesce(F.col("em"), F.lit(False))).alias(
+                "is_false_positive"
+            ),
+        )
+    )
+
+
 #: the eval slice for semantic decontamination: label-0 vectors play the
 #: benchmark/eval set, every other label is the training corpus
 EMB_DECON_LABEL = 0
@@ -1842,6 +2128,10 @@ QUERIES = {
     # appended last (late-r7 surface): the ExactSubstr cut step — the
     # curation half of dedup_repeated_spans
     "dedup_span_trim": q_dedup_span_trim,
+    # appended last (late-r7 surface): triangle census over the dup graph,
+    # bloom-filter membership gate for streaming exact-dedup
+    "graph_triangle_count": q_graph_triangle_count,
+    "dedup_bloom_probe": q_dedup_bloom_probe,
 }
 
 ORACLES = {
@@ -2035,4 +2325,6 @@ ORACLES = {
     "simhash": _simhash_oracle(),
     "graph_pagerank": _pagerank_oracle(),
     "embedding_decontamination": _embedding_decon_oracle(),
+    "graph_triangle_count": _triangle_oracle(),
+    "dedup_bloom_probe": _bloom_oracle(),
 }

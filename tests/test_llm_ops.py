@@ -229,3 +229,63 @@ def test_span_trim_rebuild_matches_python_reference(spark):
     for nt, nr, txt in got.values():
         n_kept = len(txt.split()) if txt else 0
         assert n_kept == nt - nr
+
+
+def test_triangle_count_matches_python_reference(spark):
+    """Degree-oriented wedge join vs a brute-force pure-Python triangle
+    census over the SAME dup-edge list: per-node counts must agree
+    exactly, and the global triangle total must be sum/3."""
+    from itertools import combinations
+
+    from emr_flink_example_spark.operators.dedup import (
+        CC_EST_JACCARD,
+        q_dedup_minhash_lsh,
+        q_graph_triangle_count,
+    )
+
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_minhash_lsh(spark, SF_DIR)
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {
+        n: sum(
+            1
+            for x, y in combinations(sorted(nbrs), 2)
+            if y in adj.get(x, ())
+        )
+        for n, nbrs in adj.items()
+    }
+    got = {
+        r["doc_id"]: (r["degree"], r["n_triangles"])
+        for r in q_graph_triangle_count(spark, SF_DIR).collect()
+    }
+    assert {n: t for n, (_, t) in got.items()} == expected
+    assert {n: d for n, (d, _) in got.items()} == {
+        n: len(v) for n, v in adj.items()
+    }
+    assert sum(expected.values()) % 3 == 0
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """Bloom membership: every member probe MUST hit (false negatives are
+    impossible by construction), is_false_positive is exactly
+    bloom_hit AND NOT exact_member, and derived probes are never exact
+    members."""
+    from emr_flink_example_spark.operators.dedup import q_dedup_bloom_probe
+
+    rows = q_dedup_bloom_probe(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["exact_member"]:
+            assert r["bloom_hit"], f"false negative at probe {r['probe_id']}"
+        assert r["is_false_positive"] == (r["bloom_hit"] and not r["exact_member"])
+        if r["kind"] == "member":
+            assert r["exact_member"]
+        else:
+            assert not r["exact_member"]

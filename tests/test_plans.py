@@ -620,3 +620,21 @@ def test_span_trim_linear_rebuild(spark):
     plan = _plan(spark, "dedup_span_trim")
     assert "CartesianProduct" not in plan
     assert "posexplode" not in plan.lower()  # positions stay inside arrays
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Triangle census: wedge generation and closure are equi-joins over
+    the oriented edge list — no cartesian product, no pairwise expansion
+    outside LSH buckets."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_filter_frame_broadcasts(spark):
+    """Bloom probe: the <=1024-word filter frame joins the probe cells as
+    a broadcast (map-side membership test); the only shuffle-sized join is
+    the authoritative fingerprint equi-join."""
+    plan = _plan(spark, "dedup_bloom_probe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
