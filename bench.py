@@ -111,6 +111,10 @@ HEADLINE = [
     # join with ON-clause predicate + two-level aggregate)
     "volume_shipping_q7",
     "customer_distribution_q13",
+    # r7 continuation: the last TPC-H shapes — Q9 (5-way star over the full
+    # fact table) and Q21 (EXISTS/NOT-EXISTS double self-join on orderkey)
+    "product_profit_q9",
+    "waiting_supplier_q21",
 ]
 
 

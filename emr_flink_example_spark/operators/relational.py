@@ -525,6 +525,312 @@ def q_global_sales_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (restated: the fixture has no
+    partsupp table, so a supplier's "cost" for a part is its observed
+    average unit sell price over lineitem — computed in exact integer
+    cents with ONE double division sum(cents)/sum(qty)/100, which is
+    bit-identical across engines because both operands are exact
+    integers). For STANDARD parts with size < 10, return the EUROPE
+    supplier(s) whose cost equals the per-part minimum. The correlated
+    MIN subquery becomes a groupBy-min + equality join on the rounded
+    cost (the Q15 pattern); supplier⋈nation⋈region is a tiny frame and
+    broadcast, so only lineitem shuffles (once, to the (part, supplier)
+    grain)."""
+    part = F.broadcast(
+        load(spark, sf, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") < 10))
+        .select("p_partkey", "p_name")
+    )
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    supp = F.broadcast(
+        load(spark, sf, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf, "lineitem")
+    ec = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    cost = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            _r2(
+                F.sum(ec) / F.sum(F.col("l_quantity").cast("bigint")) / F.lit(100.0)
+            ).alias("cost")
+        )
+    )
+    min_cost = cost.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mk")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def q_product_profit_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit (restated: no partsupp, so
+    supply cost is modeled as 60% of the part's retail price — a
+    deterministic column function). Profit per (supplier nation, order
+    year) over parts whose name contains 'red': sum(volume −
+    0.6·p_retailprice·qty). Part and nation dims broadcast; the two fact
+    tables join on orderkey once."""
+    part = F.broadcast(
+        load(spark, sf, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = F.broadcast(
+        load(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    supplier = load(spark, sf, "supplier")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_r2(F.sum(profit)).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q_important_value_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11-style important parts (restated: no partsupp, so a
+    part's "stock value" held by ASIA suppliers is its discounted
+    lineitem revenue, and the fixed 1%-of-total fraction — which no part
+    reaches once the slice grows — becomes the scale-free "more than 2×
+    the mean part value", mirroring Q11's intent of flagging
+    disproportionately valuable parts at any SF). The scalar-subquery
+    threshold is an EXACT integer comparison: volume in 1e-4 dollars is
+    cents(extprice)·(100−cents(discount)) — both integers — so
+    value·n_parts > 2·total is free of float-boundary flutter across
+    engines. The one-row stats frame rides a broadcast cross join (no
+    second scan: both aggregates reuse the same (part)-grain frame)."""
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    supp = F.broadcast(
+        load(spark, sf, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf, "lineitem")
+    ec = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    vol_e4 = ec * (F.lit(100) - dc)
+    per_part = (
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(vol_e4).alias("value_e4"))
+    )
+    stats = per_part.agg(
+        F.sum("value_e4").alias("total_e4"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(stats))
+        .where(F.col("value_e4") * F.col("n_parts") > 2 * F.col("total_e4"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            _r2(F.col("value_e4") / F.lit(10000.0)).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("p_partkey").asc())
+    )
+
+
+def q_late_lines_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12-style shipping-priority check (restated: the fixture has
+    no l_shipmode/commitdate, so the grouping key is l_linestatus and
+    "late" means shipped more than 60 days after the order date). For
+    1999 shipments, count critical-priority (1-URGENT/2-HIGH) vs other
+    orders per line status. One orderkey join, 2-3 result groups,
+    combine-friendly conditional counts."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "2000-01-01")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_supplier_cnt_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16-style parts/supplier relationship (restated: the
+    part-supplier relation is the DISTINCT (l_partkey, l_suppkey) pairs
+    observed in lineitem, and the excluded-supplier complaint filter is
+    restated as a negative account balance). Distinct supplier count per
+    (brand, type, size) for non-Brand#11, non-PROMO parts in a size
+    list; the NOT IN becomes a LEFT ANTI against a tiny broadcast frame.
+    The distinct pair projection collapses lineitem once on exactly the
+    columns needed — no wider shuffle."""
+    bad_supp = F.broadcast(
+        load(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    part = F.broadcast(
+        load(spark, sf, "part").where(
+            (F.col("p_brand") != "Brand#11")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+    )
+    pairs = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(bad_supp, pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def q_brand_qty_revenue_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19-style discounted revenue under a disjunction of three
+    brand/quantity/size conjunctions (restated: the fixture has no
+    shipmode/container, so each arm predicates on brand + quantity band +
+    size band). The OR-of-ANDs is left whole for Catalyst: common
+    sub-predicates are extracted and pushed to both scans, the rest is a
+    join residual over the broadcast part dim. One row out."""
+    part = F.broadcast(
+        load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    li = load(spark, sf, "lineitem")
+    qty = F.col("l_quantity")
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & qty.between(1, 11)
+        & F.col("p_size").between(1, 5)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#21")
+        & qty.between(10, 20)
+        & F.col("p_size").between(1, 10)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & qty.between(20, 30)
+        & F.col("p_size").between(1, 15)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(arm1 | arm2 | arm3)
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_promotion_suppliers_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20-style promotion-candidate suppliers (restated: no
+    partsupp availability, so a supplier qualifies when some 'small…'
+    part it shipped during 1999 exceeded 50 total units). The nested
+    IN-subqueries become: broadcast part filter → (supplier, part)
+    aggregate → HAVING → DISTINCT supplier keys → LEFT SEMI into the
+    EUROPE supplier dim. Quantities are integral, so the >50 threshold
+    compares exact BIGINTs."""
+    part = F.broadcast(
+        load(spark, sf, "part").where(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "2000-01-01")
+    )
+    qualifying = (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    supp = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q_waiting_supplier_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting (restated: no
+    commit/receipt dates, so "late" is shipped more than 60 days after
+    the order date). For completed ('F') orders: suppliers with a late
+    line in a multi-supplier order where EXISTS another supplier's line
+    (semi join with a suppkey-inequality residual) and NOT EXISTS another
+    supplier's LATE line (anti join, same residual). Both self-joins
+    shuffle on orderkey only; the supplier dim resolves names via
+    broadcast at the end."""
+    orders = (
+        load(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    base = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    supplier = F.broadcast(load(spark, sf, "supplier").select("s_suppkey", "s_name"))
+    return (
+        base.join(supplier, base.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
@@ -1415,6 +1721,18 @@ QUERIES = {
     "top_supplier_q15": q_top_supplier_q15,
     "small_qty_revenue_q17": q_small_qty_revenue_q17,
     "global_sales_q22": q_global_sales_q22,
+    # appended last (r7 continuation): the final TPC-H shapes, each
+    # restated for the trimmed fixture schema (no partsupp / commitdate /
+    # shipmode / container — restatements documented per-query). With
+    # these, all 22 TPC-H query shapes have a fixture-expressible stand-in.
+    "min_cost_supplier_q2": q_min_cost_supplier_q2,
+    "product_profit_q9": q_product_profit_q9,
+    "important_value_q11": q_important_value_q11,
+    "late_lines_q12": q_late_lines_q12,
+    "supplier_cnt_q16": q_supplier_cnt_q16,
+    "brand_qty_revenue_q19": q_brand_qty_revenue_q19,
+    "promotion_suppliers_q20": q_promotion_suppliers_q20,
+    "waiting_supplier_q21": q_waiting_supplier_q21,
 }
 
 ORACLES = {
@@ -2070,5 +2388,136 @@ ORACLES = {
                 AND o_orderdate >= TIMESTAMP '2001-06-01')
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "min_cost_supplier_q2": """
+        WITH supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), cost AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                         / sum(CAST(l_quantity AS BIGINT)) / 100.0, 2) AS cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supp ON l_suppkey = s_suppkey
+            WHERE p_type = 'STANDARD' AND p_size < 10
+            GROUP BY 1, 2, 3, 4, 5, 6
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+        FROM cost c
+        WHERE cost = (SELECT min(cost) FROM cost c2
+                      WHERE c2.p_partkey = c.p_partkey)
+        ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+        LIMIT 100
+    """,
+    "product_profit_q9": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation ASC, o_year DESC
+    """,
+    "important_value_q11": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                   AS value_e4
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY l_partkey
+        ), stats AS (
+            SELECT sum(value_e4) AS total_e4, count(*) AS n_parts
+            FROM per_part
+        )
+        SELECT l_partkey AS p_partkey,
+               round(value_e4 / 10000.0, 2) AS value
+        FROM per_part, stats
+        WHERE value_e4 * n_parts > 2 * total_e4
+        ORDER BY value DESC, p_partkey ASC
+    """,
+    "late_lines_q12": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '2000-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "supplier_cnt_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+    "brand_qty_revenue_q19": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+               AND p_size BETWEEN 1 AND 15)
+    """,
+    "promotion_suppliers_q20": """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small%'
+                AND l_shipdate >= TIMESTAMP '1999-01-01'
+                AND l_shipdate < TIMESTAMP '2000-01-01'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+        ORDER BY s_name
+    """,
+    "waiting_supplier_q21": """
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                  SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
     """,
 }

@@ -9,7 +9,9 @@ EDBT'19/ICDE'21 themes): windowed z-normalization + similarity.
   * `timeseries_dtw` — dynamic-time-warping distance of each user's series
     against a fixed weekly-seasonality reference, as an `applyInPandas`
     kernel (the per-series imperative path the built-ins can't express).
-    DTW is not SQL-expressible, so this entry is rows-only checked.
+    Oracle-checked: the DP recurrence is restated in DuckDB as a recursive
+    CTE walking the 30x30 grid row-major with a rolling (N+1)-cell window
+    (see the ORACLES entry), so even this kernel is hash-verified.
 
 Scale notes: the correlation never materializes the dense (user x day) grid
 (only the DTW kernel builds it, at |users| * 30 rows — linear, not quadratic); all similarity is against ONE broadcastable reference series, so
@@ -33,6 +35,10 @@ N_DAYS = 30
 
 #: fixed weekly-seasonality reference pattern (deterministic, broadcast)
 REF_PATTERN = [math.sin(2 * math.pi * d / 7) for d in range(N_DAYS)]
+
+#: the same pattern as a DuckDB list literal — repr() round-trips doubles
+#: exactly, so both engines warp against bit-identical reference values
+_DTW_REF_SQL = "[" + ", ".join(repr(x) for x in REF_PATTERN) + "]"
 
 
 def _daily(spark: SparkSession, sf: str) -> DataFrame:
@@ -464,8 +470,58 @@ ORACLES = {
         SELECT user_id, active_days, znorm_corr FROM scored
         WHERE znorm_corr IS NOT NULL
     """,
-    # timeseries_dtw: intentionally no oracle — DTW is not SQL-expressible;
-    # the driver applies its rows-only check.
+    # The DTW recurrence IS SQL-expressible: unroll the row-major DP walk as
+    # a recursive CTE carrying a rolling window of the last N_DAYS+1 cells
+    # (the classic 1-D rolling-array DTW, restated as list slicing). Cell
+    # k (0-based) is (i=k//N+1, j=k%N+1); its three predecessors live at
+    # fixed offsets in the window: diag=L[1], up=L[2], left=L[N+1], with
+    # CASE boundaries at j=1. 1e18 stands in for +inf (real DTW cost is
+    # bounded by N^2 * max|z| << 1e18, so no fake path can win). The z-score
+    # and the final round(.,4) mirror the kernel; summation-order noise is
+    # absorbed exactly as in timeseries_znorm_corr.
+    "timeseries_dtw": f"""
+        WITH RECURSIVE daily AS (
+            SELECT user_id, date_part('day', ts)::INT AS day,
+                   round(sum(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT u.user_id, g.day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(generate_series(1, {N_DAYS})) AS day) g
+        ), dense AS (
+            SELECT g.user_id, g.day, coalesce(daily.v, 0.0) AS v
+            FROM grid g LEFT JOIN daily USING (user_id, day)
+        ), stats AS (
+            SELECT user_id, avg(v) AS mu, stddev_pop(v) AS sd
+            FROM dense GROUP BY user_id
+        ), zser AS (
+            SELECT d.user_id, list((d.v - s.mu) / s.sd ORDER BY d.day) AS z
+            FROM dense d JOIN stats s USING (user_id)
+            WHERE s.sd > 0 GROUP BY d.user_id
+        ), ref AS (
+            SELECT {_DTW_REF_SQL}::DOUBLE[] AS r
+        ), dp AS (
+            SELECT user_id, z, 0 AS k,
+                   [0.0] || list_transform(generate_series(1, {N_DAYS}),
+                                           x -> 1e18) AS l
+            FROM zser
+            UNION ALL
+            SELECT user_id, z, k + 1,
+                   l[2:{N_DAYS + 1}] || [
+                       abs(z[k // {N_DAYS} + 1] - (SELECT r FROM ref)[k % {N_DAYS} + 1])
+                       + least(
+                           CASE WHEN k % {N_DAYS} = 0
+                                THEN (CASE WHEN k < {N_DAYS} THEN 0.0 ELSE 1e18 END)
+                                ELSE l[1] END,
+                           l[2],
+                           CASE WHEN k % {N_DAYS} = 0 THEN 1e18
+                                ELSE l[{N_DAYS + 1}] END)
+                   ]
+            FROM dp WHERE k < {N_DAYS * N_DAYS}
+        )
+        SELECT user_id, round(l[{N_DAYS + 1}], 4) AS dtw_dist
+        FROM dp WHERE k = {N_DAYS * N_DAYS}
+    """,
     "timeseries_resample_gapfill": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS h,

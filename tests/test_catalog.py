@@ -41,10 +41,11 @@ def test_every_oracle_has_a_query():
     # relational sibling's oracle (bit-equality pinned in test_llm_ops),
     # k-means re-trains in the oracle via the unrolled _train_ctes chain,
     # and the BPE trainer's merge table comes from the same unrolled chain
-    # its segmenter oracle already ran. DTW remains: the O(len_a*len_b)
-    # memoized recurrence has no bounded SQL unrolling (value-pinned vs a
-    # pure-Python kernel in test_dtw_reference.py instead).
-    assert set(qs) - set(os_) == {"timeseries_dtw"}
+    # its segmenter oracle already ran. Late r7: even DTW is oracled (the
+    # fixed 30x30 DP grid IS a bounded unrolling — walked row-major by a
+    # recursive CTE with a rolling (N+1)-cell window), so the catalog is
+    # 100% oracle-covered.
+    assert set(qs) == set(os_)
 
 
 def test_catalog_is_nontrivial():
