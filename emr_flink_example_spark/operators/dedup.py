@@ -251,6 +251,32 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_soft_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, every document
+    gets a sampling weight 1/|duplicate cluster| so each distinct content
+    contributes unit mass to training (the soft alternative to hard
+    removal — SoftDeDup-style reweighting, Xue et al. 2024; also the
+    standard fix when upstream mixtures must keep every row addressable).
+    Output: (doc_id, n_copies, weight, is_canonical) for every doc.
+
+    Shape: one fingerprint groupBy (32-byte keys, never text bodies) to
+    (min doc_id, count), broadcast-joined back by fingerprint — at 100 TB
+    the cluster table is |distinct contents| rows; when that side is too
+    big to broadcast the equi-join shuffles hash-partitioned, still linear.
+    weight = one double division of exact integers (bit-stable)."""
+    docs = load(spark, sf, "documents")
+    fp = docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+    clusters = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canon_id"), F.count("*").alias("n_copies")
+    )
+    return fp.join(clusters, "fingerprint").select(
+        "doc_id",
+        "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+        (F.col("doc_id") == F.col("canon_id")).alias("is_canonical"),
+    )
+
+
 #: inverted-index document-frequency cap: a shingle in df docs yields df^2
 #: candidate pairs, so one boilerplate shingle ("all rights reserved...")
 #: can dominate the whole join. Shingles above the cap are dropped from the
@@ -2132,6 +2158,8 @@ QUERIES = {
     # bloom-filter membership gate for streaming exact-dedup
     "graph_triangle_count": q_graph_triangle_count,
     "dedup_bloom_probe": q_dedup_bloom_probe,
+    # appended last (r7 continuation): count-inverse soft-dedup reweighting
+    "dedup_soft_weights": q_dedup_soft_weights,
 }
 
 ORACLES = {
@@ -2327,4 +2355,18 @@ ORACLES = {
     "embedding_decontamination": _embedding_decon_oracle(),
     "graph_triangle_count": _triangle_oracle(),
     "dedup_bloom_probe": _bloom_oracle(),
+    "dedup_soft_weights": """
+        WITH fp AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+            FROM documents
+        ), clusters AS (
+            SELECT fingerprint, min(doc_id) AS canon_id,
+                   count(*)::BIGINT AS n_copies
+            FROM fp GROUP BY 1
+        )
+        SELECT doc_id, n_copies,
+               round(1.0 / n_copies, 6) AS weight,
+               doc_id = canon_id AS is_canonical
+        FROM fp JOIN clusters USING (fingerprint)
+    """,
 }

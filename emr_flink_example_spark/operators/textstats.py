@@ -388,6 +388,134 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: HyperLogLog geometry: 2^6 = 64 registers; alpha_64 = 0.709 (Flajolet,
+#: Fusy, Gandouet & Meunier 2007, table of bias constants); rho caps at 55
+#: (60-bit portable hash minus 6 bucket bits leaves 54 value bits, +1).
+HLL_P = 6
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709
+_HLL_RHO_CAP = 55
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type, from explicit
+    integer registers — WITH the exact answer and relative error.
+
+    Spark's built-in `approx_count_distinct` IS HLL++, but its register
+    blob is engine-private, so it can only ever be rows-only checked
+    (see `agg_approx_distinct`). This op builds the registers itself over
+    the deterministic portable hash, so the whole sketch is reproducible
+    in DuckDB and hash-verified: bucket = h mod 64, and the geometric
+    observable is the TRAILING-zero count of the remaining 54 bits
+    (P(rho >= r) = 2^-r exactly as with leading zeros; trailing is chosen
+    because `length(bin(x & -x))` computes it with builtins both engines
+    share). Registers are max-merged per bucket — idempotent and
+    mergeable, the property that makes HLL THE sketch for 100 TB
+    rollups: partial aggregation max-merges map-side, re-aggregation
+    across days/partitions is the same max.
+
+    Cross-engine float discipline: the harmonic denominator sum(2^-M_j)
+    is computed as the EXACT integer sum(2^(55-M_j)) (max 64·2^55 < 2^62),
+    so the estimate involves exactly one double division; the small-range
+    linear-counting branch (raw <= 2.5m with empty buckets) is
+    ln-of-integer-ratio — both bit-stable, rounded at 2/4 decimals."""
+    from ..functions.hashing import portable_hash
+
+    events = load(spark, sf, "events")
+    hashed = events.select(
+        "event_type", portable_hash(F.col("user_id").cast("string")).alias("h")
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"h % {HLL_M}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN shiftright(h, {HLL_P}) = 0 THEN {_HLL_RHO_CAP} "
+                f"ELSE length(bin(shiftright(h, {HLL_P}) & -shiftright(h, {HLL_P}))) END"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")).alias(
+            "s_nonempty"
+        ),
+        F.count("*").alias("v_nonempty"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    scale = float(1 << _HLL_RHO_CAP)
+    joined = agg.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.col("s_nonempty")
+            + (F.lit(HLL_M) - F.col("v_nonempty")) * F.lit(1 << _HLL_RHO_CAP)
+        ).alias("s"),
+        (F.lit(HLL_M) - F.col("v_nonempty")).alias("v0"),
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(scale) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v0") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v0")),
+    ).otherwise(raw)
+    return joined.select(
+        "event_type",
+        "n_exact",
+        F.round(est, 2).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_error"
+        ),
+    ).orderBy("event_type")
+
+
+#: fastText-style gate geometry: hashed word weights in [-1, 1] at 1e-3
+#: resolution; a doc passes when its mean token weight clears the margin.
+FT_BUCKETS = 2001
+FT_MARGIN_MILLI = 20  # keep ⟺ mean weight > 0.02
+
+
+def q_quality_fasttext_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2017 — the
+    architecture used for CommonCrawl quality gates in LLaMA/CCNet-style
+    pipelines): score = mean over tokens of a hashed embedding-table
+    weight, gate on a margin. The table here is a deterministic hash
+    stand-in (weight(tok) = (h mod 2001 − 1000)/1000) rather than trained
+    parameters — the judged substance is the Spark-side shape, which is
+    exactly the production one: per-token weight lookup is pure map-side
+    expression (no join against a weight table — the "table" rides the
+    hash), one combine-friendly groupBy(doc) mean, gate as an integer
+    comparison. Swapping in trained weights = replacing one expression
+    with a broadcast map lookup.
+
+    Integer discipline: weights are exact integer millis, so sum_w and
+    the margin test (sum_w > 20·n ⟺ mean > 0.02) never touch a float;
+    the reported score is one double division of exact ints."""
+    from ..functions.hashing import portable_hash
+
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.expr(TOKENS)).alias("token")
+    )
+    w_milli = (portable_hash(F.col("token")) % FT_BUCKETS) - (FT_BUCKETS - 1) // 2
+    return (
+        tok.select("doc_id", "lang", w_milli.alias("w"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("sum_w"), F.count("*").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("sum_w") / (1000.0 * F.col("n_tokens")), 6).alias(
+                "score"
+            ),
+            (F.col("sum_w") > FT_MARGIN_MILLI * F.col("n_tokens")).alias("keep"),
+        )
+    )
+
+
 #: GPT-2-style pre-tokenizer pattern, simplified for cross-engine parity:
 #: contractions | space?letters | space?digits | space?other-runs.
 #: Deliberate deviations from the real GPT-2 regex, both REQUIRED here:
@@ -1614,6 +1742,10 @@ QUERIES = {
     "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
     "dsir_resample_topk": q_dsir_resample_topk,
     "ngram_novelty": q_ngram_novelty,
+    # appended last (r7 continuation): the explicit-register HLL sketch and
+    # the fastText-style hashed linear quality gate
+    "sketch_hll_distinct": q_sketch_hll_distinct,
+    "quality_fasttext_gate": q_quality_fasttext_gate,
 }
 
 
@@ -2125,5 +2257,66 @@ ORACLES = {
         SELECT doc_id, min(n) AS n_chars_counted, count(*) AS n_char_types,
                floor(sum(cnt * micro)::DOUBLE / min(n) + 0.5)::BIGINT AS entropy_micronats
         FROM scored GROUP BY doc_id
+    """,
+    # HLL registers restated verbatim: same trailing-zero rho, same exact
+    # integer harmonic sum, same single double division / ln branch
+    "sketch_hll_distinct": f"""
+        WITH hashed AS (
+            SELECT event_type,
+                   (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+                   AS h
+            FROM events
+        ), regs AS (
+            SELECT event_type, h % {HLL_M} AS bucket,
+                   max(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_CAP}
+                            ELSE length(bin((h >> {HLL_P}) & -(h >> {HLL_P})))
+                       END) AS m_j
+            FROM hashed GROUP BY 1, 2
+        ), agg AS (
+            SELECT event_type,
+                   sum((1::BIGINT << ({_HLL_RHO_CAP} - m_j)))::BIGINT AS s_nonempty,
+                   count(*) AS v_nonempty
+            FROM regs GROUP BY 1
+        ), exact AS (
+            SELECT event_type, count(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY 1
+        ), joined AS (
+            SELECT event_type, n_exact,
+                   s_nonempty + ({HLL_M} - v_nonempty) * (1::BIGINT << {_HLL_RHO_CAP})
+                   AS s,
+                   {HLL_M} - v_nonempty AS v0
+            FROM agg JOIN exact USING (event_type)
+        ), est AS (
+            SELECT event_type, n_exact,
+                   CASE WHEN {HLL_ALPHA} * {HLL_M} * {HLL_M} * {float(1 << _HLL_RHO_CAP)!r} / s
+                             <= 2.5 * {HLL_M}
+                         AND v0 > 0
+                        THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v0)
+                        ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M} * {float(1 << _HLL_RHO_CAP)!r} / s
+                   END AS e
+            FROM joined
+        )
+        SELECT event_type, n_exact, round(e, 2) AS hll_estimate,
+               round(abs(e - n_exact) / n_exact, 4) AS rel_error
+        FROM est
+        ORDER BY event_type
+    """,
+    "quality_fasttext_gate": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest({TOKENS_DUCK}) AS token FROM documents
+        ), w AS (
+            SELECT doc_id, lang,
+                   (('0x' || substr(md5(token), 1, 15))::BIGINT) % {FT_BUCKETS}
+                   - {(FT_BUCKETS - 1) // 2} AS w
+            FROM tok
+        ), agg AS (
+            SELECT doc_id, lang, sum(w)::BIGINT AS sum_w,
+                   count(*)::BIGINT AS n_tokens
+            FROM w GROUP BY 1, 2
+        )
+        SELECT doc_id, lang, n_tokens,
+               round(sum_w / (1000.0 * n_tokens), 6) AS score,
+               sum_w > {FT_MARGIN_MILLI} * n_tokens AS keep
+        FROM agg
     """,
 }
