@@ -18,6 +18,7 @@ Hamming-1-neighbor buckets.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1573,6 +1574,118 @@ def q_embedding_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     ).select("centroid_id", "dim", "centroid_v", "n_members")
 
 
+#: power-iteration budget for the top principal component; like the Lloyd
+#: trainers, a FIXED iteration count is what lets the oracle unroll the
+#: exact same computation in SQL.
+PCA_ITERS = 3
+
+
+def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration (the building block of PCA whitening before
+    quantization/semantic dedup — e.g. OPQ's rotation init, Jégou et al.
+    2011): v_{t+1} = normalize(Cov·v_t), restated so the covariance
+    matrix is NEVER materialized — Cov·v = avg over rows of
+    (x−mu)·((x−mu)ᵀv), i.e. one scalar dot per row and a 64-scalar
+    aggregate per round. Output: (dim, loading, eigenvalue,
+    explained_frac), eigenvalue = Rayleigh quotient avg(dotᵀdot),
+    explained_frac = eigenvalue / total variance.
+
+    Scale shape (the `subspace_kmeans_fit` contract): fitting runs on the
+    deterministic `_train_sample` hash-sample (one corpus scan total),
+    each round is a map-side dot + ONE combine-friendly 64-column avg
+    aggregate (the shuffle carries 64 scalars), and the driver holds only
+    the 64-float vector. Determinism: init = the exactly-representable
+    uniform unit vector (1/8 per dim), every aggregate is rounded to 6 dp
+    before the next step, and the normalize arithmetic is the same
+    left-associated IEEE chain in Python and SQL — so the DuckDB oracle
+    RE-FITS the identical component by unrolling the fixed rounds."""
+    from ..functions.hashing import portable_hash  # noqa: F401 (sample pred)
+
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    out_schema = "dim int, loading double, eigenvalue double, explained_frac double"
+    if base.first() is None:  # empty corpus: no component
+        return spark.createDataFrame([], out_schema)
+    train = _train_sample(base, TRAIN_SAMPLE_CAP)
+    mu_row = train.agg(
+        *[
+            F.round(F.avg(F.element_at("e", i)), 6).alias(f"m{i}")
+            for i in range(1, DIM + 1)
+        ]
+    ).collect()[0]
+    mu = [mu_row[f"m{i}"] for i in range(1, DIM + 1)]
+    v = [0.125] * DIM  # 1/sqrt(64), exactly representable
+    for _ in range(PCA_ITERS):
+        dot = " + ".join(
+            f"(element_at(e, {i}) - {mu[i - 1]!r}) * {v[i - 1]!r}"
+            for i in range(1, DIM + 1)
+        )
+        s_row = (
+            train.select("e", F.expr(dot).alias("dot"))
+            .agg(
+                *[
+                    F.round(
+                        F.avg(
+                            F.col("dot")
+                            * (F.element_at("e", i) - F.lit(mu[i - 1]))
+                        ),
+                        6,
+                    ).alias(f"s{i}")
+                    for i in range(1, DIM + 1)
+                ]
+            )
+            .collect()[0]
+        )
+        s = [s_row[f"s{i}"] for i in range(1, DIM + 1)]
+        norm_sq = s[0] * s[0]
+        for si in s[1:]:  # left-assoc chain, mirrored verbatim in SQL
+            norm_sq = norm_sq + si * si
+        norm = math.sqrt(norm_sq)
+        if norm == 0:  # degenerate corpus (all rows identical): keep v
+            break
+        v = [round(si / norm, 6) for si in s]
+    dot_f = " + ".join(
+        f"(element_at(e, {i}) - {mu[i - 1]!r}) * {v[i - 1]!r}"
+        for i in range(1, DIM + 1)
+    )
+    stats = (
+        train.select("e", F.expr(dot_f).alias("dot"))
+        .agg(
+            F.round(F.avg(F.col("dot") * F.col("dot")), 6).alias("eigenvalue"),
+            *[
+                F.round(
+                    F.avg(
+                        (F.element_at("e", i) - F.lit(mu[i - 1]))
+                        * (F.element_at("e", i) - F.lit(mu[i - 1]))
+                    ),
+                    6,
+                ).alias(f"t{i}")
+                for i in range(1, DIM + 1)
+            ],
+        )
+        .select(
+            "eigenvalue",
+            sum(
+                (F.col(f"t{i}") for i in range(2, DIM + 1)), F.col("t1")
+            ).alias("total_var"),
+        )
+    )
+    loadings = spark.createDataFrame(
+        [(i, v[i]) for i in range(DIM)], "dim int, loading double"
+    )
+    return loadings.crossJoin(F.broadcast(stats)).select(
+        "dim",
+        "loading",
+        "eigenvalue",
+        F.round(F.col("eigenvalue") / F.col("total_var"), 6).alias(
+            "explained_frac"
+        ),
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1596,6 +1709,8 @@ QUERIES = {
     "ann_mmr_topk": q_ann_mmr_topk,
     # appended last (new r7 surface): contrastive-training hard negatives
     "embedding_hard_negatives": q_embedding_hard_negatives,
+    # r7 continuation: top principal component by power iteration
+    "embedding_pca_power": q_embedding_pca_power,
 }
 
 
@@ -2053,9 +2168,79 @@ def _kmeans_centroids_oracle() -> str:
     """
 
 
+def _pca_oracle(iters: int = PCA_ITERS, cap: int = TRAIN_SAMPLE_CAP) -> str:
+    """Mirror of q_embedding_pca_power: the same `_train_sample` hash
+    predicate, 6-dp mu, the fixed power-iteration rounds unrolled (dot =
+    the identical left-associated 64-term chain, per-dim avgs rounded 6,
+    normalize as the same left-assoc sum-of-squares chain), then the
+    Rayleigh eigenvalue / total-variance stats over the final vector."""
+    dims = range(1, DIM + 1)
+    mu_cols = ", ".join(f"round(avg(e[{i}]), 6) AS m{i}" for i in dims)
+    var_cols = ", ".join(
+        f"round(avg((e[{i}] - m{i}) * (e[{i}] - m{i})), 6) AS t{i}" for i in dims
+    )
+    norm_chain = " + ".join(f"s{i} * s{i}" for i in dims)
+    tot_chain = " + ".join(f"t{i}" for i in dims)
+
+    def dot_chain(vsrc: str) -> str:
+        return " + ".join(f"(e[{i}] - m{i}) * {vsrc}{i}" for i in dims)
+
+    parts = [
+        f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), pc_tb AS MATERIALIZED (
+            SELECT vec_id, e FROM base
+            WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+                  % (SELECT greatest((count(*) + {cap} - 1) // {cap}, 1)
+                     FROM base) = 0
+        ), pc_mu AS (
+            SELECT {mu_cols} FROM pc_tb
+        ), pc_r0 AS (
+            SELECT {", ".join(f"0.125 AS v{i}" for i in dims)}
+        )"""
+    ]
+    for t in range(iters):
+        s_cols = ", ".join(
+            f"round(avg(dot * (e[{i}] - m{i})), 6) AS s{i}" for i in dims
+        )
+        parts.append(f"""
+        pc_d{t} AS (
+            SELECT e, ({dot_chain('v')}) AS dot
+            FROM pc_tb CROSS JOIN pc_mu CROSS JOIN pc_r{t}
+        ), pc_s{t} AS (
+            SELECT {s_cols} FROM pc_d{t} CROSS JOIN pc_mu
+        ), pc_n{t} AS (
+            SELECT *, sqrt({norm_chain}) AS nrm FROM pc_s{t}
+        ), pc_r{t + 1} AS (
+            SELECT {", ".join(f"round(s{i} / nrm, 6) AS v{i}" for i in dims)}
+            FROM pc_n{t}
+        )""")
+    parts.append(f"""
+        pc_df AS (
+            SELECT e, ({dot_chain('v')}) AS dot
+            FROM pc_tb CROSS JOIN pc_mu CROSS JOIN pc_r{iters}
+        ), pc_lam AS (
+            SELECT round(avg(dot * dot), 6) AS eigenvalue FROM pc_df
+        ), pc_var AS (
+            SELECT {var_cols} FROM pc_tb CROSS JOIN pc_mu
+        ), pc_tot AS (
+            SELECT ({tot_chain}) AS total_var FROM pc_var
+        ), pc_vv AS (
+            SELECT (u.i - 1)::INT AS dim,
+                   [{", ".join(f"v{i}" for i in dims)}][u.i] AS loading
+            FROM pc_r{iters}, unnest(generate_series(1, {DIM})) AS u(i)
+        )
+        SELECT dim, loading, eigenvalue,
+               round(eigenvalue / total_var, 6) AS explained_frac
+        FROM pc_vv CROSS JOIN pc_lam CROSS JOIN pc_tot""")
+    return ",".join(parts)
+
+
 ORACLES = {
     "embedding_quantize_pq": _pq_oracle(),
     "embedding_kmeans_centroids": _kmeans_centroids_oracle(),
+    "embedding_pca_power": _pca_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_adc_rerank_topk": _pq_adc_rerank_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
