@@ -1686,6 +1686,49 @@ def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension feature standardization (z-scoring) of the embedding
+    corpus — the preprocessing step before isotropic quantizers (int8/PQ)
+    or distance-based dedup when dimensions carry different scales.
+    Output long form: (vec_id, dim, z), z = (x − mu_d)/sd_d rounded 6,
+    NULL where a dimension is constant (sd = 0).
+
+    Shape: ONE stats aggregate (the shuffle carries 2×64 scalars), the
+    one-row frame broadcast back, and the transform + posexplode is pure
+    map-side — at 100 TB this is one scan + one scan, zero data shuffle.
+    mu/sd are rounded 6 before use so both engines standardize with
+    identical constants (the house trainer discipline)."""
+    base = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    stats = base.agg(
+        *[
+            F.round(F.avg(F.element_at("e", i)), 6).alias(f"m{i}")
+            for i in range(1, DIM + 1)
+        ],
+        *[
+            F.round(F.stddev_pop(F.element_at("e", i)), 6).alias(f"s{i}")
+            for i in range(1, DIM + 1)
+        ],
+    )
+    z_arr = F.array(
+        *[
+            F.when(
+                F.col(f"s{i}") > 0,
+                F.round(
+                    (F.element_at("e", i) - F.col(f"m{i}")) / F.col(f"s{i}"), 6
+                ),
+            )
+            for i in range(1, DIM + 1)
+        ]
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.posexplode(z_arr).alias("dim", "z"))
+        .select("vec_id", "dim", "z")
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1709,8 +1752,10 @@ QUERIES = {
     "ann_mmr_topk": q_ann_mmr_topk,
     # appended last (new r7 surface): contrastive-training hard negatives
     "embedding_hard_negatives": q_embedding_hard_negatives,
-    # r7 continuation: top principal component by power iteration
+    # r7 continuation: top principal component by power iteration, and
+    # per-dimension feature standardization
     "embedding_pca_power": q_embedding_pca_power,
+    "embedding_standardize": q_embedding_standardize,
 }
 
 
@@ -2237,10 +2282,32 @@ def _pca_oracle(iters: int = PCA_ITERS, cap: int = TRAIN_SAMPLE_CAP) -> str:
     return ",".join(parts)
 
 
+def _standardize_oracle() -> str:
+    dims = range(1, DIM + 1)
+    mu_cols = ", ".join(f"round(avg(e[{i}]), 6) AS m{i}" for i in dims)
+    sd_cols = ", ".join(f"round(stddev_pop(e[{i}]), 6) AS s{i}" for i in dims)
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), st AS (
+            SELECT {mu_cols}, {sd_cols} FROM base
+        ), stl AS (
+            SELECT [{", ".join(f"m{i}" for i in dims)}] AS mu,
+                   [{", ".join(f"s{i}" for i in dims)}] AS sd
+            FROM st
+        )
+        SELECT vec_id, (u.i - 1)::INT AS dim,
+               CASE WHEN sd[u.i] > 0
+                    THEN round((e[u.i] - mu[u.i]) / sd[u.i], 6) END AS z
+        FROM base CROSS JOIN stl, unnest(generate_series(1, {DIM})) AS u(i)
+    """
+
+
 ORACLES = {
     "embedding_quantize_pq": _pq_oracle(),
     "embedding_kmeans_centroids": _kmeans_centroids_oracle(),
     "embedding_pca_power": _pca_oracle(),
+    "embedding_standardize": _standardize_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_adc_rerank_topk": _pq_adc_rerank_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),

@@ -471,6 +471,74 @@ def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_sketch_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """The property that makes HLL the 100 TB distinct sketch, exercised
+    end-to-end: per-DAY register tables are built independently (the shape
+    of a daily rollup job), then MAX-MERGED into one global register table
+    whose estimate answers "distinct users over the whole month" without
+    ever re-touching the raw events — merge cost is days × m tiny rows.
+    Output: one row (n_days, n_exact, hll_estimate, rel_error), where
+    n_exact is the true global distinct for the measured error.
+
+    Same register construction as `sketch_hll_distinct` (trailing-zero
+    rho over the portable hash, exact-integer harmonic sum); the merge is
+    max(rho) regrouped by bucket — associative, commutative, idempotent,
+    so ANY partitioning of the input (days here, shuffle partitions at
+    scale) yields the identical registers."""
+    from ..functions.hashing import portable_hash
+
+    events = load(spark, sf, "events")
+    hashed = events.select(
+        F.date_trunc("day", "ts").alias("day"),
+        portable_hash(F.col("user_id").cast("string")).alias("h"),
+    )
+    daily_regs = (
+        hashed.select(
+            "day",
+            F.expr(f"h % {HLL_M}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN shiftright(h, {HLL_P}) = 0 THEN {_HLL_RHO_CAP} "
+                f"ELSE length(bin(shiftright(h, {HLL_P}) & -shiftright(h, {HLL_P}))) END"
+            ).alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = daily_regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    agg = merged.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")).alias(
+            "s_nonempty"
+        ),
+        F.count("*").alias("v_nonempty"),
+    )
+    scalars = events.agg(
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    joined = agg.crossJoin(F.broadcast(scalars)).select(
+        "n_days",
+        "n_exact",
+        (
+            F.col("s_nonempty")
+            + (F.lit(HLL_M) - F.col("v_nonempty")) * F.lit(1 << _HLL_RHO_CAP)
+        ).alias("s"),
+        (F.lit(HLL_M) - F.col("v_nonempty")).alias("v0"),
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(float(1 << _HLL_RHO_CAP)) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v0") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v0")),
+    ).otherwise(raw)
+    return joined.select(
+        "n_days",
+        "n_exact",
+        F.round(est, 2).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_error"
+        ),
+    )
+
+
 #: fastText-style gate geometry: hashed word weights in [-1, 1] at 1e-3
 #: resolution; a doc passes when its mean token weight clears the margin.
 FT_BUCKETS = 2001
@@ -1746,6 +1814,7 @@ QUERIES = {
     # the fastText-style hashed linear quality gate
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "quality_fasttext_gate": q_quality_fasttext_gate,
+    "sketch_hll_merge": q_sketch_hll_merge,
 }
 
 
@@ -2318,5 +2387,49 @@ ORACLES = {
                round(sum_w / (1000.0 * n_tokens), 6) AS score,
                sum_w > {FT_MARGIN_MILLI} * n_tokens AS keep
         FROM agg
+    """,
+    # daily registers max-merged by bucket, then the same estimator as
+    # sketch_hll_distinct over the merged table
+    "sketch_hll_merge": f"""
+        WITH hashed AS (
+            SELECT date_trunc('day', ts) AS day,
+                   (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+                   AS h
+            FROM events
+        ), daily_regs AS (
+            SELECT day, h % {HLL_M} AS bucket,
+                   max(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_CAP}
+                            ELSE length(bin((h >> {HLL_P}) & -(h >> {HLL_P})))
+                       END) AS m_j
+            FROM hashed GROUP BY 1, 2
+        ), merged AS (
+            SELECT bucket, max(m_j) AS m_j FROM daily_regs GROUP BY 1
+        ), agg AS (
+            SELECT sum((1::BIGINT << ({_HLL_RHO_CAP} - m_j)))::BIGINT AS s_nonempty,
+                   count(*) AS v_nonempty
+            FROM merged
+        ), scalars AS (
+            SELECT count(DISTINCT date_trunc('day', ts)) AS n_days,
+                   count(DISTINCT user_id) AS n_exact
+            FROM events
+        ), joined AS (
+            SELECT n_days, n_exact,
+                   s_nonempty + ({HLL_M} - v_nonempty) * (1::BIGINT << {_HLL_RHO_CAP})
+                   AS s,
+                   {HLL_M} - v_nonempty AS v0
+            FROM agg CROSS JOIN scalars
+        ), est AS (
+            SELECT n_days, n_exact,
+                   CASE WHEN {HLL_ALPHA} * {HLL_M} * {HLL_M} * {float(1 << _HLL_RHO_CAP)!r} / s
+                             <= 2.5 * {HLL_M}
+                         AND v0 > 0
+                        THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v0)
+                        ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M} * {float(1 << _HLL_RHO_CAP)!r} / s
+                   END AS e
+            FROM joined
+        )
+        SELECT n_days, n_exact, round(e, 2) AS hll_estimate,
+               round(abs(e - n_exact) / n_exact, 4) AS rel_error
+        FROM est
     """,
 }
