@@ -560,7 +560,10 @@ def q_quality_fasttext_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     Integer discipline: weights are exact integer millis, so sum_w and
     the margin test (sum_w > 20·n ⟺ mean > 0.02) never touch a float;
-    the reported score is one double division of exact ints."""
+    the reported score is in integer MICRO units via floor(x + 0.5) —
+    round(.,6) here would sit exactly on half-boundaries (the mean is a
+    ratio of small integers) where Spark's HALF_UP and DuckDB disagree;
+    the fuzz in test_fuzz_r7b.py found exactly such a case."""
     from ..functions.hashing import portable_hash
 
     docs = load(spark, sf, "documents")
@@ -576,9 +579,11 @@ def q_quality_fasttext_gate(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "lang",
             "n_tokens",
-            F.round(F.col("sum_w") / (1000.0 * F.col("n_tokens")), 6).alias(
-                "score"
-            ),
+            F.floor(
+                F.col("sum_w") * 1000000.0 / (1000.0 * F.col("n_tokens")) + 0.5
+            )
+            .cast("bigint")
+            .alias("score_micro"),
             (F.col("sum_w") > FT_MARGIN_MILLI * F.col("n_tokens")).alias("keep"),
         )
     )
@@ -2384,7 +2389,8 @@ ORACLES = {
             FROM w GROUP BY 1, 2
         )
         SELECT doc_id, lang, n_tokens,
-               round(sum_w / (1000.0 * n_tokens), 6) AS score,
+               floor(sum_w * 1000000.0 / (1000.0 * n_tokens) + 0.5)::BIGINT
+               AS score_micro,
                sum_w > {FT_MARGIN_MILLI} * n_tokens AS keep
         FROM agg
     """,
