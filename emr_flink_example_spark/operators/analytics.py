@@ -271,6 +271,79 @@ def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: attribution horizon: touches within 7 days before the purchase get
+#: credit; linear credit is carried in integer micro units (floor(x+0.5))
+#: so fractional 1/n splits are engine-exact.
+ATTR_HORIZON_DAYS = 7
+
+
+def q_attribution_multitouch(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing-style multi-touch attribution over the event stream:
+    every purchase credits the non-purchase events ("touches") by the
+    same user in the preceding ATTR_HORIZON_DAYS — last-touch count,
+    first-touch count, and linear credit (1/n per touch) summed per touch
+    event_type. The three classic attribution models off ONE join.
+
+    Shape: one equi-join on user_id with the horizon as a time residual
+    (the fact-fact shuffle is keyed on user_id only — at 100 TB this is
+    the sessionize partitioning, reused), then both row_number ranks and
+    the per-purchase touch count ride a single window partition
+    (purchase id) — one sort services all three models. Linear credit is
+    integer micro units via floor(1e6/n + 0.5): exact in both engines,
+    the quality_fasttext_gate lesson applied."""
+    ev = load(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            > F.col("p_ts") - F.expr(f"INTERVAL {ATTR_HORIZON_DAYS} DAYS")
+        ),
+    )
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").asc()
+    )
+    w_first = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").asc(), F.col("t_id").asc()
+    )
+    w_n = Window.partitionBy("p_id")
+    scored = joined.select(
+        "touch_type",
+        F.row_number().over(w_last).alias("r_last"),
+        F.row_number().over(w_first).alias("r_first"),
+        F.count("*").over(w_n).alias("n_touches"),
+    )
+    return (
+        scored.groupBy("touch_type")
+        .agg(
+            F.sum(F.when(F.col("r_last") == 1, 1).otherwise(0)).alias(
+                "last_touch"
+            ),
+            F.sum(F.when(F.col("r_first") == 1, 1).otherwise(0)).alias(
+                "first_touch"
+            ),
+            F.sum(
+                F.floor(F.lit(1000000.0) / F.col("n_touches") + 0.5).cast(
+                    "bigint"
+                )
+            ).alias("linear_micro"),
+        )
+        .orderBy("touch_type")
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -279,6 +352,8 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "scd2_intervals": q_scd2_intervals,
     "event_transition_matrix": q_event_transition_matrix,
+    # appended last (r7 continuation): multi-touch purchase attribution
+    "attribution_multitouch": q_attribution_multitouch,
 }
 
 ORACLES = {
@@ -398,5 +473,35 @@ ORACLES = {
                round(n_transitions / sum(n_transitions)
                      OVER (PARTITION BY from_type), 6) AS p_transition
         FROM counts
+    """,
+    "attribution_multitouch": f"""
+        WITH p AS (
+            SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ), t AS (
+            SELECT user_id, event_id AS t_id, event_type AS touch_type,
+                   ts AS t_ts
+            FROM events WHERE event_type <> 'purchase'
+        ), joined AS (
+            SELECT touch_type, p_id, t_ts, t_id
+            FROM p JOIN t ON p_user = user_id
+            WHERE t_ts <= p_ts
+              AND t_ts > p_ts - INTERVAL {ATTR_HORIZON_DAYS} DAY
+        ), scored AS (
+            SELECT touch_type,
+                   row_number() OVER (PARTITION BY p_id
+                                      ORDER BY t_ts DESC, t_id ASC) AS r_last,
+                   row_number() OVER (PARTITION BY p_id
+                                      ORDER BY t_ts ASC, t_id ASC) AS r_first,
+                   count(*) OVER (PARTITION BY p_id) AS n_touches
+            FROM joined
+        )
+        SELECT touch_type,
+               sum(CASE WHEN r_last = 1 THEN 1 ELSE 0 END)::BIGINT AS last_touch,
+               sum(CASE WHEN r_first = 1 THEN 1 ELSE 0 END)::BIGINT AS first_touch,
+               sum(floor(1000000.0 / n_touches + 0.5)::BIGINT)::BIGINT AS linear_micro
+        FROM scored
+        GROUP BY touch_type
+        ORDER BY touch_type
     """,
 }

@@ -1713,6 +1713,62 @@ _PR_TELE = 15 * PAGERANK_SCALE // 100  # 0.15 * mass, exact
 _PR_DAMP_NUM = 85  # 0.85 damping as an exact integer ratio
 
 
+#: k-core geometry: the 2-core peels away chain/pendant false-positive
+#: edges (a doc in the 2-core has >= 2 dup neighbours that survive the
+#: same test); 4 peeling rounds reach the fixpoint on any graph whose
+#: pendant chains are shorter than 4 — like PAGERANK_ITERS, a FIXED
+#: budget is what lets the oracle unroll the identical computation.
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition (k=2, fixed peeling budget) of the near-dup
+    graph: iteratively remove nodes with fewer than k surviving dup
+    neighbours, keeping the dense duplicate cores and shedding the
+    chain-shaped/pendant edges LSH false positives produce. Complements
+    `graph_triangle_count` (local density) with the global density
+    criterion used by Matula & Beck 1983 peeling. Output: the docs still
+    in the core after the rounds, with their in-core degree.
+
+    Scale shape: each round is ONE degree groupBy + two LEFT SEMI joins
+    (node sets, never pairwise), all hash-partitioned on doc id; the
+    bounded edge stream is localCheckpoint-ed per round so lineage stays
+    flat (the CC discipline). At 100 TB the per-round cost is linear in
+    surviving edges, and the edge stream only ever shrinks."""
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf)
+        .where(F.col("est_jaccard") >= CC_EST_JACCARD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs
+    for _ in range(KCORE_ROUNDS):
+        ends = edges.select(F.col("doc_a").alias("node")).unionAll(
+            edges.select(F.col("doc_b").alias("node"))
+        )
+        keep = (
+            ends.groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select("node")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "doc_a"), "doc_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "doc_b"), "doc_b", "left_semi")
+            .localCheckpoint()
+        )
+    ends = edges.select(F.col("doc_a").alias("node")).unionAll(
+        edges.select(F.col("doc_b").alias("node"))
+    )
+    return (
+        ends.groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("node").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank (Page et al. 1999) over the near-dup similarity graph —
     centrality within dup clusters identifies the canonical/boilerplate
@@ -2159,8 +2215,49 @@ QUERIES = {
     "graph_triangle_count": q_graph_triangle_count,
     "dedup_bloom_probe": q_dedup_bloom_probe,
     # appended last (r7 continuation): count-inverse soft-dedup reweighting
+    # and the 2-core peel of the dup graph
     "dedup_soft_weights": q_dedup_soft_weights,
+    "graph_kcore": q_graph_kcore,
 }
+
+def _kcore_oracle() -> str:
+    """The same fixed-budget 2-core peel unrolled: minhash edge CTEs, then
+    KCORE_ROUNDS rounds of degree-filter + endpoint semi-filters."""
+    parts = [
+        _minhash_cand_ctes()
+        + f""",
+        dup_edges AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM cand
+            WHERE {_EST_JACCARD_DUCK} >= {CC_EST_JACCARD}
+        ),
+        e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM dup_edges)
+    """
+    ]
+    # every e{t} is referenced three times per round (degree union + both
+    # IN filters): without MATERIALIZED, DuckDB inlines the whole minhash
+    # candidate chain 3^ROUNDS times
+    for t in range(KCORE_ROUNDS):
+        parts.append(f""",
+        k{t}keep AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT doc_a AS node FROM e{t}
+                UNION ALL SELECT doc_b FROM e{t})
+            GROUP BY node HAVING count(*) >= {KCORE_K}
+        ),
+        e{t + 1} AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM e{t}
+            WHERE doc_a IN (SELECT node FROM k{t}keep)
+              AND doc_b IN (SELECT node FROM k{t}keep)
+        )
+    """)
+    parts.append(f"""
+        SELECT node AS doc_id, count(*)::BIGINT AS core_degree
+        FROM (SELECT doc_a AS node FROM e{KCORE_ROUNDS}
+              UNION ALL SELECT doc_b FROM e{KCORE_ROUNDS})
+        GROUP BY node ORDER BY doc_id
+    """)
+    return "".join(parts)
+
 
 ORACLES = {
     "dedup_exact": """
@@ -2355,6 +2452,7 @@ ORACLES = {
     "embedding_decontamination": _embedding_decon_oracle(),
     "graph_triangle_count": _triangle_oracle(),
     "dedup_bloom_probe": _bloom_oracle(),
+    "graph_kcore": _kcore_oracle(),
     "dedup_soft_weights": """
         WITH fp AS (
             SELECT doc_id, md5(lower(trim(text))) AS fingerprint
