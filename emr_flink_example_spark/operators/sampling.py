@@ -188,6 +188,72 @@ def q_outlier_filter_quantile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: modified z-score constants in 1e-4 units: 0.6745·dev/MAD > 3.5
+#: (Iglewicz & Hoaglin 1993) becomes the EXACT integer test
+#: dev·6745 > 35000·MAD — no float ever enters the outlier decision.
+MAD_Z_NUM = 6745
+MAD_Z_THRESH = 35000
+
+
+def q_outlier_robust_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier census per event_type via the median/MAD modified
+    z-score (Iglewicz & Hoaglin 1993) — the mean/stddev z-score's
+    breakdown-point-0.5 sibling: a few huge values can't drag the fence.
+    Output: (event_type, n, median_cents, mad_cents, n_outliers).
+
+    Exactness discipline: values become integer cents; the median is the
+    lower median (k = (n+1) div 2-th smallest), selected by row_number
+    rather than engine-interpolated percentiles, so both engines pick the
+    identical element; the MAD repeats the same selection on |x − med|;
+    and the 3.5-sigma test is the all-integer dev·6745 > 35000·MAD. A
+    zero MAD (>50% of the group at one value) flags nothing, explicitly.
+
+    Scale shape: two window sorts partitioned by event_type (the exact
+    path); at 100 TB swap the row_number selections for approx
+    percentile_approx fences per the outlier_filter_quantile pattern —
+    the flag test and outputs stay identical."""
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    w1 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .join(F.broadcast(counts), "event_type")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("median_cents"))
+    )
+    devs = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("median_cents"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        devs.withColumn("rn", F.row_number().over(w2))
+        .join(F.broadcast(counts), "event_type")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad_cents"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("median_cents").alias("median_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    (F.col("mad_cents") > 0)
+                    & (F.col("dev") * MAD_Z_NUM > MAD_Z_THRESH * F.col("mad_cents")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_lang_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-balanced language sampling weights: w_l proportional to
     share_l^alpha with alpha=0.5 — the multilingual-corpus rebalancing rule
@@ -429,6 +495,8 @@ QUERIES = {
     "sample_weighted_bernoulli": q_sample_weighted_bernoulli,
     # r6: distribution-drift audit between the deterministic splits
     "quality_drift_psi": q_quality_drift_psi,
+    # r7 continuation: median/MAD robust outlier census
+    "outlier_robust_mad": q_outlier_robust_mad,
 }
 
 ORACLES = {
@@ -574,5 +642,45 @@ ORACLES = {
         WHERE ({_SAMPLE_HASH} % 1000000)
               < least(1000000.0, floor(n_chars::DOUBLE * {float(WEIGHTED_K * 1_000_000)!r}
                                        / total_chars))::BIGINT
+    """,
+    # identical lower-median selection by row_number (never interpolated
+    # percentiles) and the all-integer modified-z outlier test
+    "outlier_robust_mad": f"""
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), counts AS (
+            SELECT event_type, count(*) AS n FROM ev GROUP BY 1
+        ), med AS (
+            SELECT event_type, cents AS median_cents
+            FROM (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents, event_id) AS rn
+                FROM ev) r JOIN counts USING (event_type)
+            WHERE rn = (n + 1) // 2
+        ), devs AS (
+            SELECT e.event_id, e.event_type, m.median_cents,
+                   abs(e.cents - m.median_cents) AS dev
+            FROM ev e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, dev AS mad_cents
+            FROM (
+                SELECT event_type, dev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev, event_id) AS rn
+                FROM devs) r JOIN counts USING (event_type)
+            WHERE rn = (n + 1) // 2
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               min(median_cents) AS median_cents,
+               min(mad_cents) AS mad_cents,
+               sum(CASE WHEN mad_cents > 0
+                         AND dev * {MAD_Z_NUM} > {MAD_Z_THRESH} * mad_cents
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM devs JOIN mad USING (event_type)
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }

@@ -539,6 +539,66 @@ def q_sketch_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: head-vocabulary sizes for the coverage curve
+VOCAB_COVERAGE_KS = (10, 50, 100)
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Head-vocabulary coverage curve: for K in {10, 50, 100}, the share
+    of all token OCCURRENCES covered by the K most frequent types — the
+    tokenizer-design diagnostic (how far a small vocab goes, where the
+    long tail starts). Output: (k, n_types_total, covered_occurrences,
+    total_occurrences, coverage_micro).
+
+    Shape: ONE token-count groupBy (combine-friendly), a global rank over
+    the type table (|vocab| rows, not corpus rows — the only sort touches
+    the aggregate), cumulative sums via a running window, then one row
+    per K by filtering the rank. Coverage is floor(x + 0.5) integer
+    micros from exact occurrence counts. Rank ties break by (count desc,
+    token asc) — total order, engine-identical."""
+    docs = load(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    totals = counts.agg(
+        F.count("*").alias("n_types_total"), F.sum("cnt").alias("total_occ")
+    )
+    ks = ", ".join(str(k) for k in VOCAB_COVERAGE_KS)
+    kdf = (
+        spark.range(1)
+        .select(F.explode(F.expr(f"array({ks})")).alias("k"))
+        .crossJoin(F.broadcast(totals))
+    )
+    # a K beyond the vocabulary clamps to the last rank (coverage 100%)
+    return (
+        kdf.join(
+            ranked, F.col("rk") == F.least(F.col("k"), F.col("n_types_total"))
+        )
+        .select(
+            "k",
+            "n_types_total",
+            F.col("cum").alias("covered_occurrences"),
+            F.col("total_occ").alias("total_occurrences"),
+            F.floor(
+                F.col("cum") * 1000000.0 / F.col("total_occ") + 0.5
+            )
+            .cast("bigint")
+            .alias("coverage_micro"),
+        )
+        .orderBy("k")
+    )
+
+
 #: fastText-style gate geometry: hashed word weights in [-1, 1] at 1e-3
 #: resolution; a doc passes when its mean token weight clears the margin.
 FT_BUCKETS = 2001
@@ -1820,6 +1880,7 @@ QUERIES = {
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "quality_fasttext_gate": q_quality_fasttext_gate,
     "sketch_hll_merge": q_sketch_hll_merge,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 
@@ -2437,5 +2498,32 @@ ORACLES = {
         SELECT n_days, n_exact, round(e, 2) AS hll_estimate,
                round(abs(e - n_exact) / n_exact, 4) AS rel_error
         FROM est
+    """,
+    "vocab_coverage": f"""
+        WITH counts AS (
+            SELECT token, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
+            GROUP BY token
+        ), ranked AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk,
+                   sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cum
+            FROM counts
+        ), totals AS (
+            SELECT count(*)::BIGINT AS n_types_total,
+                   sum(cnt)::BIGINT AS total_occ
+            FROM counts
+        ), ks AS (
+            SELECT unnest([{", ".join(str(k) for k in VOCAB_COVERAGE_KS)}]) AS k
+        )
+        SELECT k, n_types_total,
+               cum AS covered_occurrences,
+               total_occ AS total_occurrences,
+               floor(cum * 1000000.0 / total_occ + 0.5)::BIGINT AS coverage_micro
+        FROM ks CROSS JOIN totals
+        JOIN ranked ON rk = least(k, n_types_total)
+        ORDER BY k
     """,
 }
