@@ -158,6 +158,51 @@ def q_timeseries_dtw(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Holt double-exponential smoothing constants — dyadic rationals so the
+#: complements (1-α, 1-β) are exact doubles and both engines multiply
+#: bit-identical factors. Fixed horizon like every unrollable recurrence.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+HOLT_H = 7
+
+
+def q_timeseries_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential smoothing (Holt 1957) of each user's
+    30-day dense daily series: final level, trend, and the H-step-ahead
+    linear forecast. The per-series sequential recurrence runs as an
+    `applyInPandas` kernel (per-group state never leaves the executor —
+    scales with #users); the DuckDB oracle replays the SAME recurrence as
+    a recursive CTE stepping t = 2..30 with (level, trend) carried per
+    user, so the kernel is hash-verified like timeseries_dtw.
+
+    Bit-determinism: the update l' = α·x + (1−α)(l+b);
+    b' = β(l'−l) + (1−β)b is written with the identical association in
+    the Python kernel and the SQL, over dyadic α/β — the float sequences
+    are IEEE-identical, rounded once at the end."""
+    dense = _dense_daily(spark, sf)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        v = [float(x) for x in pdf["v"]]
+        lv, b = v[0], v[1] - v[0]
+        for t in range(1, len(v)):
+            l_new = HOLT_ALPHA * v[t] + (1.0 - HOLT_ALPHA) * (lv + b)
+            b = HOLT_BETA * (l_new - lv) + (1.0 - HOLT_BETA) * b
+            lv = l_new
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "level": [round(lv, 4)],
+                "trend": [round(b, 4)],
+                "forecast_h": [round(lv + HOLT_H * b, 4)],
+            }
+        )
+
+    return dense.groupBy("user_id").applyInPandas(
+        kernel, schema="user_id bigint, level double, trend double, forecast_h double"
+    )
+
+
 def q_timeseries_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style resample: hourly rollup per event_type on a dense
     time grid, empty buckets zero-counted and value gap-filled by
@@ -381,6 +426,8 @@ QUERIES = {
     "timeseries_cascade_rollup": q_timeseries_cascade_rollup,
     # appended last (r5): linear-interpolation resample
     "timeseries_interpolate_linear": q_timeseries_interpolate_linear,
+    # r7 continuation: Holt double-exponential smoothing forecast
+    "timeseries_holt_forecast": q_timeseries_holt_forecast,
 }
 
 ORACLES = {
@@ -521,6 +568,40 @@ ORACLES = {
         )
         SELECT user_id, round(l[{N_DAYS + 1}], 4) AS dtw_dist
         FROM dp WHERE k = {N_DAYS * N_DAYS}
+    """,
+    # the same Holt recurrence stepped t = 2..N by a recursive CTE, with
+    # the identical operand association as the Python kernel (dyadic
+    # alpha/beta -> bit-identical IEEE sequences, rounded once at the end)
+    "timeseries_holt_forecast": f"""
+        WITH RECURSIVE daily AS (
+            SELECT user_id, date_part('day', ts)::INT AS day,
+                   round(sum(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT u.user_id, g.day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(generate_series(1, {N_DAYS})) AS day) g
+        ), dense AS (
+            SELECT g.user_id, g.day, coalesce(daily.v, 0.0) AS v
+            FROM grid g LEFT JOIN daily USING (user_id, day)
+        ), vser AS (
+            SELECT user_id, list(v ORDER BY day) AS v
+            FROM dense GROUP BY user_id
+        ), hw AS (
+            SELECT user_id, v, 1 AS t,
+                   v[1]::DOUBLE AS l, (v[2] - v[1])::DOUBLE AS b
+            FROM vser
+            UNION ALL
+            SELECT user_id, v, t + 1,
+                   {HOLT_ALPHA} * v[t + 1] + {1.0 - HOLT_ALPHA} * (l + b),
+                   {HOLT_BETA} * (({HOLT_ALPHA} * v[t + 1]
+                                   + {1.0 - HOLT_ALPHA} * (l + b)) - l)
+                   + {1.0 - HOLT_BETA} * b
+            FROM hw WHERE t < {N_DAYS}
+        )
+        SELECT user_id, round(l, 4) AS level, round(b, 4) AS trend,
+               round(l + {HOLT_H} * b, 4) AS forecast_h
+        FROM hw WHERE t = {N_DAYS}
     """,
     "timeseries_resample_gapfill": """
         WITH hourly AS (

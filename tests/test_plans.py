@@ -22,6 +22,7 @@ ARROW_QUERIES = {
     "multimodal_frame_sample",
     "multimodal_audio_windows",
     "timeseries_dtw",
+    "timeseries_holt_forecast",
     "dedup_embedding_cosine_vectorized",
     "udf_pandas_norm",
     "udaf_pandas_mean_dim0",
