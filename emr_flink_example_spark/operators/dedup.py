@@ -35,6 +35,7 @@ import random
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import MERSENNE_61
 from ..io import load
@@ -248,6 +249,106 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
         .groupBy("n_copies")
         .agg(F.count("*").alias("n_groups"))
+    )
+
+
+#: PPJoin threshold t = 3/5: prefix length p = |d| − ⌈t·|d|⌉ + 1, and the
+#: verify step is the exact integer test 8·inter ≥ 3·(|a|+|b|)
+#: (⟺ J ≥ 0.6 with no float anywhere near the boundary).
+PPJOIN_T_NUM, PPJOIN_T_DEN = 3, 5
+
+
+def q_dedup_jaccard_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (SSJoin / PPJoin family —
+    Chaudhuri, Ganti & Kaushik 2006; Xiao et al. 2008): all doc pairs with
+    shingle-Jaccard ≥ 0.6, but the self-join index holds only each doc's
+    PREFIX — its (|d| − ⌈t·|d|⌉ + 1) globally-RAREST shingles under one
+    corpus-wide (df, shingle) order. Any pair with J ≥ t must share a
+    prefix element, so candidates shrink from df² per shingle to the rare
+    tail while the answer stays exact; each candidate is then verified
+    against the full sets with an all-integer threshold test.
+
+    The ORACLE deliberately does NOT mirror the optimization: it computes
+    the same answer with the exhaustive inverted-index join — cross-engine
+    hash equality therefore PROVES the prefix filter lossless on this
+    corpus, not merely consistently implemented.
+
+    Scale shape: the global shingle order is a window over the aggregated
+    df table (|vocab| rows, not corpus rows); prefixes are a per-doc
+    row_number filter; verification joins only candidate pairs back to
+    the two docs' shingle rows — candidate-bounded, never all-pairs."""
+    docs = _shingled_docs(spark, sf)
+    inv = docs.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode_outer("shingles").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    dfreq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_global = Window.orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked_sh = dfreq.select(
+        "shingle", F.row_number().over(w_global).alias("grank")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("grank")
+    p = (
+        F.col("n_shingles")
+        - F.floor(
+            (PPJOIN_T_NUM * F.col("n_shingles") + PPJOIN_T_DEN - 1) / PPJOIN_T_DEN
+        )
+        + 1
+    )
+    prefix = (
+        inv.join(ranked_sh, "shingle")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .where(F.col("pos") <= p)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    xa = inv.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("size_a"),
+        F.col("shingle").alias("sh_a"),
+    )
+    xb = inv.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n_shingles").alias("size_b"),
+        F.col("shingle").alias("sh_b"),
+    )
+    verified = (
+        cand.join(xa, "doc_a")
+        .join(
+            xb,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+        .where(
+            (PPJOIN_T_DEN + PPJOIN_T_NUM) * F.col("n_common")
+            >= PPJOIN_T_NUM * (F.col("size_a") + F.col("size_b"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.floor(
+            F.col("n_common")
+            * 1000000.0
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("jaccard_micro"),
     )
 
 
@@ -2218,6 +2319,7 @@ QUERIES = {
     # and the 2-core peel of the dup graph
     "dedup_soft_weights": q_dedup_soft_weights,
     "graph_kcore": q_graph_kcore,
+    "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
 }
 
 def _kcore_oracle() -> str:
@@ -2453,6 +2555,28 @@ ORACLES = {
     "graph_triangle_count": _triangle_oracle(),
     "dedup_bloom_probe": _bloom_oracle(),
     "graph_kcore": _kcore_oracle(),
+    # exhaustive inverted-index twin of the prefix-filtered join: hash
+    # equality proves the PPJoin prefix filter lossless on this corpus
+    "dedup_jaccard_ppjoin": f"""
+        WITH {_TOK_CTE}, docs AS (
+            SELECT doc_id, {{SH}} AS shingles FROM tok
+        ), inv AS (
+            SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+            FROM docs
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS sa, b.n AS sb, count(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
+               floor(n_common * 1000000.0 / (sa + sb - n_common) + 0.5)::BIGINT
+               AS jaccard_micro
+        FROM pairs
+        WHERE {PPJOIN_T_DEN + PPJOIN_T_NUM} * n_common
+              >= {PPJOIN_T_NUM} * (sa + sb)
+    """.replace("{SH}", SHINGLES_DUCK),
     "dedup_soft_weights": """
         WITH fp AS (
             SELECT doc_id, md5(lower(trim(text))) AS fingerprint

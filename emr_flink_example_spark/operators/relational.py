@@ -2451,9 +2451,9 @@ ORACLES = {
     "late_lines_q12": """
         SELECT l_linestatus,
                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1999-01-01'
           AND l_shipdate < TIMESTAMP '2000-01-01'
