@@ -115,6 +115,14 @@ HEADLINE = [
     # fact table) and Q21 (EXISTS/NOT-EXISTS double self-join on orderkey)
     "product_profit_q9",
     "waiting_supplier_q21",
+    # r7 continuation: prefix-filtered set-similarity join (candidate
+    # pruning vs the exhaustive index), the explicit-register HLL sketch,
+    # multi-touch attribution (user-keyed join + one window sort), and the
+    # power-iteration PCA fit (4 sample-bounded aggregate passes)
+    "dedup_jaccard_ppjoin",
+    "sketch_hll_distinct",
+    "attribution_multitouch",
+    "embedding_pca_power",
 ]
 
 
