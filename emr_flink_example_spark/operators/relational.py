@@ -1422,6 +1422,58 @@ def q_histogram_equiwidth(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+HIST_EQD_K = 20  # equi-depth bucket count
+
+
+def q_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order totals: 20 buckets of
+    ~N/20 orders each, with per-bucket min/max — the optimizer-statistics
+    histogram shape (selectivity estimation wants equal-mass buckets, not
+    equal-width ones).
+
+    Scale shape: a naive NTILE would sort ALL rows through one unpartitioned
+    window. Instead the exact global position decomposes as
+    pos = |{rows with smaller value}| + rank within the tie group:
+    (1) groupBy value -> per-value counts (bounded by |distinct values|,
+    cents-grained prices, NOT row count), (2) ONE ordered window over that
+    small aggregate for cumulative counts, (3) join back and row_number
+    within each value partition (keyed window — scales), so no global
+    row-level sort ever happens. bucket = ((pos-1)*K) div N is pure integer
+    arithmetic — bit-equal on both engines, NTILE-style near-equal depths."""
+    orders = load(spark, sf, "orders")
+    per_v = orders.groupBy("o_totalprice").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "o_totalprice", "c", (F.sum("c").over(wcum) - F.col("c")).alias("below")
+    )
+    n = orders.groupBy().agg(F.count("*").alias("n"))
+    wtie = Window.partitionBy("o_totalprice").orderBy("o_orderkey")
+    pos = (
+        orders.select("o_orderkey", "o_totalprice")
+        .join(cum, "o_totalprice")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o_totalprice",
+            (F.col("below") + F.row_number().over(wtie)).alias("pos"),
+            "n",
+        )
+    )
+    return (
+        pos.select(
+            F.expr(f"cast(((pos - 1) * {HIST_EQD_K}) div n as int)").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subqueries
 # ---------------------------------------------------------------------------
@@ -1733,6 +1785,9 @@ QUERIES = {
     "brand_qty_revenue_q19": q_brand_qty_revenue_q19,
     "promotion_suppliers_q20": q_promotion_suppliers_q20,
     "waiting_supplier_q21": q_waiting_supplier_q21,
+    # appended (r7 continuation): equi-depth histogram without a global
+    # row-level sort
+    "histogram_equidepth": q_histogram_equidepth,
 }
 
 ORACLES = {
@@ -2519,5 +2574,32 @@ ORACLES = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name ASC
         LIMIT 100
+    """,
+    # exact-rank equi-depth histogram (value-histogram decomposition)
+    "histogram_equidepth": """
+        WITH per_v AS (
+            SELECT o_totalprice, count(*)::BIGINT AS c
+            FROM orders GROUP BY 1
+        ), cum AS (
+            SELECT o_totalprice, c,
+                   (sum(c) OVER (ORDER BY o_totalprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                     - c AS below
+            FROM per_v
+        ), n AS (
+            SELECT count(*)::BIGINT AS n FROM orders
+        ), pos AS (
+            SELECT o.o_totalprice,
+                   cum.below
+                     + row_number() OVER (PARTITION BY o.o_totalprice
+                                          ORDER BY o.o_orderkey) AS pos,
+                   n.n
+            FROM orders o JOIN cum USING (o_totalprice) CROSS JOIN n
+        )
+        SELECT (((pos - 1) * 20) // n)::INT AS bucket,
+               count(*)::BIGINT AS n_orders,
+               min(o_totalprice) AS bucket_min,
+               max(o_totalprice) AS bucket_max
+        FROM pos GROUP BY 1
     """,
 }

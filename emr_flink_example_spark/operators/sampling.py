@@ -479,6 +479,78 @@ def q_quality_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift audit between the deterministic
+    train and val splits over the n_chars distribution — the ECDF-shaped
+    companion to the binned PSI audit (KS catches shape drift PSI's coarse
+    bins can smear out; a leak-free splitter should show D ~ 0).
+
+    Determinism discipline: D = max_v |F_a(v) - F_b(v)| is computed in
+    integer units — d(v) = |cumA(v)*n_b - cumB(v)*n_a|, exact in any
+    accumulation order — and only the final report ships a float, as
+    floor-micro units of d/(n_a*n_b). The argmax value breaks ties toward
+    the smallest v (min over the maximizers), so the report row is unique.
+
+    Scale shape: one shuffle to per-value counts (bounded by |distinct
+    n_chars|, NOT corpus size), ONE unpartitioned ordered window over that
+    small aggregate (the quality_drift_psi pattern), two one-row broadcast
+    joins. The corpus is scanned exactly once."""
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT)))
+    labeled = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .alias("split"),
+    ).where(F.col("split").isNotNull())
+    per_v = labeled.groupBy("v").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_v.groupBy().agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    scored = (
+        per_v.select(
+            "v",
+            F.sum("ca").over(wcum).alias("cuma"),
+            F.sum("cb").over(wcum).alias("cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")
+            ).alias("d"),
+        )
+    )
+    kmax = scored.groupBy().agg(F.max("d").alias("ks_scaled"))
+    return (
+        scored.join(F.broadcast(kmax), scored["d"] == kmax["ks_scaled"])
+        .groupBy("ks_scaled", "n_a", "n_b")
+        .agg(F.min("v").alias("ks_at_n_chars"))
+        .select(
+            F.lit("train").alias("split_a"),
+            F.lit("val").alias("split_b"),
+            "n_a",
+            "n_b",
+            "ks_at_n_chars",
+            "ks_scaled",
+            F.floor(
+                F.col("ks_scaled").cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ks_micro"),
+        )
+    )
+
+
 QUERIES = {
     "shuffle_to_shards": q_shuffle_to_shards,
     "pack_token_shards": q_pack_token_shards,
@@ -497,6 +569,8 @@ QUERIES = {
     "quality_drift_psi": q_quality_drift_psi,
     # r7 continuation: median/MAD robust outlier census
     "outlier_robust_mad": q_outlier_robust_mad,
+    # r7 continuation: two-sample Kolmogorov-Smirnov drift audit
+    "quality_drift_ks": q_quality_drift_ks,
 }
 
 ORACLES = {
@@ -682,5 +756,37 @@ ORACLES = {
         FROM devs JOIN mad USING (event_type)
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    # integer-scaled two-sample KS between the deterministic splits
+    "quality_drift_ks": f"""
+        WITH labeled AS (
+            SELECT n_chars AS v,
+                   CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
+                        WHEN {_SPLIT_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                   END AS split
+            FROM documents
+        ), per_v AS (
+            SELECT v,
+                   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS ca,
+                   sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS cb
+            FROM labeled WHERE split IS NOT NULL GROUP BY 1
+        ), tot AS (
+            SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM per_v
+        ), scored AS (
+            SELECT v, t.n_a, t.n_b,
+                   abs((sum(ca) OVER w)::BIGINT * t.n_b
+                       - (sum(cb) OVER w)::BIGINT * t.n_a) AS d
+            FROM per_v CROSS JOIN tot t
+            WINDOW w AS (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), kmax AS (
+            SELECT max(d) AS ks_scaled FROM scored
+        )
+        SELECT 'train' AS split_a, 'val' AS split_b, n_a, n_b,
+               min(v) AS ks_at_n_chars, ks_scaled,
+               floor(ks_scaled::DOUBLE / (n_a * n_b) * 1000000.0 + 0.5)::BIGINT
+                 AS ks_micro
+        FROM scored JOIN kmax ON scored.d = kmax.ks_scaled
+        GROUP BY n_a, n_b, ks_scaled
     """,
 }

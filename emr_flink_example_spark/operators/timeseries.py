@@ -418,6 +418,167 @@ def q_timeseries_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CUSUM_REL_DEN = 20  # flag when a CUSUM excursion exceeds 1/20 of total mass
+
+#: autocorrelation lags probed by timeseries_acf (hours)
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def _dense_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """(event_type, h, n): per-type hourly counts on the dense hour grid,
+    zero-filled — same construction as the anomaly/gapfill queries (one
+    shuffle to the hourly rollup; the grid explodes from a one-row bounds
+    broadcast, so the dense frame is |types| x |hours| — linear, tiny
+    relative to the event scan even at 100 TB)."""
+    events = load(spark, sf, "events")
+    hourly = events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n_events")
+    )
+    bounds = hourly.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n")
+    )
+
+
+def q_timeseries_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM level-shift detection (Page 1954) on per-type hourly event
+    counts: for each hour, the cumulative upward/downward excursion of the
+    series against its own mean rate, flagged when an excursion exceeds
+    1/CUSUM_REL_DEN of the series' total mass (a scale-free threshold — no
+    variance estimate needed, so the statistic stays exact).
+
+    Determinism discipline: the textbook recurrence C_i = max(0, C_{i-1} +
+    x_i - mu) is a sequential fold, but it has a closed prefix-sum form —
+    C_i = P_i - min_{j<=i} P_j with P_i the running sum of (x_i - mu) —
+    so it becomes two window passes. To keep mu = T/L exact, everything is
+    scaled by L: S_i = L*P'_i - i*T (P' = running count sum, i = position),
+    ALL integer, so Spark and DuckDB agree bit-for-bit with no rounding
+    rule at all.
+
+    Scale shape: one shuffle to the hourly rollup, then two ordered window
+    passes per event_type over the bounded hour axis (|types| x |hours|
+    rows, independent of event count). Per-type totals ride a broadcast."""
+    dense = _dense_hourly(spark, sf)
+    totals = dense.groupBy("event_type").agg(
+        F.count("*").alias("len"), F.sum("n").alias("tot")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        dense.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "h",
+            "n",
+            "len",
+            "tot",
+            (F.col("len") * F.sum("n").over(w) - F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ) * F.col("tot")).alias("s"),
+        )
+    )
+    # the running extrema must include the EMPTY prefix S_0 = 0 (C_0 = 0 in
+    # Page's recurrence) — least/greatest against 0, not the bare window min
+    up = F.col("s") - F.least(F.lit(0).cast("bigint"), F.min("s").over(w))
+    down = F.greatest(F.lit(0).cast("bigint"), F.max("s").over(w)) - F.col("s")
+    return pre.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.col("n").alias("n_events"),
+        up.alias("cusum_up"),
+        down.alias("cusum_down"),
+        (up * CUSUM_REL_DEN > F.col("len") * F.col("tot")).alias("is_shift_up"),
+        (down * CUSUM_REL_DEN > F.col("len") * F.col("tot")).alias("is_shift_down"),
+    )
+
+
+def q_timeseries_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample autocorrelation of per-type hourly event counts at fixed lags
+    (1, 2, 3, 6, 12, 24 h) — the seasonality fingerprint (a daily cycle
+    shows as high r at lag 24) that tells a pipeline which period to
+    deseasonalize or which window the anomaly detector should trail.
+
+    Determinism discipline: r_k = sum_{i<=L-k}(x_i-m)(x_{i+k}-m) /
+    sum_i(x_i-m)^2 with m = T/L; scaling every deviation by L makes both
+    sums INTEGER (dev_i = L*x_i - T), exact in any accumulation order, and
+    the final ratio ships as floor(num/den * 1e6 + 0.5) micro units — the
+    identical IEEE expression on both engines (the surprisal discipline).
+    Bigint headroom: |dev| <= L*T, so den <= L^3*T^2 needs L^3*T^2 < 2^63
+    — holds for month-long hourly grids up to ~10^7 events/type-hour;
+    beyond that, pre-aggregate to a coarser grain first.
+
+    Scale shape: one shuffle to the hourly rollup; ONE ordered window pass
+    computes all six lag columns, which then unpivot map-side into (lag,
+    product) rows for a |types| x |lags| aggregate. Totals are broadcast."""
+    dense = _dense_hourly(spark, sf)
+    totals = dense.groupBy("event_type").agg(
+        F.count("*").alias("len"), F.sum("n").alias("tot")
+    )
+    wo = Window.partitionBy("event_type").orderBy("h")
+    dev = (
+        dense.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "h",
+            (F.col("len") * F.col("n") - F.col("tot")).alias("dev"),
+        )
+    )
+    lagged = dev.select(
+        "event_type",
+        "dev",
+        *[F.lag("dev", k).over(wo).alias(f"dl{k}") for k in ACF_LAGS],
+    )
+    pairs = (
+        lagged.select(
+            "event_type",
+            "dev",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"), F.col(f"dl{k}").alias("dl")
+                        )
+                        for k in ACF_LAGS
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("event_type", F.col("x.lag").alias("lag"), (F.col("dev") * F.col("x.dl")).alias("p"))
+        .where(F.col("p").isNotNull())
+    )
+    nums = pairs.groupBy("event_type", "lag").agg(
+        F.sum("p").alias("num"), F.count("*").alias("n_pairs")
+    )
+    dens = dev.groupBy("event_type").agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    return (
+        nums.join(F.broadcast(dens), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            F.when(
+                F.col("den") > 0,
+                F.floor(
+                    F.col("num").cast("double") / F.col("den") * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("acf_micro"),
+        )
+    )
+
+
 QUERIES = {
     "timeseries_znorm_corr": q_timeseries_znorm_corr,
     "timeseries_anomaly_zscore": q_timeseries_anomaly_zscore,
@@ -428,6 +589,9 @@ QUERIES = {
     "timeseries_interpolate_linear": q_timeseries_interpolate_linear,
     # r7 continuation: Holt double-exponential smoothing forecast
     "timeseries_holt_forecast": q_timeseries_holt_forecast,
+    # r7 continuation: CUSUM changepoints + autocorrelation fingerprint
+    "timeseries_cusum_changepoint": q_timeseries_cusum_changepoint,
+    "timeseries_acf": q_timeseries_acf,
 }
 
 ORACLES = {
@@ -680,5 +844,98 @@ ORACLES = {
                     ELSE coalesce(prev_val, next_val) END AS interp_value,
                sum_value IS NULL AS is_gap
         FROM cents
+    """,
+    # prefix-sum restatement of the CUSUM recurrence; all-integer, no rounding
+    "timeseries_cusum_changepoint": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(h) AS lo, max(h) AS hi FROM hourly
+        ), grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 HOUR)) AS h) g
+        ), dense AS MATERIALIZED (
+            SELECT g.event_type, g.h, coalesce(hourly.n, 0)::BIGINT AS n
+            FROM grid g LEFT JOIN hourly
+              ON hourly.event_type = g.event_type AND hourly.h = g.h
+        ), totals AS (
+            SELECT event_type, count(*)::BIGINT AS len, sum(n)::BIGINT AS tot
+            FROM dense GROUP BY 1
+        ), pre AS (
+            SELECT d.event_type, d.h, d.n, t.len, t.tot,
+                   t.len * (sum(d.n) OVER w)::BIGINT
+                     - (row_number() OVER w2) * t.tot AS s
+            FROM dense d JOIN totals t USING (event_type)
+            WINDOW w AS (PARTITION BY d.event_type ORDER BY d.h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w2 AS (PARTITION BY d.event_type ORDER BY d.h)
+        )
+        SELECT event_type, h AS bucket, n AS n_events,
+               (s - least(0, min(s) OVER w))::BIGINT AS cusum_up,
+               (greatest(0, max(s) OVER w) - s)::BIGINT AS cusum_down,
+               (s - least(0, min(s) OVER w)) * 20 > len * tot AS is_shift_up,
+               (greatest(0, max(s) OVER w) - s) * 20 > len * tot AS is_shift_down
+        FROM pre
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    # integer-scaled deviations; the ratio ships as floor-micro units
+    "timeseries_acf": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(h) AS lo, max(h) AS hi FROM hourly
+        ), grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 HOUR)) AS h) g
+        ), dense AS MATERIALIZED (
+            SELECT g.event_type, g.h, coalesce(hourly.n, 0)::BIGINT AS n
+            FROM grid g LEFT JOIN hourly
+              ON hourly.event_type = g.event_type AND hourly.h = g.h
+        ), totals AS (
+            SELECT event_type, count(*)::BIGINT AS len, sum(n)::BIGINT AS tot
+            FROM dense GROUP BY 1
+        ), dev AS MATERIALIZED (
+            SELECT d.event_type, d.h, t.len * d.n - t.tot AS dev
+            FROM dense d JOIN totals t USING (event_type)
+        ), lagged AS (
+            SELECT event_type, dev,
+                   lag(dev, 1) OVER w AS dl1,
+                   lag(dev, 2) OVER w AS dl2,
+                   lag(dev, 3) OVER w AS dl3,
+                   lag(dev, 6) OVER w AS dl6,
+                   lag(dev, 12) OVER w AS dl12,
+                   lag(dev, 24) OVER w AS dl24
+            FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ), pairs AS (
+            SELECT event_type, 1 AS lag, dev * dl1 AS p FROM lagged WHERE dl1 IS NOT NULL
+            UNION ALL SELECT event_type, 2 AS lag, dev * dl2 AS p FROM lagged WHERE dl2 IS NOT NULL
+            UNION ALL SELECT event_type, 3 AS lag, dev * dl3 AS p FROM lagged WHERE dl3 IS NOT NULL
+            UNION ALL SELECT event_type, 6 AS lag, dev * dl6 AS p FROM lagged WHERE dl6 IS NOT NULL
+            UNION ALL SELECT event_type, 12 AS lag, dev * dl12 AS p FROM lagged WHERE dl12 IS NOT NULL
+            UNION ALL SELECT event_type, 24 AS lag, dev * dl24 AS p FROM lagged WHERE dl24 IS NOT NULL
+        ), nums AS (
+            SELECT event_type, lag, sum(p)::BIGINT AS num,
+                   count(*)::BIGINT AS n_pairs
+            FROM pairs GROUP BY 1, 2
+        ), dens AS (
+            SELECT event_type, sum(dev * dev)::BIGINT AS den
+            FROM dev GROUP BY 1
+        )
+        SELECT n.event_type, n.lag, n.n_pairs,
+               CASE WHEN d.den > 0 THEN
+                 floor(n.num::DOUBLE / d.den * 1000000.0 + 0.5)::BIGINT
+               END AS acf_micro
+        FROM nums n JOIN dens d USING (event_type)
     """,
 }
