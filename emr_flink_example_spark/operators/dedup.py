@@ -2282,6 +2282,100 @@ def _pagerank_oracle() -> str:
     )
 
 
+#: Adamic-Adar weight-table cap: centers with degree above this clamp to the
+#: cap's weight (hub contributions are tiny there anyway — 1/ln is flat)
+AA_MAX_DEG = 256
+AA_TOP_K = 50
+
+#: per-center adjacency cap for wedge enumeration (hub-skew guard): work
+#: is bounded at |centers| * cap^2; degrees/weights stay exact
+AA_ADJ_CAP = 32
+
+
+def _aa_weights() -> list[tuple[int, int]]:
+    """(degree, floor(1e6/ln(degree) + 0.5)) for degree 2..AA_MAX_DEG.
+
+    Precomputed in PYTHON and shipped to BOTH engines as a literal table:
+    ln() is not an IEEE correctly-rounded operation, so evaluating it
+    engine-side could differ in the last ulp between Spark and DuckDB —
+    the same reason the temperature sampler restricts itself to sqrt().
+    A lookup table makes the weights integer constants by construction."""
+    import math
+
+    return [
+        (d, int(math.floor(1_000_000 / math.log(d) + 0.5)))
+        for d in range(2, AA_MAX_DEG + 1)
+    ]
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the SimHash
+    Hamming-ball graph: for each NON-adjacent doc pair sharing at least
+    one neighbor, score = sum over common neighbors w of 1/ln(deg(w)) —
+    the "should these two already be an edge?" audit that ranks near-dup
+    pairs the 3-bit Hamming ball narrowly missed (high AA, no edge =
+    probable false negative worth an exact-verification pass). The SimHash
+    graph (not the minhash one) is the candidate surface because banding
+    over exact-dup clusters yields cliques with no open wedges to score.
+
+    Determinism: per-center weights come from the _aa_weights() integer
+    table (see there — no engine-side ln()), so scores are integer sums in
+    micro units; the top-50 report orders by (score, doc_a, doc_b) — a
+    total order, so the LIMIT boundary is exact on both engines.
+
+    Scale shape: wedges come from ONE self-equi-join of the weighted
+    adjacency on the center node. Hub fan-out is the last-reducer risk, so
+    each center's adjacency is CAPPED at AA_ADJ_CAP neighbors (row_number
+    by neighbor id — deterministic, mirrored in the oracle): wedge work is
+    bounded at |centers| * cap^2 regardless of skew, the standard
+    neighborhood-sampling bound for link prediction at scale. Degrees (and
+    so weights) stay EXACT — only the common-neighbor enumeration is
+    sampled. The 255-row weight table is broadcast."""
+    pairs = (
+        q_simhash_hamming_pairs(spark, sf)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    adj = pairs.select(F.col("doc_a").alias("w"), F.col("doc_b").alias("nbr")).union(
+        pairs.select(F.col("doc_b").alias("w"), F.col("doc_a").alias("nbr"))
+    )
+    deg = adj.groupBy("w").agg(F.count("*").alias("d")).where(F.col("d") >= 2)
+    wt_df = spark.createDataFrame(_aa_weights(), "d_cl int, aa_wt bigint")
+    centers = (
+        deg.select(
+            "w", F.least(F.col("d"), F.lit(AA_MAX_DEG)).cast("int").alias("d_cl")
+        )
+        .join(F.broadcast(wt_df), "d_cl")
+        .select("w", "aa_wt")
+    )
+    wadj = Window.partitionBy("w").orderBy("nbr")
+    adj_capped = (
+        adj.withColumn("rk", F.row_number().over(wadj))
+        .where(F.col("rk") <= AA_ADJ_CAP)
+        .drop("rk")
+    )
+    adjw = adj_capped.join(centers, "w")
+    a1 = adjw.select("w", F.col("nbr").alias("u"), "aa_wt")
+    a2 = adjw.select(F.col("w").alias("w2"), F.col("nbr").alias("v"))
+    cand = (
+        a1.join(a2, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.sum("aa_wt").alias("aa_micro"), F.count("*").alias("n_common"))
+    )
+    non_adjacent = cand.join(
+        pairs,
+        (cand["u"] == pairs["doc_a"]) & (cand["v"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    return (
+        non_adjacent.select(
+            F.col("u").alias("doc_a"), F.col("v").alias("doc_b"), "n_common", "aa_micro"
+        )
+        .orderBy(F.col("aa_micro").desc(), "doc_a", "doc_b")
+        .limit(AA_TOP_K)
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -2320,7 +2414,61 @@ QUERIES = {
     "dedup_soft_weights": q_dedup_soft_weights,
     "graph_kcore": q_graph_kcore,
     "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
+    # appended last (r7 continuation): Adamic-Adar link prediction over the
+    # dup graph
+    "graph_adamic_adar": q_graph_adamic_adar,
 }
+
+def _adamic_adar_oracle() -> str:
+    """Same capped wedge construction over the SimHash Hamming graph; the
+    weight table is the identical Python-precomputed VALUES list."""
+    values = ", ".join(f"({d}, {w})" for d, w in _aa_weights())
+    return f"""
+        WITH fp AS ({_simhash_oracle()}),
+        dup_edges AS MATERIALIZED (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+        ),
+        adj AS MATERIALIZED (
+            SELECT doc_a AS w, doc_b AS nbr FROM dup_edges
+            UNION ALL SELECT doc_b, doc_a FROM dup_edges
+        ),
+        deg AS (
+            SELECT w, count(*)::BIGINT AS d FROM adj
+            GROUP BY w HAVING count(*) >= 2
+        ),
+        wt(d_cl, aa_wt) AS (VALUES {values}),
+        centers AS (
+            SELECT deg.w, wt.aa_wt::BIGINT AS aa_wt
+            FROM deg JOIN wt ON wt.d_cl = least(deg.d, {AA_MAX_DEG})
+        ),
+        adj_capped AS (
+            SELECT w, nbr FROM (
+                SELECT w, nbr,
+                       row_number() OVER (PARTITION BY w ORDER BY nbr) AS rk
+                FROM adj
+            ) WHERE rk <= {AA_ADJ_CAP}
+        ),
+        adjw AS MATERIALIZED (
+            SELECT a.w, a.nbr, c.aa_wt FROM adj_capped a JOIN centers c USING (w)
+        ),
+        cand_pairs AS (
+            SELECT a1.nbr AS u, a2.nbr AS v,
+                   sum(a1.aa_wt)::BIGINT AS aa_micro,
+                   count(*)::BIGINT AS n_common
+            FROM adjw a1 JOIN adjw a2 ON a1.w = a2.w AND a1.nbr < a2.nbr
+            GROUP BY 1, 2
+        )
+        SELECT u AS doc_a, v AS doc_b, n_common, aa_micro
+        FROM cand_pairs cp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dup_edges e WHERE e.doc_a = cp.u AND e.doc_b = cp.v
+        )
+        ORDER BY aa_micro DESC, doc_a, doc_b
+        LIMIT {AA_TOP_K}
+    """
+
 
 def _kcore_oracle() -> str:
     """The same fixed-budget 2-core peel unrolled: minhash edge CTEs, then
@@ -2555,6 +2703,7 @@ ORACLES = {
     "graph_triangle_count": _triangle_oracle(),
     "dedup_bloom_probe": _bloom_oracle(),
     "graph_kcore": _kcore_oracle(),
+    "graph_adamic_adar": _adamic_adar_oracle(),
     # exhaustive inverted-index twin of the prefix-filtered join: hash
     # equality proves the PPJoin prefix filter lossless on this corpus
     "dedup_jaccard_ppjoin": f"""

@@ -1729,6 +1729,103 @@ def q_embedding_standardize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: matryoshka (MRL) truncation dims probed; DIM last = the exact anchor
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+MATRYOSHKA_K = 10
+MATRYOSHKA_NQ = 20
+
+
+def q_embedding_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation-recall census (Kusupati et al. 2022 MRL): for
+    each prefix dimensionality d in MATRYOSHKA_DIMS, how many of the exact
+    full-dim cosine top-10 neighbors the d-dim-truncated cosine top-10
+    recovers, per 20-query probe set — the measurement that tells a
+    pipeline how far it can shrink its ANN index before recall pays.
+
+    Output is pure integers (dim, n_topk, n_hits) — recall@10 = n_hits /
+    n_topk without any cross-engine float ratio; ranking ties break on
+    neighbor_id. Truncated cosines reuse the knn_bruteforce fold kernel on
+    array prefixes (`slice`), which DuckDB's list slicing + left-to-right
+    list_dot_product reproduces bit-for-bit.
+
+    Scale shape: the 20-query probe set is broadcast against the corpus
+    (ONE corpus scan; per-pair work is sum(dims) ~ 2x the full-dim dot),
+    per-(dim, query) top-k via rank-over-window on the bucketed pair
+    stream, then a broadcast-sized self-join of the k*|dims|*|queries|
+    shortlist. At 100 TB the corpus side would ride the LSH buckets
+    (ann_lsh_topk) instead of the brute-force cross join — the census
+    itself is unchanged."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    norms = [
+        F.sqrt(_dot(f"slice(e, 1, {d})", f"slice(e, 1, {d})")).alias(f"n{d}")
+        for d in MATRYOSHKA_DIMS
+    ]
+    q = emb.where(F.col("vec_id") < MATRYOSHKA_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), *norms
+    )
+    qn = {d: F.col(f"n{d}").alias(f"qn{d}") for d in MATRYOSHKA_DIMS}
+    q = q.select("query_id", "qe", *[qn[d] for d in MATRYOSHKA_DIMS])
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), *norms
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    per_dim = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.when(
+                            F.col(f"qn{d}") * F.col(f"n{d}") > 0,
+                            _dot(f"slice(qe, 1, {d})", f"slice(ce, 1, {d})")
+                            / (F.col(f"qn{d}") * F.col(f"n{d}")),
+                        ).alias("cosine"),
+                    )
+                    for d in MATRYOSHKA_DIMS
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "query_id", "neighbor_id", F.col("x.dim").alias("dim"), F.col("x.cosine").alias("cosine")
+    ).where(F.col("cosine").isNotNull())
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        per_dim.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MATRYOSHKA_K)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    full_top = topk.where(F.col("dim") == DIM).select(
+        F.col("query_id").alias("full_q"), F.col("neighbor_id").alias("hit_id")
+    )
+    return (
+        topk.join(
+            F.broadcast(full_top),
+            (F.col("query_id") == F.col("full_q"))
+            & (F.col("neighbor_id") == F.col("hit_id")),
+            "left",
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_topk"),
+            F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)).alias(
+                "n_hits"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1756,6 +1853,8 @@ QUERIES = {
     # per-dimension feature standardization
     "embedding_pca_power": q_embedding_pca_power,
     "embedding_standardize": q_embedding_standardize,
+    # r7 continuation: MRL truncation-recall census
+    "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
 }
 
 
@@ -2511,5 +2610,37 @@ ORACLES = {
                    AS avg_norm,
                round(avg(embedding[1]), 4) AS avg_dim0
         FROM embeddings GROUP BY label
+    """,
+    # MRL truncation recall: list-slice cosines, integer hit counts
+    "embedding_matryoshka_recall": """
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        ), pairs AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.e AS qe, c.e AS ce
+            FROM base q CROSS JOIN base c
+            WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+        ), scored AS (
+            SELECT query_id, neighbor_id, 8 AS dim, CASE WHEN sqrt(list_dot_product(qe[1:8], qe[1:8])) * sqrt(list_dot_product(ce[1:8], ce[1:8])) > 0 THEN list_dot_product(qe[1:8], ce[1:8]) / (sqrt(list_dot_product(qe[1:8], qe[1:8])) * sqrt(list_dot_product(ce[1:8], ce[1:8]))) END AS cosine FROM pairs
+            UNION ALL SELECT query_id, neighbor_id, 16 AS dim, CASE WHEN sqrt(list_dot_product(qe[1:16], qe[1:16])) * sqrt(list_dot_product(ce[1:16], ce[1:16])) > 0 THEN list_dot_product(qe[1:16], ce[1:16]) / (sqrt(list_dot_product(qe[1:16], qe[1:16])) * sqrt(list_dot_product(ce[1:16], ce[1:16]))) END AS cosine FROM pairs
+            UNION ALL SELECT query_id, neighbor_id, 32 AS dim, CASE WHEN sqrt(list_dot_product(qe[1:32], qe[1:32])) * sqrt(list_dot_product(ce[1:32], ce[1:32])) > 0 THEN list_dot_product(qe[1:32], ce[1:32]) / (sqrt(list_dot_product(qe[1:32], qe[1:32])) * sqrt(list_dot_product(ce[1:32], ce[1:32]))) END AS cosine FROM pairs
+            UNION ALL SELECT query_id, neighbor_id, 64 AS dim, CASE WHEN sqrt(list_dot_product(qe[1:64], qe[1:64])) * sqrt(list_dot_product(ce[1:64], ce[1:64])) > 0 THEN list_dot_product(qe[1:64], ce[1:64]) / (sqrt(list_dot_product(qe[1:64], qe[1:64])) * sqrt(list_dot_product(ce[1:64], ce[1:64]))) END AS cosine FROM pairs
+        ), ranked AS (
+            SELECT dim, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY dim, query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM scored WHERE cosine IS NOT NULL
+        ), topk AS (
+            SELECT dim, query_id, neighbor_id FROM ranked WHERE rk <= 10
+        ), full_top AS (
+            SELECT query_id AS full_q, neighbor_id AS hit_id
+            FROM topk WHERE dim = 64
+        )
+        SELECT t.dim, count(*)::BIGINT AS n_topk,
+               sum(CASE WHEN f.hit_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        FROM topk t LEFT JOIN full_top f
+          ON t.query_id = f.full_q AND t.neighbor_id = f.hit_id
+        GROUP BY 1
     """,
 }
