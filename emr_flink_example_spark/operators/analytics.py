@@ -344,6 +344,96 @@ def q_attribution_multitouch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: pruning-audit probe grid: 8 relative custkey ranges + 8 date quarters
+PRUNE_N_PROBES = 8
+
+
+def q_manifest_prune_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-skipping effectiveness audit: replay a grid of single-column
+    range predicates against the z-order layout's per-file min/max
+    manifests (the statistics a lake format keeps) and report how many
+    files — and rows — each probe would have to touch. This is the
+    measurement that justifies (or indicts) a table's clustering: a
+    predicate on EITHER z-order dimension should prune most files, and
+    this query proves it with numbers.
+
+    Probe grid: 8 custkey ranges placed RELATIVE to max(custkey) (integer
+    arithmetic off one broadcast scalar, so the probe set is scale-free
+    across SFs) and 8 calendar quarters from 1994-01-01 (TPC-H's date
+    span is SF-independent). A file is touched unless its [min,max]
+    interval is disjoint from the probe — exactly the pruning rule an
+    engine applies, all integer/date compares.
+
+    Scale shape: ONE scan builds the manifest (same rollup as
+    layout_zorder_files); everything after operates on |files| x |probes|
+    rows — manifest-sized, not data-sized, which is the whole point of
+    manifests."""
+    orders = load(spark, sf, "orders")
+    x = f"(o_custkey % {1 << ZORDER_BITS})"
+    y = f"(cast(datediff(o_orderdate, DATE'1992-01-01') as bigint) % {1 << ZORDER_BITS})"
+    z = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(_interleave_bits_sql(x, y, ZORDER_BITS)).alias("zval"),
+    )
+    mf = z.groupBy(
+        F.expr(f"zval div {1 << ZORDER_FILE_SHIFT}").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min("o_orderdate").alias("dt_min"),
+        F.max("o_orderdate").alias("dt_max"),
+    )
+    mck = orders.groupBy().agg(F.max("o_custkey").alias("m"))
+    ck_probes = (
+        spark.range(PRUNE_N_PROBES)
+        .crossJoin(F.broadcast(mck))
+        .select(
+            F.col("id").cast("int").alias("probe_id"),
+            F.expr(f"(id * m) div {PRUNE_N_PROBES}").alias("lo"),
+            F.expr(
+                f"(id * m) div {PRUNE_N_PROBES} + m div {2 * PRUNE_N_PROBES}"
+            ).alias("hi"),
+        )
+    )
+    dt_probes = spark.range(PRUNE_N_PROBES).select(
+        F.col("id").cast("int").alias("probe_id"),
+        F.expr("add_months(DATE'1994-01-01', cast(3 * id as int))").alias("lo"),
+        F.expr(
+            "date_sub(add_months(DATE'1994-01-01', cast(3 * (id + 1) as int)), 1)"
+        ).alias("hi"),
+    )
+    ck = mf.crossJoin(F.broadcast(ck_probes)).select(
+        F.lit("custkey").alias("dim"),
+        "probe_id",
+        "n_rows",
+        (~((F.col("ck_max") < F.col("lo")) | (F.col("ck_min") > F.col("hi")))).alias(
+            "touched"
+        ),
+    )
+    dt = mf.crossJoin(F.broadcast(dt_probes)).select(
+        F.lit("orderdate").alias("dim"),
+        "probe_id",
+        "n_rows",
+        (~((F.col("dt_max") < F.col("lo")) | (F.col("dt_min") > F.col("hi")))).alias(
+            "touched"
+        ),
+    )
+    return (
+        ck.union(dt)
+        .groupBy("dim", "probe_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.when(F.col("touched"), 1).otherwise(0)).alias("n_files_touched"),
+            F.sum(F.when(F.col("touched"), F.col("n_rows")).otherwise(0)).alias(
+                "n_rows_touched"
+            ),
+        )
+    )
+
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -354,6 +444,9 @@ QUERIES = {
     "event_transition_matrix": q_event_transition_matrix,
     # appended last (r7 continuation): multi-touch purchase attribution
     "attribution_multitouch": q_attribution_multitouch,
+    # r7 continuation: min/max-manifest pruning audit over the z-order
+    # layout
+    "manifest_prune_stats": q_manifest_prune_stats,
 }
 
 ORACLES = {
@@ -503,5 +596,49 @@ ORACLES = {
         FROM scored
         GROUP BY touch_type
         ORDER BY touch_type
+    """,
+    # the same manifest + probe grid; pruning rule restated verbatim
+    "manifest_prune_stats": f"""
+        WITH z AS (
+            SELECT o_custkey, o_orderdate,
+                   {_interleave_bits_sql(
+                       f"(o_custkey % {1 << ZORDER_BITS})",
+                       f"(date_diff('day', DATE '1992-01-01', o_orderdate::DATE) % {1 << ZORDER_BITS})",
+                       ZORDER_BITS,
+                   )} AS zval
+            FROM orders
+        ), mf AS MATERIALIZED (
+            SELECT zval // {1 << ZORDER_FILE_SHIFT} AS file_id,
+                   count(*)::BIGINT AS n_rows,
+                   min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+                   min(o_orderdate) AS dt_min, max(o_orderdate) AS dt_max
+            FROM z GROUP BY 1
+        ), mck AS (SELECT max(o_custkey) AS m FROM orders),
+        ck_probes AS (
+            SELECT g.id::INT AS probe_id,
+                   (g.id * m) // {PRUNE_N_PROBES} AS lo,
+                   (g.id * m) // {PRUNE_N_PROBES} + m // {2 * PRUNE_N_PROBES} AS hi
+            FROM (SELECT unnest(generate_series(0, {PRUNE_N_PROBES - 1})) AS id) g
+            CROSS JOIN mck
+        ), dt_probes AS (
+            SELECT g.id::INT AS probe_id,
+                   DATE '1994-01-01' + to_months((3 * g.id)::INT) AS lo,
+                   DATE '1994-01-01' + to_months((3 * (g.id + 1))::INT)
+                     - to_days(1) AS hi
+            FROM (SELECT unnest(generate_series(0, {PRUNE_N_PROBES - 1})) AS id) g
+        ), flags AS (
+            SELECT 'custkey' AS dim, p.probe_id, mf.n_rows,
+                   NOT (mf.ck_max < p.lo OR mf.ck_min > p.hi) AS touched
+            FROM mf CROSS JOIN ck_probes p
+            UNION ALL
+            SELECT 'orderdate' AS dim, p.probe_id, mf.n_rows,
+                   NOT (mf.dt_max < p.lo OR mf.dt_min > p.hi) AS touched
+            FROM mf CROSS JOIN dt_probes p
+        )
+        SELECT dim, probe_id,
+               count(*)::BIGINT AS n_files,
+               sum(CASE WHEN touched THEN 1 ELSE 0 END)::BIGINT AS n_files_touched,
+               sum(CASE WHEN touched THEN n_rows ELSE 0 END)::BIGINT AS n_rows_touched
+        FROM flags GROUP BY 1, 2
     """,
 }

@@ -1840,6 +1840,101 @@ _PMI_ORACLE = f"""
 """
 
 
+#: TextRank constants: content words = length >= 4 after lowercasing;
+#: co-occurrence window 2 over the FILTERED token sequence; integer rank
+#: mass in e-12 units (the graph_pagerank discipline)
+TEXTRANK_MIN_LEN = 4
+TEXTRANK_ITERS = 5
+TEXTRANK_TOP_K = 50
+TEXTRANK_SCALE = 10**12
+_TR_TELE = 15 * TEXTRANK_SCALE // 100
+_TR_DAMP = 85
+
+
+def q_keyword_textrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus keyword extraction via TextRank (Mihalcea & Tarau 2004):
+    weighted PageRank over the word co-occurrence graph (window 2 on the
+    lowercased length>=4 token sequence), reporting the top 50 words — the
+    unsupervised "what is this corpus about?" summary a curation pipeline
+    attaches to each source/shard datacard.
+
+    Determinism discipline: rank mass is integer e-12 units end-to-end
+    (contribution = (r * w_uv) div W_u, damped sum = (85 * s) div 100 — the
+    graph_pagerank discipline), so 5 iterations produce bit-identical
+    integers on both engines; the DuckDB oracle unrolls the same rounds
+    over the same pair construction.
+
+    Scale shape: pair generation is map-side (per-doc array transforms —
+    never a token-level self-join); the graph aggregates to |vocab-pair|
+    edges; each iteration is ONE node-keyed equi-join + ONE map-side-
+    combinable integer sum with `localCheckpoint` lineage truncation.
+    Totals ride one-row broadcasts."""
+    docs = load(spark, sf, "documents")
+    ft = (
+        f"filter(regexp_extract_all(lower(text), '{TOKEN_RE}', 0),"
+        f" t -> length(t) >= {TEXTRANK_MIN_LEN})"
+    )
+
+    def pair_arr(k: int) -> str:
+        a, b = "element_at(ft, i)", f"element_at(ft, i + {k})"
+        return (
+            f"case when size(ft) > {k} then transform(sequence(1, size(ft) - {k}),"
+            f" i -> case when {a} < {b} then concat({a}, ' ', {b})"
+            f" else concat({b}, ' ', {a}) end)"
+            f" else cast(array() as array<string>) end"
+        )
+
+    pairs = (
+        docs.select(F.expr(ft).alias("ft"))
+        .select(
+            F.explode(F.expr(f"concat({pair_arr(1)}, {pair_arr(2)})")).alias("pair")
+        )
+        .where(F.expr("split_part(pair, ' ', 1) != split_part(pair, ' ', 2)"))
+    )
+    pc = pairs.groupBy("pair").agg(F.count("*").alias("w"))
+    und = pc.select(
+        F.expr("split_part(pair, ' ', 1)").alias("u"),
+        F.expr("split_part(pair, ' ', 2)").alias("v"),
+        "w",
+    )
+    edges = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint()
+    wsum = edges.groupBy("u").agg(F.sum("w").alias("wu"))
+    nn = wsum.groupBy().agg(F.count("*").alias("n"))
+    base = (
+        wsum.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("u").alias("node"),
+            "wu",
+            F.expr(f"cast({_TR_TELE} as bigint) div n").alias("tele"),
+            F.expr(f"cast({TEXTRANK_SCALE} as bigint) div n").alias("r0"),
+        )
+        .localCheckpoint()
+    )
+    ranks = base.select("node", F.col("r0").alias("r"), "wu")
+    for _ in range(TEXTRANK_ITERS):
+        contrib = edges.join(ranks, edges["u"] == ranks["node"]).select(
+            "v", F.expr("(r * w) div wu").alias("c")
+        )
+        nbr = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = (
+            base.join(nbr, base["node"] == nbr["v"])
+            .select(
+                "node",
+                F.expr(f"tele + ({_TR_DAMP} * s) div 100").alias("r"),
+                "wu",
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(F.col("node").alias("keyword"), F.col("r").alias("textrank_e12"))
+        .orderBy(F.col("textrank_e12").desc(), "keyword")
+        .limit(TEXTRANK_TOP_K)
+    )
+
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -1881,7 +1976,79 @@ QUERIES = {
     "quality_fasttext_gate": q_quality_fasttext_gate,
     "sketch_hll_merge": q_sketch_hll_merge,
     "vocab_coverage": q_vocab_coverage,
+    # r7 continuation: TextRank keyword extraction over the co-occurrence
+    # graph
+    "keyword_textrank": q_keyword_textrank,
 }
+
+
+def _textrank_oracle() -> str:
+    """The same integer-weighted PageRank unrolled over the same window-2
+    pair construction; every round MATERIALIZED so the token chain is
+    evaluated once, not re-inlined per round."""
+    prefix = f"""
+        WITH ft_t AS (
+            SELECT list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                               t -> length(t) >= {TEXTRANK_MIN_LEN}) AS ft
+            FROM documents
+        ), rawpairs AS (
+            SELECT unnest(list_concat(
+                CASE WHEN len(ft) > 1 THEN
+                    list_transform(generate_series(1, len(ft) - 1), i ->
+                        CASE WHEN ft[i] < ft[i + 1]
+                             THEN ft[i] || ' ' || ft[i + 1]
+                             ELSE ft[i + 1] || ' ' || ft[i] END)
+                ELSE CAST([] AS VARCHAR[]) END,
+                CASE WHEN len(ft) > 2 THEN
+                    list_transform(generate_series(1, len(ft) - 2), i ->
+                        CASE WHEN ft[i] < ft[i + 2]
+                             THEN ft[i] || ' ' || ft[i + 2]
+                             ELSE ft[i + 2] || ' ' || ft[i] END)
+                ELSE CAST([] AS VARCHAR[]) END)) AS pair
+            FROM ft_t
+        ), pc AS (
+            SELECT pair, count(*)::BIGINT AS w FROM rawpairs
+            WHERE split_part(pair, ' ', 1) != split_part(pair, ' ', 2)
+            GROUP BY pair
+        ), und AS (
+            SELECT split_part(pair, ' ', 1) AS u,
+                   split_part(pair, ' ', 2) AS v, w
+            FROM pc
+        ), edges AS MATERIALIZED (
+            SELECT u, v, w FROM und UNION ALL SELECT v, u, w FROM und
+        ), wsum AS (
+            SELECT u, sum(w)::BIGINT AS wu FROM edges GROUP BY u
+        ), nn AS (SELECT count(*) AS n FROM wsum),
+        base AS MATERIALIZED (
+            SELECT u AS node, wu,
+                   ({_TR_TELE} // n) AS tele,
+                   ({TEXTRANK_SCALE} // n) AS r0
+            FROM wsum CROSS JOIN nn
+        ),
+        it0 AS (SELECT node, r0 AS r FROM base)"""
+    rounds = "".join(
+        f""",
+        it{k + 1} AS MATERIALIZED (
+            SELECT b.node,
+                   (b.tele + ({_TR_DAMP} * sum((p.r * e.w) // src.wu)) // 100)::BIGINT AS r
+            FROM edges e
+            JOIN it{k} p ON p.node = e.u
+            JOIN base src ON src.node = e.u
+            JOIN base b ON b.node = e.v
+            GROUP BY b.node, b.tele
+        )"""
+        for k in range(TEXTRANK_ITERS)
+    )
+    return (
+        prefix
+        + rounds
+        + f"""
+        SELECT node AS keyword, r::BIGINT AS textrank_e12
+        FROM it{TEXTRANK_ITERS}
+        ORDER BY textrank_e12 DESC, keyword
+        LIMIT {TEXTRANK_TOP_K}
+    """
+    )
 
 
 def _dsir_oracle() -> str:
@@ -2526,4 +2693,6 @@ ORACLES = {
         JOIN ranked ON rk = least(k, n_types_total)
         ORDER BY k
     """,
+    # unrolled integer TextRank rounds over the window-2 pair graph
+    "keyword_textrank": _textrank_oracle(),
 }
