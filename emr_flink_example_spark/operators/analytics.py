@@ -434,6 +434,68 @@ def q_manifest_prune_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+#: two-sided 5% critical value for the two-proportion z-test, micro units
+ABTEST_Z_CRIT_MICRO = 1_959_964
+
+
+def q_abtest_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test between a deterministic 50/50 user split
+    (variant = user_id % 2): did arm A convert (>= 1 purchase event)
+    at a different rate than arm B? The experiment-analysis primitive an
+    event pipeline serves — pooled-variance z statistic plus a two-sided
+    5% verdict.
+
+    Determinism discipline: counts are exact integers from one user-level
+    aggregate; the z statistic is a fixed IEEE expression over those four
+    integers (sqrt is correctly rounded, and the division/multiplication
+    order is written identically in both engines), shipped as
+    floor(z * 1e6 + 0.5) micro units; significance compares the micro
+    integer against the integer critical value — no float threshold.
+
+    Scale shape: ONE shuffle to per-user conversion flags (map-side
+    combinable max), then a 2-row aggregate folded to one row. Nothing
+    data-sized leaves the aggregate."""
+    events = load(spark, sf, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    g = users.groupBy().agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, F.col("converted")).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, F.col("converted")).otherwise(0)
+        ).alias("conv_b"),
+    )
+    # degenerate arms (empty, or 0%/100% pooled conversion) have no
+    # variance: z is NULL, verdict false — guarded BEFORE any division so
+    # ANSI mode never trips
+    z = F.expr(
+        "case when n_a > 0 and n_b > 0"
+        " and conv_a + conv_b > 0 and conv_a + conv_b < n_a + n_b then"
+        " (cast(conv_a as double) / n_a - cast(conv_b as double) / n_b)"
+        " / sqrt((cast(conv_a + conv_b as double) / (n_a + n_b))"
+        " * (1.0 - cast(conv_a + conv_b as double) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)) end"
+    )
+    zm = F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return g.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        zm.alias("z_micro"),
+        F.coalesce(
+            F.abs(zm) >= ABTEST_Z_CRIT_MICRO, F.lit(False)
+        ).alias("significant"),
+    )
+
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -447,6 +509,8 @@ QUERIES = {
     # r7 continuation: min/max-manifest pruning audit over the z-order
     # layout
     "manifest_prune_stats": q_manifest_prune_stats,
+    # r7 continuation: two-proportion z-test over the deterministic split
+    "abtest_proportion_ztest": q_abtest_proportion_ztest,
 }
 
 ORACLES = {
@@ -640,5 +704,35 @@ ORACLES = {
                sum(CASE WHEN touched THEN 1 ELSE 0 END)::BIGINT AS n_files_touched,
                sum(CASE WHEN touched THEN n_rows ELSE 0 END)::BIGINT AS n_rows_touched
         FROM flags GROUP BY 1, 2
+    """,
+    # identical IEEE expression over the same four integer counts
+    "abtest_proportion_ztest": f"""
+        WITH users AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ), g AS (
+            SELECT
+                sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)::BIGINT AS conv_a,
+                sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                sum(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)::BIGINT AS conv_b
+            FROM users
+        ), z AS (
+            SELECT *,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                         AND conv_a + conv_b > 0
+                         AND conv_a + conv_b < n_a + n_b THEN
+                     floor((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+                           / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                                  * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b))
+                           * 1000000.0 + 0.5)::BIGINT
+                   END AS z_micro
+            FROM g
+        )
+        SELECT n_a, conv_a, n_b, conv_b, z_micro,
+               coalesce(abs(z_micro) >= {ABTEST_Z_CRIT_MICRO}, FALSE) AS significant
+        FROM z
     """,
 }

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import portable_hash, portable_hash_sql_duckdb
 from ..io import load
 
 TOKEN_RE = "[a-zA-Z0-9]+"
@@ -1935,6 +1936,83 @@ def q_keyword_textrank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+#: winnowing parameters (Schleimer et al. 2003: k-gram size, window size);
+#: positions are packed into the low bits of the selection key, so docs are
+#: bounded at 2^20 k-grams (far above any fixture/corpus doc here)
+WINNOW_K = 3
+WINNOW_W = 4
+_WIN_POS_BITS = 20
+_WIN_HASH_MOD = 1 << 40
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint census (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): per document, hash every token 3-gram, slide a
+    4-wide window over the hash sequence, and select each window's minimum
+    (rightmost on ties); the distinct selected (position, hash) set is the
+    document's fingerprint sketch, with the guarantee that any shared run
+    of >= k+w-1 tokens yields at least one shared fingerprint — the
+    local-dedup primitive between whole-doc hashing and MinHash.
+
+    Determinism discipline: the textbook rightmost-min tie-break becomes a
+    single integer window-min by packing (hash, position) into one key —
+    key = (h % 2^40) * 2^20 + (2^20 - 1 - pos) — so smaller hash wins and,
+    on equal hashes, LARGER position wins; both engines take min() over
+    the identical bigint. The report is per-doc integers only (count, min,
+    bit_xor of selected hashes — order-free).
+
+    Scale shape: k-gram expansion is map-side (per-doc array transform +
+    posexplode); the only shuffle is the doc-keyed window + final groupBy,
+    both on doc_id — embarrassingly parallel across documents."""
+    docs = load(spark, sf, "documents")
+    kg = (
+        f"transform(sequence(1, size(tk) - {WINNOW_K - 1}),"
+        f" i -> concat_ws(' ', slice(tk, i, {WINNOW_K})))"
+    )
+    base = (
+        docs.select("doc_id", F.expr(TOKENS).alias("tk"))
+        .where(F.size("tk") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", F.posexplode(F.expr(kg)).alias("pos0", "kgram"))
+    )
+    hashed = base.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (portable_hash(F.col("kgram")) % _WIN_HASH_MOD).alias("h"),
+    )
+    key = F.col("h") * (1 << _WIN_POS_BITS) + (
+        F.lit((1 << _WIN_POS_BITS) - 1) - F.col("pos")
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = (
+        hashed.select(
+            "doc_id", "pos", F.min(key).over(wf).alias("minkey")
+        )
+        .where(F.col("pos") >= WINNOW_W)
+        .select(
+            "doc_id",
+            (F.lit((1 << _WIN_POS_BITS) - 1) - F.col("minkey") % (1 << _WIN_POS_BITS)).alias("sel_pos"),
+            F.expr(f"minkey div {1 << _WIN_POS_BITS}").alias("sel_h"),
+        )
+        .distinct()
+    )
+    counts = hashed.groupBy("doc_id").agg(F.count("*").alias("n_kgrams"))
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.min("sel_h").alias("fp_min"),
+            F.expr("bit_xor(sel_h)").alias("fp_xor"),
+        )
+        .join(counts, "doc_id")
+        .select("doc_id", "n_kgrams", "n_fingerprints", "fp_min", "fp_xor")
+    )
+
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -1979,6 +2057,8 @@ QUERIES = {
     # r7 continuation: TextRank keyword extraction over the co-occurrence
     # graph
     "keyword_textrank": q_keyword_textrank,
+    # r7 continuation: MOSS-style winnowing fingerprint census
+    "winnowing_fingerprints": q_winnowing_fingerprints,
 }
 
 
@@ -2695,4 +2775,44 @@ ORACLES = {
     """,
     # unrolled integer TextRank rounds over the window-2 pair graph
     "keyword_textrank": _textrank_oracle(),
+    # same packed-key window-min winnowing; bit_xor is order-free
+    "winnowing_fingerprints": f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tk FROM documents
+        ), eligible AS (
+            SELECT doc_id, tk FROM tok
+            WHERE len(tk) >= {WINNOW_K + WINNOW_W - 1}
+        ), kgrams AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(tk) - {WINNOW_K - 1})) AS pos,
+                   unnest(list_transform(generate_series(1, len(tk) - {WINNOW_K - 1}),
+                          i -> array_to_string(tk[i:i + {WINNOW_K - 1}], ' '))) AS kgram
+            FROM eligible
+        ), hashed AS (
+            SELECT doc_id, pos,
+                   ({portable_hash_sql_duckdb('kgram')} % {_WIN_HASH_MOD}) AS h
+            FROM kgrams
+        ), winmin AS (
+            SELECT doc_id, pos,
+                   min(h * {1 << _WIN_POS_BITS}
+                       + ({(1 << _WIN_POS_BITS) - 1} - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS minkey
+            FROM hashed
+        ), sel AS (
+            SELECT DISTINCT doc_id,
+                   {(1 << _WIN_POS_BITS) - 1} - minkey % {1 << _WIN_POS_BITS} AS sel_pos,
+                   minkey // {1 << _WIN_POS_BITS} AS sel_h
+            FROM winmin WHERE pos >= {WINNOW_W}
+        ), counts AS (
+            SELECT doc_id, count(*)::BIGINT AS n_kgrams FROM hashed GROUP BY 1
+        )
+        SELECT s.doc_id, c.n_kgrams,
+               count(*)::BIGINT AS n_fingerprints,
+               min(sel_h)::BIGINT AS fp_min,
+               bit_xor(sel_h)::BIGINT AS fp_xor
+        FROM sel s JOIN counts c USING (doc_id)
+        GROUP BY s.doc_id, c.n_kgrams
+    """,
 }
