@@ -496,6 +496,73 @@ def q_abtest_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+#: CDC diff: keys divisible by this are dropped from the new snapshot
+CDC_DELETE_MOD = 101
+
+
+def q_table_change_log(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC change-log extraction between two table snapshots: the inverse
+    of merge_upsert. Snapshot B applies the same deterministic update /
+    insert set as q_merge_upsert plus a deletion set (keys % 101 == 0);
+    the change log is ONE full outer join of the snapshots on the key with
+    a column-value compare, classifying every key as inserted / deleted /
+    updated / unchanged — the diff a lakehouse emits between commits when
+    no change feed was captured, and the input a downstream incremental
+    job consumes.
+
+    Output is the per-class census (row count, key checksum, repriced
+    money delta) so the whole diff is hash-verified without shipping 15k
+    diff rows. Money stays in the +50.00-surcharge exact-in-binary regime
+    merge_upsert established; the final sums round once.
+
+    Scale shape: one key-partitioned full outer join (both sides shuffle
+    on the key — colocated, no skew: keys are unique per side), then a
+    4-row aggregate. Nothing else moves."""
+    base = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = q_merge_upsert(spark, sf).where(
+        F.col("o_orderkey") % CDC_DELETE_MOD != 0
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status_a"),
+        F.col("o_totalprice").alias("price_a"),
+    )
+    bside = snap_b.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status_b"),
+        F.col("o_totalprice").alias("price_b"),
+    )
+    joined = a.join(bside, "key", "full_outer")
+    change = (
+        F.when(F.col("status_a").isNull(), "inserted")
+        .when(F.col("status_b").isNull(), "deleted")
+        .when(
+            (F.col("status_a") != F.col("status_b"))
+            | (F.col("price_a") != F.col("price_b")),
+            "updated",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            "key",
+            (F.coalesce("price_b", F.lit(0.0)) - F.coalesce("price_a", F.lit(0.0))).alias(
+                "delta"
+            ),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("key").alias("key_checksum"),
+            F.round(F.sum("delta"), 2).alias("price_delta"),
+        )
+    )
+
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -511,6 +578,8 @@ QUERIES = {
     "manifest_prune_stats": q_manifest_prune_stats,
     # r7 continuation: two-proportion z-test over the deterministic split
     "abtest_proportion_ztest": q_abtest_proportion_ztest,
+    # r7 continuation: CDC snapshot diff census
+    "table_change_log": q_table_change_log,
 }
 
 ORACLES = {
@@ -734,5 +803,52 @@ ORACLES = {
         SELECT n_a, conv_a, n_b, conv_b, z_micro,
                coalesce(abs(z_micro) >= {ABTEST_Z_CRIT_MICRO}, FALSE) AS significant
         FROM z
+    """,
+    # snapshot B rebuilt from the merge_upsert oracle logic + deletions
+    "table_change_log": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ), updates AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_totalprice + 50.0 AS o_totalprice
+            FROM base WHERE o_orderkey % {UPSERT_UPDATE_MOD} = 0
+        ), inserts AS (
+            SELECT o_orderkey + {UPSERT_KEY_SHIFT} AS o_orderkey,
+                   'N' AS o_orderstatus, o_totalprice
+            FROM base WHERE o_orderkey % {UPSERT_INSERT_MOD} = 0
+        ), merged AS (
+            SELECT b.o_orderkey, b.o_orderstatus,
+                   round(b.o_totalprice, 2) AS o_totalprice
+            FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM updates u
+                              WHERE u.o_orderkey = b.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2)
+            FROM updates
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2)
+            FROM inserts
+        ), snap_b AS (
+            SELECT * FROM merged WHERE o_orderkey % {CDC_DELETE_MOD} != 0
+        ), joined AS (
+            SELECT coalesce(a.o_orderkey, b.o_orderkey) AS key,
+                   a.o_orderstatus AS status_a, a.o_totalprice AS price_a,
+                   b.o_orderstatus AS status_b, b.o_totalprice AS price_b
+            FROM base a FULL OUTER JOIN snap_b b
+              ON a.o_orderkey = b.o_orderkey
+        ), classified AS (
+            SELECT CASE WHEN status_a IS NULL THEN 'inserted'
+                        WHEN status_b IS NULL THEN 'deleted'
+                        WHEN status_a != status_b OR price_a != price_b
+                             THEN 'updated'
+                        ELSE 'unchanged' END AS change_type,
+                   key,
+                   coalesce(price_b, 0.0) - coalesce(price_a, 0.0) AS delta
+            FROM joined
+        )
+        SELECT change_type, count(*)::BIGINT AS n_rows,
+               sum(key)::BIGINT AS key_checksum,
+               round(sum(delta), 2) AS price_delta
+        FROM classified GROUP BY 1
     """,
 }

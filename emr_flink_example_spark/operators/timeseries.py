@@ -579,6 +579,71 @@ def q_timeseries_acf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: LCM(1..29): common denominator for exact Theil-Sen slope comparison —
+#: key = cdiff * (LCM // ddiff) is an integer strictly monotone in the
+#: rational slope cdiff/ddiff (ddiff in 1..29), so the median selection
+#: never compares floats. Bigint headroom: |cdiff| (cents) must stay under
+#: 2^63 / LCM ~ 3.9e6 — far above any per-user-day sum here.
+THEILSEN_LCM = math.lcm(*range(1, N_DAYS))
+
+
+def q_timeseries_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend (Theil 1950, Sen 1968) of each user's 30-day
+    dense daily series: the median of all 435 pairwise slopes — immune to
+    the outlier days that wreck a least-squares fit (agg_regr_linear is
+    the fragile twin).
+
+    Determinism discipline: values go to integer cents once
+    (floor(v*100+0.5)); each pair's slope is ranked by the exact integer
+    key cdiff * (LCM(1..29) // ddiff) — cross-multiplication by a shared
+    denominator, so the median is selected over integers with a (key, d1,
+    d2) total order; only the reported slope ships as floor-micro units of
+    the chosen pair's cdiff/ddiff. Lower median at even counts (435 is
+    odd, but empty-ish series after gap-filling stay odd too: the grid is
+    always 30 days).
+
+    Scale shape: the pairwise expansion is PER USER over the fixed 30-day
+    grid — 435 rows per user, linear in users, shuffled once on user_id;
+    the median is a keyed window, not a global sort."""
+    dense = _dense_daily(spark, sf)
+    cents = dense.select(
+        "user_id",
+        "day",
+        F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    a = cents.select("user_id", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = cents.select(
+        F.col("user_id").alias("u2"), F.col("day").alias("d2"), F.col("c").alias("c2")
+    )
+    pairs = a.join(
+        b, (F.col("user_id") == F.col("u2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "user_id",
+        "d1",
+        "d2",
+        (F.col("c2") - F.col("c1")).alias("cdiff"),
+        (F.col("d2") - F.col("d1")).alias("ddiff"),
+        (
+            (F.col("c2") - F.col("c1"))
+            * F.expr(f"cast({THEILSEN_LCM} as bigint) div (d2 - d1)")
+        ).alias("key"),
+    )
+    w = Window.partitionBy("user_id").orderBy("key", "d1", "d2")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "np", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    return ranked.where(F.col("rn") == F.expr("(np + 1) div 2")).select(
+        "user_id",
+        F.col("np").alias("n_pairs"),
+        F.floor(
+            F.col("cdiff").cast("double") * 10000.0 / F.col("ddiff") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+
+
+
 QUERIES = {
     "timeseries_znorm_corr": q_timeseries_znorm_corr,
     "timeseries_anomaly_zscore": q_timeseries_anomaly_zscore,
@@ -592,6 +657,8 @@ QUERIES = {
     # r7 continuation: CUSUM changepoints + autocorrelation fingerprint
     "timeseries_cusum_changepoint": q_timeseries_cusum_changepoint,
     "timeseries_acf": q_timeseries_acf,
+    # r7 continuation: Theil-Sen robust trend
+    "timeseries_theil_sen": q_timeseries_theil_sen,
 }
 
 ORACLES = {
@@ -937,5 +1004,37 @@ ORACLES = {
                  floor(n.num::DOUBLE / d.den * 1000000.0 + 0.5)::BIGINT
                END AS acf_micro
         FROM nums n JOIN dens d USING (event_type)
+    """,
+    # exact integer slope keys over the same dense daily cents
+    "timeseries_theil_sen": f"""
+        WITH daily AS (
+            SELECT user_id, date_part('day', ts)::INT AS day,
+                   round(sum(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT u.user_id, g.day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(generate_series(1, {N_DAYS})) AS day) g
+        ), dense AS (
+            SELECT g.user_id, g.day, coalesce(daily.v, 0.0) AS v
+            FROM grid g LEFT JOIN daily USING (user_id, day)
+        ), cents AS MATERIALIZED (
+            SELECT user_id, day, floor(v * 100 + 0.5)::BIGINT AS c FROM dense
+        ), pairs AS (
+            SELECT a.user_id, a.day AS d1, b.day AS d2,
+                   b.c - a.c AS cdiff, b.day - a.day AS ddiff,
+                   (b.c - a.c) * ({THEILSEN_LCM} // (b.day - a.day)) AS key
+            FROM cents a JOIN cents b
+              ON a.user_id = b.user_id AND a.day < b.day
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY key, d1, d2) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS np
+            FROM pairs
+        )
+        SELECT user_id, np::BIGINT AS n_pairs,
+               floor(cdiff::DOUBLE * 10000.0 / ddiff + 0.5)::BIGINT AS slope_micro
+        FROM ranked WHERE rn = (np + 1) // 2
     """,
 }
