@@ -123,6 +123,21 @@ HEADLINE = [
     "sketch_hll_distinct",
     "attribution_multitouch",
     "embedding_pca_power",
+    # r7 continuation, second wave: winnowing fingerprints (map-side kgram
+    # expansion + doc-keyed window min), TextRank (5 integer-weighted
+    # graph rounds), Adamic-Adar (capped wedge self-join over the simhash
+    # graph), CUSUM changepoints (dense-grid running windows), matryoshka
+    # truncation recall (broadcast multi-dim scoring ladder), the
+    # exact-rank equi-depth histogram, Theil-Sen pairwise-slope median,
+    # and the CDC snapshot diff (key-colocated full outer join)
+    "winnowing_fingerprints",
+    "keyword_textrank",
+    "graph_adamic_adar",
+    "timeseries_cusum_changepoint",
+    "embedding_matryoshka_recall",
+    "histogram_equidepth",
+    "timeseries_theil_sen",
+    "table_change_log",
 ]
 
 

@@ -563,6 +563,53 @@ def q_table_change_log(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning over hourly ingestion partitions:
+    the streaming pipelines roll one file per (hour) bucket (SURVEY §2
+    A7-A10), so traffic variance leaves below-average files behind; this
+    planner bins consecutive below-average hours into merge groups filled
+    to ~4x the average — the batch view of the maintenance the streaming
+    side executes for real in streaming/compaction.py, hash-verified.
+
+    Determinism: thresholds are integer aggregates (avg = total div
+    n_files); bin assignment is ((cumsum - n_rows) div (4*avg)) over the
+    hour order — all integer, both engines bit-equal.
+
+    Scale shape: ONE scan rolls events to hourly counts; planning then
+    runs on |files| rows (manifest-sized — exactly what a table service's
+    planner holds). The cumulative window is unpartitioned but ordered
+    over file COUNTS, not row counts."""
+    events = load(spark, sf, "events")
+    mf = events.groupBy(F.date_trunc("hour", "ts").alias("file_hour")).agg(
+        F.count("*").alias("n_rows")
+    )
+    stats = mf.groupBy().agg(
+        F.expr("sum(n_rows) div count(*)").alias("avg_rows")
+    )
+    small = (
+        mf.crossJoin(F.broadcast(stats))
+        .where(F.col("n_rows") < F.col("avg_rows"))
+    )
+    wcum = Window.orderBy("file_hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = small.select(
+        "file_hour",
+        "n_rows",
+        # integer div (not float /) so the bin cut is exact like the oracle
+        F.expr(
+            "(sum(n_rows) over (order by file_hour rows between unbounded"
+            " preceding and current row) - n_rows) div (4 * avg_rows)"
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").alias("n_files_merged"),
+        F.sum("n_rows").alias("rows_total"),
+        F.min("file_hour").alias("hour_min"),
+        F.max("file_hour").alias("hour_max"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -580,6 +627,8 @@ QUERIES = {
     "abtest_proportion_ztest": q_abtest_proportion_ztest,
     # r7 continuation: CDC snapshot diff census
     "table_change_log": q_table_change_log,
+    # r7 continuation: small-file compaction planner over the manifest
+    "compaction_plan": q_compaction_plan,
 }
 
 ORACLES = {
@@ -850,5 +899,29 @@ ORACLES = {
                sum(key)::BIGINT AS key_checksum,
                round(sum(delta), 2) AS price_delta
         FROM classified GROUP BY 1
+    """,
+    # integer bin-fill plan over the same hourly manifest
+    "compaction_plan": """
+        WITH mf AS MATERIALIZED (
+            SELECT date_trunc('hour', ts) AS file_hour,
+                   count(*)::BIGINT AS n_rows
+            FROM events GROUP BY 1
+        ), stats AS (
+            SELECT (sum(n_rows) // count(*))::BIGINT AS avg_rows FROM mf
+        ), small AS (
+            SELECT mf.file_hour, mf.n_rows, s.avg_rows
+            FROM mf CROSS JOIN stats s
+            WHERE mf.n_rows < s.avg_rows
+        ), binned AS (
+            SELECT file_hour, n_rows,
+                   (((sum(n_rows) OVER (ORDER BY file_hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                     - n_rows) // (4 * avg_rows)) AS bin_id
+            FROM small
+        )
+        SELECT bin_id, count(*)::BIGINT AS n_files_merged,
+               sum(n_rows)::BIGINT AS rows_total,
+               min(file_hour) AS hour_min, max(file_hour) AS hour_max
+        FROM binned GROUP BY 1
     """,
 }

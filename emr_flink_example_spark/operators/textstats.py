@@ -2013,6 +2013,105 @@ def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+#: NDCG@10 rank discounts floor(1e6/log2(rank+1)+0.5), precomputed in
+#: Python and shipped to both engines as an integer table (log2 is not a
+#: correctly-rounded IEEE op — the _aa_weights argument)
+NDCG_K = 10
+
+
+def _ndcg_discounts() -> list[tuple[int, int]]:
+    import math
+
+    return [
+        (i, int(math.floor(1_000_000 / math.log2(i + 1) + 0.5)))
+        for i in range(1, NDCG_K + 1)
+    ]
+
+
+#: graded relevance: total query-term occurrences >= these cut at grade 1/2/3
+NDCG_GRADE_CUTS = (1, 3, 9)
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against a deterministic graded-relevance
+    standard (relevance 1/2/3 at >= 1/3/9 total query-term occurrences) —
+    the IR evaluation loop closed engine-side: retrieval (bm25_topk), a
+    relevance judgment pass, and the normalized discounted cumulative gain
+    in one hash-verified number.
+
+    Determinism discipline: gains are the integer 2^rel - 1 (CASE, no
+    pow()); rank discounts come from the precomputed _ndcg_discounts()
+    integer table (no engine-side log2); DCG and ideal-DCG are integer
+    sums, and only the final ratio ships as floor-micro units.
+
+    Scale shape: reuses bm25_topk's single-pass postings (already a
+    broadcast-scalar plan); the judgment pass is one term-filtered count
+    per doc; the ideal ranking is a TakeOrdered top-10 of the (rel,
+    doc_id) frame — never a global sort of the corpus."""
+    retrieved = q_bm25_topk(spark, sf)
+    wr = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    top = (
+        retrieved.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= NDCG_K)
+        .select("doc_id", "rank")
+    )
+    docs = load(spark, sf, "documents")
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    hits = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+        .where(F.expr(f"token IN ({terms})"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tot"))
+    )
+    c1, c2, c3 = NDCG_GRADE_CUTS
+    rel_col = (
+        F.when(F.col("tot") >= c3, 3)
+        .when(F.col("tot") >= c2, 2)
+        .when(F.col("tot") >= c1, 1)
+        .otherwise(0)
+    )
+    rel = hits.select("doc_id", rel_col.alias("rel")).where(F.col("rel") > 0)
+    disc = spark.createDataFrame(_ndcg_discounts(), "rank int, disc bigint")
+    gain = F.expr("cast(case rel when 3 then 7 when 2 then 3 when 1 then 1 else 0 end as bigint)")
+    dcg = (
+        top.join(rel, "doc_id", "left")
+        .select(F.coalesce("rel", F.lit(0)).alias("rel"), "rank")
+        .join(F.broadcast(disc), "rank")
+        .select((gain * F.col("disc")).alias("g"))
+        .groupBy()
+        .agg(F.sum("g").alias("dcg_scaled"))
+    )
+    wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ideal = (
+        rel.withColumn("rank", F.row_number().over(wi))
+        .where(F.col("rank") <= NDCG_K)
+        .join(F.broadcast(disc), "rank")
+        .select((gain * F.col("disc")).alias("g"))
+        .groupBy()
+        .agg(F.sum("g").alias("idcg_scaled"))
+    )
+    n_rel = rel.groupBy().agg(F.count("*").alias("n_rel_corpus"))
+    return (
+        dcg.crossJoin(ideal)
+        .crossJoin(n_rel)
+        .select(
+            "n_rel_corpus",
+            "dcg_scaled",
+            "idcg_scaled",
+            F.when(
+                F.col("idcg_scaled") > 0,
+                F.floor(
+                    F.col("dcg_scaled").cast("double")
+                    / F.col("idcg_scaled")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("ndcg_micro"),
+        )
+    )
+
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -2059,6 +2158,8 @@ QUERIES = {
     "keyword_textrank": q_keyword_textrank,
     # r7 continuation: MOSS-style winnowing fingerprint census
     "winnowing_fingerprints": q_winnowing_fingerprints,
+    # r7 continuation: NDCG@10 evaluation of the BM25 ranking
+    "retrieval_ndcg": q_retrieval_ndcg,
 }
 
 
@@ -2816,3 +2917,61 @@ ORACLES = {
         GROUP BY s.doc_id, c.n_kgrams
     """,
 }
+
+
+def _ndcg_oracle() -> str:
+    """Mirror of q_retrieval_ndcg: the bm25_topk oracle is embedded as the
+    retrieved list, the discount table is the identical Python-precomputed
+    VALUES list, gains/sums stay integer."""
+    discs = ", ".join(f"({r}, {d})" for r, d in _ndcg_discounts())
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    c1, c2, c3 = NDCG_GRADE_CUTS
+    return f"""
+        WITH retrieved AS MATERIALIZED (
+            SELECT * FROM ({ORACLES["bm25_topk"]}) bm
+        ), topk AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+            FROM retrieved
+            QUALIFY rank <= {NDCG_K}
+        ), hits AS (
+            SELECT doc_id, count(*)::BIGINT AS tot
+            FROM (SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents)
+            WHERE token IN ({terms})
+            GROUP BY doc_id
+        ), rel AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN tot >= {c3} THEN 3
+                        WHEN tot >= {c2} THEN 2
+                        WHEN tot >= {c1} THEN 1 ELSE 0 END AS rel
+            FROM hits
+            WHERE tot >= {c1}
+        ), disc(rank, disc) AS (VALUES {discs}),
+        dcg AS (
+            SELECT sum((CASE coalesce(r.rel, 0) WHEN 3 THEN 7 WHEN 2 THEN 3
+                        WHEN 1 THEN 1 ELSE 0 END)::BIGINT * d.disc)::BIGINT
+                     AS dcg_scaled
+            FROM topk t
+            LEFT JOIN rel r USING (doc_id)
+            JOIN disc d ON d.rank = t.rank
+        ), ideal AS (
+            SELECT sum((CASE i.rel WHEN 3 THEN 7 WHEN 2 THEN 3
+                        WHEN 1 THEN 1 ELSE 0 END)::BIGINT * d.disc)::BIGINT
+                     AS idcg_scaled
+            FROM (
+                SELECT rel,
+                       row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+                FROM rel QUALIFY rank <= {NDCG_K}
+            ) i JOIN disc d USING (rank)
+        ), nrel AS (
+            SELECT count(*)::BIGINT AS n_rel_corpus FROM rel
+        )
+        SELECT n_rel_corpus, dcg_scaled, idcg_scaled,
+               CASE WHEN idcg_scaled > 0 THEN
+                 floor(dcg_scaled::DOUBLE / idcg_scaled * 1000000.0 + 0.5)::BIGINT
+               END AS ndcg_micro
+        FROM dcg CROSS JOIN ideal CROSS JOIN nrel
+    """
+
+
+ORACLES["retrieval_ndcg"] = _ndcg_oracle()
