@@ -19,6 +19,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load
 
@@ -222,6 +223,103 @@ def q_multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
     return docs.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
+#: integer-DCT scale for the pHash basis coefficients
+PHASH_COEF_SCALE = 1 << 10
+
+
+def _dct_basis() -> list[tuple[int, int, int]]:
+    """(u, x, floor(alpha(u)*cos((2x+1)*u*pi/16) * 2^10 + 0.5)) for the 8x8
+    DCT-II basis — precomputed in PYTHON and shipped to both engines as a
+    literal table (cos is not a correctly-rounded IEEE op; as integers the
+    whole transform is exact in any summation order)."""
+    import math
+
+    out = []
+    for u in range(8):
+        alpha = math.sqrt(1 / 8) if u == 0 else 0.5
+        for x in range(8):
+            c = alpha * math.cos((2 * x + 1) * u * math.pi / 16)
+            out.append((u, x, int(math.floor(c * PHASH_COEF_SCALE + 0.5))))
+    return out
+
+
+def q_multimodal_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual hash (pHash) census over the synthesized image payloads:
+    each doc's deterministic 8x8 pixel grid (md5-nibble stand-in for the
+    real decoder's downscaled luma — the documented codec seam) goes
+    through an 8x8 DCT-II, and the 63 AC coefficients hash to bits by
+    comparison against their own median — the image near-dup fingerprint
+    (two perceptually similar images differ in a few pHash bits, so dedup
+    is a Hamming-ball join exactly like simhash_hamming_pairs).
+
+    Determinism discipline: pixels are integer nibbles; the DCT basis is
+    the _dct_basis() integer table (no engine-side cos()), so both
+    separable DCT stages are INTEGER sums — exact in any order; the median
+    is a rank selection over integers; the hash assembles by integer
+    shifts. Nothing float anywhere.
+
+    Scale shape: 64 pixel rows per doc explode map-side; each DCT stage is
+    one broadcast join against the 64-row basis + one doc-keyed groupBy;
+    the median and assembly ride doc-keyed windows/aggregates —
+    embarrassingly parallel across documents, same as the real-codec
+    version would be (swap the pixel CTE for decoded luma)."""
+    docs = load(spark, sf, "documents")
+    hx = F.concat(
+        F.md5(F.concat(F.col("text"), F.lit(":px0"))),
+        F.md5(F.concat(F.col("text"), F.lit(":px1"))),
+    )
+    pixels = (
+        docs.select("doc_id", hx.alias("hx"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, 63)")).alias("i"),
+            F.col("hx"),
+        )
+        .select(
+            "doc_id",
+            F.expr("i div 8").alias("r"),
+            (F.col("i") % 8).alias("c"),
+            F.conv(F.expr("substring(hx, i + 1, 1)"), 16, 10)
+            .cast("bigint")
+            .alias("p"),
+        )
+    )
+    basis = spark.createDataFrame(_dct_basis(), "u int, x int, k bigint")
+    g = (
+        pixels.join(F.broadcast(basis), pixels["c"] == basis["x"])
+        .select("doc_id", "r", F.col("u").alias("v"), (F.col("p") * F.col("k")).alias("t"))
+        .groupBy("doc_id", "r", "v")
+        .agg(F.sum("t").alias("g"))
+    )
+    f = (
+        g.join(F.broadcast(basis), g["r"] == basis["x"])
+        .select("doc_id", "u", "v", (F.col("g") * F.col("k")).alias("t"))
+        .groupBy("doc_id", "u", "v")
+        .agg(F.sum("t").alias("f"))
+        .where(~((F.col("u") == 0) & (F.col("v") == 0)))
+    )
+    wmed = Window.partitionBy("doc_id").orderBy("f", "u", "v")
+    med = (
+        f.withColumn("rk", F.row_number().over(wmed))
+        .where(F.col("rk") == 32)
+        .select("doc_id", F.col("f").alias("m"))
+    )
+    bits = f.join(med, "doc_id").select(
+        "doc_id",
+        F.when(
+            F.col("f") > F.col("m"),
+            F.expr("shiftleft(cast(1 as bigint), u * 8 + v - 1)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bitval"),
+        (F.col("f") > F.col("m")).cast("int").alias("one"),
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum("bitval").alias("phash"), F.sum("one").alias("n_ones")
+    )
+
+
+
 QUERIES = {
     "multimodal_binary_meta": q_multimodal_binary_meta,
     "multimodal_decode_mapinpandas": q_multimodal_decode_mapinpandas,
@@ -230,6 +328,8 @@ QUERIES = {
     # appended last (new r5 surface) so the existing driver-checked prefix
     # composition shifts as little as possible
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    # r7 continuation: integer-DCT perceptual hash census
+    "multimodal_phash": q_multimodal_phash,
 }
 
 ORACLES = {
@@ -290,5 +390,41 @@ ORACLES = {
         SELECT doc_id, idx::INT AS frame_idx,
                md5(hx || '-' || idx::VARCHAR) AS frame_hash
         FROM v, unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS t(idx)
+    """,
+    # same integer DCT over the same md5-nibble grid; basis via VALUES
+    "multimodal_phash": f"""
+        WITH px AS (
+            SELECT doc_id,
+                   md5(text || ':px0') || md5(text || ':px1') AS hx
+            FROM documents
+        ), pixels AS (
+            SELECT doc_id, (i // 8) AS r, (i % 8) AS c,
+                   ('0x' || substr(hx, i + 1, 1))::BIGINT AS p
+            FROM px, unnest(generate_series(0, 63)) AS t(i)
+        ), basis(u, x, k) AS (VALUES {", ".join(f"({u}, {x}, {k})" for u, x, k in _dct_basis())}),
+        g AS (
+            SELECT doc_id, r, b.u AS v, sum(p * k)::BIGINT AS g
+            FROM pixels JOIN basis b ON pixels.c = b.x
+            GROUP BY 1, 2, 3
+        ), f AS MATERIALIZED (
+            SELECT doc_id, b.u, g.v, sum(g * k)::BIGINT AS f
+            FROM g JOIN basis b ON g.r = b.x
+            GROUP BY 1, 2, 3
+            HAVING NOT (b.u = 0 AND g.v = 0)
+        ), med AS (
+            SELECT doc_id, f AS m FROM (
+                SELECT doc_id, f,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY f, u, v) AS rk
+                FROM f
+            ) WHERE rk = 32
+        )
+        SELECT f.doc_id,
+               sum(CASE WHEN f.f > med.m
+                        THEN (1::BIGINT << (f.u * 8 + f.v - 1))
+                        ELSE 0 END)::BIGINT AS phash,
+               sum(CASE WHEN f.f > med.m THEN 1 ELSE 0 END)::INT AS n_ones
+        FROM f JOIN med USING (doc_id)
+        GROUP BY f.doc_id
     """,
 }

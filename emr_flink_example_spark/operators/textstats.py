@@ -2112,6 +2112,41 @@ def q_retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_quality_language_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix of the stopword-lexicon language ID against the
+    labeled lang column: per (labeled, predicted) cell counts plus the
+    per-label recall — the evaluation that tells a pipeline WHERE its
+    cheap lang gate misroutes documents (precision/recall per language
+    fall straight out of the cells).
+
+    Pure integers except recall, which ships as floor-micro of two exact
+    counts. One pass over the classifier's own output (q_lang_id_heuristic
+    — the oracle embeds that query's SQL verbatim, so classifier and
+    evaluation stay in lockstep by construction), one groupBy, one
+    label-keyed window for the row totals."""
+    pred = q_lang_id_heuristic(spark, sf).select("labeled_lang", "predicted_lang")
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    wl = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.sum("n_docs").over(wl).alias("n_labeled_total"),
+        F.when(
+            F.col("labeled_lang") == F.col("predicted_lang"),
+            F.floor(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(wl)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("recall_micro"),
+    )
+
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -2160,6 +2195,8 @@ QUERIES = {
     "winnowing_fingerprints": q_winnowing_fingerprints,
     # r7 continuation: NDCG@10 evaluation of the BM25 ranking
     "retrieval_ndcg": q_retrieval_ndcg,
+    # r7 continuation: language-ID confusion matrix
+    "quality_language_confusion": q_quality_language_confusion,
 }
 
 
@@ -2975,3 +3012,21 @@ def _ndcg_oracle() -> str:
 
 
 ORACLES["retrieval_ndcg"] = _ndcg_oracle()
+
+
+ORACLES["quality_language_confusion"] = f"""
+    WITH pred AS (
+        SELECT labeled_lang, predicted_lang FROM ({ORACLES["lang_id_heuristic"]}) p
+    ), cells AS (
+        SELECT labeled_lang, predicted_lang, count(*)::BIGINT AS n_docs
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT labeled_lang, predicted_lang, n_docs,
+           (sum(n_docs) OVER (PARTITION BY labeled_lang))::BIGINT AS n_labeled_total,
+           CASE WHEN labeled_lang = predicted_lang THEN
+             floor(n_docs::DOUBLE
+                   / (sum(n_docs) OVER (PARTITION BY labeled_lang))
+                   * 1000000.0 + 0.5)::BIGINT
+           END AS recall_micro
+    FROM cells
+"""
