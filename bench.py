@@ -138,6 +138,11 @@ HEADLINE = [
     "histogram_equidepth",
     "timeseries_theil_sen",
     "table_change_log",
+    # third wave: the integer-DCT perceptual hash (two broadcast-join DCT
+    # stages + doc-keyed median) and the NDCG evaluation (bm25 reuse +
+    # judgment pass)
+    "multimodal_phash",
+    "retrieval_ndcg",
 ]
 
 
