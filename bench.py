@@ -1,6 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line the driver records as BENCH_r{N}.json.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full per-query JSON line the driver records as BENCH_r{N}.json, followed
+by a compact `{"metric": "headline_total", ...}` summary line — the
+summary goes LAST so the total survives the driver's bounded stdout-tail
+capture even when the per-query map outgrows it; the full JSON is also
+written to BENCH_local.json (override via $SPARK_GRAFT_BENCH_JSON).
 
 Each query is fully materialized through the noop sink (measures the whole
 plan including shuffles/writes, without driver-collect overhead). One warmup
@@ -221,6 +225,31 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Truncation-proofing (VERDICT r7 #1: the driver tails ~2000 chars of
+    # stdout, and at 76+ queries the full JSON line outgrew it, losing the
+    # header): (a) the full JSON is ALSO written to a committed file, and
+    # (b) a compact summary line is printed LAST so the headline total
+    # always survives any tail capture.
+    local_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_JSON",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+    )
+    try:
+        with open(local_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not sink the bench run
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": out["sf"],
+        "full_json": os.path.basename(local_path),
+    }
+    print(json.dumps(compact))
     spark.stop()
     # a partial artifact is still an artifact, but failures must be loud
     if errors:

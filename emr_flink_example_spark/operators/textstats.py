@@ -1938,7 +1938,8 @@ def q_keyword_textrank(spark: SparkSession, sf: str) -> DataFrame:
 
 #: winnowing parameters (Schleimer et al. 2003: k-gram size, window size);
 #: positions are packed into the low bits of the selection key, so docs are
-#: bounded at 2^20 k-grams (far above any fixture/corpus doc here)
+#: bounded at 2^20 k-grams (far above any fixture/corpus doc here) — the
+#: bound is ENFORCED with a loud raise_error/error() guard in both engines
 WINNOW_K = 3
 WINNOW_W = 4
 _WIN_POS_BITS = 20
@@ -1974,9 +1975,19 @@ def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.size("tk") >= WINNOW_K + WINNOW_W - 1)
         .select("doc_id", F.posexplode(F.expr(kg)).alias("pos0", "kgram"))
     )
+    # The packed key reserves only _WIN_POS_BITS bits for the position: a
+    # doc with >= 2^20 k-grams would silently wrap its position into the
+    # hash field, so oversized docs FAIL LOUDLY instead (mirrored in the
+    # oracle with DuckDB error()).
+    guarded_pos = F.expr(
+        f"CASE WHEN pos0 + 1 < {1 << _WIN_POS_BITS} THEN pos0 + 1 "
+        f"ELSE raise_error('winnowing: document exceeds "
+        f"2^{_WIN_POS_BITS}-1 k-grams; position would corrupt the packed "
+        f"selection key') END"
+    )
     hashed = base.select(
         "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
+        guarded_pos.cast("int").alias("pos"),
         (portable_hash(F.col("kgram")) % _WIN_HASH_MOD).alias("h"),
     )
     key = F.col("h") * (1 << _WIN_POS_BITS) + (
@@ -2927,7 +2938,12 @@ ORACLES = {
                           i -> array_to_string(tk[i:i + {WINNOW_K - 1}], ' '))) AS kgram
             FROM eligible
         ), hashed AS (
-            SELECT doc_id, pos,
+            -- same loud overflow guard as the engine: positions must fit
+            -- the packed key's low {_WIN_POS_BITS} bits
+            SELECT doc_id,
+                   CASE WHEN pos < {1 << _WIN_POS_BITS} THEN pos
+                        ELSE error('winnowing: document exceeds position bits')
+                   END AS pos,
                    ({portable_hash_sql_duckdb('kgram')} % {_WIN_HASH_MOD}) AS h
             FROM kgrams
         ), winmin AS (

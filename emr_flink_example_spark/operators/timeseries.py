@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,7 +136,15 @@ def q_timeseries_dtw(spark: SparkSession, sf: str) -> DataFrame:
     applyInPandas: one Python invocation per user group receives the user's
     30 dense rows, z-scores them, and runs the DTW kernel — per-group state
     never leaves the executor, so this scales with #users across the
-    cluster, not with total rows on one node."""
+    cluster, not with total rows on one node.
+
+    Cross-engine sync: the z-normalized series is snapped to 6 dp via
+    floor(z*1e6 + 0.5)/1e6 in BOTH the kernel and the oracle CTE (the
+    PCA/k-means trainer discipline) BEFORE the DP runs. Without it, an
+    ulp difference between numpy's pairwise-summation mean/std and
+    DuckDB's sequential avg/stddev_pop could flip a min() decision at a
+    near-tie and change the warping path — a divergence the final
+    round(.,4) cannot absorb."""
     dense = _dense_daily(spark, sf)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -145,6 +154,7 @@ def q_timeseries_dtw(spark: SparkSession, sf: str) -> DataFrame:
         z = (v - v.mean()) / sd if sd > 0 else None
         if z is None:
             return pd.DataFrame({"user_id": [], "dtw_dist": []})
+        z = np.floor(z * 1e6 + 0.5) / 1e6  # 6-dp snap, mirrored in the CTE
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
@@ -517,7 +527,11 @@ def q_timeseries_acf(spark: SparkSession, sf: str) -> DataFrame:
     identical IEEE expression on both engines (the surprisal discipline).
     Bigint headroom: |dev| <= L*T, so den <= L^3*T^2 needs L^3*T^2 < 2^63
     — holds for month-long hourly grids up to ~10^7 events/type-hour;
-    beyond that, pre-aggregate to a coarser grain first.
+    beyond that, pre-aggregate to a coarser grain first. The bound is
+    ENFORCED, not just documented: a per-type guard (3*log2(L) +
+    2*log2(T) < 62, checked on the pre-aggregation totals) nulls
+    acf_micro for any series whose integer sums could silently wrap —
+    mirrored verbatim in the oracle so a tripped guard still hash-matches.
 
     Scale shape: one shuffle to the hourly rollup; ONE ordered window pass
     computes all six lag columns, which then unpivot map-side into (lag,
@@ -562,14 +576,21 @@ def q_timeseries_acf(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("p").alias("num"), F.count("*").alias("n_pairs")
     )
     dens = dev.groupBy("event_type").agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    # den <= len^3 * tot^2: guard the bigint headroom on the PRE-aggregation
+    # totals (checking den itself would be too late — it may have wrapped).
+    headroom_ok = (
+        F.lit(3.0) * F.log2(F.col("len").cast("double"))
+        + F.lit(2.0) * F.log2(F.greatest(F.col("tot"), F.lit(1)).cast("double"))
+    ) < F.lit(62.0)
     return (
         nums.join(F.broadcast(dens), "event_type")
+        .join(F.broadcast(totals), "event_type")
         .select(
             "event_type",
             "lag",
             "n_pairs",
             F.when(
-                F.col("den") > 0,
+                (F.col("den") > 0) & headroom_ok,
                 F.floor(
                     F.col("num").cast("double") / F.col("den") * F.lit(1000000.0)
                     + F.lit(0.5)
@@ -773,7 +794,11 @@ ORACLES = {
             SELECT user_id, avg(v) AS mu, stddev_pop(v) AS sd
             FROM dense GROUP BY user_id
         ), zser AS (
-            SELECT d.user_id, list((d.v - s.mu) / s.sd ORDER BY d.day) AS z
+            -- 6-dp snap (floor(z*1e6+0.5)/1e6) mirrors the Python kernel so
+            -- ulp-level mean/std differences cannot flip a DP min() decision
+            SELECT d.user_id,
+                   list(floor((d.v - s.mu) / s.sd * 1000000 + 0.5) / 1000000
+                        ORDER BY d.day) AS z
             FROM dense d JOIN stats s USING (user_id)
             WHERE s.sd > 0 GROUP BY d.user_id
         ), ref AS (
@@ -1000,10 +1025,14 @@ ORACLES = {
             FROM dev GROUP BY 1
         )
         SELECT n.event_type, n.lag, n.n_pairs,
-               CASE WHEN d.den > 0 THEN
+               CASE WHEN d.den > 0
+                     AND 3 * log2(t.len::DOUBLE)
+                         + 2 * log2(greatest(t.tot, 1)::DOUBLE) < 62
+               THEN
                  floor(n.num::DOUBLE / d.den * 1000000.0 + 0.5)::BIGINT
                END AS acf_micro
         FROM nums n JOIN dens d USING (event_type)
+        JOIN totals t USING (event_type)
     """,
     # exact integer slope keys over the same dense daily cents
     "timeseries_theil_sen": f"""

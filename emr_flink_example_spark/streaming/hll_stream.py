@@ -73,9 +73,15 @@ class StreamingHllSketch:
     def _compact(self, spark: SparkSession, current_batch_id: int) -> None:
         """Max-merge every register partition OLDER than the current batch
         into the oldest one. Replay-safe for the same reason as the dedup
-        index compaction (replays only touch the LATEST batch), and even
-        the dedup index's crash window is benign here: leftover duplicate
-        register rows max-merge to the same values on read."""
+        index compaction (replays only touch the LATEST batch).
+
+        Crash-safe ordering: the merged registers are PUBLISHED into the
+        oldest partition (a visible, non-dot directory Spark reads) via
+        atomic per-file renames BEFORE any source file or partition is
+        deleted. A crash at any intermediate point therefore leaves only
+        duplicate register rows, which max-merge absorbs on read — never
+        a state where the merged registers exist only in a dot-prefixed
+        tmp dir that readers ignore."""
         old = sorted(
             (int(d.split("=", 1)[1]), os.path.join(self.registers_path, d))
             for d in os.listdir(self.registers_path)
@@ -93,10 +99,28 @@ class StreamingHllSketch:
         target_id, target_dir = old[0]
         tmp = os.path.join(self.registers_path, f".compact-{current_batch_id}")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_dir)
-        os.rename(tmp, target_dir)
+        # Files the merged output supersedes inside the target partition
+        # (prior part-/compact- files); they become redundant duplicates
+        # the moment the merged file lands, and are deleted LAST.
+        superseded = [
+            os.path.join(target_dir, f)
+            for f in os.listdir(target_dir)
+            if not f.startswith(".")
+        ]
+        for i, fname in enumerate(sorted(os.listdir(tmp))):
+            if fname.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, fname),
+                    os.path.join(
+                        target_dir, f"compact-{current_batch_id}-{i:05d}.parquet"
+                    ),
+                )
+        shutil.rmtree(tmp)
         for _, p in old[1:]:
             shutil.rmtree(p)
+        for f in superseded:
+            if os.path.isfile(f):
+                os.remove(f)
 
     def registers(self, spark: SparkSession) -> DataFrame:
         """The merged (bucket, m_j) register table — 64 rows max."""

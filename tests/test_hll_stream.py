@@ -87,6 +87,42 @@ def test_compaction_preserves_registers(spark, tmp_path):
     assert sink.estimate(spark) == _ref_estimate(range(600))
 
 
+def test_compaction_crash_window_is_duplicate_only(spark, tmp_path):
+    """_compact publishes the merged registers into the visible target
+    partition BEFORE deleting any source. Simulate a crash at the worst
+    intermediate point — merged file published, sources and superseded
+    files all still present — and assert the read-side answer is already
+    correct (duplicates max-merge away), i.e. no state in the window can
+    lose registers."""
+    regs_path = tmp_path / "regs"
+    sink = StreamingHllSketch(str(regs_path), compact_every=0)
+    sink(_batch(spark, range(0, 200)), 0)
+    sink(_batch(spark, range(200, 400)), 1)
+    # manual "publish" step: merged registers copied into batch_id=0
+    # alongside its original files, sources untouched (the crash state)
+    merged = sink._batch_registers(_batch(spark, range(0, 400)))
+    merged.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "m"))
+    import shutil
+
+    i = 0
+    for f in sorted(os.listdir(tmp_path / "m")):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                tmp_path / "m" / f,
+                regs_path / "batch_id=0" / f"compact-99-{i:05d}.parquet",
+            )
+            i += 1
+    # every partition still present + duplicates in batch 0: estimate exact
+    assert sink.estimate(spark) == _ref_estimate(range(400))
+    # and a subsequent real compaction converges to the clean layout
+    sink.compact_every = 2
+    sink(_batch(spark, range(400, 600)), 2)
+    dirs = [d for d in os.listdir(regs_path) if d.startswith("batch_id=")]
+    assert sorted(dirs) == ["batch_id=0", "batch_id=2"]
+    assert not [d for d in os.listdir(regs_path) if d.startswith(".")]
+    assert sink.estimate(spark) == _ref_estimate(range(600))
+
+
 def test_end_to_end_stream(spark, tmp_path):
     src = tmp_path / "in"
     os.makedirs(src)

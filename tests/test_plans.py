@@ -639,3 +639,204 @@ def test_bloom_filter_frame_broadcasts(spark):
     plan = _plan(spark, "dedup_bloom_probe")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- r8: pins for the post-"refresh plans" catalog tail (VERDICT r7 #1) ----
+
+
+def test_adamic_adar_memoized_and_cached(spark):
+    """Adamic-Adar: pairs come from the session-memoized SimHash checkpoint
+    (ZERO parquet scans in the plan), both wedge self-join sides read the
+    persisted capped-adjacency frame (two InMemoryTableScans — without the
+    persist the adjacency-cap window ran twice), the integer weight table
+    attaches by broadcast, and the top-50 is TakeOrdered, never a global
+    sort. The single SortMergeJoin is the wedge self-join on the center
+    node — both sides are the bounded capped adjacency."""
+    plan = _plan(spark, "graph_adamic_adar")
+    assert plan.count("Scan parquet") == 0  # fed by the memoized checkpoint
+    assert plan.count("InMemoryTableScan") == 2  # both wedge sides cached
+    assert "BroadcastHashJoin" in plan  # weight table
+    assert "WindowGroupLimit" in plan  # adjacency cap pushed below shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_broadcast_basis_joins(spark):
+    """Perceptual hash: both DCT stages attach the broadcast basis tables
+    (BroadcastHashJoin), the only big-big join is the doc-keyed
+    fingerprint/median merge, and nothing goes cartesian or Python."""
+    plan = _plan(spark, "multimodal_phash")
+    assert plan.count("Scan parquet") <= 2  # DCT stream + doc-median side
+    assert plan.count("BroadcastHashJoin") >= 2  # the two DCT basis joins
+    assert plan.count("SortMergeJoin") <= 1  # doc-keyed merge only
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_textrank_checkpointed_rounds(spark):
+    """TextRank: the per-iteration graph rounds are localCheckpoint-ed, so
+    the FINAL plan reads the bounded rank RDD — no parquet rescan, no
+    exchange, and the top-K is TakeOrdered (per-partition heaps)."""
+    plan = _plan(spark, "keyword_textrank")
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_probe_broadcast_only(spark):
+    """Matryoshka recall: the probe set is the ONLY nested-loop broadcast
+    (corpus x probes at full width); every other join is hash, nothing is
+    sort-merged — the corpus is never shuffled for scoring."""
+    plan = _plan(spark, "embedding_matryoshka_recall")
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # probe side only
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ppjoin_prefix_index_no_corpus_window(spark):
+    """PPJoin: candidate generation is a broadcast equi-join on the prefix
+    shingle index with the doc_a < doc_b residual; the global df-rank
+    windows run over the AGGREGATED (shingle, df) table — value-bounded,
+    never the corpus — and nothing is cartesian or sort-merged."""
+    plan = _plan(spark, "dedup_jaccard_ppjoin")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # prefix index + pair joins
+    assert "(doc_id" in plan  # the a<b residual rides the equi-join
+
+
+def test_ndcg_rides_bm25_shape(spark):
+    """NDCG: retrieval reuses the bm25 postings shape (<= 2 scans), the
+    discount/ideal tables ride one-row broadcasts, and both rank passes
+    are TakeOrdered — no global sort, no sort-merge join."""
+    plan = _plan(spark, "retrieval_ndcg")
+    assert plan.count("Scan parquet") <= 5  # bm25 + judgment passes (known)
+    assert plan.count("TakeOrderedAndProject") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_aggregates_manifests(spark):
+    """Compaction planner: an aggregate over the file-stats manifest (tiny
+    SinglePartition exchanges + a one-row broadcast for the target size) —
+    the underlying table is scanned for stats, never joined pairwise."""
+    plan = _plan(spark, "compaction_plan")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") >= 1
+
+
+def test_winnowing_single_doc_window(spark):
+    """Winnowing: k-gram expansion is map-side; the ONE window is the
+    doc-keyed rolling min over positions (bounded per doc), plus the final
+    doc-keyed aggregate join — no global window, no Python."""
+    plan = _plan(spark, "winnowing_fingerprints")
+    assert plan.count("Window [") == 1
+    assert "partition" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_theil_sen_pair_slopes_bounded(spark):
+    """Theil-Sen: pair slopes expand inside per-user arrays (windows run
+    over the 30-day dense grid, bounded per user); the grid/bounds frames
+    ride broadcasts; nothing cartesian or sort-merged."""
+    plan = _plan(spark, "timeseries_theil_sen")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_cusum_windows_on_grid(spark):
+    """CUSUM: both running windows execute over the dense per-type grid
+    (types x hours), never raw events; grid joins broadcast."""
+    plan = _plan(spark, "timeseries_cusum_changepoint")
+    assert plan.count("Window [") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_acf_single_ordered_pass(spark):
+    """ACF: ONE ordered window pass produces all six lag columns (a
+    per-lag self-join would be six shuffles); totals/denominator attach by
+    broadcast; integer sums keep the aggregate map-side combinable."""
+    plan = _plan(spark, "timeseries_acf")
+    assert plan.count("Window [") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_equidepth_windows_value_bounded(spark):
+    """Equi-depth histogram: the rank/cumulative windows run over the
+    value-bounded aggregate (SinglePartition of distinct values), never a
+    global sort of the corpus."""
+    plan = _plan(spark, "histogram_equidepth")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") >= 1
+
+
+def test_equiwidth_one_scan_one_exchange(spark):
+    """Equi-width histogram: bin assignment is map-side arithmetic — one
+    scan, one hash exchange for the bin aggregate, no joins, no windows."""
+    plan = _plan(spark, "histogram_equiwidth")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Window [") == 0
+
+
+def test_change_log_colocated_full_outer(spark):
+    """CDC change log: the snapshot diff is the designed KEY-COLOCATED
+    full outer join (both sides hash-partitioned on key — at 100 TB this
+    is the one unavoidable shuffle), the tombstone filter is a broadcast
+    anti join, and nothing goes cartesian."""
+    plan = _plan(spark, "table_change_log")
+    assert "FullOuter" in plan
+    assert plan.count("SortMergeJoin") == 1  # the key-colocated diff
+    assert "CartesianProduct" not in plan
+
+
+def test_language_confusion_single_scan(spark):
+    """Language-ID confusion matrix: one corpus scan, map-side verdicts,
+    one aggregate + one bounded window — no joins, no Python."""
+    plan = _plan(spark, "quality_language_confusion")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_ks_drift_windows_on_quantized_scores(spark):
+    """KS drift: the two cumulative windows run over the quantized-score
+    histogram (SinglePartition, value-bounded); the corpus is scanned for
+    scores, never globally sorted; the D-statistic rides one-row
+    broadcasts."""
+    plan = _plan(spark, "quality_drift_ks")
+    assert plan.count("Exchange SinglePartition") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_manifest_prune_broadcast_stats(spark):
+    """Manifest-prune audit: per-file min/max stats aggregate once; the
+    probe predicates attach as one-row broadcasts (BroadcastNestedLoop on
+    single-row frames is a map-side attach, not a pairwise expansion)."""
+    plan = _plan(spark, "manifest_prune_stats")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") >= 1
+
+
+def test_abtest_one_scan_no_joins(spark):
+    """A/B z-test: arm assignment and outcomes are map-side; one hash
+    exchange for the per-arm aggregate, one SinglePartition for the
+    pooled stats — no joins anywhere."""
+    plan = _plan(spark, "abtest_proportion_ztest")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
