@@ -147,6 +147,19 @@ HEADLINE = [
     # judgment pass)
     "multimodal_phash",
     "retrieval_ndcg",
+    # r8: track the remaining r7c statistics/maintenance ops (VERDICT r7
+    # ask #7) — A/B two-proportion z-test, Holt forecast recurrence, ACF
+    # by integer lag sums, MAD robust outliers, KS drift, head-vocabulary
+    # coverage curve, language-ID confusion matrix, and the small-file
+    # compaction planner
+    "abtest_proportion_ztest",
+    "timeseries_holt_forecast",
+    "timeseries_acf",
+    "outlier_robust_mad",
+    "quality_drift_ks",
+    "vocab_coverage",
+    "quality_language_confusion",
+    "compaction_plan",
 ]
 
 

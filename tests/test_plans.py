@@ -644,21 +644,20 @@ def test_bloom_filter_frame_broadcasts(spark):
 # ---- r8: pins for the post-"refresh plans" catalog tail (VERDICT r7 #1) ----
 
 
-def test_adamic_adar_memoized_and_cached(spark):
+def test_adamic_adar_memoized_mapside_wedges(spark):
     """Adamic-Adar: pairs come from the session-memoized SimHash checkpoint
-    (ZERO parquet scans in the plan), both wedge self-join sides read the
-    persisted capped-adjacency frame (two InMemoryTableScans — without the
-    persist the adjacency-cap window ran twice), the integer weight table
-    attaches by broadcast, and the top-50 is TakeOrdered, never a global
-    sort. The single SortMergeJoin is the wedge self-join on the center
-    node — both sides are the bounded capped adjacency."""
+    (ZERO parquet scans in the plan), the capped per-center neighbor list
+    is ONE aggregate (no window, no persist, no self-join), and the wedge
+    pairs expand map-side as two Generate nodes over the sorted array. At
+    fixture scale every join (weight table, capped lists, anti-join)
+    broadcasts; the top-50 is TakeOrdered, never a global sort."""
     plan = _plan(spark, "graph_adamic_adar")
     assert plan.count("Scan parquet") == 0  # fed by the memoized checkpoint
-    assert plan.count("InMemoryTableScan") == 2  # both wedge sides cached
-    assert "BroadcastHashJoin" in plan  # weight table
-    assert "WindowGroupLimit" in plan  # adjacency cap pushed below shuffle
+    assert plan.count("Generate") == 2  # map-side wedge expansion
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the old wedge self-join is gone
+    assert "Window" not in plan  # cap folded into the list aggregate
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in plan
 
 
