@@ -160,6 +160,13 @@ HEADLINE = [
     "vocab_coverage",
     "quality_language_confusion",
     "compaction_plan",
+    # r8 new surface: 1-bit binary-quantization retrieval ladder,
+    # Mann-Whitney rank-sum test, interpolated Kneser-Ney bigram model,
+    # and classical seasonal decomposition
+    "ann_binary_hamming_topk",
+    "abtest_mann_whitney",
+    "lm_kneser_ney_bigram",
+    "timeseries_seasonal_decompose",
 ]
 
 

@@ -610,6 +610,70 @@ def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_abtest_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) on purchase
+    VALUES between the deterministic 50/50 arms (user_id % 2) — the
+    nonparametric companion to `abtest_proportion_ztest`: conversion may
+    match while the spend DISTRIBUTION shifts, and rank tests see that
+    without assuming normality of heavy-tailed revenue.
+
+    Determinism discipline: ranks come from the DISTINCT-value table with
+    exact tie handling — a value occupying ranks cum+1..cum+t has average
+    rank (2*cum + t + 1)/2, so DOUBLED rank sums stay integer. U, the tie
+    term sum(t^3 - t), and all counts are exact integers; only the final z
+    is a fixed IEEE expression over those integers (sqrt correctly
+    rounded, written identically in both engines), shipped as
+    floor(z * 1e6 + 0.5) micros with the integer critical-value compare.
+    Degenerate cases (an empty arm, or every observation tied — zero
+    variance) yield NULL z / false BEFORE any division, ANSI-safe.
+
+    Scale shape: one combine-friendly aggregate to the distinct-value
+    table (|distinct metric values| rows, not events), one running-sum
+    window over that aggregated table ordered by value (the same
+    sorted-aggregate discipline as vocab_coverage), one final 1-row fold.
+    Nothing event-sized is sorted."""
+    events = load(spark, sf, "events")
+    vals = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("value").alias("v"),
+            (F.col("user_id") % 2 == 0).cast("int").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("t"), F.sum("is_a").alias("ta"))
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn("cum", F.coalesce(F.sum("t").over(w_cum), F.lit(0)))
+    g = ranked.agg(
+        F.sum("ta").alias("n_a"),
+        F.sum(F.col("t") - F.col("ta")).alias("n_b"),
+        F.sum(F.col("ta") * (2 * F.col("cum") + F.col("t") + 1)).alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_t"),
+    )
+    # 2*U_A = (doubled rank sum of arm A) - n_a*(n_a+1); mean(2U) = n_a*n_b
+    g = g.withColumn("u2_a", F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+    z = F.expr(
+        "case when n_a > 0 and n_b > 0 and"
+        " (n_a + n_b + 1.0) - cast(tie_t as double)"
+        " / (cast(n_a + n_b as double) * (n_a + n_b - 1.0)) > 0.0 then"
+        " cast(u2_a - n_a * n_b as double)"
+        " / sqrt((cast(n_a as double) * cast(n_b as double) / 3.0)"
+        " * ((n_a + n_b + 1.0) - cast(tie_t as double)"
+        " / (cast(n_a + n_b as double) * (n_a + n_b - 1.0)))) end"
+    )
+    zm = F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return g.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        "tie_t",
+        zm.alias("z_micro"),
+        F.coalesce(F.abs(zm) >= ABTEST_Z_CRIT_MICRO, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -629,6 +693,8 @@ QUERIES = {
     "table_change_log": q_table_change_log,
     # r7 continuation: small-file compaction planner over the manifest
     "compaction_plan": q_compaction_plan,
+    # r8: nonparametric rank-sum test over the same experiment split
+    "abtest_mann_whitney": q_abtest_mann_whitney,
 }
 
 ORACLES = {
@@ -923,5 +989,42 @@ ORACLES = {
                sum(n_rows)::BIGINT AS rows_total,
                min(file_hour) AS hour_min, max(file_hour) AS hour_max
         FROM binned GROUP BY 1
+    """,
+    "abtest_mann_whitney": f"""
+        WITH vals AS (
+            SELECT value AS v, count(*)::BIGINT AS t,
+                   sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ta
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), ranked AS (
+            SELECT v, t, ta,
+                   coalesce(sum(t) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+            FROM vals
+        ), g AS (
+            SELECT sum(ta)::BIGINT AS n_a,
+                   sum(t - ta)::BIGINT AS n_b,
+                   sum(ta * (2 * cum + t + 1))::BIGINT AS r2_a,
+                   sum(t * t * t - t)::BIGINT AS tie_t
+            FROM ranked
+        ), u AS (
+            SELECT n_a, n_b, r2_a, tie_t,
+                   (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a
+            FROM g
+        ), z AS (
+            SELECT *,
+                   case when n_a > 0 and n_b > 0 and
+                        (n_a + n_b + 1.0) - cast(tie_t as double)
+                        / (cast(n_a + n_b as double) * (n_a + n_b - 1.0)) > 0.0 then
+                        cast(u2_a - n_a * n_b as double)
+                        / sqrt((cast(n_a as double) * cast(n_b as double) / 3.0)
+                        * ((n_a + n_b + 1.0) - cast(tie_t as double)
+                        / (cast(n_a + n_b as double) * (n_a + n_b - 1.0)))) end AS zv
+            FROM u
+        )
+        SELECT n_a, n_b, u2_a, tie_t,
+               floor(zv * 1000000.0 + 0.5)::BIGINT AS z_micro,
+               coalesce(abs(floor(zv * 1000000.0 + 0.5)::BIGINT)
+                        >= {ABTEST_Z_CRIT_MICRO}, FALSE) AS significant
+        FROM z
     """,
 }

@@ -2158,6 +2158,105 @@ def q_quality_language_confusion(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+#: Kneser-Ney: discount D = 3/4 as an exact rational; report the top
+#: KN_TOP_W continuations for the KN_TOP_CTX most frequent contexts.
+KN_D_NUM = 3
+KN_D_DEN = 4
+KN_TOP_CTX = 20
+KN_TOP_W = 5
+#: guard: 3 * nd^2 * 2e6 must stay under 2^63 (see docstring), so the
+#: micro computation nulls out past this distinct-pair count instead of
+#: silently overflowing (the ACF guard discipline, ADVICE r7)
+KN_ND_GUARD = 1_200_000
+
+
+def q_lm_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.24) — the smoothing that made count-based
+    LMs competitive, and a sharper data-quality signal than add-one: the
+    continuation weight ranks a word by how many DISTINCT contexts it
+    follows, so boilerplate that repeats one bigram a million times gains
+    no continuation mass.
+
+        p_KN(w2|w1) = (c(w1w2) - D)/c(w1)
+                      + D * N1+(w1.)/c(w1) * N1+(.w2)/N1+(..)
+
+    Exact-integer discipline: with D = 3/4 the probability is the single
+    rational  num/den = ((4c - 3)*nd + 3*n1f*n1b) / (4*c_ctx*nd)  over
+    exact counts (observed pairs have c >= 1, so the max(c-D, 0) clamp
+    never binds), and kn_micro = floor(1e6*num/den + 0.5) is computed as
+    the all-integer (2e6*num + den) div (2*den) — no doubles anywhere,
+    both engines bit-equal by construction. Overflow guard: the cross
+    term 3*n1f*n1b*2e6 <= 3*nd^2*2e6 needs nd <= ~1.2e6 for int64;
+    beyond KN_ND_GUARD distinct pairs kn_micro is NULL (loud), not wrong.
+
+    Output: for the KN_TOP_CTX most frequent contexts, the KN_TOP_W
+    highest-probability OBSERVED continuations (unseen continuations
+    carry only backoff mass and are a defined non-goal of the report).
+
+    Scale shape: one corpus-sized shuffle (the pair count), persisted for
+    its four consumers (context totals+fanout, continuation counts,
+    distinct-pair total, scoring join); every window runs over the
+    aggregated pair/context tables (vocab-sized, never corpus rows); the
+    model-side joins broadcast at fixture scale and degrade to AQE
+    shuffle joins past broadcast size."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.expr(TOKENS).alias("toks"))
+    bg = toks.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("pair")
+    )
+    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).persist()
+    split1 = F.expr("split_part(pair, ' ', 1)")
+    split2 = F.expr("split_part(pair, ' ', 2)")
+    ctx = (
+        pair_cnt.select(split1.alias("w1"), "c_pair")
+        .groupBy("w1")
+        .agg(F.sum("c_pair").alias("c_ctx"), F.count("*").alias("n1f"))
+    )
+    bwd = (
+        pair_cnt.select(split2.alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("n1b"))
+    )
+    nd = pair_cnt.agg(F.count("*").alias("nd"))
+    w_ctx = Window.orderBy(F.col("c_ctx").desc(), F.col("w1").asc())
+    top_ctx = (
+        ctx.withColumn("ctx_rank", F.row_number().over(w_ctx))
+        .where(F.col("ctx_rank") <= KN_TOP_CTX)
+        .drop("ctx_rank")
+    )
+    scored = (
+        pair_cnt.withColumn("w1", split1)
+        .withColumn("w2", split2)
+        .join(F.broadcast(top_ctx), "w1")
+        .join(F.broadcast(bwd), "w2")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "kn_micro",
+            F.expr(
+                f"case when nd <= {KN_ND_GUARD} then"
+                f" (2000000 * (({KN_D_DEN} * c_pair - {KN_D_NUM}) * nd"
+                f"             + {KN_D_NUM} * n1f * n1b)"
+                f"  + {KN_D_DEN} * c_ctx * nd)"
+                f" div (2 * {KN_D_DEN} * c_ctx * nd) end"
+            ),
+        )
+    )
+    w_fin = Window.partitionBy("w1").orderBy(
+        F.col("kn_micro").desc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("kn_rank", F.row_number().over(w_fin))
+        .where(F.col("kn_rank") <= KN_TOP_W)
+        .select("w1", "w2", "kn_rank", "c_pair", "c_ctx", "kn_micro")
+    )
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -2208,6 +2307,8 @@ QUERIES = {
     "retrieval_ndcg": q_retrieval_ndcg,
     # r7 continuation: language-ID confusion matrix
     "quality_language_confusion": q_quality_language_confusion,
+    # r8: interpolated Kneser-Ney bigram model (all-integer rational)
+    "lm_kneser_ney_bigram": q_lm_kneser_ney_bigram,
 }
 
 
@@ -3045,4 +3146,48 @@ ORACLES["quality_language_confusion"] = f"""
                    * 1000000.0 + 0.5)::BIGINT
            END AS recall_micro
     FROM cells
+"""
+
+
+ORACLES["lm_kneser_ney_bigram"] = f"""
+    WITH tok AS (
+        SELECT {TOKENS_DUCK} AS tokens FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(tokens) - 1),
+                                     i -> tokens[i] || ' ' || tokens[i + 1])) AS pair
+        FROM tok WHERE len(tokens) >= 2
+    ), pair_cnt AS MATERIALIZED (
+        SELECT pair, count(*)::BIGINT AS c_pair FROM bg GROUP BY pair
+    ), ctx AS (
+        SELECT split_part(pair, ' ', 1) AS w1,
+               sum(c_pair)::BIGINT AS c_ctx, count(*)::BIGINT AS n1f
+        FROM pair_cnt GROUP BY 1
+    ), bwd AS (
+        SELECT split_part(pair, ' ', 2) AS w2, count(*)::BIGINT AS n1b
+        FROM pair_cnt GROUP BY 1
+    ), nd AS (
+        SELECT count(*)::BIGINT AS nd FROM pair_cnt
+    ), top_ctx AS (
+        SELECT w1, c_ctx, n1f FROM (
+            SELECT *, row_number() OVER (ORDER BY c_ctx DESC, w1 ASC) AS ctx_rank
+            FROM ctx
+        ) WHERE ctx_rank <= {KN_TOP_CTX}
+    ), scored AS (
+        SELECT t.w1, split_part(p.pair, ' ', 2) AS w2, p.c_pair, t.c_ctx,
+               CASE WHEN nd.nd <= {KN_ND_GUARD} THEN
+                   (2000000 * (({KN_D_DEN} * p.c_pair - {KN_D_NUM}) * nd.nd
+                               + {KN_D_NUM} * t.n1f * b.n1b)
+                    + {KN_D_DEN} * t.c_ctx * nd.nd)
+                   // (2 * {KN_D_DEN} * t.c_ctx * nd.nd) END AS kn_micro
+        FROM pair_cnt p
+        JOIN top_ctx t ON t.w1 = split_part(p.pair, ' ', 1)
+        JOIN bwd b ON b.w2 = split_part(p.pair, ' ', 2)
+        CROSS JOIN nd
+    ), fin AS (
+        SELECT *, row_number() OVER (PARTITION BY w1
+                      ORDER BY kn_micro DESC, w2 ASC) AS kn_rank
+        FROM scored
+    )
+    SELECT w1, w2, kn_rank, c_pair, c_ctx, kn_micro::BIGINT AS kn_micro
+    FROM fin WHERE kn_rank <= {KN_TOP_W}
 """

@@ -665,6 +665,109 @@ def q_timeseries_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+#: seasonal decomposition: centered moving-average half-window (25h total)
+SEAS_TREND_HALF = 12
+
+
+def q_timeseries_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    decomposition underlying STL, Cleveland et al. 1990, without the loess
+    refinement) of the hourly event-count series per event_type:
+
+        trend    = centered 25-hour moving average
+        seasonal = hour-of-day mean minus the series grand mean
+        residual = y - trend - seasonal
+
+    — the monitoring primitive that separates "traffic is daily-cyclic"
+    from "traffic actually changed", complementing the CUSUM/z-score
+    anomaly queries which see level shifts but conflate them with phase.
+
+    Integer discipline: y is an exact count; every mean is the integer
+    micro-mean floor((2e6*sum + n) / (2n)) over NON-NEGATIVE sums (so
+    floor and truncation agree across engines — signed values only ever
+    appear in subtractions); the residual MAE takes abs() before its
+    mean for the same reason. No doubles anywhere.
+
+    Scale shape: one corpus shuffle to the (type, hour) rollup; the dense
+    grid derives from that small aggregate exactly like
+    `timeseries_resample_gapfill`; the trend window is per-type,
+    time-ordered (bounded frame); the hour-of-day and grand-mean tables
+    are 24x-types and types rows, broadcast back. Output is 24 rows per
+    type regardless of corpus size."""
+    events = load(spark, sf, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n_events"))
+    bounds = hourly.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.hour("h").alias("hod"),
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("y"),
+    )
+    w_tr = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-SEAS_TREND_HALF, SEAS_TREND_HALF)
+    )
+    base = (
+        dense.withColumn("sum_w", F.sum("y").over(w_tr))
+        .withColumn("cnt_w", F.count("*").over(w_tr))
+        .select(
+            "event_type",
+            "hod",
+            "y",
+            F.expr("(2000000 * sum_w + cnt_w) div (2 * cnt_w)").alias(
+                "trend_micro"
+            ),
+        )
+    )
+    hodstats = base.groupBy("event_type", "hod").agg(
+        F.sum("y").alias("sy_h"), F.count("*").alias("n_h")
+    )
+    grand = base.groupBy("event_type").agg(
+        F.sum("y").alias("sy_t"), F.count("*").alias("n_t")
+    )
+    joined = (
+        base.join(F.broadcast(hodstats), ["event_type", "hod"])
+        .join(F.broadcast(grand), "event_type")
+        .withColumn(
+            "hod_mean_micro",
+            F.expr("(2000000 * sy_h + n_h) div (2 * n_h)"),
+        )
+        .withColumn(
+            "seasonal_micro",
+            F.col("hod_mean_micro")
+            - F.expr("(2000000 * sy_t + n_t) div (2 * n_t)"),
+        )
+        .withColumn(
+            "abs_resid",
+            F.abs(
+                F.col("y") * F.lit(1000000)
+                - F.col("trend_micro")
+                - F.col("seasonal_micro")
+            ),
+        )
+    )
+    return joined.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_hours"),
+        F.min("hod_mean_micro").alias("hod_mean_micro"),
+        F.min("seasonal_micro").alias("seasonal_micro"),
+        F.expr(
+            "(2 * sum(abs_resid) + count(*)) div (2 * count(*))"
+        ).alias("resid_mae_micro"),
+    )
+
+
 QUERIES = {
     "timeseries_znorm_corr": q_timeseries_znorm_corr,
     "timeseries_anomaly_zscore": q_timeseries_anomaly_zscore,
@@ -680,6 +783,8 @@ QUERIES = {
     "timeseries_acf": q_timeseries_acf,
     # r7 continuation: Theil-Sen robust trend
     "timeseries_theil_sen": q_timeseries_theil_sen,
+    # r8: classical additive seasonal decomposition
+    "timeseries_seasonal_decompose": q_timeseries_seasonal_decompose,
 }
 
 ORACLES = {
@@ -1067,3 +1172,54 @@ ORACLES = {
         FROM ranked WHERE rn = (np + 1) // 2
     """,
 }
+
+
+ORACLES["timeseries_seasonal_decompose"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(h) AS lo, max(h) AS hi FROM hourly
+    ), grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (SELECT unnest(generate_series(
+            (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+            INTERVAL 1 HOUR)) AS h) g
+    ), dense AS (
+        SELECT g.event_type, g.h, hour(g.h)::INT AS hod,
+               coalesce(hourly.n_events, 0)::BIGINT AS y
+        FROM grid g LEFT JOIN hourly USING (event_type, h)
+    ), base AS (
+        SELECT event_type, hod, y,
+               ((2000000 * sum(y) OVER w + count(*) OVER w)
+                // (2 * count(*) OVER w))::BIGINT AS trend_micro
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN {SEAS_TREND_HALF} PRECEDING
+                              AND {SEAS_TREND_HALF} FOLLOWING)
+    ), hodstats AS (
+        SELECT event_type, hod, sum(y)::BIGINT AS sy_h, count(*)::BIGINT AS n_h
+        FROM base GROUP BY 1, 2
+    ), grand AS (
+        SELECT event_type, sum(y)::BIGINT AS sy_t, count(*)::BIGINT AS n_t
+        FROM base GROUP BY 1
+    ), joined AS (
+        SELECT b.event_type, b.hod,
+               ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h))::BIGINT AS hod_mean_micro,
+               ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h)
+                - (2000000 * g.sy_t + g.n_t) // (2 * g.n_t))::BIGINT AS seasonal_micro,
+               abs(b.y * 1000000 - b.trend_micro
+                   - ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h)
+                      - (2000000 * g.sy_t + g.n_t) // (2 * g.n_t)))::BIGINT AS abs_resid
+        FROM base b
+        JOIN hodstats hs USING (event_type, hod)
+        JOIN grand g USING (event_type)
+    )
+    SELECT event_type, hod, count(*)::BIGINT AS n_hours,
+           min(hod_mean_micro)::BIGINT AS hod_mean_micro,
+           min(seasonal_micro)::BIGINT AS seasonal_micro,
+           ((2 * sum(abs_resid) + count(*)) // (2 * count(*)))::BIGINT AS resid_mae_micro
+    FROM joined GROUP BY 1, 2
+"""

@@ -839,3 +839,57 @@ def test_abtest_one_scan_no_joins(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_binary_hamming_broadcast_ladder(spark):
+    """Binary-quantization retrieval: packing is map-side (no exchange
+    below the probe cross join), probes broadcast (BroadcastNestedLoop
+    BuildLeft), the Hamming shortlist cut is a WindowGroupLimit pushed
+    BELOW its exchange (per-partition top-k before any shuffle), and no
+    sort-merge or cartesian path exists."""
+    plan = _plan(spark, "ann_binary_hamming_topk")
+    assert plan.count("Scan parquet") <= 2  # probe side + corpus side
+    assert "BroadcastNestedLoopJoin BuildLeft, Cross" in plan
+    assert plan.count("WindowGroupLimit") >= 3  # partial + final, both cuts
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_mann_whitney_aggregated_window(spark):
+    """Mann-Whitney U: ranks come from the DISTINCT-value table, so the
+    running-sum window sorts an aggregated frame (one hash exchange for
+    the value groupBy, one SinglePartition window) — purchase events are
+    never globally sorted, and there are no joins."""
+    plan = _plan(spark, "abtest_mann_whitney")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+
+
+def test_kneser_ney_cached_model_broadcasts(spark):
+    """Kneser-Ney: the pair-count model materializes once (InMemory scans
+    feed all four consumers), every model-side join broadcasts, the
+    top-context cut is TakeOrdered + WindowGroupLimit (never a global
+    sort), and nothing goes cartesian or Python."""
+    plan = _plan(spark, "lm_kneser_ney_bigram")
+    assert "InMemoryTableScan" in plan  # persisted pair model
+    assert plan.count("BroadcastHashJoin") >= 2  # top-ctx + continuation
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_seasonal_decompose_bounded_windows(spark):
+    """Seasonal decomposition: the trend window is per-type over the
+    dense grid (partitionBy event_type — no SinglePartition window over
+    anything corpus-sized), the hour-of-day / grand-mean tables attach by
+    broadcast, and the grid derives from the small rollup (cross join of
+    a types frame with a one-row bounds frame only)."""
+    plan = _plan(spark, "timeseries_seasonal_decompose")
+    assert plan.count("BroadcastHashJoin") >= 3  # gapfill + hod + grand
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
