@@ -167,6 +167,12 @@ HEADLINE = [
     "abtest_mann_whitney",
     "lm_kneser_ney_bigram",
     "timeseries_seasonal_decompose",
+    # r8 second wave: Markov removal-effect attribution (driver-solved
+    # bounded chain over one user-keyed window pass), exponential-race
+    # weighted sampling, Benford first-digit audit
+    "attribution_markov_removal",
+    "sample_weighted_es",
+    "benford_digit_audit",
 ]
 
 

@@ -674,6 +674,297 @@ def q_abtest_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Markov attribution: fixed absorption-iteration budget (the output is
+#: DEFINED as the K-th integer-micro iterate, like every unrollable
+#: recurrence in this repo — convergence is a property, not the contract)
+MARKOV_ITERS = 10
+
+
+def _markov_solve(
+    counts: dict[tuple[str, str], int], channels: list[str]
+) -> dict[str, int]:
+    """P(absorb in CONV | start) per scenario, in integer micros, after
+    MARKOV_ITERS rounds of  p(s) <- floor(sum_t c(s,t) * pv(t) / r(s))
+    with pv(CONV)=1e6, pv(END)=0, pv(removed channel)=0.
+
+    Pure-Python EXACT integer arithmetic — the same floor-of-rational the
+    DuckDB oracle's unrolled CTE rounds compute, so both engines produce
+    the identical iterate bit-for-bit. Returns {scenario: p(START)} for
+    scenario 'base' plus one per removed channel."""
+    froms = sorted({s for s, _ in counts})
+    totals = {s: sum(n for (f, _), n in counts.items() if f == s) for s in froms}
+    out: dict[str, int] = {}
+    for scenario in ["base"] + channels:
+        p = {ch: 0 for ch in channels}
+        for _ in range(MARKOV_ITERS):
+            nxt = {}
+            for s in froms:
+                if s == scenario:
+                    continue
+                acc = 0
+                for (f, t), n in counts.items():
+                    if f != s:
+                        continue
+                    if t == "CONV":
+                        acc += n * 1_000_000
+                    elif t == "END" or t == scenario:
+                        pass
+                    else:
+                        acc += n * p.get(t, 0)
+                nxt[s] = acc // totals[s]
+            start_p = nxt.get("START", 0)
+            for ch in channels:
+                p[ch] = 0 if ch == scenario else nxt.get(ch, 0)
+        out[scenario] = start_p
+    return out
+
+
+def q_attribution_markov_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov-chain data-driven attribution (Anderl, Becker, v. Wangenheim
+    & Schumann 2014): model each user's pre-purchase journey as a
+    first-order chain over event-type channels, and credit a channel by
+    its REMOVAL EFFECT — how much the absorption probability into
+    conversion drops when every transition into that channel is diverted
+    to a non-converting exit. The model marketers actually want instead
+    of positional heuristics: `attribution_multitouch`'s last/first/
+    linear splits ignore HOW a touch changes the path; this one prices it.
+
+    Journeys: per user, events ordered by (ts, event_id), truncated at the
+    first purchase (relabeled CONV, absorbing); START opens every journey,
+    journeys without a purchase close with END (absorbing). Absorption
+    probabilities are the MARKOV_ITERS-th iterate of the integer-micro
+    fixed-point recurrence (see _markov_solve) — exact rationals floored
+    per round, so Spark's collected-counts solve and the oracle's unrolled
+    CTE rounds agree bit-for-bit. removal_effect = 1e6 - (1e6*p_rem)//p_base
+    (monotone: removing paths can only lower absorption), and the share
+    normalizes removal effects across channels, both floored.
+
+    Scale shape: ONE user_id exchange for the journey window (the
+    sessionize/transition-matrix pattern); everything after is the
+    (from,to) count aggregate — at most (|event types|+1)^2 cells, a
+    CARDINALITY-bounded table (the PartitionCommitter collect_set
+    argument), collected and solved driver-side exactly like the k-means/
+    BPE trainers train on bounded aggregates. Nothing data-sized leaves
+    the executors."""
+    events = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seqd = events.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.row_number().over(w).alias("seq"),
+    )
+    wu = Window.partitionBy("user_id")
+    marked = seqd.withColumn(
+        "psq", F.min(F.when(F.col("et") == "purchase", F.col("seq"))).over(wu)
+    ).withColumn("maxseq", F.max("seq").over(wu))
+    kept = marked.where(
+        F.col("psq").isNull() | (F.col("seq") <= F.col("psq"))
+    ).withColumn("lbl", F.when(F.col("et") == "purchase", "CONV").otherwise(F.col("et")))
+    wk = Window.partitionBy("user_id").orderBy("seq")
+    steps = kept.select(
+        F.coalesce(F.lag("lbl").over(wk), F.lit("START")).alias("from_type"),
+        F.col("lbl").alias("to_type"),
+    )
+    ends = kept.where(
+        F.col("psq").isNull() & (F.col("seq") == F.col("maxseq"))
+    ).select(F.col("lbl").alias("from_type"), F.lit("END").alias("to_type"))
+    counts_rows = (
+        steps.unionByName(ends)
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+        .collect()
+    )
+    counts = {(r["from_type"], r["to_type"]): r["n_trans"] for r in counts_rows}
+    channels = sorted(
+        {t for _, t in counts if t not in ("CONV", "END")}
+        | {s for s, _ in counts if s not in ("START",)}
+    )
+    solved = _markov_solve(counts, channels)
+    base = solved["base"]
+    re = {
+        ch: (1_000_000 - (1_000_000 * solved[ch]) // base) if base > 0 else None
+        for ch in channels
+    }
+    re_sum = sum(v for v in re.values() if v is not None)
+    rows = [
+        (
+            ch,
+            base,
+            solved[ch],
+            re[ch],
+            (1_000_000 * re[ch]) // re_sum
+            if re[ch] is not None and re_sum > 0
+            else None,
+        )
+        for ch in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_micro bigint, removed_conv_micro bigint,"
+        " removal_effect_micro bigint, attribution_share_micro bigint",
+    )
+
+
+def _benford_expect() -> list[tuple[int, int]]:
+    """(digit, floor(log10(1 + 1/d) * 1e6 + 0.5)) for d in 1..9 —
+    precomputed in Python and shipped to BOTH engines as a literal table
+    (the _aa_weights discipline: log10 is not IEEE-correctly-rounded, so
+    engine-side evaluation could differ in the last ulp)."""
+    import math
+
+    return [
+        (d, int(math.floor(math.log10(1 + 1 / d) * 1_000_000 + 0.5)))
+        for d in range(1, 10)
+    ]
+
+
+def q_benford_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformity audit (Newcomb 1881; Benford 1938;
+    the Nigrini 2012 forensic-accounting screen) over order totals: the
+    leading significant digit of naturally-occurring amounts should
+    follow log10(1+1/d), and a per-digit deviation profile is the
+    cheapest data-quality fingerprint for detecting fabricated, clipped,
+    or unit-mangled monetary columns in an ingested table.
+
+    Determinism: prices quantize to exact integer cents (2-decimal
+    fixture regime), the leading digit reads from the BIGINT's decimal
+    string (engine-identical for integers — never from a double's
+    formatting), observed frequencies are integer micro-means, and the
+    expectation table is a Python-precomputed literal (log10 is not
+    correctly-rounded, the _aa_weights argument). abs deviation stays in
+    exact integers.
+
+    Scale shape: leading-digit extraction is map-side; one 9-row
+    combine-friendly aggregate; the expectation attaches by broadcast to
+    a 9-row frame. Output is 9 rows at any corpus size."""
+    orders = load(spark, sf, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.expr(
+        "cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        " as string), 1, 1) as int)"
+    )
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    exp_df = spark.createDataFrame(_benford_expect(), "digit int, benford_micro bigint")
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    return (
+        F.broadcast(exp_df)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "benford_micro",
+            F.expr(
+                "case when n_total > 0 then"
+                " (2000000 * coalesce(n_obs, 0) + n_total) div (2 * n_total)"
+                " end"
+            ).alias("obs_freq_micro"),
+            F.expr(
+                "case when n_total > 0 then"
+                " abs((2000000 * coalesce(n_obs, 0) + n_total) div (2 * n_total)"
+                " - benford_micro) end"
+            ).alias("abs_dev_micro"),
+        )
+    )
+
+
+def _markov_oracle() -> str:
+    """Unrolled MARKOV_ITERS rounds of the integer-micro absorption
+    recurrence (the pagerank-oracle discipline): each round is one plain
+    CTE over the previous iterate + the bounded transition counts."""
+    rounds = []
+    for n in range(1, MARKOV_ITERS + 1):
+        rounds.append(
+            f""", it{n} AS (
+            SELECT cs.scenario, cs.state,
+                   CASE WHEN cs.state = cs.scenario THEN 0
+                        ELSE ((cs.cconst + coalesce(ctr.contrib, 0)) // t.r)::BIGINT
+                   END AS p
+            FROM consts cs
+            JOIN totals t ON t.state = cs.state
+            LEFT JOIN (
+                SELECT i.scenario, c.from_type AS state,
+                       sum(c.n_trans * i.p)::BIGINT AS contrib
+                FROM it{n - 1} i JOIN counts c ON c.to_type = i.state
+                GROUP BY 1, 2
+            ) ctr ON ctr.scenario = cs.scenario AND ctr.state = cs.state
+        )"""
+        )
+    return f"""
+        WITH seqd AS (
+            SELECT user_id, event_type AS et,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS seq
+            FROM events
+        ), marked AS (
+            SELECT *,
+                   min(CASE WHEN et = 'purchase' THEN seq END)
+                       OVER (PARTITION BY user_id) AS psq,
+                   max(seq) OVER (PARTITION BY user_id) AS maxseq
+            FROM seqd
+        ), kept AS (
+            SELECT user_id, seq, psq, maxseq,
+                   CASE WHEN et = 'purchase' THEN 'CONV' ELSE et END AS lbl
+            FROM marked WHERE psq IS NULL OR seq <= psq
+        ), steps AS (
+            SELECT coalesce(lag(lbl) OVER (PARTITION BY user_id ORDER BY seq),
+                            'START') AS from_type,
+                   lbl AS to_type
+            FROM kept
+            UNION ALL
+            SELECT lbl, 'END' FROM kept WHERE psq IS NULL AND seq = maxseq
+        ), counts AS MATERIALIZED (
+            SELECT from_type, to_type, count(*)::BIGINT AS n_trans
+            FROM steps GROUP BY 1, 2
+        ), channels AS MATERIALIZED (
+            SELECT DISTINCT ch FROM (
+                SELECT to_type AS ch FROM counts
+                WHERE to_type NOT IN ('CONV', 'END')
+                UNION
+                SELECT from_type FROM counts WHERE from_type <> 'START'
+            )
+        ), scenarios AS MATERIALIZED (
+            SELECT 'base' AS scenario UNION ALL SELECT ch FROM channels
+        ), states AS MATERIALIZED (
+            SELECT ch AS state FROM channels UNION ALL SELECT 'START'
+        ), totals AS MATERIALIZED (
+            SELECT from_type AS state, sum(n_trans)::BIGINT AS r
+            FROM counts GROUP BY 1
+        ), consts AS MATERIALIZED (
+            SELECT sc.scenario, st.state,
+                   coalesce(sum(CASE WHEN c.to_type = 'CONV'
+                                     THEN c.n_trans * 1000000 ELSE 0 END),
+                            0)::BIGINT AS cconst
+            FROM scenarios sc
+            CROSS JOIN states st
+            LEFT JOIN counts c ON c.from_type = st.state
+            GROUP BY 1, 2
+        ), it0 AS (
+            SELECT scenario, state, 0::BIGINT AS p FROM consts
+        ){"".join(rounds)}, final AS (
+            SELECT scenario, p FROM it{MARKOV_ITERS} WHERE state = 'START'
+        ), basep AS (
+            SELECT p AS base FROM final WHERE scenario = 'base'
+        ), rem AS (
+            SELECT f.scenario AS channel, b.base AS base_conv_micro,
+                   f.p AS removed_conv_micro,
+                   CASE WHEN b.base > 0
+                        THEN (1000000 - (1000000 * f.p) // b.base)::BIGINT
+                   END AS removal_effect_micro
+            FROM final f CROSS JOIN basep b WHERE f.scenario <> 'base'
+        ), resum AS (
+            SELECT sum(removal_effect_micro)::BIGINT AS s FROM rem
+        )
+        SELECT channel, base_conv_micro, removed_conv_micro,
+               removal_effect_micro,
+               CASE WHEN removal_effect_micro IS NOT NULL AND r.s > 0
+                    THEN ((1000000 * removal_effect_micro) // r.s)::BIGINT
+               END AS attribution_share_micro
+        FROM rem CROSS JOIN resum r
+    """
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -695,6 +986,10 @@ QUERIES = {
     "compaction_plan": q_compaction_plan,
     # r8: nonparametric rank-sum test over the same experiment split
     "abtest_mann_whitney": q_abtest_mann_whitney,
+    # r8: Markov removal-effect attribution
+    "attribution_markov_removal": q_attribution_markov_removal,
+    # r8: Benford first-digit data-quality audit
+    "benford_digit_audit": q_benford_digit_audit,
 }
 
 ORACLES = {
@@ -1028,3 +1323,31 @@ ORACLES = {
         FROM z
     """,
 }
+
+ORACLES["attribution_markov_removal"] = _markov_oracle()
+
+
+def _benford_oracle() -> str:
+    values = ", ".join(f"({d}, {m})" for d, m in _benford_expect())
+    return f"""
+        WITH obs AS (
+            SELECT substring(floor(o_totalprice * 100 + 0.5)::BIGINT::VARCHAR,
+                             1, 1)::INT AS digit,
+                   count(*)::BIGINT AS n_obs
+            FROM orders WHERE o_totalprice > 0 GROUP BY 1
+        ), expect(digit, benford_micro) AS (VALUES {values}),
+        tot AS (SELECT sum(n_obs)::BIGINT AS n_total FROM obs)
+        SELECT e.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+               e.benford_micro::BIGINT AS benford_micro,
+               CASE WHEN t.n_total > 0 THEN
+                 ((2000000 * coalesce(o.n_obs, 0) + t.n_total)
+                  // (2 * t.n_total))::BIGINT END AS obs_freq_micro,
+               CASE WHEN t.n_total > 0 THEN
+                 abs((2000000 * coalesce(o.n_obs, 0) + t.n_total)
+                     // (2 * t.n_total) - e.benford_micro)::BIGINT
+               END AS abs_dev_micro
+        FROM expect e LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+    """
+
+
+ORACLES["benford_digit_audit"] = _benford_oracle()

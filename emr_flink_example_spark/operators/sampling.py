@@ -551,6 +551,47 @@ def q_quality_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Efraimidis-Spirakis weighted sample-without-replacement size
+SAMPLE_ES_K = 100
+
+
+def q_sample_weighted_es(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the exponential race
+    (Efraimidis & Spirakis 2006, the -ln(u)/w formulation): every doc
+    draws an exponential arrival time with rate = its weight (n_chars),
+    and the SAMPLE_ES_K earliest arrivals win — the one-pass, fully
+    parallel way to take an exact-size weighted sample at any scale,
+    complementing `sample_weighted_bernoulli` (which hits the weighted
+    RATE but only the EXPECTED size).
+
+    Determinism: u = (salted-hash ppm + 0.5) / 1e6 — exact same double in
+    both engines; the key -ln(u)/w uses only ln on identical doubles (the
+    surprisal scorers' established cross-engine primitive; the textbook
+    u^(1/w) form needs pow(), which is NOT portable — the reason
+    sample_weighted_bernoulli's docstring avoided ES until now), then
+    quantizes to integer NANOS before ranking so the selection boundary
+    compares integers. (doc_id tiebreak makes the cut a total order.)
+
+    Scale shape: key assignment is pure map-side; the global top-k is
+    TakeOrderedAndProject (per-partition heaps merged at the driver) —
+    the corpus is never sorted or shuffled."""
+    docs = load(spark, sf, "documents").where(F.col("n_chars") > 0)
+    h_ppm = portable_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))
+    ) % 1_000_000
+    key_nano = F.expr(
+        "cast(floor(-ln((hp + 0.5d) / 1000000.0d)"
+        " / cast(n_chars as double) * 1e9 + 0.5) as bigint)"
+    )
+    return (
+        docs.withColumn("hp", h_ppm.cast("double"))
+        .withColumn("es_key_nano", key_nano)
+        .orderBy(F.col("es_key_nano").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_ES_K)
+        .select("doc_id", "lang", "n_chars", "es_key_nano")
+    )
+
+
 QUERIES = {
     "shuffle_to_shards": q_shuffle_to_shards,
     "pack_token_shards": q_pack_token_shards,
@@ -571,6 +612,8 @@ QUERIES = {
     "outlier_robust_mad": q_outlier_robust_mad,
     # r7 continuation: two-sample Kolmogorov-Smirnov drift audit
     "quality_drift_ks": q_quality_drift_ks,
+    # r8: exact-size weighted sample via the exponential race
+    "sample_weighted_es": q_sample_weighted_es,
 }
 
 ORACLES = {
@@ -790,3 +833,16 @@ ORACLES = {
         GROUP BY n_a, n_b, ks_scaled
     """,
 }
+
+
+ORACLES["sample_weighted_es"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               floor(-ln((({_SAMPLE_HASH} % 1000000)::DOUBLE + 0.5)
+                         / 1000000.0)
+                     / n_chars::DOUBLE * 1e9 + 0.5)::BIGINT AS es_key_nano
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, es_key_nano
+    FROM keyed ORDER BY es_key_nano ASC, doc_id ASC LIMIT {SAMPLE_ES_K}
+"""

@@ -893,3 +893,36 @@ def test_seasonal_decompose_bounded_windows(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_markov_attribution_local_result(spark):
+    """Markov removal-effect attribution: the returned frame is the
+    driver-solved literal (LocalTableScan) — the DISTRIBUTED work (journey
+    window + transition counts) runs at build time and collects only the
+    cardinality-bounded (from,to) count matrix, the k-means-trainer
+    pattern. The pin documents that nothing data-sized reaches the
+    driver-side solve."""
+    plan = _plan(spark, "attribution_markov_removal")
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # events were consumed at build time
+
+
+def test_weighted_es_is_takeordered(spark):
+    """Efraimidis-Spirakis sample: key assignment is map-side (zero
+    Exchange) and the global top-k is TakeOrderedAndProject — per-partition
+    heaps, never a corpus sort."""
+    plan = _plan(spark, "sample_weighted_es")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_benford_broadcast_expectation(spark):
+    """Benford audit: digit extraction is map-side, the 9-row observed
+    aggregate joins the literal expectation table by broadcast, and no
+    sort/cartesian appears."""
+    plan = _plan(spark, "benford_digit_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # obs + the total recount
