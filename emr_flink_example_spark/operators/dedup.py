@@ -284,6 +284,14 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
     replace the window with a distributed sort + per-partition offset rank
     (zipWithIndex shape) and the algorithm is unchanged."""
     docs = _shingled_docs(spark, sf)
+    # NOT persisted, on measurement: the inverted stream has four consumers
+    # (df counts, prefix build, both verification sides — 6 parquet scans,
+    # 0 ReusedExchange), but caching the exploded shingle rows costs MORE
+    # than the recomputes it saves (7.5s vs 5.6s at sf0.1): the explode
+    # chain pipelines into each consumer's first shuffle, while persist
+    # serializes corpus x shingles rows to the block store up front. The
+    # tfidf/vocab persist pattern pays off for AGGREGATED frames, not for
+    # exploded streams.
     inv = docs.select(
         "doc_id",
         F.size("shingles").alias("n_shingles"),
