@@ -173,6 +173,10 @@ HEADLINE = [
     "attribution_markov_removal",
     "sample_weighted_es",
     "benford_digit_audit",
+    # r8 third wave: KN per-doc scorer (the persisted-pair-model case) and
+    # per-arm Wilson intervals
+    "lm_kneser_ney_surprisal",
+    "abtest_wilson_ci",
 ]
 
 

@@ -805,6 +805,51 @@ def q_attribution_markov_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_abtest_wilson_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilson score interval (Wilson 1927) for each arm's conversion rate
+    — the small-sample-honest CI the normal approximation gets wrong near
+    0/1, and the per-arm companion to the two-arm z tests: report each
+    arm's rate WITH its uncertainty, not just the contrast.
+
+        center = (p + z^2/2n) / (1 + z^2/n),
+        half   = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    Determinism: conversion counts are exact integers from one user-level
+    aggregate; the interval is a fixed IEEE expression over (conv, n) with
+    z^2 = 1.959964^2 written as the same literal in both engines (sqrt
+    correctly rounded), floored once to micros. Empty arms yield NULL
+    bounds before any division.
+
+    Scale shape: one combine-friendly user aggregate, one 2-row rollup —
+    nothing data-sized past the first shuffle."""
+    events = load(spark, sf, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    arms = users.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    z = "1.959964"
+    expr_tpl = (
+        "case when n_users > 0 then cast(floor(("
+        " (cast(n_converted as double) / n_users"
+        "  + {z} * {z} / (2.0 * n_users)) {sign}"
+        " {z} * sqrt(cast(n_converted as double) / n_users"
+        "            * (1.0 - cast(n_converted as double) / n_users) / n_users"
+        "            + {z} * {z} / (4.0 * n_users * n_users))"
+        ") / (1.0 + {z} * {z} / n_users) * 1000000 + 0.5) as bigint) end"
+    )
+    return arms.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.expr(expr_tpl.format(z=z, sign="-")).alias("wilson_lo_micro"),
+        F.expr(expr_tpl.format(z=z, sign="+")).alias("wilson_hi_micro"),
+    )
+
+
 def _benford_expect() -> list[tuple[int, int]]:
     """(digit, floor(log10(1 + 1/d) * 1e6 + 0.5)) for d in 1..9 —
     precomputed in Python and shipped to BOTH engines as a literal table
@@ -990,6 +1035,8 @@ QUERIES = {
     "attribution_markov_removal": q_attribution_markov_removal,
     # r8: Benford first-digit data-quality audit
     "benford_digit_audit": q_benford_digit_audit,
+    # r8: per-arm Wilson conversion-rate confidence intervals
+    "abtest_wilson_ci": q_abtest_wilson_ci,
 }
 
 ORACLES = {
@@ -1351,3 +1398,34 @@ def _benford_oracle() -> str:
 
 
 ORACLES["benford_digit_audit"] = _benford_oracle()
+
+
+ORACLES["abtest_wilson_ci"] = """
+    WITH users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT (user_id % 2)::INT AS arm, count(*)::BIGINT AS n_users,
+               sum(converted)::BIGINT AS n_converted
+        FROM users GROUP BY 1
+    )
+    SELECT arm, n_users, n_converted,
+           CASE WHEN n_users > 0 THEN floor((
+             (n_converted::DOUBLE / n_users
+              + 1.959964 * 1.959964 / (2.0 * n_users)) -
+             1.959964 * sqrt(n_converted::DOUBLE / n_users
+                        * (1.0 - n_converted::DOUBLE / n_users) / n_users
+                        + 1.959964 * 1.959964 / (4.0 * n_users * n_users))
+           ) / (1.0 + 1.959964 * 1.959964 / n_users) * 1000000 + 0.5)::BIGINT
+           END AS wilson_lo_micro,
+           CASE WHEN n_users > 0 THEN floor((
+             (n_converted::DOUBLE / n_users
+              + 1.959964 * 1.959964 / (2.0 * n_users)) +
+             1.959964 * sqrt(n_converted::DOUBLE / n_users
+                        * (1.0 - n_converted::DOUBLE / n_users) / n_users
+                        + 1.959964 * 1.959964 / (4.0 * n_users * n_users))
+           ) / (1.0 + 1.959964 * 1.959964 / n_users) * 1000000 + 0.5)::BIGINT
+           END AS wilson_hi_micro
+    FROM arms
+"""

@@ -2257,6 +2257,84 @@ def q_lm_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lm_kneser_ney_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under the interpolated Kneser-Ney bigram
+    model of `lm_kneser_ney_bigram` — the strongest count-based fluency
+    scorer in the suite (Chen & Goodman 1998 showed KN dominates add-one
+    everywhere): documents whose transitions carry little continuation
+    mass score high even when their raw bigrams are frequent boilerplate.
+
+    Determinism: each bigram's probability is the exact integer rational
+    num/den (D = 3/4, see lm_kneser_ney_bigram); both engines cast the
+    SAME two bigints to double and take -ln of the SAME quotient, floored
+    once to integer micro-nats BEFORE the per-doc sum (the surprisal
+    discipline) — order-independent and engine-exact. Every scored bigram
+    is in the model by construction (self-scoring corpus), so the model
+    join never misses. The nd <= KN_ND_GUARD overflow guard nulls the
+    score loudly past int64 headroom.
+
+    Scale shape: one corpus-sized pair-count shuffle, PERSISTED for its
+    four consumers (context stats, continuation counts, distinct total,
+    scoring join — the aggregated-frame case where the tfidf persist
+    pattern pays, unlike ppjoin's exploded stream); model joins broadcast
+    at fixture scale; one doc_id rollup."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks"))
+    bg = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("pair"),
+    )
+    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).persist()
+    split1 = F.expr("split_part(pair, ' ', 1)")
+    split2 = F.expr("split_part(pair, ' ', 2)")
+    ctx = (
+        pair_cnt.select(split1.alias("w1"), "c_pair")
+        .groupBy("w1")
+        .agg(F.sum("c_pair").alias("c_ctx"), F.count("*").alias("n1f"))
+    )
+    bwd = (
+        pair_cnt.select(split2.alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("n1b"))
+    )
+    nd = pair_cnt.agg(F.count("*").alias("nd"))
+    micro = F.expr(
+        f"case when nd <= {KN_ND_GUARD} then"
+        f" cast(floor(-ln("
+        f"   cast(({KN_D_DEN} * c_pair - {KN_D_NUM}) * nd"
+        f"        + {KN_D_NUM} * n1f * n1b as double)"
+        f"   / cast({KN_D_DEN} * c_ctx * nd as double)"
+        f" ) * 1000000 + 0.5) as bigint) end"
+    )
+    scored = (
+        bg.join(F.broadcast(pair_cnt), "pair")
+        .withColumn("w1", split1)
+        .withColumn("w2", split2)
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(bwd), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", micro.alias("micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("micro").alias("kn_xent_micro"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "kn_xent_micro",
+            F.expr(
+                "case when kn_xent_micro is not null then"
+                " (2 * kn_xent_micro + n_bigrams) div (2 * n_bigrams) end"
+            ).alias("avg_kn_surprisal_micronats"),
+        )
+    )
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -2309,6 +2387,8 @@ QUERIES = {
     "quality_language_confusion": q_quality_language_confusion,
     # r8: interpolated Kneser-Ney bigram model (all-integer rational)
     "lm_kneser_ney_bigram": q_lm_kneser_ney_bigram,
+    # r8: per-doc cross-entropy under the KN model
+    "lm_kneser_ney_surprisal": q_lm_kneser_ney_surprisal,
 }
 
 
@@ -3190,4 +3270,46 @@ ORACLES["lm_kneser_ney_bigram"] = f"""
     )
     SELECT w1, w2, kn_rank, c_pair, c_ctx, kn_micro::BIGINT AS kn_micro
     FROM fin WHERE kn_rank <= {KN_TOP_W}
+"""
+
+
+ORACLES["lm_kneser_ney_surprisal"] = f"""
+    WITH tok AS (
+        SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tokens) - 1),
+                                     i -> tokens[i] || ' ' || tokens[i + 1])) AS pair
+        FROM tok WHERE len(tokens) >= 2
+    ), pair_cnt AS MATERIALIZED (
+        SELECT pair, count(*)::BIGINT AS c_pair FROM bg GROUP BY pair
+    ), ctx AS (
+        SELECT split_part(pair, ' ', 1) AS w1,
+               sum(c_pair)::BIGINT AS c_ctx, count(*)::BIGINT AS n1f
+        FROM pair_cnt GROUP BY 1
+    ), bwd AS (
+        SELECT split_part(pair, ' ', 2) AS w2, count(*)::BIGINT AS n1b
+        FROM pair_cnt GROUP BY 1
+    ), nd AS (
+        SELECT count(*)::BIGINT AS nd FROM pair_cnt
+    ), scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN nd.nd <= {KN_ND_GUARD} THEN
+                   floor(-ln(
+                       (({KN_D_DEN} * p.c_pair - {KN_D_NUM}) * nd.nd
+                        + {KN_D_NUM} * c.n1f * b.n1b)::DOUBLE
+                       / ({KN_D_DEN} * c.c_ctx * nd.nd)::DOUBLE
+                   ) * 1000000 + 0.5)::BIGINT END AS micro
+        FROM bg
+        JOIN pair_cnt p USING (pair)
+        JOIN ctx c ON c.w1 = split_part(bg.pair, ' ', 1)
+        JOIN bwd b ON b.w2 = split_part(bg.pair, ' ', 2)
+        CROSS JOIN nd
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           sum(micro)::BIGINT AS kn_xent_micro,
+           CASE WHEN sum(micro) IS NOT NULL THEN
+             ((2 * sum(micro) + count(*)) // (2 * count(*)))::BIGINT
+           END AS avg_kn_surprisal_micronats
+    FROM scored GROUP BY doc_id
 """

@@ -926,3 +926,23 @@ def test_benford_broadcast_expectation(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2  # obs + the total recount
+
+
+def test_kn_surprisal_cached_model(spark):
+    """KN per-doc scorer: same persisted pair model (InMemory scans feed
+    the model tables AND the scoring join), model joins broadcast, one
+    doc_id rollup — no sort-merge, no Python."""
+    plan = _plan(spark, "lm_kneser_ney_surprisal")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # pair + ctx + bwd
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_wilson_ci_one_scan_no_joins(spark):
+    """Wilson CI: arm stats come from one user aggregate + one 2-row
+    rollup; the interval is pure projection — no joins anywhere."""
+    plan = _plan(spark, "abtest_wilson_ci")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
