@@ -177,6 +177,10 @@ HEADLINE = [
     # per-arm Wilson intervals
     "lm_kneser_ney_surprisal",
     "abtest_wilson_ci",
+    # r8 fourth wave: JL projection distortion census and b-bit minhash
+    # storage/quality calibration
+    "embedding_jl_distortion",
+    "sketch_minhash_bbit",
 ]
 
 

@@ -805,6 +805,59 @@ def q_attribution_markov_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sketch_minhash_bbit(spark: SparkSession, sf: str) -> DataFrame:
+    """b-bit minhash calibration (Li & König 2010, b=1): store only the
+    LOWEST BIT of each of the 16 minhash values — a 64x signature
+    compression (16x64-bit words -> 16 bits) — and audit what the cheap
+    sketch costs in estimator quality. For resemblance J, matching
+    lowest bits happen with probability (1+J)/2 (+O(1/|vocab|)), so
+    J_1bit = 2*agree/16 - 1 (clamped at 0); the report puts the 1-bit
+    estimate next to the full 16-perm estimate per LSH candidate pair —
+    the measurement behind choosing b when signature storage itself is
+    the bottleneck at 100 TB (Li & König's original motivation).
+
+    Determinism: bit agreement is integer; both estimates are exact
+    dyadic rationals (k/16, (k-8)/8) so round(.,6) is decoration, not a
+    boundary. Lives in analytics (not dedup/textstats) because the
+    module chain analytics -> dedup -> textstats is acyclic AND the
+    dedup module's QUERIES dict sits inside the driver's checked
+    50-query prefix, which tail-appends must not shift.
+
+    Scale shape: candidate pairs come from the banded LSH plan (one
+    corpus scan, skew-guarded); signatures join back pair-bounded; the
+    bit comparison is a 16-element map-side fold."""
+    from .dedup import N_PERMS, _minhash_signatures, q_dedup_minhash_lsh
+
+    pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b", "est_jaccard")
+    # persisted: the a/b sides are distinct projections of one signature
+    # frame (no ReusedExchange) — the minhash_calibration precedent
+    sig = _minhash_signatures(spark, sf).persist()
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    onebit = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> (x % 2) = (y % 2)), v -> v))"
+    )
+    est1 = F.round(
+        F.greatest(
+            F.lit(0.0),
+            (onebit.cast("double") * 2.0 / N_PERMS) - 1.0,
+        ),
+        6,
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            onebit.alias("onebit_agree"),
+            est1.alias("est_jaccard_1bit"),
+            F.round(F.abs(est1 - F.col("est_jaccard")), 6).alias("abs_err_vs_full"),
+        )
+    )
+
+
 def q_abtest_wilson_ci(spark: SparkSession, sf: str) -> DataFrame:
     """Wilson score interval (Wilson 1927) for each arm's conversion rate
     — the small-sample-honest CI the normal approximation gets wrong near
@@ -1037,6 +1090,8 @@ QUERIES = {
     "benford_digit_audit": q_benford_digit_audit,
     # r8: per-arm Wilson conversion-rate confidence intervals
     "abtest_wilson_ci": q_abtest_wilson_ci,
+    # r8: b-bit minhash storage/quality calibration
+    "sketch_minhash_bbit": q_sketch_minhash_bbit,
 }
 
 ORACLES = {
@@ -1429,3 +1484,30 @@ ORACLES["abtest_wilson_ci"] = """
            END AS wilson_hi_micro
     FROM arms
 """
+
+
+def _bbit_oracle() -> str:
+    from .dedup import N_PERMS, _EST_JACCARD_DUCK, _minhash_cand_ctes
+
+    return (
+        _minhash_cand_ctes()
+        + f""",
+        scored AS (
+            SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard,
+                   len(list_filter(generate_series(1, {N_PERMS}),
+                                   i -> sig_a[i] % 2 = sig_b[i] % 2))::BIGINT
+                       AS onebit_agree
+            FROM cand
+        )
+        SELECT doc_a, doc_b, est_jaccard, onebit_agree,
+               round(greatest(0.0, onebit_agree::DOUBLE * 2.0 / {N_PERMS} - 1.0),
+                     6) AS est_jaccard_1bit,
+               round(abs(round(greatest(0.0,
+                                onebit_agree::DOUBLE * 2.0 / {N_PERMS} - 1.0), 6)
+                         - est_jaccard), 6) AS abs_err_vs_full
+        FROM scored
+    """
+    )
+
+
+ORACLES["sketch_minhash_bbit"] = _bbit_oracle()

@@ -1915,6 +1915,94 @@ def q_ann_binary_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Johnson-Lindenstrauss projection: target dimensionality + its ±1 matrix
+#: (Achlioptas 2001 database-friendly construction — exact in float/double,
+#: no gaussian sampling). Same fixed-seed discipline as make_planes.
+JL_DIM = 16
+
+
+def _jl_matrix() -> list[list[float]]:
+    rng = random.Random(13)
+    return [
+        [float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(JL_DIM)
+    ]
+
+
+JL_ROWS = _jl_matrix()
+
+
+def _jl_row_lit(j: int) -> str:
+    return "array(" + ", ".join(f"{v}D" for v in JL_ROWS[j]) + ")"
+
+
+def _jl_row_duck(j: int) -> str:
+    return "[" + ", ".join(repr(v) for v in JL_ROWS[j]) + "]"
+
+
+def q_embedding_jl_distortion(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> JL_DIM dims with a
+    pairwise-distance distortion census (JL lemma; Achlioptas 2001 ±1
+    construction): project every vector once (linearity means pair
+    distances project too), then for each probe x corpus pair report how
+    well (||proj(q)-proj(c)||^2 / JL_DIM) / ||q-c||^2 concentrates around
+    1 — the audit run before swapping the full vectors for the sketch in
+    a distance-based pipeline (clustering, dedup blocking, ANN routing).
+
+    Determinism: the ±1 matrix is a fixed-seed Python literal shipped to
+    both engines (the make_planes discipline); every dot product and
+    squared distance is a left-to-right fold over identical doubles
+    (the _COS_DUCK equivalence), and per-pair ratios floor to integer
+    micros BEFORE the per-query mean/min/max — integer aggregation,
+    order-independent.
+
+    Scale shape: projection is map-side (16 folds per vector, zero
+    shuffle) and cuts downstream distance math 4x; probes broadcast; the
+    census is one combine-friendly groupBy. At 100 TB project once,
+    write the JL_DIM sketch column, and run distance passes on it."""
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    proj = F.array(
+        *[
+            F.expr(
+                f"aggregate(zip_with(e, {_jl_row_lit(j)}, (x, r) -> x * r),"
+                f" cast(0 as double), (acc, x) -> acc + x)"
+            )
+            for j in range(JL_DIM)
+        ]
+    )
+    pe = emb.withColumn("p", proj)
+    q = pe.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("p").alias("qp")
+    )
+    c = pe.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("p").alias("cp")
+    )
+    d2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x)"
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("od2", F.expr(d2.format(a="qe", b="ce")))
+        .withColumn("pd2", F.expr(d2.format(a="qp", b="cp")))
+        .where(F.col("od2") > 0)
+        .withColumn(
+            "ratio_micro",
+            F.expr(
+                f"cast(floor(pd2 / {JL_DIM}.0d / od2 * 1000000 + 0.5) as bigint)"
+            ),
+        )
+    )
+    return pairs.groupBy("query_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.expr(
+            "(2 * sum(ratio_micro) + count(*)) div (2 * count(*))"
+        ).alias("mean_ratio_micro"),
+        F.min("ratio_micro").alias("min_ratio_micro"),
+        F.max("ratio_micro").alias("max_ratio_micro"),
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1948,6 +2036,8 @@ QUERIES = {
     # exact rerank (appended at the tail — this module ends exactly at the
     # driver's 50-query checked prefix, so tail appends land OUTSIDE it)
     "ann_binary_hamming_topk": q_ann_binary_hamming_topk,
+    # r8: JL random-projection distortion census
+    "embedding_jl_distortion": q_embedding_jl_distortion,
 }
 
 
@@ -2775,3 +2865,43 @@ ORACLES = {
         FROM fin WHERE nn_rank <= {BINQ_TOPK}
     """,
 }
+
+_JL_D2 = "list_dot_product({d}, {d})"
+
+
+def _jl_oracle() -> str:
+    proj = ", ".join(f"list_dot_product(e, {_jl_row_duck(j)})" for j in range(JL_DIM))
+    return f"""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e, [{proj}] AS p
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe, p AS qp FROM emb WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id, e AS ce, p AS cp FROM emb
+        ), pairs AS (
+            SELECT query_id,
+                   list_transform(generate_series(1, {DIM}),
+                                  i -> qe[i] - ce[i]) AS od,
+                   list_transform(generate_series(1, {JL_DIM}),
+                                  i -> qp[i] - cp[i]) AS pd
+            FROM q CROSS JOIN c WHERE query_id != neighbor_id
+        ), scored AS (
+            SELECT query_id,
+                   list_dot_product(od, od) AS od2,
+                   list_dot_product(pd, pd) AS pd2
+            FROM pairs
+        )
+        SELECT query_id, count(*)::BIGINT AS n_pairs,
+               ((2 * sum(rm) + count(*)) // (2 * count(*)))::BIGINT AS mean_ratio_micro,
+               min(rm)::BIGINT AS min_ratio_micro,
+               max(rm)::BIGINT AS max_ratio_micro
+        FROM (
+            SELECT query_id,
+                   floor(pd2 / {JL_DIM}.0 / od2 * 1000000 + 0.5)::BIGINT AS rm
+            FROM scored WHERE od2 > 0
+        ) GROUP BY query_id
+    """
+
+
+ORACLES["embedding_jl_distortion"] = _jl_oracle()

@@ -946,3 +946,23 @@ def test_wilson_ci_one_scan_no_joins(spark):
     plan = _plan(spark, "abtest_wilson_ci")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_jl_projection_mapside(spark):
+    """JL distortion: projection folds are map-side (no exchange below the
+    probe cross join), probes broadcast, the census is one aggregate."""
+    plan = _plan(spark, "embedding_jl_distortion")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2  # probe + corpus sides
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bbit_pair_bounded_joins(spark):
+    """b-bit calibration: signatures join back to the PAIR set (hash joins
+    on doc ids), the persisted signature frame feeds both sides, and the
+    bit comparison is a map-side fold — no cartesian, no Python."""
+    plan = _plan(spark, "sketch_minhash_bbit")
+    assert "InMemoryTableScan" in plan  # persisted signature frame
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
