@@ -40,6 +40,15 @@ UDTF_QUERIES = {"udtf_leading_tokens"}
 
 
 def _plan(spark, name: str) -> str:
+    # Order-independence: a previously built query's persist() (tfidf, the
+    # minhash signature frame, ...) stays registered in the shared session
+    # and would substitute InMemoryTableScans into LATER queries' plans,
+    # flipping exact scan-count pins depending on test order (bit us in r8
+    # when sketch_minhash_bbit's cached signatures absorbed
+    # split_leakage_audit's parquet scan). Clear leaked caches first; a
+    # query's OWN persists re-register during its build, so pins that
+    # expect their query's InMemoryTableScan still hold.
+    spark.catalog.clearCache()
     df = catalog.all_queries()[name](spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
