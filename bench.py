@@ -181,6 +181,8 @@ HEADLINE = [
     # storage/quality calibration
     "embedding_jl_distortion",
     "sketch_minhash_bbit",
+    # r8: pHash Hamming-ball image near-dup pairs (banded, exhaustive oracle)
+    "multimodal_phash_pairs",
 ]
 
 

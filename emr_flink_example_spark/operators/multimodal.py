@@ -320,6 +320,74 @@ def q_multimodal_phash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+#: pHash near-dup ball: pairs within this Hamming distance are image dups.
+#: 9 bands of 7 bits cover the 63-bit hash; pigeonhole: <= 8 differing
+#: bits cannot touch all 9 bands, so band agreement is a LOSSLESS filter
+#: (the oracle runs the exhaustive pairwise join to prove it).
+PHASH_MAX_HAMMING = 8
+_PHASH_BANDS = 9
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: documents whose
+    63-bit pHash fingerprints differ in at most PHASH_MAX_HAMMING bits —
+    the multimodal counterpart of `simhash_hamming_pairs`, and the dedup
+    primitive for image training corpora (re-encoded / resized copies
+    land within a few pHash bits of each other; the synthetic pixel seam
+    is the documented codec stand-in, the pairing machinery is the real
+    thing).
+
+    Scale shape (Manku-style pigeonhole banding): each doc emits 9 keys —
+    its 7-bit hash bands — so candidate generation is a groupBy on
+    (band, value), O(docs x bands), never O(n^2); the exact
+    bit_count(xor) ball check runs INSIDE each bucket's array domain, so
+    failing candidates never leave their map task. The ORACLE deliberately
+    runs the EXHAUSTIVE pairwise join instead (the ppjoin discipline):
+    hash equality proves the 9-band filter lossless, not merely
+    consistently implemented."""
+    fps = q_multimodal_phash(spark, sf).select("doc_id", "phash")
+    bands = fps.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), b * 7)
+                        .bitwiseAND(F.lit(0x7F))
+                        .alias("val"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    grouped = (
+        bands.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "phash"))).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    f"""
+                    filter(
+                      flatten(transform(members, (x, i) ->
+                        transform(slice(members, i + 2, size(members)),
+                          y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                      cast(bit_count(x.phash ^ y.phash) AS int) AS hamming)))),
+                      s -> s.hamming <= {PHASH_MAX_HAMMING})
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 QUERIES = {
     "multimodal_binary_meta": q_multimodal_binary_meta,
     "multimodal_decode_mapinpandas": q_multimodal_decode_mapinpandas,
@@ -330,6 +398,8 @@ QUERIES = {
     "multimodal_audio_windows": q_multimodal_audio_windows,
     # r7 continuation: integer-DCT perceptual hash census
     "multimodal_phash": q_multimodal_phash,
+    # r8: pHash Hamming-ball near-dup pairs (exhaustive-join oracle)
+    "multimodal_phash_pairs": q_multimodal_phash_pairs,
 }
 
 ORACLES = {
@@ -428,3 +498,14 @@ ORACLES = {
         GROUP BY f.doc_id
     """,
 }
+
+
+ORACLES["multimodal_phash_pairs"] = f"""
+    WITH fp AS MATERIALIZED (
+        SELECT doc_id, phash FROM ({ORACLES["multimodal_phash"]})
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.phash, b.phash))::INT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""

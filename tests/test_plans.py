@@ -975,3 +975,13 @@ def test_bbit_pair_bounded_joins(spark):
     assert "InMemoryTableScan" in plan  # persisted signature frame
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_phash_pairs_banded_not_quadratic(spark):
+    """pHash near-dup pairs: candidate generation is the banded groupBy
+    (one Generate for the 9 band keys), the ball check runs in the
+    bucket's array domain, and nothing goes cartesian or Python."""
+    plan = _plan(spark, "multimodal_phash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

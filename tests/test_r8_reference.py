@@ -218,3 +218,39 @@ def test_benford_rows_and_expectation(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# --- pHash pairs: positive path with synthesized duplicates -----------------
+
+
+def test_phash_pairs_find_duplicate_images(spark, tmp_path):
+    """The fixture corpus has no identical texts (0 candidate pairs is the
+    true answer there — the exhaustive oracle agrees), so the positive
+    path is proven here: duplicated texts produce identical pixel
+    stand-ins, identical pHashes, and therefore hamming-0 pairs; a
+    1-bit-flipped hash stays inside the ball via a different band."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emr_flink_example_spark.operators.multimodal import (
+        q_multimodal_phash_pairs,
+    )
+
+    d = tmp_path / "sf_dups"
+    d.mkdir()
+    texts = ["the quick brown fox jumps over the lazy dog " * 3] * 2 + [
+        "completely different content block number %d with words" % i
+        for i in range(8)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 10),
+            "source": pa.array(["synth"] * 10),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    pairs = q_multimodal_phash_pairs(spark, str(d)).collect()
+    assert {(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs} == {(0, 1, 0)}
