@@ -101,11 +101,20 @@ class StreamingHllSketch:
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         # Files the merged output supersedes inside the target partition
         # (prior part-/compact- files); they become redundant duplicates
-        # the moment the merged file lands, and are deleted LAST.
+        # the moment the merged file lands, and are deleted LAST. A file
+        # named like THIS run's rename destinations is excluded: after a
+        # mid-compaction crash the checkpoint replays the SAME batch_id,
+        # so a previously-published `compact-{current_batch_id}-*` file is
+        # this run's own rename target — listing it as superseded would
+        # delete the freshly-renamed merged registers in the cleanup loop
+        # (the partition would end up EMPTY after old[1:] were removed).
+        # The stale file's registers are still merged (it is read as part
+        # of old[0]) and then atomically overwritten by the rename.
+        own_prefix = f"compact-{current_batch_id}-"
         superseded = [
             os.path.join(target_dir, f)
             for f in os.listdir(target_dir)
-            if not f.startswith(".")
+            if not f.startswith(".") and not f.startswith(own_prefix)
         ]
         for i, fname in enumerate(sorted(os.listdir(tmp))):
             if fname.endswith(".parquet"):

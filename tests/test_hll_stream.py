@@ -123,6 +123,55 @@ def test_compaction_crash_window_is_duplicate_only(spark, tmp_path):
     assert sink.estimate(spark) == _ref_estimate(range(600))
 
 
+def test_compaction_replay_same_batch_id_after_crash(spark, tmp_path):
+    """Checkpoint replay of the SAME compaction batch after a crash must
+    not lose registers. Crash state simulated: the first run published its
+    merged file (`compact-2-00000.parquet` — the run's OWN deterministic
+    rename destination name) into the target partition, then died before
+    deleting old[1:]. The replayed run re-merges, renames onto the same
+    path, and must NOT list that path as superseded — doing so would
+    os.remove() the fresh merged file after old[1:] were rmtree'd,
+    leaving the partition empty (silent loss of all compacted state)."""
+    regs_path = tmp_path / "regs"
+    sink = StreamingHllSketch(str(regs_path), compact_every=0)
+    sink(_batch(spark, range(0, 200)), 0)
+    sink(_batch(spark, range(200, 400)), 1)
+    sink(_batch(spark, range(400, 600)), 2)
+    # first _compact run for batch 2... which crashes mid-way: merged file
+    # published under the run's own name, old[1:] NOT yet deleted.
+    merged = sink._batch_registers(_batch(spark, range(0, 400)))
+    merged.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "m"))
+    import shutil
+
+    i = 0
+    for f in sorted(os.listdir(tmp_path / "m")):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                tmp_path / "m" / f,
+                regs_path / "batch_id=0" / f"compact-2-{i:05d}.parquet",
+            )
+            i += 1
+    assert sink.estimate(spark) == _ref_estimate(range(600))
+    # checkpoint replay: _compact re-runs with the SAME current_batch_id
+    sink._compact(spark, 2)
+    dirs = [d for d in os.listdir(regs_path) if d.startswith("batch_id=")]
+    assert sorted(dirs) == ["batch_id=0", "batch_id=2"]
+    # the target partition still holds the merged registers (non-empty!)
+    assert [
+        f for f in os.listdir(regs_path / "batch_id=0") if f.endswith(".parquet")
+    ]
+    merged01 = {
+        (r.bucket, r.m_j)
+        for r in spark.read.parquet(str(regs_path / "batch_id=0")).collect()
+    }
+    direct01 = {
+        (r.bucket, r.m_j)
+        for r in sink._batch_registers(_batch(spark, range(0, 400))).collect()
+    }
+    assert merged01 == direct01
+    assert sink.estimate(spark) == _ref_estimate(range(600))
+
+
 def test_end_to_end_stream(spark, tmp_path):
     src = tmp_path / "in"
     os.makedirs(src)
