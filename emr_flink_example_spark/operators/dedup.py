@@ -1258,7 +1258,9 @@ SIMHASH_MAX_HAMMING = 3
 _SIMHASH_BANDS = 4  # 16-bit fp split into 4 nibbles
 
 
-def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def q_simhash_hamming_pairs(
+    spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """SimHash near-dup pairs: documents whose 16-bit fingerprints differ in
     at most SIMHASH_MAX_HAMMING bits (Manku et al.'s web-dedup scheme,
     restated on Spark).
@@ -1268,7 +1270,12 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     generation is a groupBy on (band, nibble value) — each doc emits 4
     bucket keys, cost O(docs x bands), never O(n^2) — followed by the exact
     bit_count(xor) filter inside each bucket. Same single-scan
-    groupBy-collect shape as the MinHash and cosine dedup paths."""
+    groupBy-collect shape as the MinHash and cosine dedup paths, and the
+    same skew guard: a band has at most 2^bits distinct values, so the hot
+    (band, value) bucket holds ~n/(bands*values) of the CORPUS — the
+    oversized-bucket case is the expected case here, not the adversarial
+    one, and the expansion must chunk through `_skew_guarded_pairs`
+    (cap^2-bounded tasks) rather than collect one bucket into one task."""
     fps = q_simhash(spark, sf)
     bands = fps.select(
         "doc_id",
@@ -1290,24 +1297,20 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
         .where(F.size("members") > 1)
     )
-    # hamming is computed and thresholded inside the bucket's array domain,
-    # so only qualifying (doc_a, doc_b, hamming) scalars reach the distinct
-    # shuffle — the candidate pairs that fail the Hamming ball never leave
+    # hamming is computed and thresholded inside the chunk-pair's array
+    # domain, so only qualifying (doc_a, doc_b, hamming) scalars reach the
+    # distinct shuffle — candidates that fail the Hamming ball never leave
     # their map task.
     return (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    f"""
-                    filter(
-                      flatten(transform(members, (x, i) ->
-                        transform(slice(members, i + 2, size(members)),
-                          y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                                      cast(bit_count(x.simhash ^ y.simhash) AS int) AS hamming)))),
-                      s -> s.hamming <= {SIMHASH_MAX_HAMMING})
-                    """
-                )
-            ).alias("p")
+        _skew_guarded_pairs(
+            grouped,
+            keys=["band", "nibble"],
+            pair_sql=(
+                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "cast(bit_count(x.simhash ^ y.simhash) AS int) AS hamming)"
+            ),
+            keep_sql=f"s.hamming <= {SIMHASH_MAX_HAMMING}",
+            cap=cap,
         )
         .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])

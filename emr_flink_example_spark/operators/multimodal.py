@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load
+from .dedup import LSH_BUCKET_CAP, _skew_guarded_pairs
 
 META_SCHEMA = "doc_id bigint, byte_len bigint, width int, height int, format string"
 
@@ -328,7 +329,9 @@ PHASH_MAX_HAMMING = 8
 _PHASH_BANDS = 9
 
 
-def q_multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def q_multimodal_phash_pairs(
+    spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Image near-duplicate pairs by perceptual hash: documents whose
     63-bit pHash fingerprints differ in at most PHASH_MAX_HAMMING bits —
     the multimodal counterpart of `simhash_hamming_pairs`, and the dedup
@@ -368,20 +371,20 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "phash"))).alias("members"))
         .where(F.size("members") > 1)
     )
+    # Image corpora are exactly where near-identical hashes concentrate
+    # (solid-color frames, re-encodes), so the hot (band, value) bucket is
+    # the EXPECTED case: expansion goes through the chunked skew guard
+    # (cap^2-bounded tasks), never one bucket in one collect task.
     return (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    f"""
-                    filter(
-                      flatten(transform(members, (x, i) ->
-                        transform(slice(members, i + 2, size(members)),
-                          y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                                      cast(bit_count(x.phash ^ y.phash) AS int) AS hamming)))),
-                      s -> s.hamming <= {PHASH_MAX_HAMMING})
-                    """
-                )
-            ).alias("p")
+        _skew_guarded_pairs(
+            grouped,
+            keys=["band", "val"],
+            pair_sql=(
+                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "cast(bit_count(x.phash ^ y.phash) AS int) AS hamming)"
+            ),
+            keep_sql=f"s.hamming <= {PHASH_MAX_HAMMING}",
+            cap=cap,
         )
         .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])

@@ -65,6 +65,24 @@ def test_capped_cosine_bit_identical_on_fixture(spark):
     assert capped == base
 
 
+def test_capped_simhash_banded_bit_identical_on_fixture(spark):
+    """Banded-Hamming path (VERDICT r8 #1): a SimHash band has at most 2^bits
+    values, so hot buckets are the EXPECTED case — the pair expansion must go
+    through the same chunked guard, emitting the identical pair set."""
+    base = _rows(D.q_simhash_hamming_pairs(spark, SF_DIR))
+    assert base  # fixture has near-dup fingerprints; guard path is exercised
+    capped = _rows(D.q_simhash_hamming_pairs(spark, SF_DIR, cap=4))
+    assert capped == base
+
+
+def test_capped_phash_banded_bit_identical_on_fixture(spark):
+    from emr_flink_example_spark.operators import multimodal as M
+
+    base = _rows(M.q_multimodal_phash_pairs(spark, SF_DIR))
+    capped = _rows(M.q_multimodal_phash_pairs(spark, SF_DIR, cap=4))
+    assert capped == base
+
+
 def test_chunk_rows_bounded(spark, identical_docs_dir):
     """Pin of the bound, over the PRODUCTION chunking expression: no
     expansion input row carries more than 2*cap members — the quantity that

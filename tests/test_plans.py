@@ -985,3 +985,22 @@ def test_phash_pairs_banded_not_quadratic(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_banded_hamming_buckets_skew_guarded(spark):
+    """r9: both banded-Hamming pair generators route bucket expansion
+    through the chunked skew guard — the plan carries the chunk-pair
+    repartition exchange on (keys..., ci, cj), so an oversized hot bucket
+    fans out across tasks instead of expanding inside one collect task."""
+    for name, keys in (
+        ("simhash_hamming_pairs", "nibble"),
+        ("multimodal_phash_pairs", "val"),
+    ):
+        plan = _plan(spark, name)
+        guard = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "ci" in ln and "cj" in ln
+        ]
+        assert guard, (name, plan)
+        assert any(keys in ln for ln in guard), (name, guard)
