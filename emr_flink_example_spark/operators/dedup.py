@@ -1232,51 +1232,83 @@ def q_dedup_semantic_clusters(
     )
 
 
+#: SimHash fingerprint width. Manku et al. (WWW 2007) use 64 bits; a
+#: 16-bit space saturates semantically around 10^5 docs (birthday
+#: collisions put unrelated fingerprints inside small Hamming balls, so
+#: the "near-dup" graph degenerates toward all-pairs). 63 bits is the
+#: pHash packing discipline (multimodal.py): bit 63 stays unused so the
+#: packed value is a positive BIGINT in both engines — DuckDB raises on
+#: `1::BIGINT << 63`, and two's-complement sign games are exactly the
+#: kind of portability hazard the oracle contract exists to avoid.
+SIMHASH_BITS = 63
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document: each bit is the sign of the
-    token-hash vote sum for that bit position."""
+    """63-bit SimHash fingerprint per document: each bit is the sign of the
+    token-hash vote sum for that bit position (Charikar 2002 / Manku 2007).
+
+    Bit sources: one md5 per token yields two independent 60-bit words
+    (hex chars 1-15 and 16-30); fingerprint bits 0-31 vote on word 1's low
+    bits, bits 32-62 on word 2's — never more than 32 consecutive shifts
+    into either word, comfortably inside both engines' bigint range."""
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
-    tok = tok.select("doc_id", h.alias("h"))
+    h1 = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("token"), 16, 15), 16, 10).cast("bigint")
+    tok = tok.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+
+    def _bit(b: int):
+        src, off = ("h1", b) if b < 32 else ("h2", b - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(16)
+        F.sum(F.when(_bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
     ]
     per_doc = tok.groupBy("doc_id").agg(*votes)
     fp = None
-    for b in range(16):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return per_doc.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
 #: SimHash near-dup threshold: pairs within this Hamming distance.
-SIMHASH_MAX_HAMMING = 3
-_SIMHASH_BANDS = 4  # 16-bit fp split into 4 nibbles
+#: Manku et al. use k=3 on 64 bits for web-scale re-crawls (near-byte-
+#: identical pages); this corpus's engineered near-dups are paraphrase-
+#: grade, so their fingerprints differ by a few more voted bits — k=7
+#: keeps the dup graph semantically non-trivial while remaining strictly
+#: inside the banding's lossless bound (must stay <= 8, asserted below).
+SIMHASH_MAX_HAMMING = 7
+#: 9 bands x 7 bits cover the 63-bit fingerprint; pigeonhole: <= 8
+#: differing bits cannot touch all 9 bands, so band agreement is a
+#: LOSSLESS candidate filter for any threshold up to 8 (same banding
+#: geometry as the pHash pairs in multimodal.py).
+_SIMHASH_BANDS = 9
+_SIMHASH_BAND_BITS = 7
+assert SIMHASH_MAX_HAMMING < _SIMHASH_BANDS, "pigeonhole losslessness bound"
 
 
 def q_simhash_hamming_pairs(
     spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP
 ) -> DataFrame:
-    """SimHash near-dup pairs: documents whose 16-bit fingerprints differ in
+    """SimHash near-dup pairs: documents whose 63-bit fingerprints differ in
     at most SIMHASH_MAX_HAMMING bits (Manku et al.'s web-dedup scheme,
     restated on Spark).
 
-    Pigeonhole banding makes it scale: a fingerprint differing in <= 3 bits
-    must agree EXACTLY on at least one of its 4 nibbles, so candidate
-    generation is a groupBy on (band, nibble value) — each doc emits 4
-    bucket keys, cost O(docs x bands), never O(n^2) — followed by the exact
-    bit_count(xor) filter inside each bucket. Same single-scan
+    Pigeonhole banding makes it scale: a fingerprint differing in <= 8 bits
+    must agree EXACTLY on at least one of its 9 seven-bit bands, so
+    candidate generation is a groupBy on (band, band value) — each doc
+    emits 9 bucket keys, cost O(docs x bands), never O(n^2) — followed by
+    the exact bit_count(xor) filter inside each bucket. Same single-scan
     groupBy-collect shape as the MinHash and cosine dedup paths, and the
-    same skew guard: a band has at most 2^bits distinct values, so the hot
+    same skew guard: a band has at most 2^7 distinct values, so the hot
     (band, value) bucket holds ~n/(bands*values) of the CORPUS — the
     oversized-bucket case is the expected case here, not the adversarial
     one, and the expansion must chunk through `_skew_guarded_pairs`
     (cap^2-bounded tasks) rather than collect one bucket into one task."""
     fps = q_simhash(spark, sf)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -1285,7 +1317,9 @@ def q_simhash_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 4).bitwiseAND(F.lit(0xF)).alias("nibble"),
+                        F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("nibble"),
                     )
                     for b in range(_SIMHASH_BANDS)
                 ]
@@ -1598,15 +1632,24 @@ def _bloom_oracle() -> str:
 
 
 def _simhash_oracle() -> str:
+    def _src(b: int) -> str:
+        return f"(h1 >> {b})" if b < 32 else f"(h2 >> {b - 32})"
+
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+        f"sum(CASE WHEN {_src(b)} & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
     )
-    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
     return f"""
         WITH tok AS (
             SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents
         ), hashed AS (
-            SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok
+            SELECT doc_id,
+                   ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+                   ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
+            FROM tok
         ), per_doc AS (
             SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
         )
