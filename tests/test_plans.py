@@ -655,17 +655,27 @@ def test_bloom_filter_frame_broadcasts(spark):
 
 def test_adamic_adar_memoized_mapside_wedges(spark):
     """Adamic-Adar: pairs come from the session-memoized SimHash checkpoint
-    (ZERO parquet scans in the plan), the capped per-center neighbor list
-    is ONE aggregate (no window, no persist, no self-join), and the wedge
-    pairs expand map-side as two Generate nodes over the sorted array. At
-    fixture scale every join (weight table, capped lists, anti-join)
-    broadcasts; the top-50 is TakeOrdered, never a global sort."""
+    (ZERO parquet scans in the plan), the hub pre-cap runs as a
+    WindowGroupLimit whose PARTIAL pass sits below the exchange (a
+    mega-hub never buffers or shuffles more than cap rows per task — the
+    r8 'unbounded collect_list on the adjacency build' finding), the
+    neighbor-list aggregate reuses the window's hashpartitioning(w), and
+    the wedge pairs expand map-side as two Generate nodes over the sorted
+    array. At fixture scale every join (weight table, capped lists,
+    anti-join) broadcasts; the top-50 is TakeOrdered, never a global
+    sort."""
     plan = _plan(spark, "graph_adamic_adar")
     assert plan.count("Scan parquet") == 0  # fed by the memoized checkpoint
     assert plan.count("Generate") == 2  # map-side wedge expansion
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # the old wedge self-join is gone
-    assert "Window" not in plan  # cap folded into the list aggregate
+    # hub pre-cap: rank-limit bounds the buffer BELOW the exchange too
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan and ", Final" in plan
+    # the pre-cap must not cost an exchange: exactly one hashpartitioning
+    # on w feeds both the window and the neighbor-list aggregate, plus one
+    # for the degree aggregate and one for the wedge-pair aggregate
+    assert plan.count("Exchange hashpartitioning") == 3
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
 
