@@ -2363,6 +2363,13 @@ _SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _simhash_pairs_materialized(spark: SparkSession, sf: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf)
     if key not in _SIMHASH_PAIRS_CACHE:
+        # Eviction (ADVICE r8): entries keyed by OTHER applications belong
+        # to stopped SparkContexts in this process — their DataFrames can
+        # never be reused, and keeping them pins localCheckpoint blocks
+        # for the process lifetime. Cap the dict at the live application's
+        # entries on every insert.
+        for stale in [k for k in _SIMHASH_PAIRS_CACHE if k[0] != key[0]]:
+            del _SIMHASH_PAIRS_CACHE[stale]
         _SIMHASH_PAIRS_CACHE[key] = (
             q_simhash_hamming_pairs(spark, sf)
             .select("doc_a", "doc_b")

@@ -4,6 +4,16 @@ Driver contract (__spark_entry__.py): `queries()` maps name -> builder,
 `oracle_sql()` maps name -> DuckDB SQL. Builders without an oracle entry get
 the driver's weaker rows-only check (documented per-module; currently only
 sketch-based ops whose values are engine-specific, e.g. HLL approx counts).
+
+Cache-hygiene contract: builders may `persist()` frames that feed multiple
+consumers INSIDE one query (tf-idf postings, minhash signatures, KN pair
+counts) and do not unpersist them — the returned DataFrame is lazy, so the
+builder cannot know when its caches stop being referenced. The RUNNER owns
+release: anything sweeping multiple catalog queries in one session must call
+`spark.catalog.clearCache()` between queries (bench.py, tools/selfcheck.py,
+tools/determinism.py, and tests/test_plans.py's `_plan` all do), or leaked
+caches accumulate in executor storage and substitute InMemoryTableScans
+into later queries' plans.
 """
 
 from __future__ import annotations

@@ -115,3 +115,20 @@ def test_matryoshka_recall_matches_left_to_right_fold_replication(spark):
     assert got == expected
     # the full-dim row is its own anchor: perfect recall by construction
     assert got[DIM][0] == got[DIM][1] == len(queries) * MATRYOSHKA_K
+
+
+def test_simhash_pairs_cache_evicts_stale_applications(spark):
+    """ADVICE r8: the session-memoized pair-stream cache must not pin
+    entries from stopped SparkContexts for the process lifetime — an
+    insert under the live application evicts every other application's
+    keys (and never the live application's own other-sf entries)."""
+    from emr_flink_example_spark.operators import dedup as D
+
+    app = spark.sparkContext.applicationId
+    live = D._simhash_pairs_materialized(spark, SF_DIR)
+    D._SIMHASH_PAIRS_CACHE[("dead-app-1234", "/some/sf")] = live  # stand-in
+    # a NEW key insert under the live app evicts the dead application's
+    other = D._simhash_pairs_materialized(spark, "/root/testdata/sf0.01")
+    assert other is not None
+    assert all(k[0] == app for k in D._SIMHASH_PAIRS_CACHE)
+    assert (app, SF_DIR) in D._SIMHASH_PAIRS_CACHE  # live entries survive

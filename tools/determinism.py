@@ -39,6 +39,10 @@ def main() -> int:
     queries = catalog.all_queries()
     n_fail = 0
     for name in names:
+        # same cache-hygiene contract as bench.py/selfcheck.py: builders
+        # may persist() intra-query frames; the RUNNER releases them
+        # between queries so a long sweep doesn't accumulate storage
+        spark.catalog.clearCache()
         try:
             a = _multiset(queries[name](spark, sf_dir))
             b = _multiset(queries[name](spark, sf_dir))
