@@ -118,11 +118,19 @@ class _IndexedDedupStreamFilter:
         Replay-safe: streaming replays only the LATEST batch, so rewriting
         strictly-older partitions can never collide with a replay, and the
         merged rows keep a batch_id (the oldest) that no replay will ever
-        exclude. Orphan-safe ordering: the merged dir lands BEFORE the other
-        old dirs are removed — a crash in between leaves duplicate index
-        rows, which the probe's distinct() makes harmless, and the next
-        compaction sweeps them up. Running the same compaction twice (batch
-        replay of the triggering batch) is a no-op second time around."""
+        exclude. Crash-safe ordering (the hll_stream protocol): the merged
+        files are PUBLISHED into the oldest partition via atomic per-file
+        renames BEFORE any source file or partition is deleted — a crash
+        at any intermediate point leaves only duplicate index rows, which
+        the probe's distinct() makes harmless, and the next compaction
+        sweeps them up. (The previous rmtree(target)-then-rename(tmp)
+        ordering had a window where the oldest partition existed only as
+        an invisible dot-dir: a crash there LOST its rows and the index
+        would silently readmit near-dups.) A same-batch_id replay after a
+        crash is also safe: files named like this run's own rename
+        destinations are excluded from the superseded list (they are this
+        run's targets — deleting them in cleanup would empty the
+        partition), while still being read into the merge."""
         old = sorted(
             (
                 int(d.split("=", 1)[1]),
@@ -145,10 +153,24 @@ class _IndexedDedupStreamFilter:
         target_id, target_dir = old[0]
         tmp = os.path.join(self.index_path, f".compact-{current_batch_id}")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_dir)
-        os.rename(tmp, target_dir)
+        own_prefix = f"compact-{current_batch_id}-"
+        superseded = [
+            os.path.join(target_dir, f)
+            for f in os.listdir(target_dir)
+            if not f.startswith(".") and not f.startswith(own_prefix)
+        ]
+        for i, fname in enumerate(sorted(os.listdir(tmp))):
+            if fname.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, fname),
+                    os.path.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
+                )
+        shutil.rmtree(tmp)
         for _, p in old[1:]:
             shutil.rmtree(p)
+        for f in superseded:
+            if os.path.isfile(f):
+                os.remove(f)
 
 
 class NearDupStreamFilter(_IndexedDedupStreamFilter):

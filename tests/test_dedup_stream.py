@@ -156,6 +156,74 @@ def test_index_compaction_bounds_files_and_preserves_probes(spark, tmp_path):
     assert spark.read.parquet(idx).where(F.col("doc_id") == 4).count() == 4
 
 
+def test_index_compaction_crash_windows_never_lose_rows(spark, tmp_path):
+    """r9 hardening (same class as the hll_stream ADVICE fix): compaction
+    publishes merged files INTO the oldest partition before deleting any
+    source. Two crash states are simulated:
+
+    1. merged file published, old[1:] and superseded files still present
+       — the index must already answer correctly (duplicates distinct()
+       away);
+    2. checkpoint replay of the SAME compaction batch from state 1 — the
+       replayed run's deterministic rename destinations collide with the
+       published file, which must NOT be treated as superseded (deleting
+       it would empty the oldest partition after old[1:] were removed)."""
+    import shutil
+
+    out, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    sink = NearDupStreamFilter(out, idx, compact_every=0)
+    texts = {
+        0: BASE,
+        1: DISTINCT,
+        2: "a third unrelated document about storage engines and bloom filters",
+        3: "fourth unique text mentioning watermark semantics and event time",
+    }
+    for b, t in texts.items():
+        sink(spark.createDataFrame([(b, t)], "doc_id bigint, text string"), b)
+    # crash state 1: run 4's merge of batches 0..3 published into
+    # batch_id=0 under run 4's own deterministic name, nothing deleted yet
+    merged = spark.read.option("basePath", idx).parquet(
+        *[os.path.join(idx, f"batch_id={b}") for b in range(4)]
+    ).drop("batch_id")
+    merged.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "m"))
+    i = 0
+    for f in sorted(os.listdir(tmp_path / "m")):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                tmp_path / "m" / f,
+                os.path.join(idx, "batch_id=0", f"compact-4-{i:05d}.parquet"),
+            )
+            i += 1
+    # all partitions + duplicates present: a probe still drops the near-dup
+    sink(spark.createDataFrame([(5, NEAR)], "doc_id bigint, text string"), 5)
+    assert 5 not in {r.doc_id for r in spark.read.parquet(out).collect()}
+    # crash state 2: replay of compaction batch 4 from this layout
+    sink.compact_every = 4
+    sink(
+        spark.createDataFrame(
+            [(4, "fifth text about morton codes and zorder clustering")],
+            "doc_id bigint, text string",
+        ),
+        4,
+    )
+    assert _parquet_dirs(idx) == ["batch_id=0", "batch_id=4", "batch_id=5"]
+    # the oldest partition is non-empty and holds every compacted doc
+    assert [
+        f
+        for f in os.listdir(os.path.join(idx, "batch_id=0"))
+        if f.endswith(".parquet")
+    ]
+    # every ACCEPTED doc's features survive (5 was dropped as a near-dup,
+    # so it never extended the index)
+    index = spark.read.parquet(idx)
+    assert {r.doc_id for r in index.select("doc_id").distinct().collect()} == {
+        0, 1, 2, 3, 4,
+    }
+    # and a near-dup of a compacted doc is still dropped after the replay
+    sink(spark.createDataFrame([(6, NEAR)], "doc_id bigint, text string"), 6)
+    assert 6 not in {r.doc_id for r in spark.read.parquet(out).collect()}
+
+
 def _vec(seed, dim=64, flip=0):
     import random
 
