@@ -1440,10 +1440,15 @@ GOPHER_STOPS = STOPWORDS
 _GSTOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
 
 
-def gopher_flags(docs: DataFrame) -> DataFrame:
+def gopher_flags(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """The Gopher rule bundle over ANY (doc_id, text) frame — shared by the
     batch query and the streaming curation gate (a frame-level map so the
-    stream applies bit-identical rules per micro-batch)."""
+    stream applies bit-identical rules per micro-batch).
+
+    ``keep`` appends pass-through columns (e.g. the text itself) so a
+    caller that needs flags NEXT TO the original columns gets them from
+    this single projection instead of joining the flags frame back to its
+    own input on doc_id — the verdict stays a pure map, no shuffle."""
     docs = docs.withColumn("tokens", F.expr(TOKENS))
     n_words = F.size("tokens")
     sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
@@ -1467,6 +1472,7 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     ok_stops = n_stop_types >= GOPHER_MIN_STOP_HITS
     return docs.select(
         "doc_id",
+        *keep,
         n_words.alias("n_words"),
         F.round(mean_len, 4).alias("mean_word_len"),
         n_stop_types.alias("n_stop_types"),

@@ -21,9 +21,27 @@ overwrite-own-batch_id-partition protocol as the dedup sink, so a
 checkpoint replay rewrites identical directories and the accepted /
 rejected split is exactly reproduced.
 
-Scale shape: the gate is pure map-side (scan-speed, no shuffle, no UDF);
-the probe is the band-bucket equi-join against the index. Nothing new
-shuffles beyond what the dedup filter already does.
+Scale shape: the gate is pure map-side (scan-speed, no shuffle, no UDF —
+r9 removed the flags-back-to-batch join by carrying the batch columns
+through the gopher_flags projection); the probe is the band-bucket
+equi-join against the index. Nothing new shuffles beyond what the dedup
+filter already does.
+
+Per-stage cost decomposition (r9, sf0.1 = 5000 docs, local[32], idle):
+a 417-doc micro-batch splits as gate+reject write ~0.8 s, minhash
+feature build ~1.3 s, index read ~0.4 s, probe join ~1.1 s, survivor +
+index writes ~0.4 + 1.9 s under a 32-partition profile harness; in the
+live 2-source-partition stream the same batch totals ~2.2 s. The
+governing term is NOT per-row work: total per-batch cost is nearly flat
+in batch size (417 docs ~2.2 s, 1250 ~3.1 s, 5000 ~2.7 s measured in one
+session), i.e. the floor is the ~6 Spark jobs a batch must run (reject
+write, index list+read, probe materialization, survivor write, index
+write) at ~0.3-0.5 s scheduling/commit overhead each. Consequently
+rows/sec scales linearly with batch size (182 -> 397 -> 1806 at 12/4/1
+batches over the same 5000 docs), and at production trigger intervals
+(minutes, millions of rows per batch) the fixed cost amortizes to noise
+while every data-sized term above stays map-side or equi-join. The
+tuning lever is the trigger interval, not the plan.
 """
 
 from __future__ import annotations
@@ -79,20 +97,24 @@ class CurationStreamSink:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        flags = gopher_flags(batch_df.select("doc_id", "text")).select(
-            "doc_id",
-            *[f for f, _ in _RULES],
-            "passes_gopher",
+        # The gate is ONE map-side projection: gopher_flags carries the
+        # original columns through (keep=), so the verdict sits next to
+        # the text with no flags-back-to-batch join — the r8 shape
+        # (join on doc_id) put a shuffle in front of every micro-batch
+        # for what is a pure per-row predicate.
+        gated = gopher_flags(
+            batch_df.select("doc_id", "text"),
+            keep=tuple(c for c in batch_df.columns if c != "doc_id"),
         )
-        gated = batch_df.join(flags, "doc_id")
         rejected = gated.where(~F.col("passes_gopher")).select(
             "doc_id", "text", _first_failing_rule().alias("reject_reason")
         )
         # same idempotent protocol as the dedup sink: a replayed batch
-        # overwrites its own partition, never touches any other
-        rejected.write.mode("overwrite").parquet(
-            os.path.join(self.reject_path, f"batch_id={batch_id}")
-        )
+        # overwrites its own partition, never touches any other; one file
+        # per batch partition (the hive-sink small-files discipline)
+        rejected.coalesce(self._dedup.write_partitions).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.reject_path, f"batch_id={batch_id}"))
         survivors = gated.where(F.col("passes_gopher")).select(*batch_df.columns)
         self._dedup(survivors, batch_id)
 

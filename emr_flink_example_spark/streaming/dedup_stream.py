@@ -57,6 +57,7 @@ class _IndexedDedupStreamFilter:
         out_path: str,
         index_path: str,
         compact_every: int = 16,
+        write_partitions: int = 1,
     ) -> None:
         self.out_path = out_path
         self.index_path = index_path
@@ -64,6 +65,11 @@ class _IndexedDedupStreamFilter:
         #: partitions into one — unbounded small-file accretion otherwise
         #: (a 100 TB stream is millions of micro-batches). 0 disables.
         self.compact_every = compact_every
+        #: files per batch_id partition dir (the hive-sink discipline:
+        #: exactly N files per touched partition per micro-batch, not
+        #: tasks x partitions). 1 is right for minute-scale micro-batches;
+        #: raise it when a single batch is tens of GB.
+        self.write_partitions = write_partitions
 
     def _features(self, batch_df: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -93,21 +99,37 @@ class _IndexedDedupStreamFilter:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        feats = self._features(batch_df)
-        index = self._existing_index(spark)
-        if index is not None:
-            # a replayed batch must not probe its own first attempt's rows
-            dups = self._dup_ids(feats, index.where(F.col("batch_id") != batch_id))
-            survivors = batch_df.join(dups, self.ID_COL, "left_anti")
-            surviving_feats = feats.join(dups, self.ID_COL, "left_anti")
-        else:
-            survivors, surviving_feats = batch_df, feats
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(self.out_path, f"batch_id={batch_id}")
-        )
-        surviving_feats.write.mode("overwrite").parquet(
-            os.path.join(self.index_path, f"batch_id={batch_id}")
-        )
+        # The batch runs THREE actions (survivor write, index write, and
+        # the probe feeding both); without pinning, each action re-runs
+        # the feature lineage (tokenize -> shingle -> minhash for the
+        # text filter) and the probe join from the source files — the
+        # dominant per-batch cost in the r8 profile. persist() bounds the
+        # recompute: features and drop-ids are built once per batch and
+        # released before the next one. Micro-batch frames are small by
+        # definition, so the pinned footprint is one batch's features.
+        feats = self._features(batch_df).persist()
+        pinned = [feats]
+        try:
+            index = self._existing_index(spark)
+            if index is not None:
+                # a replayed batch must not probe its own first attempt's rows
+                dups = self._dup_ids(
+                    feats, index.where(F.col("batch_id") != batch_id)
+                ).persist()
+                pinned.append(dups)
+                survivors = batch_df.join(dups, self.ID_COL, "left_anti")
+                surviving_feats = feats.join(dups, self.ID_COL, "left_anti")
+            else:
+                survivors, surviving_feats = batch_df, feats
+            survivors.coalesce(self.write_partitions).write.mode("overwrite").parquet(
+                os.path.join(self.out_path, f"batch_id={batch_id}")
+            )
+            surviving_feats.coalesce(self.write_partitions).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.index_path, f"batch_id={batch_id}"))
+        finally:
+            for df in pinned:
+                df.unpersist()
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             self._compact_index(spark, batch_id)
 
