@@ -627,6 +627,20 @@ def q_abtest_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     Degenerate cases (an empty arm, or every observation tied — zero
     variance) yield NULL z / false BEFORE any division, ANSI-safe.
 
+    int64-headroom guard (ENFORCED, the ACF/Kneser-Ney discipline): the
+    tie term sums t^3 per distinct value — with t_max-fold ties it wraps
+    silently in Spark's non-ANSI bigint at t_max ~ 2^21 tied
+    observations (trivially reachable for discrete metrics at corpus
+    scale), and the doubled rank sum is bounded by 2n^2 (wraps at
+    n ~ 1.5e9 observations). Both bounds are checked on PRE-aggregation
+    quantities that cannot themselves overflow (t_max, n) via log2 on
+    identical integer-fed doubles: sum(t^3) <= t_max^2 * n and
+    2n^2 need 2*log2(t_max) + log2(n) < 62 and 1 + 2*log2(n) < 62.
+    A tripped guard NULLs u2_a/tie_t/z_micro LOUDLY (headroom_ok =
+    false, significant = false) rather than reporting wrapped garbage;
+    the oracle mirrors the same guard (DuckDB's HUGEINT sums don't wrap,
+    but the ::BIGINT cast would error — the CASE avoids it identically).
+
     Scale shape: one combine-friendly aggregate to the distinct-value
     table (|distinct metric values| rows, not events), one running-sum
     window over that aggregated table ordered by value (the same
@@ -649,9 +663,18 @@ def q_abtest_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("t") - F.col("ta")).alias("n_b"),
         F.sum(F.col("ta") * (2 * F.col("cum") + F.col("t") + 1)).alias("r2_a"),
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_t"),
+        F.max("t").alias("t_max"),
     )
     # 2*U_A = (doubled rank sum of arm A) - n_a*(n_a+1); mean(2U) = n_a*n_b
     g = g.withColumn("u2_a", F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+    # headroom guard on pre-aggregation bounds (see docstring): overflow
+    # CANNOT be detected after the fact (Spark wraps silently), so the
+    # decision reads only t_max and n, which are exact at any scale
+    ok = F.expr(
+        "case when n_a is null or n_a + n_b = 0 then true else"
+        " 2.0 * log2(cast(t_max as double)) + log2(cast(n_a + n_b as double)) < 62.0"
+        " and 1.0 + 2.0 * log2(cast(n_a + n_b as double)) < 62.0 end"
+    )
     z = F.expr(
         "case when n_a > 0 and n_b > 0 and"
         " (n_a + n_b + 1.0) - cast(tie_t as double)"
@@ -661,16 +684,17 @@ def q_abtest_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         " * ((n_a + n_b + 1.0) - cast(tie_t as double)"
         " / (cast(n_a + n_b as double) * (n_a + n_b - 1.0)))) end"
     )
-    zm = F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    zm = F.when(ok, F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
     return g.select(
         "n_a",
         "n_b",
-        "u2_a",
-        "tie_t",
+        F.when(ok, F.col("u2_a")).alias("u2_a"),
+        F.when(ok, F.col("tie_t")).alias("tie_t"),
         zm.alias("z_micro"),
         F.coalesce(F.abs(zm) >= ABTEST_Z_CRIT_MICRO, F.lit(False)).alias(
             "significant"
         ),
+        ok.alias("headroom_ok"),
     )
 
 
@@ -934,7 +958,13 @@ def q_benford_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: leading-digit extraction is map-side; one 9-row
     combine-friendly aggregate; the expectation attaches by broadcast to
-    a 9-row frame. Output is 9 rows at any corpus size."""
+    a 9-row frame. Output is 9 rows at any corpus size.
+
+    int64-headroom guard (ENFORCED, r9): the 2e6x micro scaling of
+    n_obs wraps once n_total exceeds (2^63-1)/2000001 ~ 4.61e12 rows;
+    the frequency CASEs require n_total <= that bound (an exact bigint
+    compare on a count that cannot itself overflow) and NULL the micro
+    columns loudly past it, mirrored in the oracle."""
     orders = load(spark, sf, "orders").where(F.col("o_totalprice") > 0)
     digit = F.expr(
         "cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
@@ -954,12 +984,12 @@ def q_benford_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
             "benford_micro",
             F.expr(
-                "case when n_total > 0 then"
+                "case when n_total > 0 and n_total <= 4611683712585 then"
                 " (2000000 * coalesce(n_obs, 0) + n_total) div (2 * n_total)"
                 " end"
             ).alias("obs_freq_micro"),
             F.expr(
-                "case when n_total > 0 then"
+                "case when n_total > 0 and n_total <= 4611683712585 then"
                 " abs((2000000 * coalesce(n_obs, 0) + n_total) div (2 * n_total)"
                 " - benford_micro) end"
             ).alias("abs_dev_micro"),
@@ -1398,14 +1428,32 @@ ORACLES = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
             FROM vals
         ), g AS (
-            SELECT sum(ta)::BIGINT AS n_a,
-                   sum(t - ta)::BIGINT AS n_b,
-                   sum(ta * (2 * cum + t + 1))::BIGINT AS r2_a,
-                   sum(t * t * t - t)::BIGINT AS tie_t
+            -- raw sums stay HUGEINT; the ::BIGINT casts happen only under
+            -- the headroom guard (they would ERROR on overflow in DuckDB,
+            -- where Spark wraps — the guard makes both engines NULL)
+            SELECT sum(ta) AS n_a_h,
+                   sum(t - ta) AS n_b_h,
+                   sum(ta * (2 * cum + t + 1)) AS r2_h,
+                   sum(t * t * t - t) AS tie_h,
+                   max(t)::BIGINT AS t_max
             FROM ranked
         ), u AS (
-            SELECT n_a, n_b, r2_a, tie_t,
-                   (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a
+            SELECT n_a_h::BIGINT AS n_a, n_b_h::BIGINT AS n_b,
+                   case when n_a_h is null or n_a_h + n_b_h = 0 then true else
+                        2.0 * log2(cast(t_max as double))
+                          + log2(cast(n_a_h + n_b_h as double)) < 62.0
+                        and 1.0 + 2.0 * log2(cast(n_a_h + n_b_h as double)) < 62.0
+                   end AS headroom_ok,
+                   case when (n_a_h is null or n_a_h + n_b_h = 0) or (
+                        2.0 * log2(cast(t_max as double))
+                          + log2(cast(n_a_h + n_b_h as double)) < 62.0
+                        and 1.0 + 2.0 * log2(cast(n_a_h + n_b_h as double)) < 62.0)
+                   then tie_h::BIGINT end AS tie_t,
+                   case when (n_a_h is null or n_a_h + n_b_h = 0) or (
+                        2.0 * log2(cast(t_max as double))
+                          + log2(cast(n_a_h + n_b_h as double)) < 62.0
+                        and 1.0 + 2.0 * log2(cast(n_a_h + n_b_h as double)) < 62.0)
+                   then (r2_h - n_a_h * (n_a_h + 1))::BIGINT end AS u2_a
             FROM g
         ), z AS (
             SELECT *,
@@ -1421,7 +1469,8 @@ ORACLES = {
         SELECT n_a, n_b, u2_a, tie_t,
                floor(zv * 1000000.0 + 0.5)::BIGINT AS z_micro,
                coalesce(abs(floor(zv * 1000000.0 + 0.5)::BIGINT)
-                        >= {ABTEST_Z_CRIT_MICRO}, FALSE) AS significant
+                        >= {ABTEST_Z_CRIT_MICRO}, FALSE) AS significant,
+               headroom_ok
         FROM z
     """,
 }
@@ -1441,10 +1490,10 @@ def _benford_oracle() -> str:
         tot AS (SELECT sum(n_obs)::BIGINT AS n_total FROM obs)
         SELECT e.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs,
                e.benford_micro::BIGINT AS benford_micro,
-               CASE WHEN t.n_total > 0 THEN
+               CASE WHEN t.n_total > 0 AND t.n_total <= 4611683712585 THEN
                  ((2000000 * coalesce(o.n_obs, 0) + t.n_total)
                   // (2 * t.n_total))::BIGINT END AS obs_freq_micro,
-               CASE WHEN t.n_total > 0 THEN
+               CASE WHEN t.n_total > 0 AND t.n_total <= 4611683712585 THEN
                  abs((2000000 * coalesce(o.n_obs, 0) + t.n_total)
                      // (2 * t.n_total) - e.benford_micro)::BIGINT
                END AS abs_dev_micro

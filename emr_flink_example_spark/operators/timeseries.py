@@ -686,7 +686,17 @@ def q_timeseries_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
     micro-mean floor((2e6*sum + n) / (2n)) over NON-NEGATIVE sums (so
     floor and truncation agree across engines — signed values only ever
     appear in subtractions); the residual MAE takes abs() before its
-    mean for the same reason. No doubles anywhere.
+    mean for the same reason. No doubles anywhere in the VALUES.
+
+    int64-headroom guard (ENFORCED, r9 — the ACF discipline): the 2e6x
+    micro scaling wraps silently in Spark once per-type sums approach
+    2^63/2e6, and the residual fold's sum(abs_resid) is bounded by
+    ~4e6 * sy_t * n_t. One per-type condition covers every scaled term:
+    log2(sy_t + 1) + log2(n_t) < 40 (2^22 slack for the 4e6 factor,
+    checked on exact pre-scaling counts that cannot overflow). A tripped
+    guard NULLs the micro columns for that event_type — loud, never
+    wrapped garbage — and is mirrored verbatim in the oracle, where the
+    HUGEINT ::BIGINT cast would otherwise error rather than wrap.
 
     Scale shape: one corpus shuffle to the (type, hour) rollup; the dense
     grid derives from that small aggregate exactly like
@@ -737,12 +747,18 @@ def q_timeseries_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
     grand = base.groupBy("event_type").agg(
         F.sum("y").alias("sy_t"), F.count("*").alias("n_t")
     )
+    # headroom guard (see docstring): one per-type predicate on exact
+    # pre-scaling counts; sy_t + 1 keeps log2's argument positive (Spark
+    # returns NULL for log2(0) where DuckDB returns -inf)
+    seas_ok = F.expr(
+        "log2(cast(sy_t + 1 as double)) + log2(cast(n_t as double)) < 40.0"
+    )
     joined = (
         base.join(F.broadcast(hodstats), ["event_type", "hod"])
         .join(F.broadcast(grand), "event_type")
         .withColumn(
             "hod_mean_micro",
-            F.expr("(2000000 * sy_h + n_h) div (2 * n_h)"),
+            F.when(seas_ok, F.expr("(2000000 * sy_h + n_h) div (2 * n_h)")),
         )
         .withColumn(
             "seasonal_micro",
@@ -1206,13 +1222,24 @@ ORACLES["timeseries_seasonal_decompose"] = f"""
         SELECT event_type, sum(y)::BIGINT AS sy_t, count(*)::BIGINT AS n_t
         FROM base GROUP BY 1
     ), joined AS (
+        -- same headroom guard as the Spark builder: NULL micro columns
+        -- when log2(sy_t + 1) + log2(n_t) >= 40
         SELECT b.event_type, b.hod,
-               ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h))::BIGINT AS hod_mean_micro,
-               ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h)
-                - (2000000 * g.sy_t + g.n_t) // (2 * g.n_t))::BIGINT AS seasonal_micro,
-               abs(b.y * 1000000 - b.trend_micro
-                   - ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h)
-                      - (2000000 * g.sy_t + g.n_t) // (2 * g.n_t)))::BIGINT AS abs_resid
+               CASE WHEN log2(cast(g.sy_t + 1 as double))
+                         + log2(cast(g.n_t as double)) < 40.0
+                    THEN ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h))::BIGINT
+               END AS hod_mean_micro,
+               CASE WHEN log2(cast(g.sy_t + 1 as double))
+                         + log2(cast(g.n_t as double)) < 40.0
+                    THEN ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h)
+                          - (2000000 * g.sy_t + g.n_t) // (2 * g.n_t))::BIGINT
+               END AS seasonal_micro,
+               CASE WHEN log2(cast(g.sy_t + 1 as double))
+                         + log2(cast(g.n_t as double)) < 40.0
+                    THEN abs(b.y * 1000000 - b.trend_micro
+                             - ((2000000 * hs.sy_h + hs.n_h) // (2 * hs.n_h)
+                                - (2000000 * g.sy_t + g.n_t) // (2 * g.n_t)))::BIGINT
+               END AS abs_resid
         FROM base b
         JOIN hodstats hs USING (event_type, hod)
         JOIN grand g USING (event_type)
