@@ -576,19 +576,29 @@ def q_sample_weighted_es(spark: SparkSession, sf: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps merged at the driver) —
     the corpus is never sorted or shuffled."""
     docs = load(spark, sf, "documents").where(F.col("n_chars") > 0)
+    return (
+        with_es_key(docs)
+        .orderBy(F.col("es_key_nano").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_ES_K)
+        .select("doc_id", "lang", "n_chars", "es_key_nano")
+    )
+
+
+def with_es_key(docs: DataFrame, weight_col: str = "n_chars") -> DataFrame:
+    """Attach the deterministic Efraimidis-Spirakis arrival key (integer
+    nanos) to any frame with doc_id + a positive weight column — shared by
+    the batch query and the streaming sample sink so both race with
+    BIT-IDENTICAL keys (the key is a pure function of (doc_id, weight),
+    which is what makes the streaming merge idempotent)."""
     h_ppm = portable_hash(
         F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))
     ) % 1_000_000
     key_nano = F.expr(
         "cast(floor(-ln((hp + 0.5d) / 1000000.0d)"
-        " / cast(n_chars as double) * 1e9 + 0.5) as bigint)"
+        f" / cast({weight_col} as double) * 1e9 + 0.5) as bigint)"
     )
-    return (
-        docs.withColumn("hp", h_ppm.cast("double"))
-        .withColumn("es_key_nano", key_nano)
-        .orderBy(F.col("es_key_nano").asc(), F.col("doc_id").asc())
-        .limit(SAMPLE_ES_K)
-        .select("doc_id", "lang", "n_chars", "es_key_nano")
+    return docs.withColumn("hp", h_ppm.cast("double")).withColumn(
+        "es_key_nano", key_nano
     )
 
 
