@@ -183,6 +183,14 @@ HEADLINE = [
     "sketch_minhash_bbit",
     # r8: pHash Hamming-ball image near-dup pairs (banded, exhaustive oracle)
     "multimodal_phash_pairs",
+    # r9: sublinear banded probe tier over the binary sign codes
+    "ann_binary_hamming_banded_topk",
+    # r9 second wave: Zipf rank-frequency fit, lang x length mutual
+    # information, chi-square independence test, stratified ES race
+    "vocab_zipf_slope",
+    "quality_lang_mutual_info",
+    "abtest_chi_square",
+    "sample_weighted_es_stratified",
 ]
 
 

@@ -1093,6 +1093,63 @@ def _markov_oracle() -> str:
     """
 
 
+#: chi-square critical value, df=1, alpha=0.05 (the z-crit^2 identity:
+#: 1.959964^2), shipped as an integer-micro literal like every critical
+#: value in this module (no engine-side distribution functions)
+CHI2_CRIT_MICRO = 3_841_459
+
+
+def q_abtest_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square independence test (Pearson 1900) on the 2x2
+    arm x converted contingency table of the deterministic experiment
+    split — the contingency-table companion to the z/Wilson/Mann-Whitney
+    family: for 2x2 it equals the two-proportion z-test squared, so it
+    doubles as a cross-check of that query, and it is the form that
+    generalizes to multi-arm experiments.
+
+        chi2 = N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    Determinism: the four cells are exact integers from one user-level
+    aggregate; chi2 evaluates in doubles over those integers in ONE fixed
+    expression (the cell products would overflow int64 at ~2e5 users if
+    kept integer — N*(ad-bc)^2 is an N^5 term, so doubles are the honest
+    representation, identical expression text in both engines), floored
+    to micros; the verdict compares integers against the Python-literal
+    critical value.
+
+    Scale shape: one combine-friendly user-level aggregate, one 1-row
+    fold. Nothing user-sized is sorted or joined."""
+    events = load(spark, sf, "events")
+    users = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    cells = users.agg(
+        F.sum(F.expr("if(user_id % 2 = 0 and converted = 1, 1, 0)")).alias("a"),
+        F.sum(F.expr("if(user_id % 2 = 0 and converted = 0, 1, 0)")).alias("b"),
+        F.sum(F.expr("if(user_id % 2 = 1 and converted = 1, 1, 0)")).alias("c"),
+        F.sum(F.expr("if(user_id % 2 = 1 and converted = 0, 1, 0)")).alias("d"),
+    )
+    chi2 = F.expr(
+        "case when (a + b) > 0 and (c + d) > 0 and (a + c) > 0 and (b + d) > 0 then"
+        " cast(a + b + c + d as double)"
+        " * (cast(a as double) * cast(d as double)"
+        "    - cast(b as double) * cast(c as double))"
+        " * (cast(a as double) * cast(d as double)"
+        "    - cast(b as double) * cast(c as double))"
+        " / (cast(a + b as double) * cast(c + d as double)"
+        "    * cast(a + c as double) * cast(b + d as double)) end"
+    )
+    cm = F.floor(chi2 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return cells.select(
+        F.col("a").alias("n_conv_a"),
+        F.col("b").alias("n_nonconv_a"),
+        F.col("c").alias("n_conv_b"),
+        F.col("d").alias("n_nonconv_b"),
+        cm.alias("chi2_micro"),
+        F.coalesce(cm >= CHI2_CRIT_MICRO, F.lit(False)).alias("significant"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -1122,6 +1179,8 @@ QUERIES = {
     "abtest_wilson_ci": q_abtest_wilson_ci,
     # r8: b-bit minhash storage/quality calibration
     "sketch_minhash_bbit": q_sketch_minhash_bbit,
+    # r9: Pearson chi-square independence test over the 2x2 arm table
+    "abtest_chi_square": q_abtest_chi_square,
 }
 
 ORACLES = {
@@ -1560,3 +1619,34 @@ def _bbit_oracle() -> str:
 
 
 ORACLES["sketch_minhash_bbit"] = _bbit_oracle()
+
+
+ORACLES["abtest_chi_square"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT sum(CASE WHEN user_id % 2 = 0 AND converted = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+               sum(CASE WHEN user_id % 2 = 0 AND converted = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+               sum(CASE WHEN user_id % 2 = 1 AND converted = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+               sum(CASE WHEN user_id % 2 = 1 AND converted = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM users
+    ), z AS (
+        SELECT *,
+               case when (a + b) > 0 and (c + d) > 0 and (a + c) > 0 and (b + d) > 0 then
+                 cast(a + b + c + d as double)
+                 * (cast(a as double) * cast(d as double)
+                    - cast(b as double) * cast(c as double))
+                 * (cast(a as double) * cast(d as double)
+                    - cast(b as double) * cast(c as double))
+                 / (cast(a + b as double) * cast(c + d as double)
+                    * cast(a + c as double) * cast(b + d as double)) end AS chi2
+        FROM cells
+    )
+    SELECT a AS n_conv_a, b AS n_nonconv_a, c AS n_conv_b, d AS n_nonconv_b,
+           floor(chi2 * 1000000.0 + 0.5)::BIGINT AS chi2_micro,
+           coalesce(floor(chi2 * 1000000.0 + 0.5)::BIGINT >= {CHI2_CRIT_MICRO},
+                    FALSE) AS significant
+    FROM z
+"""

@@ -602,6 +602,40 @@ def with_es_key(docs: DataFrame, weight_col: str = "n_chars") -> DataFrame:
     )
 
 
+#: stratified exponential race: exact sample size per language stratum
+SAMPLE_ES_K_PER_LANG = 20
+
+
+def q_sample_weighted_es_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified exact-k weighted sampling: the Efraimidis-Spirakis race
+    run independently per language — exactly SAMPLE_ES_K_PER_LANG docs
+    per stratum, each stratum weighted by n_chars within itself. The
+    composition a balanced multilingual training mix actually needs:
+    `sample_weighted_es` alone lets a dominant language crowd the sample,
+    `sample_temperature` rebalances rates but not exact counts; this
+    gives both (exact count AND weighted within-stratum selection).
+
+    Determinism: the identical with_es_key arrival keys as the global
+    race (a doc's key does not depend on its stratum), ranked by the
+    (es_key_nano, doc_id) total order within each lang partition.
+
+    Scale shape: key assignment is map-side; the per-stratum cut is a
+    rank filter Catalyst rewrites to WindowGroupLimit with a PARTIAL
+    pass below the exchange — each task forwards at most k rows per
+    stratum, so the shuffle carries O(k x strata x tasks), never the
+    corpus (the Adamic-Adar hub pre-cap shape, reused as a sampler)."""
+    docs = load(spark, sf, "documents").where(F.col("n_chars") > 0)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("es_key_nano").asc(), F.col("doc_id").asc()
+    )
+    return (
+        with_es_key(docs)
+        .withColumn("lang_rank", F.row_number().over(w))
+        .where(F.col("lang_rank") <= SAMPLE_ES_K_PER_LANG)
+        .select("doc_id", "lang", "n_chars", "es_key_nano", "lang_rank")
+    )
+
+
 QUERIES = {
     "shuffle_to_shards": q_shuffle_to_shards,
     "pack_token_shards": q_pack_token_shards,
@@ -624,6 +658,8 @@ QUERIES = {
     "quality_drift_ks": q_quality_drift_ks,
     # r8: exact-size weighted sample via the exponential race
     "sample_weighted_es": q_sample_weighted_es,
+    # r9: per-language exact-k stratified exponential race
+    "sample_weighted_es_stratified": q_sample_weighted_es_stratified,
 }
 
 ORACLES = {
@@ -855,4 +891,20 @@ ORACLES["sample_weighted_es"] = f"""
     )
     SELECT doc_id, lang, n_chars, es_key_nano
     FROM keyed ORDER BY es_key_nano ASC, doc_id ASC LIMIT {SAMPLE_ES_K}
+"""
+
+ORACLES["sample_weighted_es_stratified"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               floor(-ln((({_SAMPLE_HASH} % 1000000)::DOUBLE + 0.5)
+                         / 1000000.0)
+                     / n_chars::DOUBLE * 1e9 + 0.5)::BIGINT AS es_key_nano
+        FROM documents WHERE n_chars > 0
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY es_key_nano ASC, doc_id ASC)::INT AS lang_rank
+        FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, es_key_nano, lang_rank
+    FROM ranked WHERE lang_rank <= {SAMPLE_ES_K_PER_LANG}
 """

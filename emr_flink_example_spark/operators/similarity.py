@@ -1915,6 +1915,121 @@ def q_ann_binary_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: banded probe tier over the sign codes: 8 bands x 8 bits cover the
+#: 64-bit code; a candidate must agree EXACTLY on >= 1 band to be probed
+#: (the simhash_hamming_pairs pigeonhole, repurposed as an ANN index —
+#: lossless for Hamming <= 7, recall-approximate beyond)
+_BINQ_BANDS = 8
+_BINQ_BAND_BITS = 8
+
+
+def q_ann_binary_hamming_banded_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded binary-Hamming retrieval (r9): the sublinear tier on top of
+    `ann_binary_hamming_topk`. The full-scan variant still touches every
+    corpus code per query (16 bytes each — cheap, but LINEAR); this one
+    probes only vectors agreeing exactly on at least one of the 8
+    eight-bit bands of the sign code, turning candidate generation into a
+    (band, value) equi-join against a band index — each corpus vector
+    posts 8 keys into 256-way buckets, so a probe touches ~8/256 of the
+    corpus in expectation, the same access-path shape the text dedup path
+    uses (Manku pigeonhole). Band agreement is LOSSLESS for neighbors
+    within Hamming 7 of the query and recall-approximate beyond — the
+    trade the shortlist's exact-cosine rerank is there to absorb.
+
+    Determinism: candidate membership, n_bands_hit, Hamming, and both
+    rank boundaries are integer/total-order exact; the ORACLE runs the
+    exhaustive pairwise join with the identical band-agreement predicate,
+    so hash equality proves the banded index reproduces the exhaustive
+    semantics (the ppjoin discipline).
+
+    Scale shape: band rows carry only (vec_id, band, val) — vectors never
+    transit the band join; the shortlist joins back to the packed frame
+    by id (broadcast: candidate set is per-query bounded); the exact
+    rerank touches only shortlist rows."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+        .select(
+            "vec_id",
+            "e",
+            _norm("e").alias("nrm"),
+            _binq_word("e", 0).alias("w0"),
+            _binq_word("e", 32).alias("w1"),
+        )
+    )
+
+    def _band_val(b: int) -> F.Column:
+        word = F.col("w0") if b < _BINQ_BANDS // 2 else F.col("w1")
+        shift = (b % (_BINQ_BANDS // 2)) * _BINQ_BAND_BITS
+        return F.shiftright(word, shift).bitwiseAND(
+            F.lit((1 << _BINQ_BAND_BITS) - 1)
+        )
+
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_val(b).alias("val"))
+                    for b in range(_BINQ_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    qb = bands.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "band", "val"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(bands, ["band", "val"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("w0").alias("c0"),
+        F.col("w1").alias("c1"),
+    )
+    ham = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("hamming", F.expr("bit_count(q0 ^ c0) + bit_count(q1 ^ c1)"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = ham.withColumn("h_rank", F.row_number().over(w_short)).where(
+        F.col("h_rank") <= BINQ_SHORTLIST
+    )
+    rer = short.withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("nn_rank", F.row_number().over(w_fin))
+        .where(F.col("nn_rank") <= BINQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "nn_rank",
+            "hamming",
+            "n_bands_hit",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
 #: Johnson-Lindenstrauss projection: target dimensionality + its ±1 matrix
 #: (Achlioptas 2001 database-friendly construction — exact in float/double,
 #: no gaussian sampling). Same fixed-seed discipline as make_planes.
@@ -2038,6 +2153,9 @@ QUERIES = {
     "ann_binary_hamming_topk": q_ann_binary_hamming_topk,
     # r8: JL random-projection distortion census
     "embedding_jl_distortion": q_embedding_jl_distortion,
+    # r9: banded (sublinear) probe tier over the sign codes — exhaustive
+    # oracle proves the band index reproduces the banded semantics
+    "ann_binary_hamming_banded_topk": q_ann_binary_hamming_banded_topk,
 }
 
 
@@ -2861,6 +2979,53 @@ ORACLES = {
             FROM rer
         )
         SELECT query_id, neighbor_id, nn_rank, hamming,
+               round(cosine, 4) AS cosine
+        FROM fin WHERE nn_rank <= {BINQ_TOPK}
+    """,
+    # exhaustive pairwise join with the identical 8x8-bit band-agreement
+    # predicate — hash equality proves the Spark band INDEX (equi-join on
+    # (band, value)) reproduces the banded candidate semantics exactly
+    "ann_binary_hamming_banded_topk": f"""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        ), packed AS MATERIALIZED (
+            SELECT vec_id,
+                   bit_or(CASE WHEN i < 32 AND e[i + 1] > 0
+                               THEN (1::BIGINT << i) ELSE 0 END) AS w0,
+                   bit_or(CASE WHEN i >= 32 AND e[i + 1] > 0
+                               THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS w1
+            FROM emb, range(64) r(i) GROUP BY vec_id
+        ), q AS (
+            SELECT p.vec_id AS query_id, e.e AS qe, p.w0 AS q0, p.w1 AS q1
+            FROM packed p JOIN emb e USING (vec_id) WHERE p.vec_id < 10
+        ), c AS (
+            SELECT p.vec_id AS neighbor_id, e.e AS ce, p.w0 AS c0, p.w1 AS c1
+            FROM packed p JOIN emb e USING (vec_id)
+        ), cand AS (
+            SELECT query_id, neighbor_id, qe, ce,
+                   bit_count(xor(q0, c0)) + bit_count(xor(q1, c1)) AS hamming,
+                   ({" + ".join(
+                       f"((q{w} >> {s}) & 255 = (c{w} >> {s}) & 255)::INT"
+                       for w in (0, 1)
+                       for s in (0, 8, 16, 24)
+                   )})::BIGINT AS n_bands_hit
+            FROM q CROSS JOIN c WHERE query_id != neighbor_id
+        ), short AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming ASC, neighbor_id ASC) AS h_rank
+            FROM cand WHERE n_bands_hit >= 1
+        ), rer AS (
+            SELECT query_id, neighbor_id, hamming, n_bands_hit,
+                   {_COS_DUCK} AS cosine
+            FROM short WHERE h_rank <= {BINQ_SHORTLIST}
+        ), fin AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS nn_rank
+            FROM rer
+        )
+        SELECT query_id, neighbor_id, nn_rank, hamming, n_bands_hit,
                round(cosine, 4) AS cosine
         FROM fin WHERE nn_rank <= {BINQ_TOPK}
     """,

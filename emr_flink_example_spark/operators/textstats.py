@@ -2341,6 +2341,153 @@ def q_lm_kneser_ney_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Zipf fit: number of top frequency ranks entering the regression (the
+#: classical rank-frequency law holds in the head; the tail is Heaps-law
+#: noise the fit deliberately excludes)
+ZIPF_TOP_RANKS = 1000
+
+
+def q_vocab_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit (Zipf 1949) over the corpus vocabulary:
+    least-squares slope of ln(freq) on ln(rank) across the top
+    ZIPF_TOP_RANKS types — the one-row corpus-health fingerprint (natural
+    language sits near slope -1; boilerplate-heavy or template-generated
+    corpora flatten the head, OCR noise fattens it) that complements the
+    per-doc repetition signals with a corpus-level law.
+
+    Determinism: ln(rank)/ln(freq) quantize to integer MILLI-nats per row
+    BEFORE any sum, so all five regression sums are order-independent
+    integer aggregates (milli, not micro: the cross-moment R*Sxy must
+    stay inside int64 — 1000 ranks x (6.9e3)^2 x 1000 ~ 5e13, where micro
+    would overflow); the final slope/intercept divide the exact integer
+    moments as identical doubles and floor to micros. The rank boundary
+    is the (count desc, token asc) total order.
+
+    Scale shape: one corpus scan to the aggregated vocab table; the
+    top-R cut is TakeOrdered (per-partition heaps); the regression runs
+    over R rows and folds to ONE row."""
+    docs = load(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+        ZIPF_TOP_RANKS
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.expr("cast(floor(ln(cast(rnk as double)) * 1000 + 0.5) as bigint)").alias(
+            "x"
+        ),
+        F.expr("cast(floor(ln(cast(cnt as double)) * 1000 + 0.5) as bigint)").alias(
+            "y"
+        ),
+    )
+    mom = ranked.agg(
+        F.count("*").alias("r"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = F.expr(
+        "case when r * sxx - sx * sx <> 0 then"
+        " cast(r * sxy - sx * sy as double) / cast(r * sxx - sx * sx as double) end"
+    )
+    return mom.select(
+        F.col("r").alias("n_ranks"),
+        F.expr(
+            "case when r * sxx - sx * sx <> 0 then cast(floor("
+            " cast(r * sxy - sx * sy as double) / cast(r * sxx - sx * sx as double)"
+            " * 1000000 + 0.5) as bigint) end"
+        ).alias("zipf_slope_micro"),
+        F.floor(
+            (
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("r").cast("double")
+            )
+            / F.lit(1000.0)
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("zipf_intercept_micro"),
+    )
+
+
+#: mutual-information audit: fixed-width n_chars buckets (500-char bins,
+#: clamped at 4) — a pure per-row function, no rank dependence
+MI_BUCKET_WIDTH = 500
+MI_BUCKET_MAX = 3
+
+
+def q_quality_lang_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between document language and length bucket —
+    the dataset-audit companion to the KL/entropy queries: high MI means
+    language predicts document length (a stratification leak a balanced
+    sampler must account for; near-zero means the marginals factor). Per
+    cell: joint and marginal counts, pointwise MI, and the cell's
+    contribution to total MI in integer micro-nats.
+
+    Determinism: PMI uses the ln-sum form ln(n_xy) + ln(N) - ln(n_x) -
+    ln(n_y) — four lns on identical integer-fed doubles summed in fixed
+    expression order, never a product that could overflow (n_xy * N wraps
+    at N ~ 3e9 where the ln-sum never does); both micro quantities floor
+    per CELL so every aggregate over them is integer.
+
+    Scale shape: one corpus scan to the |langs| x |buckets| joint table,
+    PERSISTED (the tfidf discipline: an aggregated frame with four
+    consumers — both marginals, the total, and the output join — would
+    otherwise re-run the corpus scan once per consumer); marginals
+    derive from the cached joint and broadcast back."""
+    docs = load(spark, sf, "documents")
+    bucket = F.expr(f"least(n_chars div {MI_BUCKET_WIDTH}, {MI_BUCKET_MAX})").cast(
+        "int"
+    )
+    joint = (
+        docs.select("lang", bucket.alias("chars_bucket"))
+        .groupBy("lang", "chars_bucket")
+        .agg(F.count("*").alias("n_xy"))
+        .persist()
+    )
+    mx = joint.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("chars_bucket").agg(F.sum("n_xy").alias("n_y"))
+    nn = joint.agg(F.sum("n_xy").alias("n_total"))
+    pmi = F.expr(
+        "ln(cast(n_xy as double)) + ln(cast(n_total as double))"
+        " - ln(cast(n_x as double)) - ln(cast(n_y as double))"
+    )
+    return (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "chars_bucket")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lang",
+            "chars_bucket",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr(
+                "cast(floor((ln(cast(n_xy as double)) + ln(cast(n_total as double))"
+                " - ln(cast(n_x as double)) - ln(cast(n_y as double)))"
+                " * 1000000 + 0.5) as bigint)"
+            ).alias("pmi_micronats"),
+            F.floor(
+                F.col("n_xy").cast("double")
+                / F.col("n_total").cast("double")
+                * pmi
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mi_term_micronats"),
+        )
+    )
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -2395,6 +2542,9 @@ QUERIES = {
     "lm_kneser_ney_bigram": q_lm_kneser_ney_bigram,
     # r8: per-doc cross-entropy under the KN model
     "lm_kneser_ney_surprisal": q_lm_kneser_ney_surprisal,
+    # r9: Zipf rank-frequency fit and lang x length mutual information
+    "vocab_zipf_slope": q_vocab_zipf_slope,
+    "quality_lang_mutual_info": q_quality_lang_mutual_info,
 }
 
 
@@ -3318,4 +3468,60 @@ ORACLES["lm_kneser_ney_surprisal"] = f"""
              ((2 * sum(micro) + count(*)) // (2 * count(*)))::BIGINT
            END AS avg_kn_surprisal_micronats
     FROM scored GROUP BY doc_id
+"""
+
+
+ORACLES["vocab_zipf_slope"] = f"""
+    WITH vocab AS (
+        SELECT token, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
+        GROUP BY token
+    ), top AS (
+        SELECT token, cnt FROM vocab
+        ORDER BY cnt DESC, token ASC LIMIT {ZIPF_TOP_RANKS}
+    ), ranked AS (
+        SELECT floor(ln(row_number() OVER (ORDER BY cnt DESC, token ASC)::DOUBLE)
+                     * 1000 + 0.5)::BIGINT AS x,
+               floor(ln(cnt::DOUBLE) * 1000 + 0.5)::BIGINT AS y
+        FROM top
+    ), mom AS (
+        SELECT count(*)::BIGINT AS r, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        FROM ranked
+    )
+    SELECT r AS n_ranks,
+           CASE WHEN r * sxx - sx * sx <> 0 THEN floor(
+             cast(r * sxy - sx * sy AS DOUBLE) / cast(r * sxx - sx * sx AS DOUBLE)
+             * 1000000 + 0.5)::BIGINT END AS zipf_slope_micro,
+           floor((cast(sy AS DOUBLE)
+                  - (CASE WHEN r * sxx - sx * sx <> 0 THEN
+                       cast(r * sxy - sx * sy AS DOUBLE)
+                       / cast(r * sxx - sx * sx AS DOUBLE) END)
+                    * cast(sx AS DOUBLE))
+                 / cast(r AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)::BIGINT
+             AS zipf_intercept_micro
+    FROM mom
+"""
+
+ORACLES["quality_lang_mutual_info"] = f"""
+    WITH joint AS (
+        SELECT lang, least(n_chars // {MI_BUCKET_WIDTH}, {MI_BUCKET_MAX})::INT
+                   AS chars_bucket,
+               count(*)::BIGINT AS n_xy
+        FROM documents GROUP BY 1, 2
+    ), mx AS (
+        SELECT lang, sum(n_xy)::BIGINT AS n_x FROM joint GROUP BY lang
+    ), my AS (
+        SELECT chars_bucket, sum(n_xy)::BIGINT AS n_y FROM joint GROUP BY 1
+    ), nn AS (SELECT sum(n_xy)::BIGINT AS n_total FROM joint)
+    SELECT j.lang, j.chars_bucket, j.n_xy, mx.n_x, my.n_y,
+           floor((ln(cast(j.n_xy AS DOUBLE)) + ln(cast(nn.n_total AS DOUBLE))
+                  - ln(cast(mx.n_x AS DOUBLE)) - ln(cast(my.n_y AS DOUBLE)))
+                 * 1000000 + 0.5)::BIGINT AS pmi_micronats,
+           floor(cast(j.n_xy AS DOUBLE) / cast(nn.n_total AS DOUBLE)
+                 * (ln(cast(j.n_xy AS DOUBLE)) + ln(cast(nn.n_total AS DOUBLE))
+                    - ln(cast(mx.n_x AS DOUBLE)) - ln(cast(my.n_y AS DOUBLE)))
+                 * 1000000.0 + 0.5)::BIGINT AS mi_term_micronats
+    FROM joint j
+    JOIN mx USING (lang) JOIN my USING (chars_bucket) CROSS JOIN nn
 """

@@ -119,3 +119,63 @@ def test_mmr_diversifies_vs_pure_topk(spark):
     mmr_set = {(r.query_id, r.neighbor_id) for r in mmr}
     assert len(mmr_set) == len(top5) == 50
     assert mmr_set != top5
+
+
+def test_banded_binary_tier_pigeonhole_and_planted_recall(spark, tmp_path):
+    """Two guarantees of the banded tier, pinned on a PLANTED corpus
+    (the fixture's binary top-3 sit at Hamming ~25, where band agreement
+    is legitimately rare — LSH working as designed, not a recall bug):
+
+    1. pigeonhole: a neighbor within Hamming 7 of its query shares >= 1
+       of the 8 eight-bit bands, so the banded tier must return every
+       full-scan winner in that ball at the identical rank;
+    2. on a corpus where each query has planted sign-flip near-dups
+       (1-3 flipped dims), the banded top-3 EQUALS the full-scan top-3.
+    """
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emr_flink_example_spark.operators.similarity import (
+        q_ann_binary_hamming_banded_topk,
+        q_ann_binary_hamming_topk,
+    )
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(10)]
+    vecs = list(base)
+    # three planted near-dups per query: flip the sign of 1..3 dims
+    for qi in range(10):
+        for flips in (1, 2, 3):
+            v = list(base[qi])
+            for d in rng.sample(range(64), flips):
+                v[d] = -v[d]
+            vecs.append(v)
+    # background noise vectors
+    vecs += [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(160)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(
+                    vecs, type=pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(vecs), type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    sf = str(tmp_path)
+    full = {
+        (r.query_id, r.nn_rank): (r.neighbor_id, r.hamming)
+        for r in q_ann_binary_hamming_topk(spark, sf).collect()
+    }
+    banded = {
+        (r.query_id, r.nn_rank): (r.neighbor_id, r.hamming)
+        for r in q_ann_binary_hamming_banded_topk(spark, sf).collect()
+    }
+    assert full and banded
+    # the planted flips guarantee in-ball winners for every query
+    assert all(ham <= 3 for _, ham in full.values())
+    assert banded == full

@@ -1014,3 +1014,58 @@ def test_banded_hamming_buckets_skew_guarded(spark):
         ]
         assert guard, (name, plan)
         assert any(keys in ln for ln in guard), (name, guard)
+
+
+def test_banded_binary_ann_probe_shape(spark):
+    """r9 banded binary-Hamming tier: candidate generation is the (band,
+    val) equi-join (broadcast at fixture scale), never a cartesian; the
+    Hamming shortlist's rank-limit runs partially below the exchange
+    (WindowGroupLimit), and no Python touches the path."""
+    plan = _plan(spark, "ann_binary_hamming_banded_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # the full-scan tier's shape
+    assert "BroadcastHashJoin" in plan  # band-key equi-join
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_zipf_regression_is_bounded_fold(spark):
+    """Zipf fit: the vocab aggregate feeds a TakeOrdered top-R cut (heaps,
+    never a global sort of the vocabulary), the regression moments are one
+    1-row fold, and nothing goes Python."""
+    plan = _plan(spark, "vocab_zipf_slope")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_mutual_info_marginals_derive_from_joint(spark):
+    """MI audit: ONE corpus scan builds the joint table; marginals are
+    re-aggregations of the joint (no second corpus scan) attached by
+    broadcast — the corpus never shuffles for the marginal joins."""
+    plan = _plan(spark, "quality_lang_mutual_info")
+    # the persisted joint serves all four consumers (both marginals, the
+    # total, the output join) — they read the cache, not the corpus
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # 1-row total is a broadcast NLJ
+
+
+def test_chi_square_single_fold(spark):
+    """Chi-square: one user-level aggregate, one 1-row fold — no window,
+    no join, no sort anywhere."""
+    plan = _plan(spark, "abtest_chi_square")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "partial_max" in plan  # map-side combine
+
+
+def test_stratified_es_rank_limit_below_exchange(spark):
+    """Stratified ES race: the per-lang cut is a WindowGroupLimit whose
+    PARTIAL pass runs below the exchange — each task forwards at most k
+    rows per stratum, never the corpus."""
+    plan = _plan(spark, "sample_weighted_es_stratified")
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert plan.count("Scan parquet") == 1

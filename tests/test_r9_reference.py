@@ -1,0 +1,213 @@
+"""Independent value pins for the r9 operators, beyond the DuckDB oracle:
+pure-Python reference implementations (the test_r8_reference discipline)
+so a formula transcribed identically into BOTH engines cannot hide a
+shared mistake.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+from emr_flink_example_spark.io import load
+from emr_flink_example_spark.operators.analytics import (
+    CHI2_CRIT_MICRO,
+    q_abtest_chi_square,
+)
+from emr_flink_example_spark.operators.sampling import (
+    SAMPLE_ES_K_PER_LANG,
+    SAMPLE_SALT,
+    q_sample_weighted_es,
+    q_sample_weighted_es_stratified,
+)
+from emr_flink_example_spark.operators.textstats import (
+    MI_BUCKET_MAX,
+    MI_BUCKET_WIDTH,
+    TOKEN_RE,
+    ZIPF_TOP_RANKS,
+    q_quality_lang_mutual_info,
+    q_vocab_zipf_slope,
+)
+
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    return load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    ).collect()
+
+
+def test_chi_square_matches_pure_python(spark):
+    rows = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    conv: dict[int, int] = {}
+    for r in rows:
+        conv[r.user_id] = max(
+            conv.get(r.user_id, 0), 1 if r.event_type == "purchase" else 0
+        )
+    a = sum(1 for u, c in conv.items() if u % 2 == 0 and c == 1)
+    b = sum(1 for u, c in conv.items() if u % 2 == 0 and c == 0)
+    c = sum(1 for u, c_ in conv.items() if u % 2 == 1 and c_ == 1)
+    d = sum(1 for u, c_ in conv.items() if u % 2 == 1 and c_ == 0)
+    n = a + b + c + d
+    got = q_abtest_chi_square(spark, SF_DIR).first()
+    assert (got.n_conv_a, got.n_nonconv_a, got.n_conv_b, got.n_nonconv_b) == (
+        a, b, c, d,
+    )
+    if min(a + b, c + d, a + c, b + d) == 0:
+        # degenerate margin (the sf0.001 fixture: EVERY user converts, so
+        # b + d == 0): the builder's guard must yield NULL/false, never a
+        # division error or a wrapped value
+        assert got.chi2_micro is None
+        assert got.significant is False
+        return
+    det = float(a) * float(d) - float(b) * float(c)
+    chi2 = (
+        float(n) * det * det
+        / (float(a + b) * float(c + d) * float(a + c) * float(b + d))
+    )
+    assert got.chi2_micro == math.floor(chi2 * 1000000.0 + 0.5)
+    assert got.significant == (got.chi2_micro >= CHI2_CRIT_MICRO)
+    # 2x2 identity: chi2 == z^2 of the two-proportion z-test
+    p1, p2, p = a / (a + b), c / (c + d), (a + c) / n
+    z = (p1 - p2) / math.sqrt(p * (1 - p) * (1 / (a + b) + 1 / (c + d)))
+    assert abs(chi2 - z * z) < 1e-6 * chi2
+
+
+def test_chi_square_nondegenerate_margins_synthetic(spark, tmp_path):
+    """The fixture's margins are degenerate (see above), so also pin the
+    LIVE formula on a synthetic events table with all four cells
+    populated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 400 users; arm A converts 60%, arm B 40%
+    rows = []
+    eid = 0
+    for u in range(400):
+        converts = (u % 10) < (6 if u % 2 == 0 else 4)
+        rows.append((eid, u, "purchase" if converts else "view"))
+        eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([0] * len(rows), type=pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows), type=pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = q_abtest_chi_square(spark, str(tmp_path)).first()
+    a, b, c, d = 120, 80, 80, 120
+    assert (got.n_conv_a, got.n_nonconv_a, got.n_conv_b, got.n_nonconv_b) == (
+        a, b, c, d,
+    )
+    det = float(a) * float(d) - float(b) * float(c)
+    chi2 = 400.0 * det * det / (200.0 * 200.0 * 200.0 * 200.0)
+    assert got.chi2_micro == math.floor(chi2 * 1000000.0 + 0.5)
+    assert got.significant is True  # 16.0 >> 3.84
+
+
+def test_zipf_slope_matches_pure_python(spark):
+    texts = _docs(spark)
+    cnt: Counter = Counter()
+    for r in texts:
+        cnt.update(re.findall(TOKEN_RE, r.text))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_RANKS]
+    xs = [math.floor(math.log(i + 1) * 1000 + 0.5) for i in range(len(top))]
+    ys = [math.floor(math.log(c) * 1000 + 0.5) for _, c in top]
+    r_ = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = float(r_ * sxy - sx * sy) / float(r_ * sxx - sx * sx)
+    got = q_vocab_zipf_slope(spark, SF_DIR).first()
+    assert got.n_ranks == r_
+    assert got.zipf_slope_micro == math.floor(slope * 1000000 + 0.5)
+    assert got.zipf_intercept_micro == math.floor(
+        (float(sy) - slope * float(sx)) / float(r_) / 1000.0 * 1000000.0 + 0.5
+    )
+    # sanity: the head law slope is negative (the synthetic fixture text
+    # is flatter than natural language — ~-0.18 — but still decreasing)
+    assert -2_500_000 < got.zipf_slope_micro < 0
+
+
+def test_mutual_info_matches_pure_python(spark):
+    docs = _docs(spark)
+    joint: Counter = Counter(
+        (r.lang, min(r.n_chars // MI_BUCKET_WIDTH, MI_BUCKET_MAX)) for r in docs
+    )
+    n_x: Counter = Counter()
+    n_y: Counter = Counter()
+    for (lang, b), n in joint.items():
+        n_x[lang] += n
+        n_y[b] += n
+    n_tot = sum(joint.values())
+    got = {
+        (r.lang, r.chars_bucket): r
+        for r in q_quality_lang_mutual_info(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(joint)
+    mi_total = 0.0
+    for (lang, b), n in joint.items():
+        pmi = (
+            math.log(n) + math.log(n_tot) - math.log(n_x[lang]) - math.log(n_y[b])
+        )
+        r = got[(lang, b)]
+        assert (r.n_xy, r.n_x, r.n_y) == (n, n_x[lang], n_y[b])
+        assert r.pmi_micronats == math.floor(pmi * 1000000 + 0.5)
+        assert r.mi_term_micronats == math.floor(
+            n / n_tot * pmi * 1000000.0 + 0.5
+        )
+        mi_total += n / n_tot * pmi
+    # MI is non-negative up to per-cell rounding (<= 0.5 micro each)
+    assert sum(r.mi_term_micronats for r in got.values()) >= -len(got)
+    assert mi_total >= -1e-12
+
+
+def _es_key_nano(doc_id: int, n_chars: int) -> int:
+    h = int(hashlib.md5(f"{doc_id}{SAMPLE_SALT}".encode()).hexdigest()[:15], 16)
+    u = (float(h % 1_000_000) + 0.5) / 1000000.0
+    return math.floor(-math.log(u) / float(n_chars) * 1e9 + 0.5)
+
+
+def test_stratified_es_matches_pure_python(spark):
+    docs = [
+        (r.doc_id, r.lang, r.n_chars)
+        for r in _docs(spark)
+        if r.n_chars > 0
+    ]
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, n_chars in docs:
+        by_lang.setdefault(lang, []).append(
+            (_es_key_nano(doc_id, n_chars), doc_id, n_chars)
+        )
+    expect = set()
+    for lang, keyed in by_lang.items():
+        for rank, (k, doc_id, n_chars) in enumerate(
+            sorted(keyed)[:SAMPLE_ES_K_PER_LANG], start=1
+        ):
+            expect.add((doc_id, lang, n_chars, k, rank))
+    got = {
+        (r.doc_id, r.lang, r.n_chars, r.es_key_nano, r.lang_rank)
+        for r in q_sample_weighted_es_stratified(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the stratified race reuses the global race's keys verbatim
+    global_keys = {
+        r.doc_id: r.es_key_nano
+        for r in q_sample_weighted_es(spark, SF_DIR).collect()
+    }
+    for doc_id, _, _, k, _ in expect:
+        if doc_id in global_keys:
+            assert global_keys[doc_id] == k
