@@ -633,6 +633,59 @@ def _skew_guarded_pairs(
     )
 
 
+def _chunk_cross_sql(cap: int, a: str, b: str) -> str:
+    """(ci, cj, ma, mb) chunk-pair structs over TWO disjoint member arrays
+    (the bipartite twin of `_chunk_pairs_sql`): every (ci, cj) chunk pair
+    of the full cross product becomes one struct carrying at most 2*cap
+    members, so a hot bucket's news x olds expansion parallelizes in
+    cap^2-bounded tasks instead of one."""
+    na = f"int(ceil(size({a}) / {cap}.0))"
+    nb = f"int(ceil(size({b}) / {cap}.0))"
+    return f"""
+        flatten(transform(sequence(0, {na} - 1), ci ->
+          transform(sequence(0, {nb} - 1), cj ->
+            struct(ci AS ci, cj AS cj,
+                   slice({a}, ci * {cap} + 1, {cap}) AS ma,
+                   slice({b}, cj * {cap} + 1, {cap}) AS mb))))
+    """
+
+
+def _skew_guarded_cross_pairs(
+    grouped: DataFrame,
+    keys: list[str],
+    left_col: str,
+    right_col: str,
+    pair_sql: str,
+    keep_sql: str,
+    final_sql: str | None = None,
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Bipartite in-bucket expansion with bounded per-task work: every
+    (x in left, y in right) pair, chunk-guarded like `_skew_guarded_pairs`
+    (which handles the one-array i<j case). ``pair_sql`` builds a struct
+    from lambda vars ``x`` (left member) and ``y`` (right member); key
+    columns are in scope. A bucket whose sides are both at or under the
+    cap emits a single (0, 0) struct whose expansion is the exact
+    unguarded expression — identical pair set by construction."""
+
+    def _finish(e: str) -> str:
+        e = f"filter({e}, s -> {keep_sql})"
+        if final_sql:
+            e = f"transform({e}, s -> {final_sql})"
+        return e
+
+    cross = _finish(
+        f"flatten(transform(ch.ma, x -> transform(ch.mb, y -> {pair_sql})))"
+    )
+    return (
+        grouped.select(
+            *keys, F.explode(F.expr(_chunk_cross_sql(cap, left_col, right_col))).alias("ch")
+        )
+        .repartition(*keys, F.col("ch.ci"), F.col("ch.cj"))
+        .select(F.explode(F.expr(cross)).alias("p"))
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """MinHash+LSH near-dup candidates: pairs agreeing on >= 1 full band,
     with the signature-agreement estimate of Jaccard.
@@ -691,7 +744,9 @@ INCR_SALT = "incr-v1"
 INCR_EXISTING_PCT = 80
 
 
-def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+def q_dedup_incremental_minhash(
+    spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Incremental near-dup dedup: flag INCOMING documents that are MinHash
     near-dups (est_jaccard >= CC_EST_JACCARD) of the EXISTING corpus — the
     continuous-crawl scenario, where each ingest batch dedups against the
@@ -708,9 +763,12 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     signatures twice — and persisting the array-typed sigs to dodge that
     measured a ~20 s columnar cache build, 4x the whole query): ONE
     groupBy (band, bucket) collecting incoming and existing members into
-    separate in-bucket arrays, with new x old pairs expanded, band-verified
-    exactly (hash-independence), and thresholded inside the array domain so
-    the Generate emits only scalar survivors."""
+    separate in-bucket arrays, with new x old pairs expanded THROUGH the
+    bipartite chunk guard (`_skew_guarded_cross_pairs`, r9 — a
+    boilerplate-heavy bucket's news x olds product is the same
+    one-task-OOM shape the simhash/pHash banding had), band-verified
+    exactly (hash-independence), and thresholded inside the array domain
+    so the Generate emits only scalar survivors."""
     from ..functions.hashing import portable_hash
 
     is_new = (
@@ -731,24 +789,23 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.size("news") > 0) & (F.size("olds") > 0))
     )
     pairs = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    f"""
-                    transform(
-                      filter(
-                        flatten(transform(news, n ->
-                            transform(olds, o ->
-                              struct(n.doc_id AS new_id, o.doc_id AS old_id,
-                                     slice(n.sig, band * {BAND_ROWS} + 1, {BAND_ROWS})
-                                       = slice(o.sig, band * {BAND_ROWS} + 1, {BAND_ROWS}) AS band_eq,
-                                     round(size(filter(zip_with(n.sig, o.sig, (p, q) -> p = q),
-                                                       z -> z)) / {N_PERMS}, 6) AS est)))),
-                        s -> s.band_eq AND s.est >= {CC_EST_JACCARD}),
-                      s -> struct(s.new_id AS new_id, s.old_id AS old_id, s.est AS est_jaccard))
-                    """
-                )
-            ).alias("p")
+        _skew_guarded_cross_pairs(
+            grouped,
+            keys=["band", "bucket"],
+            left_col="news",
+            right_col="olds",
+            pair_sql=(
+                f"struct(x.doc_id AS new_id, y.doc_id AS old_id, "
+                f"slice(x.sig, band * {BAND_ROWS} + 1, {BAND_ROWS})"
+                f" = slice(y.sig, band * {BAND_ROWS} + 1, {BAND_ROWS}) AS band_eq, "
+                f"round(size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q),"
+                f" z -> z)) / {N_PERMS}, 6) AS est)"
+            ),
+            keep_sql=f"s.band_eq AND s.est >= {CC_EST_JACCARD}",
+            final_sql=(
+                "struct(s.new_id AS new_id, s.old_id AS old_id, s.est AS est_jaccard)"
+            ),
+            cap=cap,
         )
         .select("p.*")
         .dropDuplicates(["new_id", "old_id"])

@@ -150,3 +150,73 @@ def test_fuzz_random_corpora_capped_equals_uncapped(spark, tmp_path):
                 seed,
                 cap,
             )
+
+
+def test_capped_incremental_bipartite_bit_identical_on_fixture(spark):
+    """r9: the incremental probe's news x olds expansion routes through
+    the bipartite chunk guard — capped and uncapped runs must emit the
+    identical per-doc dup report."""
+    base = _rows(D.q_dedup_incremental_minhash(spark, SF_DIR))
+    assert base  # the fixture's near-dups straddle the 80/20 split
+    capped = _rows(D.q_dedup_incremental_minhash(spark, SF_DIR, cap=3))
+    assert capped == base
+
+
+def test_incremental_identical_docs_all_cross_pairs(spark, identical_docs_dir):
+    """60 identical docs in ONE bucket, cap=8: every incoming doc must be
+    flagged against the existing side through the chunked path (the
+    adversarial boilerplate corpus that previously expanded in one task)."""
+    out = D.q_dedup_incremental_minhash(spark, identical_docs_dir, cap=8).collect()
+    import hashlib
+
+    def is_new(doc_id: int) -> bool:
+        h = int(hashlib.md5(f"{D.INCR_SALT}{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % 100 >= D.INCR_EXISTING_PCT
+
+    news = {i for i in range(60) if is_new(i)}
+    olds = {i for i in range(60)} - news
+    assert news and olds
+    got = {r.doc_id: r for r in out}
+    assert set(got) == news
+    for i in news:
+        assert got[i].n_existing_dups == len(olds)
+        assert got[i].dup_of == min(olds)
+        assert got[i].best_est == 1.0
+
+
+def test_cross_chunk_rows_bounded(spark, identical_docs_dir):
+    """Pin of the bipartite bound over the PRODUCTION chunking expression:
+    no expansion input row carries more than 2*cap members."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from emr_flink_example_spark.functions.hashing import portable_hash
+
+    sigs = D.minhash_signatures_for(
+        spark.read.parquet(f"{identical_docs_dir}/documents.parquet")
+    )
+    is_new = (
+        portable_hash(F.concat(F.lit(D.INCR_SALT), F.col("doc_id").cast("string")))
+        % 100
+        >= D.INCR_EXISTING_PCT
+    )
+    grouped = (
+        D._band_buckets(sigs)
+        .withColumn("is_new", is_new)
+        .groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_new"), F.struct("doc_id", "sig")))
+            ).alias("news"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("is_new"), F.struct("doc_id", "sig")))
+            ).alias("olds"),
+        )
+        .where((F.size("news") > 0) & (F.size("olds") > 0))
+    )
+    cap = 8
+    chunk_rows = grouped.select(
+        F.explode(F.expr(D._chunk_cross_sql(cap, "news", "olds"))).alias("ch")
+    ).select((F.size("ch.ma") + F.size("ch.mb")).alias("carried"))
+    assert chunk_rows.agg(F.max("carried")).first()[0] <= 2 * cap
