@@ -191,6 +191,8 @@ HEADLINE = [
     "quality_lang_mutual_info",
     "abtest_chi_square",
     "sample_weighted_es_stratified",
+    # r9: one-pass anisotropy census (sum-vector identity)
+    "embedding_anisotropy",
 ]
 
 

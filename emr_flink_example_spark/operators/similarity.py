@@ -2030,6 +2030,56 @@ def q_ann_binary_hamming_banded_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_anisotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding anisotropy census (Ethayarajh 2019): the mean pairwise
+    cosine over all unit-normalized vectors — near 0 for an isotropic
+    (well-spread) embedding space, drifting toward 1 as vectors collapse
+    into a narrow cone, the standard health check before cosine-based
+    dedup/retrieval trusts its thresholds.
+
+    The 100 TB shape IS the point: the naive census is an O(n^2) pairwise
+    join, but mean_{i != j} cos = (||sum_i u_i||^2 - n) / (n * (n - 1)),
+    so ONE pass computes it — per-row unit vectors, one element-wise sum,
+    one 64-term fold. No pair is ever materialized.
+
+    Determinism: unit coordinates quantize to integer MICROS per row
+    (floor(u_d * 1e6 + 0.5)) before summation, so the 64 per-dimension
+    sums are order-independent integer aggregates (the metric is DEFINED
+    over the micro-quantized unit vectors — exactly reproducible in both
+    engines, unlike a raw double sum whose value depends on partition
+    order); the final ||S||^2 fold runs over the d-SORTED 64-element
+    array in fixed left-to-right order, identically written in the
+    oracle's unrolled left-associative chain."""
+    base = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+        .select("e", _norm("e").alias("nrm"))
+    )
+    qrows = base.select("nrm", F.posexplode("e").alias("d", "v")).select(
+        "d",
+        F.expr("cast(floor(v / nrm * 1000000.0d + 0.5) as bigint)").alias("q"),
+    )
+    dims = qrows.groupBy("d").agg(F.sum("q").alias("s"))
+    nrow = base.agg(F.count("*").alias("n"))
+    folded = dims.agg(
+        F.sort_array(F.collect_list(F.struct("d", "s"))).alias("ds")
+    ).crossJoin(F.broadcast(nrow))
+    ssq = (
+        "aggregate(ds, cast(0 as double), (acc, x) ->"
+        " acc + (cast(x.s as double) / 1000000.0d)"
+        " * (cast(x.s as double) / 1000000.0d))"
+    )
+    return folded.select(
+        F.col("n").alias("n_vectors"),
+        F.expr(
+            f"case when n >= 2 then cast(floor(({ssq} - cast(n as double))"
+            f" / (cast(n as double) * cast(n - 1 as double))"
+            f" * 1000000.0d + 0.5) as bigint) end"
+        ).alias("mean_pairwise_cos_micro"),
+    )
+
+
 #: Johnson-Lindenstrauss projection: target dimensionality + its ±1 matrix
 #: (Achlioptas 2001 database-friendly construction — exact in float/double,
 #: no gaussian sampling). Same fixed-seed discipline as make_planes.
@@ -2156,6 +2206,8 @@ QUERIES = {
     # r9: banded (sublinear) probe tier over the sign codes — exhaustive
     # oracle proves the band index reproduces the banded semantics
     "ann_binary_hamming_banded_topk": q_ann_binary_hamming_banded_topk,
+    # r9: one-pass mean-pairwise-cosine anisotropy census
+    "embedding_anisotropy": q_embedding_anisotropy,
 }
 
 
@@ -3070,3 +3122,31 @@ def _jl_oracle() -> str:
 
 
 ORACLES["embedding_jl_distortion"] = _jl_oracle()
+
+
+# one-pass anisotropy: identical micro-quantized unit vectors, identical
+# left-associative 64-term ||S||^2 chain (the Spark side folds the d-sorted
+# array left-to-right, which this unrolled chain reproduces exactly)
+ORACLES["embedding_anisotropy"] = """
+    WITH base AS (
+        SELECT embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+    ), qrows AS (
+        SELECT i AS d, floor(e[i + 1] / nrm * 1000000.0 + 0.5)::BIGINT AS q
+        FROM base, range(64) r(i)
+    ), dims AS (
+        SELECT d, sum(q)::BIGINT AS s FROM qrows GROUP BY d
+    ), folded AS (
+        SELECT list(s ORDER BY d) AS ls,
+               (SELECT count(*) FROM base)::BIGINT AS n
+        FROM dims
+    )
+    SELECT n AS n_vectors,
+           CASE WHEN n >= 2 THEN floor(
+             (((ls[1] / 1000000.0) * (ls[1] / 1000000.0) + (ls[2] / 1000000.0) * (ls[2] / 1000000.0) + (ls[3] / 1000000.0) * (ls[3] / 1000000.0) + (ls[4] / 1000000.0) * (ls[4] / 1000000.0) + (ls[5] / 1000000.0) * (ls[5] / 1000000.0) + (ls[6] / 1000000.0) * (ls[6] / 1000000.0) + (ls[7] / 1000000.0) * (ls[7] / 1000000.0) + (ls[8] / 1000000.0) * (ls[8] / 1000000.0) + (ls[9] / 1000000.0) * (ls[9] / 1000000.0) + (ls[10] / 1000000.0) * (ls[10] / 1000000.0) + (ls[11] / 1000000.0) * (ls[11] / 1000000.0) + (ls[12] / 1000000.0) * (ls[12] / 1000000.0) + (ls[13] / 1000000.0) * (ls[13] / 1000000.0) + (ls[14] / 1000000.0) * (ls[14] / 1000000.0) + (ls[15] / 1000000.0) * (ls[15] / 1000000.0) + (ls[16] / 1000000.0) * (ls[16] / 1000000.0) + (ls[17] / 1000000.0) * (ls[17] / 1000000.0) + (ls[18] / 1000000.0) * (ls[18] / 1000000.0) + (ls[19] / 1000000.0) * (ls[19] / 1000000.0) + (ls[20] / 1000000.0) * (ls[20] / 1000000.0) + (ls[21] / 1000000.0) * (ls[21] / 1000000.0) + (ls[22] / 1000000.0) * (ls[22] / 1000000.0) + (ls[23] / 1000000.0) * (ls[23] / 1000000.0) + (ls[24] / 1000000.0) * (ls[24] / 1000000.0) + (ls[25] / 1000000.0) * (ls[25] / 1000000.0) + (ls[26] / 1000000.0) * (ls[26] / 1000000.0) + (ls[27] / 1000000.0) * (ls[27] / 1000000.0) + (ls[28] / 1000000.0) * (ls[28] / 1000000.0) + (ls[29] / 1000000.0) * (ls[29] / 1000000.0) + (ls[30] / 1000000.0) * (ls[30] / 1000000.0) + (ls[31] / 1000000.0) * (ls[31] / 1000000.0) + (ls[32] / 1000000.0) * (ls[32] / 1000000.0) + (ls[33] / 1000000.0) * (ls[33] / 1000000.0) + (ls[34] / 1000000.0) * (ls[34] / 1000000.0) + (ls[35] / 1000000.0) * (ls[35] / 1000000.0) + (ls[36] / 1000000.0) * (ls[36] / 1000000.0) + (ls[37] / 1000000.0) * (ls[37] / 1000000.0) + (ls[38] / 1000000.0) * (ls[38] / 1000000.0) + (ls[39] / 1000000.0) * (ls[39] / 1000000.0) + (ls[40] / 1000000.0) * (ls[40] / 1000000.0) + (ls[41] / 1000000.0) * (ls[41] / 1000000.0) + (ls[42] / 1000000.0) * (ls[42] / 1000000.0) + (ls[43] / 1000000.0) * (ls[43] / 1000000.0) + (ls[44] / 1000000.0) * (ls[44] / 1000000.0) + (ls[45] / 1000000.0) * (ls[45] / 1000000.0) + (ls[46] / 1000000.0) * (ls[46] / 1000000.0) + (ls[47] / 1000000.0) * (ls[47] / 1000000.0) + (ls[48] / 1000000.0) * (ls[48] / 1000000.0) + (ls[49] / 1000000.0) * (ls[49] / 1000000.0) + (ls[50] / 1000000.0) * (ls[50] / 1000000.0) + (ls[51] / 1000000.0) * (ls[51] / 1000000.0) + (ls[52] / 1000000.0) * (ls[52] / 1000000.0) + (ls[53] / 1000000.0) * (ls[53] / 1000000.0) + (ls[54] / 1000000.0) * (ls[54] / 1000000.0) + (ls[55] / 1000000.0) * (ls[55] / 1000000.0) + (ls[56] / 1000000.0) * (ls[56] / 1000000.0) + (ls[57] / 1000000.0) * (ls[57] / 1000000.0) + (ls[58] / 1000000.0) * (ls[58] / 1000000.0) + (ls[59] / 1000000.0) * (ls[59] / 1000000.0) + (ls[60] / 1000000.0) * (ls[60] / 1000000.0) + (ls[61] / 1000000.0) * (ls[61] / 1000000.0) + (ls[62] / 1000000.0) * (ls[62] / 1000000.0) + (ls[63] / 1000000.0) * (ls[63] / 1000000.0) + (ls[64] / 1000000.0) * (ls[64] / 1000000.0)) - n::DOUBLE)
+             / (n::DOUBLE * (n - 1)::DOUBLE) * 1000000.0 + 0.5)::BIGINT
+           END AS mean_pairwise_cos_micro
+    FROM folded
+"""

@@ -1069,3 +1069,14 @@ def test_stratified_es_rank_limit_below_exchange(spark):
     plan = _plan(spark, "sample_weighted_es_stratified")
     assert "WindowGroupLimit" in plan and ", Partial" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_anisotropy_one_pass_no_pairs(spark):
+    """Anisotropy census: ONE corpus scan, no join between vectors of any
+    kind (the sum-vector identity replaces the O(n^2) pairwise join), one
+    64-row aggregate folded to one row."""
+    plan = _plan(spark, "embedding_anisotropy")
+    assert plan.count("Scan parquet") <= 2  # vector stream + the count side
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

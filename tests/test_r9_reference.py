@@ -211,3 +211,50 @@ def test_stratified_es_matches_pure_python(spark):
     for doc_id, _, _, k, _ in expect:
         if doc_id in global_keys:
             assert global_keys[doc_id] == k
+
+
+def test_anisotropy_matches_pure_python_and_identity(spark):
+    """One-pass anisotropy == the micro-quantized pure-Python computation,
+    AND the sum-vector identity == the literal O(n^2) pairwise mean over
+    the quantized unit vectors (on a 40-vector subset, where the exhaustive
+    check is cheap) up to the quantization the metric is defined over."""
+    from emr_flink_example_spark.operators.similarity import (
+        q_embedding_anisotropy,
+    )
+
+    rows = [
+        (r.vec_id, list(r.embedding))
+        for r in load(spark, SF_DIR, "embeddings").collect()
+        if any(x != 0.0 for x in r.embedding)
+    ]
+    S = [0] * 64
+    for _, e in rows:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in e))
+        for d, x in enumerate(e):
+            S[d] += math.floor(float(x) / nrm * 1e6 + 0.5)
+    n = len(rows)
+    ssq = 0.0
+    for s in S:
+        ssq += (s / 1e6) * (s / 1e6)
+    expect = math.floor((ssq - n) / (n * (n - 1)) * 1e6 + 0.5)
+    got = q_embedding_anisotropy(spark, SF_DIR).first()
+    assert (got.n_vectors, got.mean_pairwise_cos_micro) == (n, expect)
+    # identity check against the literal pairwise mean on a subset
+    sub = rows[:40]
+    qs = []
+    for _, e in sub:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in e))
+        qs.append([math.floor(float(x) / nrm * 1e6 + 0.5) / 1e6 for x in e])
+    m = len(qs)
+    pair_mean = sum(
+        sum(a * b for a, b in zip(qs[i], qs[j]))
+        for i in range(m)
+        for j in range(m)
+        if i != j
+    ) / (m * (m - 1))
+    Ssub = [sum(q[d] for q in qs) for d in range(64)]
+    ident = (sum(s * s for s in Ssub) - sum(
+        sum(a * a for a in q) for q in qs
+    )) / (m * (m - 1))
+    # ||q_i||^2 is 1 up to quantization; the identity itself is exact
+    assert abs(pair_mean - ident) < 1e-9
