@@ -193,6 +193,9 @@ HEADLINE = [
     "sample_weighted_es_stratified",
     # r9: one-pass anisotropy census (sum-vector identity)
     "embedding_anisotropy",
+    # r9 third wave: RFM segmentation + Pareto/ABC classes
+    "event_rfm_segmentation",
+    "pareto_abc_analysis",
 ]
 
 

@@ -1150,6 +1150,136 @@ def q_abtest_chi_square(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events — the classic behavioral-cohort operator (Hughes
+    1994): each purchasing user scores 1-5 on how recently, how often,
+    and how much they bought, and the three digits concatenate into the
+    familiar segment code ('555' = best customers).
+
+    Scale shape — boundaries, not ranks: the textbook ntile() over a
+    global ORDER BY is a single-task sort at corpus scale, so scores are
+    assigned by comparing each user's metric against the 20/40/60/80th
+    exact percentiles of the USER-LEVEL aggregate (a 1-row broadcast of
+    12 doubles) — one combine-friendly aggregate, one broadcast, pure
+    map-side scoring, nothing user-sized sorted. (Tie semantics differ
+    from ntile — every tied user gets the SAME score, which is the
+    defensible behavior anyway.)
+
+    Determinism: recency is an integer day diff (cast wide, the z-order
+    datediff discipline); monetary is exact integer cents; the exact
+    `percentile` boundaries follow the outlier-fence precedent (same
+    linear-interpolation definition as DuckDB quantile_cont); scores are
+    integer comparisons against those identical doubles."""
+    events = load(spark, sf, "events")
+    purch = events.where(F.col("event_type") == "purchase")
+    anchor = purch.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    users = (
+        purch.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr("cast(datediff(anchor_day, to_date(ts)) as bigint)")
+            ).alias("recency_days"),
+            F.count("*").alias("n_purchases"),
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    cuts = users.agg(
+        *[
+            F.percentile(c, p).alias(f"{c}_p{int(p * 100)}")
+            for c in ("recency_days", "n_purchases", "monetary_cents")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def _score(c: str, higher_is_better: bool) -> F.Column:
+        cmps = [
+            (F.col(c) > F.col(f"{c}_p{q}")).cast("int") for q in (20, 40, 60, 80)
+        ]
+        exceeded = cmps[0] + cmps[1] + cmps[2] + cmps[3]
+        return (1 + exceeded) if higher_is_better else (5 - exceeded)
+
+    scored = users.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_days",
+        "n_purchases",
+        "monetary_cents",
+        _score("recency_days", False).alias("r_score"),
+        _score("n_purchases", True).alias("f_score"),
+        _score("monetary_cents", True).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+#: ABC cumulative-revenue class boundaries (percent of total)
+ABC_A_PCT = 70
+ABC_B_PCT = 90
+
+
+def q_pareto_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto / ABC inventory classification over part revenue: parts
+    sorted by revenue, classified A while the running revenue share is
+    within ABC_A_PCT%, B to ABC_B_PCT%, C after — the 80/20 analysis
+    every catalog/procurement pipeline runs, here over lineitem revenue.
+
+    Scale shape: revenue aggregates per part FIRST (combine-friendly, the
+    corpus-sized scan), and the running-share window runs over the
+    AGGREGATED part table (the vocab_coverage sorted-aggregate
+    discipline — dimension-sized, not fact-sized).
+
+    Determinism: revenue is exact integer cents (the TPC-H 2-decimal
+    regime: price and discount each scale by 100 exactly, so
+    price*(100-disc) is an exact integer in 10^-4 dollars, floor-divided
+    back to cents); the running sum orders by the (revenue, partkey)
+    total order; class membership compares integer cumsum*100 against
+    pct*total — no doubles anywhere."""
+    li = load(spark, sf, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                " * cast(100 - floor(l_discount * 100 + 0.5) as bigint)"
+            )
+        ).alias("rev_4")
+    )
+    # total revenue as a second window function over the SAME sort spec
+    # (unbounded frame): one Window operator computes both, so the plan
+    # keeps exactly one lineitem scan — a broadcast-total crossJoin would
+    # re-run the revenue aggregate lineage for the 1-row side
+    order = [F.col("rev_4").desc(), F.col("l_partkey").asc()]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        rev.withColumn("cum_4", F.sum("rev_4").over(w))
+        .withColumn("total_4", F.sum("rev_4").over(w_tot))
+        .select(
+            "l_partkey",
+            F.expr("rev_4 div 100").alias("revenue_cents"),
+            F.expr("cum_4 div 100").alias("cum_revenue_cents"),
+            F.expr(
+                f"case when cum_4 * 100 <= total_4 * {ABC_A_PCT} then 'A'"
+                f" when cum_4 * 100 <= total_4 * {ABC_B_PCT} then 'B'"
+                " else 'C' end"
+            ).alias("abc_class"),
+        )
+    )
+    return ranked
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -1181,6 +1311,9 @@ QUERIES = {
     "sketch_minhash_bbit": q_sketch_minhash_bbit,
     # r9: Pearson chi-square independence test over the 2x2 arm table
     "abtest_chi_square": q_abtest_chi_square,
+    # r9: RFM behavioral segmentation and Pareto/ABC revenue classes
+    "event_rfm_segmentation": q_event_rfm_segmentation,
+    "pareto_abc_analysis": q_pareto_abc_analysis,
 }
 
 ORACLES = {
@@ -1649,4 +1782,61 @@ ORACLES["abtest_chi_square"] = f"""
            coalesce(floor(chi2 * 1000000.0 + 0.5)::BIGINT >= {CHI2_CRIT_MICRO},
                     FALSE) AS significant
     FROM z
+"""
+
+
+ORACLES["event_rfm_segmentation"] = """
+    WITH purch AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), anchor AS (
+        SELECT max(ts::DATE) AS anchor_day FROM purch
+    ), users AS (
+        SELECT user_id,
+               min(date_diff('day', ts::DATE, a.anchor_day))::BIGINT AS recency_days,
+               count(*)::BIGINT AS n_purchases,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS monetary_cents
+        FROM purch CROSS JOIN anchor a GROUP BY user_id, a.anchor_day
+    ), cuts AS (
+        SELECT quantile_cont(recency_days, 0.2) AS r20, quantile_cont(recency_days, 0.4) AS r40,
+               quantile_cont(recency_days, 0.6) AS r60, quantile_cont(recency_days, 0.8) AS r80,
+               quantile_cont(n_purchases, 0.2) AS f20, quantile_cont(n_purchases, 0.4) AS f40,
+               quantile_cont(n_purchases, 0.6) AS f60, quantile_cont(n_purchases, 0.8) AS f80,
+               quantile_cont(monetary_cents, 0.2) AS m20, quantile_cont(monetary_cents, 0.4) AS m40,
+               quantile_cont(monetary_cents, 0.6) AS m60, quantile_cont(monetary_cents, 0.8) AS m80
+        FROM users
+    ), scored AS (
+        SELECT u.user_id, u.recency_days, u.n_purchases, u.monetary_cents,
+               (5 - ((u.recency_days > c.r20)::INT + (u.recency_days > c.r40)::INT
+                     + (u.recency_days > c.r60)::INT + (u.recency_days > c.r80)::INT))::INT AS r_score,
+               (1 + ((u.n_purchases > c.f20)::INT + (u.n_purchases > c.f40)::INT
+                     + (u.n_purchases > c.f60)::INT + (u.n_purchases > c.f80)::INT))::INT AS f_score,
+               (1 + ((u.monetary_cents > c.m20)::INT + (u.monetary_cents > c.m40)::INT
+                     + (u.monetary_cents > c.m60)::INT + (u.monetary_cents > c.m80)::INT))::INT AS m_score
+        FROM users u CROSS JOIN cuts c
+    )
+    SELECT user_id, recency_days, n_purchases, monetary_cents,
+           r_score, f_score, m_score,
+           r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+    FROM scored
+"""
+
+ORACLES["pareto_abc_analysis"] = f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                   * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT AS rev_4
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT sum(rev_4)::BIGINT AS total_4 FROM rev),
+    ranked AS (
+        SELECT l_partkey, rev_4, t.total_4,
+               sum(rev_4) OVER (ORDER BY rev_4 DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_4
+        FROM rev CROSS JOIN tot t
+    )
+    SELECT l_partkey, (rev_4 // 100)::BIGINT AS revenue_cents,
+           (cum_4 // 100)::BIGINT AS cum_revenue_cents,
+           CASE WHEN cum_4 * 100 <= total_4 * {ABC_A_PCT} THEN 'A'
+                WHEN cum_4 * 100 <= total_4 * {ABC_B_PCT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
 """

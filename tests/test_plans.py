@@ -1080,3 +1080,23 @@ def test_anisotropy_one_pass_no_pairs(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_rfm_boundaries_not_global_ntile(spark):
+    """RFM scores assign by broadcast percentile boundaries — NO window
+    at all in the plan (the textbook global-ORDER-BY ntile would be a
+    single-task sort of the user table at scale)."""
+    plan = _plan(spark, "event_rfm_segmentation")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the two 1-row broadcasts
+    assert "SortMergeJoin" not in plan
+
+
+def test_pareto_window_over_aggregate_only(spark):
+    """ABC classes: the running-share window runs over the AGGREGATED
+    part table (below it sits the partial/final revenue aggregate), never
+    over fact rows."""
+    plan = _plan(spark, "pareto_abc_analysis")
+    assert "Window" in plan
+    assert "partial_sum" in plan  # revenue combines map-side first
+    assert plan.count("Scan parquet") == 1

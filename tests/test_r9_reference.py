@@ -258,3 +258,86 @@ def test_anisotropy_matches_pure_python_and_identity(spark):
     )) / (m * (m - 1))
     # ||q_i||^2 is 1 up to quantization; the identity itself is exact
     assert abs(pair_mean - ident) < 1e-9
+
+
+def _pctl(sorted_vals, p):
+    """Linear-interpolation percentile (Spark `percentile` / DuckDB
+    quantile_cont definition): pos = p*(n-1), lerp between neighbors."""
+    n = len(sorted_vals)
+    pos = p * (n - 1)
+    lo = int(math.floor(pos))
+    hi = min(lo + 1, n - 1)
+    frac = pos - lo
+    return sorted_vals[lo] + frac * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def test_rfm_segmentation_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        q_event_rfm_segmentation,
+    )
+
+    rows = (
+        load(spark, SF_DIR, "events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    anchor = max(r.ts.date() for r in rows)
+    users: dict[int, list] = {}
+    for r in rows:
+        u = users.setdefault(r.user_id, [10**9, 0, 0])
+        u[0] = min(u[0], (anchor - r.ts.date()).days)
+        u[1] += 1
+        u[2] += math.floor(r.value * 100 + 0.5)
+    cuts = {
+        i: [_pctl(sorted(u[i] for u in users.values()), p) for p in (0.2, 0.4, 0.6, 0.8)]
+        for i in range(3)
+    }
+    got = {r.user_id: r for r in q_event_rfm_segmentation(spark, SF_DIR).collect()}
+    assert set(got) == set(users)
+    for uid, (rec, freq, mon) in users.items():
+        g = got[uid]
+        assert (g.recency_days, g.n_purchases, g.monetary_cents) == (rec, freq, mon)
+        r_sc = 5 - sum(rec > c for c in cuts[0])
+        f_sc = 1 + sum(freq > c for c in cuts[1])
+        m_sc = 1 + sum(mon > c for c in cuts[2])
+        assert (g.r_score, g.f_score, g.m_score) == (r_sc, f_sc, m_sc)
+        assert g.segment == f"{r_sc}{f_sc}{m_sc}"
+        assert 1 <= r_sc <= 5 and 1 <= f_sc <= 5 and 1 <= m_sc <= 5
+
+
+def test_pareto_abc_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        ABC_A_PCT,
+        ABC_B_PCT,
+        q_pareto_abc_analysis,
+    )
+
+    li = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    rev: dict[int, int] = {}
+    for r in li:
+        rev[r.l_partkey] = rev.get(r.l_partkey, 0) + math.floor(
+            r.l_extendedprice * 100 + 0.5
+        ) * (100 - math.floor(r.l_discount * 100 + 0.5))
+    total = sum(rev.values())
+    cum = 0
+    expect = {}
+    for pk, r4 in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += r4
+        cls = "A" if cum * 100 <= total * ABC_A_PCT else (
+            "B" if cum * 100 <= total * ABC_B_PCT else "C"
+        )
+        expect[pk] = (r4 // 100, cum // 100, cls)
+    got = {
+        r.l_partkey: (r.revenue_cents, r.cum_revenue_cents, r.abc_class)
+        for r in q_pareto_abc_analysis(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the Pareto shape: class A is a strict minority of parts at the
+    # fixture's revenue skew... or at least never the whole catalog
+    n_a = sum(1 for v in expect.values() if v[2] == "A")
+    assert 0 < n_a < len(expect)
