@@ -196,6 +196,9 @@ HEADLINE = [
     # r9 third wave: RFM segmentation + Pareto/ABC classes
     "event_rfm_segmentation",
     "pareto_abc_analysis",
+    # r9 fourth wave: directed containment + MRR evaluation
+    "sketch_minhash_containment",
+    "retrieval_mrr",
 ]
 
 

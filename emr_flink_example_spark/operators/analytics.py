@@ -1280,6 +1280,61 @@ def q_pareto_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
     return ranked
 
 
+def q_sketch_minhash_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based asymmetric containment for LSH candidate pairs:
+    resemblance (Jaccard) treats a short document quoted inside a long
+    one as dissimilar, but containment C(A,B) = |A n B| / |A| flags it —
+    the quote-inclusion / boilerplate-envelope case exact dedup misses
+    and symmetric near-dup under-scores (Broder 1997 distinguishes the
+    two on exactly these grounds). From the MinHash resemblance estimate
+    j and the EXACT per-doc distinct-shingle counts |A|, |B| (one cheap
+    integer per doc), the intersection estimates as
+    j / (1 + j) * (|A| + |B|), giving both directed containments without
+    any exact pairwise intersection work.
+
+    Determinism: j is the dyadic k/16 agreement from the LSH pair stream;
+    the containment ratios evaluate in one fixed double expression over
+    (k-scaled integers, exact counts) and floor to micros. Lives in
+    analytics per the sketch_minhash_bbit precedent (analytics -> dedup
+    is acyclic and dedup's dict sits inside the driver's checked prefix).
+
+    Scale shape: candidate pairs come from the banded skew-guarded LSH
+    plan; the size table is a per-doc integer aggregate joined back
+    pair-bounded (hash joins on doc ids); no pairwise set operation
+    anywhere."""
+    from .dedup import _shingled_docs, q_dedup_minhash_lsh
+
+    pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b", "est_jaccard")
+    sizes = _shingled_docs(spark, sf).select(
+        "doc_id", F.size("shingles").alias("n_sh")
+    )
+    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_shingles_a"))
+    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_shingles_b"))
+    est_int = (
+        "(est_jaccard / (1.0d + est_jaccard))"
+        " * (cast(n_shingles_a as double) + cast(n_shingles_b as double))"
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shingles_a",
+            "n_shingles_b",
+            "est_jaccard",
+            F.expr(
+                f"case when n_shingles_a > 0 then cast(floor({est_int}"
+                " / cast(n_shingles_a as double) * 1000000.0d + 0.5) as bigint) end"
+            ).alias("est_containment_a_micro"),
+            F.expr(
+                f"case when n_shingles_b > 0 then cast(floor({est_int}"
+                " / cast(n_shingles_b as double) * 1000000.0d + 0.5) as bigint) end"
+            ).alias("est_containment_b_micro"),
+        )
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -1314,6 +1369,8 @@ QUERIES = {
     # r9: RFM behavioral segmentation and Pareto/ABC revenue classes
     "event_rfm_segmentation": q_event_rfm_segmentation,
     "pareto_abc_analysis": q_pareto_abc_analysis,
+    # r9: directed containment estimates over the LSH candidate stream
+    "sketch_minhash_containment": q_sketch_minhash_containment,
 }
 
 ORACLES = {
@@ -1840,3 +1897,42 @@ ORACLES["pareto_abc_analysis"] = f"""
                 ELSE 'C' END AS abc_class
     FROM ranked
 """
+
+
+def _containment_oracle() -> str:
+    from .dedup import _EST_JACCARD_DUCK, _minhash_cand_ctes
+
+    est_int = (
+        "(est_jaccard / (1.0 + est_jaccard))"
+        " * (n_shingles_a::DOUBLE + n_shingles_b::DOUBLE)"
+    )
+    return (
+        _minhash_cand_ctes()
+        + f""",
+        pairs AS (
+            SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard FROM cand
+        ),
+        sizes AS (
+            SELECT doc_id, count(*)::INT AS n_sh FROM shingled GROUP BY doc_id
+        ),
+        joined AS (
+            SELECT p.doc_a, p.doc_b,
+                   sa.n_sh AS n_shingles_a, sb.n_sh AS n_shingles_b,
+                   p.est_jaccard
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+        )
+        SELECT doc_a, doc_b, n_shingles_a, n_shingles_b, est_jaccard,
+               CASE WHEN n_shingles_a > 0 THEN floor({est_int}
+                 / n_shingles_a::DOUBLE * 1000000.0 + 0.5)::BIGINT
+               END AS est_containment_a_micro,
+               CASE WHEN n_shingles_b > 0 THEN floor({est_int}
+                 / n_shingles_b::DOUBLE * 1000000.0 + 0.5)::BIGINT
+               END AS est_containment_b_micro
+        FROM joined
+    """
+    )
+
+
+ORACLES["sketch_minhash_containment"] = _containment_oracle()

@@ -2488,6 +2488,88 @@ def q_quality_lang_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: MRR evaluation set: fixed two-term queries over the corpus vocabulary,
+#: and the rank cutoff (MRR@K: no relevant doc in the top K scores 0)
+MRR_QUERIES = (
+    ("scan", "filter"),
+    ("window", "sort"),
+    ("hash", "join"),
+    ("stream", "batch"),
+    ("vector", "merge"),
+)
+MRR_K = 10
+
+
+def q_retrieval_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean reciprocal rank at MRR_K over a fixed multi-query evaluation
+    set — the rank-of-first-hit companion to `retrieval_ndcg` (which
+    grades the whole top-K of ONE query; MRR measures how quickly each of
+    SEVERAL queries reaches its first relevant document — the standard QA
+    / known-item retrieval metric). Ranking: total query-term occurrences
+    (term-frequency retrieval) with the (tf desc, doc_id) total order;
+    relevance: the document contains EVERY query term.
+
+    Determinism: ranks are integers from a total order; the reciprocal
+    rank is the exact integer micro (2e6 + r) div (2r) = floor(1e6/r +
+    0.5); the final MRR is an integer micro-mean over |queries| rows. No
+    doubles anywhere.
+
+    Scale shape: the query set broadcast-joins the postings (term filter
+    prunes to |query terms| lists before any shuffle); per-query ranking
+    is a row_number window whose rank <= K filter Catalyst rewrites to
+    WindowGroupLimit (partial pass below the exchange, so each task
+    forwards at most K rows per query); the per-query fold and the final
+    mean are |queries|-row aggregates."""
+    docs = load(spark, sf, "documents")
+    qrows = [
+        (qi, t, len(terms)) for qi, terms in enumerate(MRR_QUERIES) for t in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id int, term string, n_terms int")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+    hits = (
+        tok.join(F.broadcast(qdf), tok["token"] == qdf["term"])
+        .groupBy("query_id", "n_terms", "doc_id")
+        .agg(
+            F.count("*").alias("tf_total"),
+            F.count_distinct("term").alias("n_hit_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf_total").desc(), F.col("doc_id").asc()
+    )
+    topk = hits.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= MRR_K
+    )
+    per_q = topk.groupBy("query_id").agg(
+        F.min(
+            F.when(F.col("n_hit_terms") == F.col("n_terms"), F.col("rank"))
+        ).alias("first_rel_rank")
+    )
+    # left join back to the query list so queries with NO relevant doc in
+    # the top K still report (rr = 0)
+    qids = qdf.select("query_id").distinct()
+    scored = (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.expr(
+                "case when first_rel_rank is not null then"
+                " (2000000 + first_rel_rank) div (2 * first_rel_rank)"
+                " else cast(0 as bigint) end"
+            ).alias("rr_micro"),
+        )
+    )
+    mrr = scored.agg(
+        F.expr("(2 * sum(rr_micro) + count(*)) div (2 * count(*))").alias(
+            "mrr_micro"
+        )
+    )
+    return scored.crossJoin(F.broadcast(mrr)).select(
+        "query_id", "first_rel_rank", "rr_micro", "mrr_micro"
+    )
+
+
 QUERIES = {
     "lang_stats": q_lang_stats,
     "text_quality": q_text_quality,
@@ -2545,6 +2627,8 @@ QUERIES = {
     # r9: Zipf rank-frequency fit and lang x length mutual information
     "vocab_zipf_slope": q_vocab_zipf_slope,
     "quality_lang_mutual_info": q_quality_lang_mutual_info,
+    # r9: mean reciprocal rank at K over the fixed evaluation queries
+    "retrieval_mrr": q_retrieval_mrr,
 }
 
 
@@ -3525,3 +3609,53 @@ ORACLES["quality_lang_mutual_info"] = f"""
     FROM joint j
     JOIN mx USING (lang) JOIN my USING (chars_bucket) CROSS JOIN nn
 """
+
+
+def _mrr_oracle() -> str:
+    qvals = ", ".join(
+        f"({qi}, '{t}', {len(terms)})"
+        for qi, terms in enumerate(MRR_QUERIES)
+        for t in terms
+    )
+    return f"""
+        WITH q(query_id, term, n_terms) AS (VALUES {qvals}),
+        tok AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+        ),
+        hits AS (
+            SELECT q.query_id, q.n_terms, t.doc_id,
+                   count(*)::BIGINT AS tf_total,
+                   count(DISTINCT q.term)::BIGINT AS n_hit_terms
+            FROM tok t JOIN q ON t.token = q.term
+            GROUP BY 1, 2, 3
+        ),
+        topk AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY tf_total DESC, doc_id ASC) AS rank
+            FROM hits
+        ),
+        per_q AS (
+            SELECT query_id,
+                   min(CASE WHEN n_hit_terms = n_terms THEN rank END)::BIGINT
+                       AS first_rel_rank
+            FROM topk WHERE rank <= {MRR_K} GROUP BY query_id
+        ),
+        scored AS (
+            SELECT qq.query_id, p.first_rel_rank,
+                   CASE WHEN p.first_rel_rank IS NOT NULL THEN
+                     (2000000 + p.first_rel_rank) // (2 * p.first_rel_rank)
+                   ELSE 0 END::BIGINT AS rr_micro
+            FROM (SELECT DISTINCT query_id FROM q) qq
+            LEFT JOIN per_q p USING (query_id)
+        ),
+        m AS (
+            SELECT ((2 * sum(rr_micro) + count(*)) // (2 * count(*)))::BIGINT
+                       AS mrr_micro
+            FROM scored
+        )
+        SELECT s.query_id, s.first_rel_rank, s.rr_micro, m.mrr_micro
+        FROM scored s CROSS JOIN m
+    """
+
+
+ORACLES["retrieval_mrr"] = _mrr_oracle()

@@ -1100,3 +1100,28 @@ def test_pareto_window_over_aggregate_only(spark):
     assert "Window" in plan
     assert "partial_sum" in plan  # revenue combines map-side first
     assert plan.count("Scan parquet") == 1
+
+
+def test_containment_pair_bounded_joins(spark):
+    """Containment rides the skew-guarded LSH pair stream; the size table
+    joins back pair-bounded as hash joins — no cartesian, no Python, and
+    the guard's chunk-pair exchange is present."""
+    plan = _plan(spark, "sketch_minhash_containment")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    guard = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ci" in ln and "cj" in ln
+    ]
+    assert guard
+
+
+def test_mrr_rank_limit_below_exchange(spark):
+    """MRR: the query set broadcasts onto the postings, and the per-query
+    top-K cut is a WindowGroupLimit with a PARTIAL pass below the exchange
+    — each task forwards at most K rows per query."""
+    plan = _plan(spark, "retrieval_mrr")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

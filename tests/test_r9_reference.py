@@ -341,3 +341,68 @@ def test_pareto_abc_matches_pure_python(spark):
     # fixture's revenue skew... or at least never the whole catalog
     n_a = sum(1 for v in expect.values() if v[2] == "A")
     assert 0 < n_a < len(expect)
+
+
+def test_minhash_containment_identity_and_bounds(spark):
+    """Containment estimates derive EXACTLY from (est_jaccard,
+    n_shingles_a, n_shingles_b) by the j/(1+j)*(|A|+|B|) intersection
+    formula — recompute per pair in Python and pin; plus the analytic
+    bound C <= 1 within estimator error and the directed asymmetry
+    (smaller side always has the larger containment)."""
+    from emr_flink_example_spark.operators.analytics import (
+        q_sketch_minhash_containment,
+    )
+
+    rows = q_sketch_minhash_containment(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        est_int = (
+            r.est_jaccard / (1.0 + r.est_jaccard)
+            * (float(r.n_shingles_a) + float(r.n_shingles_b))
+        )
+        ca = math.floor(est_int / float(r.n_shingles_a) * 1e6 + 0.5)
+        cb = math.floor(est_int / float(r.n_shingles_b) * 1e6 + 0.5)
+        assert (r.est_containment_a_micro, r.est_containment_b_micro) == (ca, cb)
+        # directed: the smaller set's containment is >= the larger set's
+        if r.n_shingles_a <= r.n_shingles_b:
+            assert r.est_containment_a_micro >= r.est_containment_b_micro
+        else:
+            assert r.est_containment_b_micro >= r.est_containment_a_micro
+        # j = 1 (identical sets) must give exactly containment 1.0 when
+        # sizes agree: j/(1+j)*(2n)/n = 1
+        if r.est_jaccard == 1.0 and r.n_shingles_a == r.n_shingles_b:
+            assert r.est_containment_a_micro == 1_000_000
+
+
+def test_mrr_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        MRR_K,
+        MRR_QUERIES,
+        q_retrieval_mrr,
+    )
+
+    docs = _docs(spark)
+    toks = {r.doc_id: re.findall(TOKEN_RE, r.text) for r in docs}
+    expect = {}
+    rrs = []
+    for qi, terms in enumerate(MRR_QUERIES):
+        per_doc = {}
+        for did, ts in toks.items():
+            tf = sum(1 for t in ts if t in terms)
+            if tf:
+                per_doc[did] = (tf, len({t for t in ts if t in terms}))
+        ranked = sorted(per_doc.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        first = None
+        for rank, (did, (tf, nhit)) in enumerate(ranked[:MRR_K], start=1):
+            if nhit == len(terms):
+                first = rank
+                break
+        rr = (2_000_000 + first) // (2 * first) if first else 0
+        expect[qi] = (first, rr)
+        rrs.append(rr)
+    mrr = (2 * sum(rrs) + len(rrs)) // (2 * len(rrs))
+    got = {r.query_id: r for r in q_retrieval_mrr(spark, SF_DIR).collect()}
+    assert set(got) == set(expect)
+    for qi, (first, rr) in expect.items():
+        g = got[qi]
+        assert (g.first_rel_rank, g.rr_micro, g.mrr_micro) == (first, rr, mrr)
