@@ -220,3 +220,38 @@ def test_cross_chunk_rows_bounded(spark, identical_docs_dir):
         F.explode(F.expr(D._chunk_cross_sql(cap, "news", "olds"))).alias("ch")
     ).select((F.size("ch.ma") + F.size("ch.mb")).alias("carried"))
     assert chunk_rows.agg(F.max("carried")).first()[0] <= 2 * cap
+
+
+def test_fuzz_random_corpora_incremental_capped_equals_uncapped(spark, tmp_path):
+    """Bipartite-guard twin of the minhash fuzz: three seeded random
+    corpora with heavy duplication, each at several caps (including
+    cap=1, maximal chunking) — the incremental dup report must equal the
+    effectively-unguarded run exactly."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    for seed in (4, 5, 6):
+        rng = random.Random(seed)
+        base_docs = [
+            " ".join(rng.choices(vocab, k=rng.randint(4, 12))) for _ in range(12)
+        ]
+        texts = [
+            rng.choice(base_docs) + (" tail" if rng.random() < 0.3 else "")
+            for _ in range(80)
+        ]
+        d = tmp_path / f"incr{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        base = _rows(D.q_dedup_incremental_minhash(spark, str(d), cap=10_000))
+        assert base, seed  # duplication straddles the 80/20 split
+        for cap in (1, 3, 7):
+            got = _rows(D.q_dedup_incremental_minhash(spark, str(d), cap=cap))
+            assert got == base, (seed, cap)
