@@ -199,6 +199,10 @@ HEADLINE = [
     # r9 fourth wave: directed containment + MRR evaluation
     "sketch_minhash_containment",
     "retrieval_mrr",
+    # r9 fifth wave: rank/concentration/association statistics
+    "stats_spearman_corr",
+    "revenue_gini_lorenz",
+    "abtest_cramers_v",
 ]
 
 

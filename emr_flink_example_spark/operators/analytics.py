@@ -1335,6 +1335,257 @@ def q_sketch_minhash_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stats_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904) between per-user event
+    count and per-user total event value — the nonparametric "are heavy
+    users heavy spenders?" association, robust to the heavy-tailed spend
+    distribution that breaks Pearson on raw values.
+
+    Determinism discipline (the Mann-Whitney rank pattern): ranks come
+    from the two DISTINCT-value tables with exact tie handling — a value
+    occupying ranks cum+1..cum+t has average rank (2*cum + t + 1)/2, so
+    DOUBLED ranks stay integer; per-user metrics are exact integers
+    (count, micro-value sum). The four doubled-rank moments (sum, both
+    sums of squares, cross sum) are exact bigint aggregates; only the
+    final rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+    is a fixed IEEE expression over those integers (the n*Sxy term tops
+    4n^4 — past int64 at ~60k users — so doubles are the honest
+    representation there, the chi-square precedent), floored once to
+    micros.
+
+    int64-headroom guard (ENFORCED, the Mann-Whitney/ACF discipline):
+    the integer moments are bounded by sum(r2^2) <= 4n^3, so the guard
+    reads only n (exact at any scale): 2 + 3*log2(n) < 62, i.e. the
+    moments wrap past ~1.3e6 users. A tripped guard NULLs rho_micro
+    LOUDLY (headroom_ok = false) instead of reporting wrapped garbage;
+    the oracle mirrors the same CASE (DuckDB's HUGEINT wouldn't wrap,
+    but the ::BIGINT cast would error without it).
+
+    Scale shape: one combine-friendly user-level aggregate, two
+    running-sum windows over DISTINCT-METRIC-VALUE tables (bounded by
+    metric cardinality, not user count — the vocab_coverage
+    sorted-aggregate discipline), two hash joins back on the metric
+    value, one 1-row fold. Nothing user-sized is sorted."""
+    events = load(spark, sf, "events")
+    users = events.groupBy("user_id").agg(
+        F.count("*").alias("x"),
+        F.sum(F.expr("cast(floor(value * 1000000 + 0.5) as bigint)")).alias("y"),
+    )
+
+    def _doubled_ranks(col: str) -> DataFrame:
+        vals = users.groupBy(col).agg(F.count("*").alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return vals.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1
+            ).alias(f"r2{col}"),
+        )
+
+    ranked = (
+        users.join(_doubled_ranks("x"), "x")
+        .join(_doubled_ranks("y"), "y")
+        .select("r2x", "r2y")
+    )
+    g = ranked.agg(
+        F.count("*").alias("n_users"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    ok = F.expr(
+        "case when n_users <= 1 then true"
+        " else 2.0 + 3.0 * log2(cast(n_users as double)) < 62.0 end"
+    )
+    rho = F.expr(
+        "case when n_users > 1"
+        " and cast(n_users as double) * cast(sxx as double)"
+        "     - cast(sx as double) * cast(sx as double) > 0.0"
+        " and cast(n_users as double) * cast(syy as double)"
+        "     - cast(sy as double) * cast(sy as double) > 0.0 then"
+        " (cast(n_users as double) * cast(sxy as double)"
+        "  - cast(sx as double) * cast(sy as double))"
+        " / sqrt((cast(n_users as double) * cast(sxx as double)"
+        "         - cast(sx as double) * cast(sx as double))"
+        "        * (cast(n_users as double) * cast(syy as double)"
+        "           - cast(sy as double) * cast(sy as double))) end"
+    )
+    return g.select(
+        "n_users",
+        F.when(ok, F.col("sxy")).alias("sxy"),
+        F.when(ok, F.floor(rho * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "rho_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+#: Lorenz-curve resolution: customers are bucketed into this many equal-count
+#: groups (by revenue ascending) for the reported concentration table
+LORENZ_BUCKETS = 10
+
+
+def q_revenue_gini_lorenz(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue concentration: the Lorenz curve (Lorenz 1905) over
+    per-customer order revenue in LORENZ_BUCKETS equal-count buckets,
+    with the exact Gini coefficient (Gini 1912) attached — the
+    inequality companion to pareto_abc_analysis ("how concentrated is
+    revenue?" as one number plus a curve, instead of per-part classes).
+
+    Gini via the sorted-index identity G = sum((2i - n - 1) * x_i)
+    / (n * sum(x)) over revenue ascending — exact integer numerator and
+    denominator (revenue is exact cents; i is row_number over the total
+    order (revenue, custkey)), one double division floored to micros.
+
+    int64-headroom guard (ENFORCED): the numerator is bounded by
+    2 * n^2 * max_cents, so the guard reads only n and max_cents (exact
+    at any scale): 1 + 2*log2(n) + log2(max_cents) < 62. Tripped ->
+    gini_micro NULL, headroom_ok false, same CASE in the oracle.
+
+    Scale shape: revenue aggregates per customer FIRST (the corpus-sized
+    scan, combine-friendly); the row_number/ntile windows and the 1-row
+    Gini fold run over the AGGREGATED customer table (the pareto_abc
+    discipline). The global sort over customers is the inherent cost of
+    an EXACT Gini/Lorenz — at 100 TB the approximation path is the
+    equi-depth histogram (histogram_equidepth) over the same aggregate."""
+    orders = load(spark, sf, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).alias(
+            "cents"
+        )
+    )
+    order = [F.col("cents").asc(), F.col("o_custkey").asc()]
+    w = Window.orderBy(*order)
+    ranked = rev.select(
+        "cents", F.row_number().over(w).alias("i"),
+        F.ntile(LORENZ_BUCKETS).over(w).alias("bucket"),
+    )
+    scalars = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum((2 * F.col("i") - 1) * F.col("cents")).alias("g2_plus_nt"),
+    )
+    # sum((2i - n - 1) x) = sum((2i - 1) x) - n * total: the n-dependent
+    # term folds OUT of the row-wise aggregate so the running expression
+    # never needs n mid-stream
+    ok = F.expr(
+        "case when n <= 1 or total_cents = 0 then true"
+        " else 1.0 + 2.0 * log2(cast(n as double))"
+        "      + log2(cast(greatest(max_cents, 1) as double)) < 62.0 end"
+    )
+    gini = F.expr(
+        "case when n > 1 and total_cents > 0 then"
+        " cast(g2_plus_nt - n * total_cents as double)"
+        " / (cast(n as double) * cast(total_cents as double)) end"
+    )
+    scalars = scalars.select(
+        "n",
+        "total_cents",
+        F.when(ok, F.floor(gini * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "gini_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+    buckets = ranked.groupBy("bucket").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+        F.max("i").alias("max_i"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.withColumn("cum_cents", F.sum("revenue_cents").over(w_cum))
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "bucket",
+            "n_customers",
+            "revenue_cents",
+            F.expr(
+                "case when total_cents > 0 then"
+                " cast(floor(cast(cum_cents as double)"
+                " / cast(total_cents as double) * 1000000.0 + 0.5) as bigint) end"
+            ).alias("cum_share_micro"),
+            "gini_micro",
+            "headroom_ok",
+        )
+    )
+
+
+def q_abtest_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V association strength (Cramér 1946) over the full
+    event_type x arm contingency table — the multi-row generalization of
+    abtest_chi_square: chi-square answers "is event mix independent of
+    the arm?", V normalizes it to [0, 1] so effect SIZE is comparable
+    across experiments of different n.
+
+    The grid is completed before the test: row margins cross-join the
+    two arms and LEFT join observed counts, so a type absent from one
+    arm contributes its full expected-count term (o=0 cells are where
+    the signal lives; dropping them biases chi2 down).
+
+    Determinism: all cells/margins are exact integer counts; each cell's
+    (o - e)^2 / e term is floored to micros FIRST and the micro terms
+    integer-summed (the corpus_divergence_kl discipline — |types| x 2
+    cells, so the integer sum is tiny); V = sqrt(chi2 / (N * (min(r,c)
+    - 1))) is one fixed double expression over (chi2_micro, N), floored
+    to micros.
+
+    Scale shape: one combine-friendly groupBy(event_type, arm) count,
+    margins re-aggregate the CELL table (|types| x 2 rows, not events),
+    broadcast joins, one 1-row fold. Nothing event-sized shuffles
+    twice."""
+    events = load(spark, sf, "events")
+    cells = (
+        events.select(
+            "event_type", (F.col("user_id") % 2).cast("int").alias("arm")
+        )
+        .groupBy("event_type", "arm")
+        .agg(F.count("*").alias("o"))
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    col_tot = cells.groupBy("arm").agg(F.sum("o").alias("col_n"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(cells, ["event_type", "arm"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(n_tot))
+    )
+    term = F.expr(
+        "cast(floor((cast(o as double) - cast(row_n as double)"
+        " * cast(col_n as double) / cast(n as double))"
+        " * (cast(o as double) - cast(row_n as double)"
+        " * cast(col_n as double) / cast(n as double))"
+        " / (cast(row_n as double) * cast(col_n as double)"
+        " / cast(n as double)) * 1000000.0 + 0.5) as bigint)"
+    )
+    g = grid.agg(
+        F.max("n").alias("n_total"),
+        F.count_distinct("event_type").alias("n_rows"),
+        F.count_distinct("arm").alias("n_cols"),
+        F.sum(term).alias("chi2_micro"),
+    )
+    v = F.expr(
+        "case when n_total > 0 and least(n_rows, n_cols) > 1 then"
+        " sqrt(cast(chi2_micro as double) / 1000000.0"
+        " / (cast(n_total as double)"
+        "    * cast(least(n_rows, n_cols) - 1 as double))) end"
+    )
+    return g.select(
+        "n_rows",
+        "n_cols",
+        "n_total",
+        "chi2_micro",
+        F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias(
+            "cramers_v_micro"
+        ),
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sessionize_events": q_sessionize_events,
@@ -1371,6 +1622,10 @@ QUERIES = {
     "pareto_abc_analysis": q_pareto_abc_analysis,
     # r9: directed containment estimates over the LSH candidate stream
     "sketch_minhash_containment": q_sketch_minhash_containment,
+    # r9 continuation: rank/concentration/association statistics
+    "stats_spearman_corr": q_stats_spearman_corr,
+    "revenue_gini_lorenz": q_revenue_gini_lorenz,
+    "abtest_cramers_v": q_abtest_cramers_v,
 }
 
 ORACLES = {
@@ -1936,3 +2191,124 @@ def _containment_oracle() -> str:
 
 
 ORACLES["sketch_minhash_containment"] = _containment_oracle()
+
+
+ORACLES["stats_spearman_corr"] = """
+    WITH users AS (
+        SELECT user_id, count(*)::BIGINT AS x,
+               sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ), rx AS (
+        SELECT x, (2 * coalesce(sum(t) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + t + 1)::BIGINT AS r2x
+        FROM (SELECT x, count(*)::BIGINT AS t FROM users GROUP BY x)
+    ), ry AS (
+        SELECT y, (2 * coalesce(sum(t) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + t + 1)::BIGINT AS r2y
+        FROM (SELECT y, count(*)::BIGINT AS t FROM users GROUP BY y)
+    ), ranked AS (
+        SELECT r2x, r2y FROM users u JOIN rx USING (x) JOIN ry USING (y)
+    ), g AS (
+        SELECT count(*)::BIGINT AS n_users,
+               sum(r2x)::BIGINT AS sx, sum(r2y)::BIGINT AS sy,
+               sum(r2x * r2x)::BIGINT AS sxx, sum(r2y * r2y)::BIGINT AS syy,
+               sum(r2x * r2y)::BIGINT AS sxy
+        FROM ranked
+    ), ok AS (
+        SELECT *, CASE WHEN n_users <= 1 THEN true
+                  ELSE 2.0 + 3.0 * log2(n_users::DOUBLE) < 62.0 END AS headroom_ok
+        FROM g
+    )
+    SELECT n_users,
+           CASE WHEN headroom_ok THEN sxy END AS sxy,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n_users > 1
+                   AND n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
+                   AND n_users::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0.0
+             THEN floor((n_users::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / sqrt((n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                         * (n_users::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                  * 1000000.0 + 0.5)::BIGINT END
+           END AS rho_micro,
+           headroom_ok
+    FROM ok
+"""
+
+ORACLES["revenue_gini_lorenz"] = f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i,
+               ntile({LORENZ_BUCKETS}) OVER (ORDER BY cents ASC, o_custkey ASC) AS bucket
+        FROM rev
+    ), scalars AS (
+        SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS total_cents,
+               max(cents)::BIGINT AS max_cents,
+               sum((2 * i - 1) * cents)::BIGINT AS g2_plus_nt
+        FROM ranked
+    ), sc AS (
+        SELECT n, total_cents,
+               CASE WHEN ok THEN
+                 CASE WHEN n > 1 AND total_cents > 0 THEN
+                   floor((g2_plus_nt - n * total_cents)::DOUBLE
+                         / (n::DOUBLE * total_cents::DOUBLE)
+                         * 1000000.0 + 0.5)::BIGINT END
+               END AS gini_micro,
+               ok AS headroom_ok
+        FROM (
+            SELECT *, CASE WHEN n <= 1 OR total_cents = 0 THEN true
+                      ELSE 1.0 + 2.0 * log2(n::DOUBLE)
+                           + log2(greatest(max_cents, 1)::DOUBLE) < 62.0 END AS ok
+            FROM scalars
+        )
+    ), buckets AS (
+        SELECT bucket, count(*)::BIGINT AS n_customers,
+               sum(cents)::BIGINT AS revenue_cents
+        FROM ranked GROUP BY bucket
+    )
+    SELECT bucket, n_customers, revenue_cents,
+           CASE WHEN total_cents > 0 THEN
+             floor((sum(revenue_cents) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                   / total_cents::DOUBLE * 1000000.0 + 0.5)::BIGINT END AS cum_share_micro,
+           gini_micro, headroom_ok
+    FROM buckets CROSS JOIN sc
+"""
+
+ORACLES["abtest_cramers_v"] = """
+    WITH cells AS (
+        SELECT event_type, (user_id % 2)::INT AS arm, count(*)::BIGINT AS o
+        FROM events GROUP BY event_type, arm
+    ), row_tot AS (
+        SELECT event_type, sum(o)::BIGINT AS row_n FROM cells GROUP BY event_type
+    ), col_tot AS (
+        SELECT arm, sum(o)::BIGINT AS col_n FROM cells GROUP BY arm
+    ), n_tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+    grid AS (
+        SELECT r.event_type, c.arm, r.row_n, c.col_n, n.n,
+               coalesce(cl.o, 0)::BIGINT AS o
+        FROM row_tot r CROSS JOIN col_tot c
+        LEFT JOIN cells cl ON cl.event_type = r.event_type AND cl.arm = c.arm
+        CROSS JOIN n_tot n
+    ), g AS (
+        SELECT max(n)::BIGINT AS n_total,
+               count(DISTINCT event_type)::BIGINT AS n_rows,
+               count(DISTINCT arm)::BIGINT AS n_cols,
+               sum(floor((o::DOUBLE - row_n::DOUBLE * col_n::DOUBLE / n::DOUBLE)
+                         * (o::DOUBLE - row_n::DOUBLE * col_n::DOUBLE / n::DOUBLE)
+                         / (row_n::DOUBLE * col_n::DOUBLE / n::DOUBLE)
+                         * 1000000.0 + 0.5)::BIGINT)::BIGINT AS chi2_micro
+        FROM grid
+    )
+    SELECT n_rows, n_cols, n_total, chi2_micro,
+           CASE WHEN n_total > 0 AND least(n_rows, n_cols) > 1 THEN
+             floor(sqrt(chi2_micro::DOUBLE / 1000000.0
+                        / (n_total::DOUBLE * (least(n_rows, n_cols) - 1)::DOUBLE))
+                   * 1000000.0 + 0.5)::BIGINT END AS cramers_v_micro
+    FROM g
+"""

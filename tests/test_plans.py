@@ -1125,3 +1125,39 @@ def test_mrr_rank_limit_below_exchange(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan and ", Partial" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_spearman_ranks_over_distinct_value_tables(spark):
+    """Spearman: doubled ranks come from running-sum windows over the two
+    DISTINCT-metric-VALUE tables (aggregates sit below the windows), the
+    user frame hash-joins back on the metric value, and the fold is one
+    row — nothing user-sized is globally sorted."""
+    plan = _plan(spark, "stats_spearman_corr")
+    assert "Window" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_gini_windows_over_customer_aggregate(spark):
+    """Gini/Lorenz: the row_number/ntile windows and the 1-row fold run
+    over the AGGREGATED customer table (partial revenue sums below), and
+    the scalar Gini row attaches via a broadcast — one orders scan per
+    self-derived branch, no fact-sized sort."""
+    plan = _plan(spark, "revenue_gini_lorenz")
+    assert "Window" in plan
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar attach
+    assert "SortMergeJoin" not in plan
+
+
+def test_cramers_v_margins_from_cell_table(spark):
+    """Cramér's V: margins re-aggregate the |types| x 2 CELL table, the
+    grid completes via broadcast joins, and the chi-square fold is one
+    row — the events scan happens once per derived branch with map-side
+    partial counts, never a second event-sized shuffle."""
+    plan = _plan(spark, "abtest_cramers_v")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
