@@ -203,6 +203,21 @@ HEADLINE = [
     "stats_spearman_corr",
     "revenue_gini_lorenz",
     "abtest_cramers_v",
+    # r9 sixth wave: LM retrieval / dispersion / frequency spectrum
+    "retrieval_query_likelihood",
+    "text_term_burstiness",
+    "lm_good_turing_counts",
+    # r9 seventh wave: survival / association / symbolic series
+    "survival_kaplan_meier",
+    "basket_lift_pairs",
+    "timeseries_sax_words",
+    # r9 eighth wave: view maintenance / time travel / audio landmarks
+    "incremental_agg_refresh",
+    "table_snapshot_asof",
+    "multimodal_audio_fingerprint",
+    # r9 ninth wave: inter-rater agreement + concordance statistics
+    "quality_gate_kappa",
+    "stats_kendall_tau",
 ]
 
 

@@ -2312,3 +2312,648 @@ ORACLES["abtest_cramers_v"] = """
                    * 1000000.0 + 0.5)::BIGINT END AS cramers_v_micro
     FROM g
 """
+
+
+#: Kaplan-Meier churn definition: a user whose last event precedes the
+#: corpus anchor (global max event day) by MORE than this many days is an
+#: observed churn; later activity means right-censored at the anchor.
+KM_CHURN_GAP_DAYS = 7
+
+
+def q_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival table (Kaplan & Meier 1958) over user
+    lifetimes: duration = days between a user's first and last event;
+    the event ("churn") is observed when the user's last activity
+    precedes the corpus anchor by more than KM_CHURN_GAP_DAYS, otherwise
+    the lifetime is right-censored — the standard retention-curve
+    estimator product analytics runs on exactly this shape.
+
+    S(d) = prod_{d_i <= d} (1 - e_i / n_i) with n_i = users at risk at
+    duration d_i and e_i = observed churns at d_i. The survival estimate
+    ships in LOG space as exact integer micro-nats (cum_neg_log_micro =
+    -sum ln(1 - e/n), each factor floored ONCE to micro-nats then
+    integer-summed — the ccnet_perplexity discipline): measured on this
+    host, JVM exp() and DuckDB exp() disagree at 1 ulp on ~87 of 2.8M
+    inputs, so publishing exp(S) would be a latent hash flake; callers
+    exponentiate client-side. Rows where e_i = n_i (everyone at risk
+    churns — S hits exactly 0, -ln S = inf) publish NULL cum with
+    survival_zero = true, ANSI-safe.
+
+    Scale shape: one combine-friendly user-level aggregate (first/last
+    event day), one groupBy(duration) to the DISTINCT-DURATION table
+    (bounded by the observation window in days, not by users), a
+    reverse running sum for n_at_risk and a forward running sum for the
+    cumulative log — both windows over the tiny duration table (the
+    Mann-Whitney sorted-aggregate discipline). Nothing user-sized is
+    sorted."""
+    events = load(spark, sf, "events")
+    anchor = events.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.expr("cast(datediff(last_day, first_day) as bigint)").alias(
+                "duration_days"
+            ),
+            F.expr(
+                f"cast(datediff(anchor_day, last_day) > {KM_CHURN_GAP_DAYS} as int)"
+            ).alias("observed"),
+        )
+    )
+    dur = users.groupBy("duration_days").agg(
+        F.count("*").alias("n_total"), F.sum("observed").alias("d_events")
+    )
+    w_risk = Window.orderBy("duration_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = dur.withColumn("n_at_risk", F.sum("n_total").over(w_risk))
+    factor = F.expr(
+        "case when d_events = 0 then 0"
+        " when d_events < n_at_risk then"
+        " cast(floor(-ln(1.0 - cast(d_events as double)"
+        " / cast(n_at_risk as double)) * 1000000.0 + 0.5) as bigint) end"
+    )
+    stepped = at_risk.withColumn("step_micro", factor).withColumn(
+        "cum_neg_log_micro", F.sum("step_micro").over(w_cum)
+    )
+    # a NULL step (e = n: survival hits exactly 0) nulls every later
+    # cumulative sum via this flag — Spark's sum() skips NULLs, so the
+    # raw window alone would silently resurrect a dead curve
+    dead = F.max(F.col("step_micro").isNull().cast("int")).over(w_cum)
+    return stepped.select(
+        "duration_days",
+        "n_at_risk",
+        "d_events",
+        (F.col("n_total") - F.col("d_events")).alias("n_censored"),
+        F.when(dead == 0, F.col("cum_neg_log_micro")).alias("cum_neg_log_micro"),
+        (dead > 0).alias("survival_zero"),
+    )
+
+
+ORACLES["survival_kaplan_meier"] = f"""
+    WITH anchor AS (SELECT max(ts::DATE) AS anchor_day FROM events),
+    users AS (
+        SELECT date_diff('day', min(ts::DATE), max(ts::DATE))::BIGINT AS duration_days,
+               (date_diff('day', max(ts::DATE), a.anchor_day)
+                > {KM_CHURN_GAP_DAYS})::INT AS observed
+        FROM events CROSS JOIN anchor a GROUP BY user_id, a.anchor_day
+    ), dur AS (
+        SELECT duration_days, count(*)::BIGINT AS n_total,
+               sum(observed)::BIGINT AS d_events
+        FROM users GROUP BY duration_days
+    ), at_risk AS (
+        SELECT *, sum(n_total) OVER (ORDER BY duration_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+                   AS n_at_risk
+        FROM dur
+    ), stepped AS (
+        SELECT *,
+               CASE WHEN d_events = 0 THEN 0
+                    WHEN d_events < n_at_risk THEN
+                      floor(-ln(1.0 - d_events::DOUBLE / n_at_risk::DOUBLE)
+                            * 1000000.0 + 0.5)::BIGINT END AS step_micro
+        FROM at_risk
+    ), flagged AS (
+        SELECT *,
+               sum(step_micro) OVER (ORDER BY duration_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_raw,
+               max((step_micro IS NULL)::INT) OVER (ORDER BY duration_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        FROM stepped
+    )
+    SELECT duration_days, n_at_risk, d_events,
+           (n_total - d_events)::BIGINT AS n_censored,
+           CASE WHEN dead = 0 THEN cum_raw END AS cum_neg_log_micro,
+           dead > 0 AS survival_zero
+    FROM flagged
+"""
+QUERIES["survival_kaplan_meier"] = q_survival_kaplan_meier
+
+
+#: market-basket mining bounds: orders larger than BASKET_MAX items are
+#: excluded (the per-order pair expansion is quadratic in basket size — the
+#: skew guard), pairs must co-occur at least BASKET_MIN_SUPPORT times, and
+#: the report is the top BASKET_TOPK by lift
+BASKET_MAX = 50
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPK = 30
+
+
+def q_basket_lift_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association pairs (Agrawal & Srikant 1994 support
+    framework): for parts co-purchased in the same order, support counts
+    and lift = N * supp(a,b) / (supp(a) * supp(b)) — lift > 1 flags
+    genuinely associated items against the independence baseline; the
+    co-occurrence primitive every recommender bootstrap runs.
+
+    Pair generation is an equi-self-join on l_orderkey with part_a <
+    part_b — quadratic ONLY within one order, and orders larger than
+    BASKET_MAX items are excluded first (the skew guard: one degenerate
+    mega-order would otherwise expand to billions of pairs in one task;
+    the cap is the standard basket-mining hygiene, mirrored exactly in
+    the oracle). Item supports count DISTINCT ORDERS per part from the
+    same deduplicated (order, part) frame both sides of the join read.
+
+    Determinism: supports and N are exact integers; lift is one fixed
+    double expression floored to micros; the top-k orders by the integer
+    micro lift with (part_a, part_b) tiebreak.
+
+    100 TB: the dedup groupBy, the capped self-join, and the pair count
+    are all combine-friendly shuffles on orderkey/pair keys; supports
+    join back pair-bounded; the cut is a global TakeOrdered. No
+    collect, no window, no cartesian."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    order_part = li.distinct()
+    sized = order_part.groupBy("l_orderkey").agg(
+        F.count("*").alias("basket_size")
+    )
+    ok_orders = sized.where(F.col("basket_size") <= BASKET_MAX).select(
+        "l_orderkey"
+    )
+    op = order_part.join(ok_orders, "l_orderkey")
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("supp_ab"))
+        .where(F.col("supp_ab") >= BASKET_MIN_SUPPORT)
+    )
+    supp = op.groupBy("l_partkey").agg(F.count("*").alias("supp"))
+    n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    lift = F.expr(
+        "cast(floor(cast(n_orders as double) * cast(supp_ab as double)"
+        " / (cast(supp_a as double) * cast(supp_b as double))"
+        " * 1000000.0 + 0.5) as bigint)"
+    )
+    return (
+        pairs.join(
+            supp.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")),
+            "part_a",
+        )
+        .join(
+            supp.select(F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "supp_ab", "supp_a", "supp_b",
+            lift.alias("lift_micro"),
+        )
+        .orderBy(
+            F.col("lift_micro").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(BASKET_TOPK)
+    )
+
+
+ORACLES["basket_lift_pairs"] = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), ok_orders AS (
+        SELECT l_orderkey FROM op GROUP BY l_orderkey
+        HAVING count(*) <= {BASKET_MAX}
+    ), opc AS (
+        SELECT op.* FROM op JOIN ok_orders USING (l_orderkey)
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*)::BIGINT AS supp_ab
+        FROM opc a JOIN opc b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    ), supp AS (
+        SELECT l_partkey, count(*)::BIGINT AS supp FROM opc GROUP BY l_partkey
+    ), n_t AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM opc)
+    SELECT part_a, part_b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+           floor(n_orders::DOUBLE * supp_ab::DOUBLE
+                 / (sa.supp::DOUBLE * sb.supp::DOUBLE)
+                 * 1000000.0 + 0.5)::BIGINT AS lift_micro
+    FROM pairs JOIN supp sa ON sa.l_partkey = part_a
+               JOIN supp sb ON sb.l_partkey = part_b
+               CROSS JOIN n_t
+    ORDER BY lift_micro DESC, part_a ASC, part_b ASC
+    LIMIT {BASKET_TOPK}
+"""
+QUERIES["basket_lift_pairs"] = q_basket_lift_pairs
+
+
+def q_incremental_agg_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance: refresh a per-status (count, revenue)
+    aggregate from the CDC change set alone — base aggregate plus signed
+    delta contributions — and prove the algebra by joining the refreshed
+    view against a full recompute over the new snapshot (matched = true
+    on every row is part of the hash-checked result). This is the
+    standard "maintain the materialized view without rescanning the
+    fact table" pattern (Gupta & Mumick 1995 taxonomy): at 100 TB the
+    base aggregate is the stored view, the change set is a day's CDC
+    feed, and ONLY the delta term scans new data.
+
+    Delta construction: the same full outer join as table_change_log;
+    every changed key emits a negative (old_status, -1, -old_cents)
+    contribution when present in A and a positive (new_status, +1,
+    +new_cents) when present in B — status CHANGES move mass between
+    groups, which naive "update in place" maintenance gets wrong.
+
+    Determinism: money in exact integer cents end to end; counts exact;
+    the matched flag compares integers. Scale shape: key-partitioned
+    full outer join (unique keys per side), two tiny status-keyed
+    aggregates, broadcast-joined census. Nothing wide after the join."""
+    base = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    snap_b = (
+        q_merge_upsert(spark, sf)
+        .where(F.col("o_orderkey") % CDC_DELETE_MOD != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+        )
+    )
+    base_agg = base.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n0"), F.sum("cents").alias("c0")
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = snap_b.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    changed = a.join(b, "key", "full_outer").where(
+        F.col("status_a").isNull()
+        | F.col("status_b").isNull()
+        | (F.col("status_a") != F.col("status_b"))
+        | (F.col("cents_a") != F.col("cents_b"))
+    )
+    neg = changed.where(F.col("status_a").isNotNull()).select(
+        F.col("status_a").alias("status"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.col("cents_a")).alias("dc"),
+    )
+    pos = changed.where(F.col("status_b").isNotNull()).select(
+        F.col("status_b").alias("status"),
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col("cents_b").alias("dc"),
+    )
+    delta = neg.unionAll(pos).groupBy("status").agg(
+        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    )
+    refreshed = (
+        base_agg.join(delta, "status", "full_outer")
+        .select(
+            "status",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (F.coalesce("c0", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias(
+                "revenue_cents"
+            ),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    recompute = snap_b.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_full"), F.sum("cents").alias("c_full")
+    )
+    return refreshed.join(F.broadcast(recompute), "status", "full_outer").select(
+        "status",
+        "n_orders",
+        "revenue_cents",
+        (
+            (F.col("n_orders") == F.col("n_full"))
+            & (F.col("revenue_cents") == F.col("c_full"))
+        ).alias("matched"),
+    )
+
+
+ORACLES["incremental_agg_refresh"] = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders
+    ), updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               floor((o_totalprice + 50.0) * 100 + 0.5)::BIGINT AS cents
+        FROM orders WHERE o_orderkey % {UPSERT_UPDATE_MOD} = 0
+    ), inserts AS (
+        SELECT o_orderkey + {UPSERT_KEY_SHIFT} AS o_orderkey,
+               'N' AS o_orderstatus,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders WHERE o_orderkey % {UPSERT_INSERT_MOD} = 0
+    ), snap_b AS (
+        SELECT * FROM (
+            SELECT * FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+            UNION ALL SELECT * FROM updates
+            UNION ALL SELECT * FROM inserts
+        ) WHERE o_orderkey % {CDC_DELETE_MOD} != 0
+    ), base_agg AS (
+        SELECT o_orderstatus AS status, count(*)::BIGINT AS n0,
+               sum(cents)::BIGINT AS c0
+        FROM base GROUP BY 1
+    ), changed AS (
+        SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+               a.o_orderstatus AS status_a, b.o_orderstatus AS status_b,
+               a.cents AS cents_a, b.cents AS cents_b
+        FROM base a FULL OUTER JOIN snap_b b USING (o_orderkey)
+        WHERE a.o_orderstatus IS NULL OR b.o_orderstatus IS NULL
+           OR a.o_orderstatus != b.o_orderstatus OR a.cents != b.cents
+    ), delta AS (
+        SELECT status, sum(dn)::BIGINT AS dn, sum(dc)::BIGINT AS dc FROM (
+            SELECT status_a AS status, -1::BIGINT AS dn, -cents_a AS dc
+            FROM changed WHERE status_a IS NOT NULL
+            UNION ALL
+            SELECT status_b AS status, 1::BIGINT AS dn, cents_b AS dc
+            FROM changed WHERE status_b IS NOT NULL
+        ) GROUP BY status
+    ), refreshed AS (
+        SELECT coalesce(ba.status, d.status) AS status,
+               (coalesce(ba.n0, 0) + coalesce(d.dn, 0))::BIGINT AS n_orders,
+               (coalesce(ba.c0, 0) + coalesce(d.dc, 0))::BIGINT AS revenue_cents
+        FROM base_agg ba FULL OUTER JOIN delta d ON ba.status = d.status
+    ), pruned AS (
+        SELECT * FROM refreshed WHERE n_orders > 0
+    ), recompute AS (
+        SELECT o_orderstatus AS status, count(*)::BIGINT AS n_full,
+               sum(cents)::BIGINT AS c_full
+        FROM snap_b GROUP BY 1
+    )
+    SELECT coalesce(p.status, r.status) AS status, p.n_orders, p.revenue_cents,
+           (p.n_orders = r.n_full AND p.revenue_cents = r.c_full) AS matched
+    FROM pruned p FULL OUTER JOIN recompute r ON p.status = r.status
+"""
+QUERIES["incremental_agg_refresh"] = q_incremental_agg_refresh
+
+
+#: deterministic versioned edit script for the time-travel read: v1
+#: surcharges every UPSERT_UPDATE_MOD-th key by $50, v2 deletes every
+#: CDC_DELETE_MOD-th key, v3 re-statuses every ASOF_RESTATUS_MOD-th key
+ASOF_RESTATUS_MOD = 7
+ASOF_VERSION = 2  # the reconstructed snapshot version (after v2, before v3)
+
+
+def q_table_snapshot_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-travel read ("SELECT ... AS OF version"): reconstruct the
+    orders table at ASOF_VERSION by folding a versioned change log onto
+    the base snapshot — the lakehouse table-format primitive (Delta/
+    Iceberg version travel) restated as pure relational algebra: latest
+    log entry per key with version <= ASOF_VERSION wins; absent keys
+    keep their base row; delete entries tombstone.
+
+    The edit script is deterministic (v1 surcharge, v2 delete, v3
+    re-status): reading AS OF version 2 must show v1+v2 applied and v3
+    ABSENT — the hash-checked census proves both the apply and the
+    version cut. Result ships as the per-status census (count, key
+    checksum, cents) like table_change_log, so the whole reconstruction
+    is value-verified without shipping row-level output.
+
+    Scale shape: the winner-per-key cut is a WindowGroupLimit-style
+    row_number over the LOG (log-sized, partitioned by key — at 100 TB
+    the log is days of CDC, orders of magnitude under the table), then
+    one key-partitioned left join onto base + census aggregate."""
+    base = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    v1 = base.where(F.col("o_orderkey") % UPSERT_UPDATE_MOD == 0).select(
+        F.lit(1).alias("version"),
+        "o_orderkey",
+        F.lit("upsert").alias("op"),
+        F.lit("U").alias("new_status"),
+        (F.col("cents") + 5000).alias("new_cents"),
+    )
+    v2 = base.where(F.col("o_orderkey") % CDC_DELETE_MOD == 0).select(
+        F.lit(2).alias("version"),
+        "o_orderkey",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast("bigint").alias("new_cents"),
+    )
+    v3 = base.where(F.col("o_orderkey") % ASOF_RESTATUS_MOD == 0).select(
+        F.lit(3).alias("version"),
+        "o_orderkey",
+        F.lit("upsert").alias("op"),
+        F.lit("T").alias("new_status"),
+        F.col("cents").alias("new_cents"),
+    )
+    log = v1.unionAll(v2).unionAll(v3).where(F.col("version") <= ASOF_VERSION)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    winner = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    asof = (
+        base.join(winner, "o_orderkey", "left")
+        .where((F.col("op").isNull()) | (F.col("op") != "delete"))
+        .select(
+            "o_orderkey",
+            F.coalesce("new_status", "o_orderstatus").alias("status"),
+            F.coalesce("new_cents", "cents").alias("cents_asof"),
+        )
+    )
+    return asof.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        F.sum("cents_asof").alias("revenue_cents"),
+    )
+
+
+ORACLES["table_snapshot_asof"] = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders
+    ), log AS (
+        SELECT 1 AS version, o_orderkey, 'upsert' AS op,
+               'U' AS new_status, cents + 5000 AS new_cents
+        FROM base WHERE o_orderkey % {UPSERT_UPDATE_MOD} = 0
+        UNION ALL
+        SELECT 2, o_orderkey, 'delete', NULL, NULL
+        FROM base WHERE o_orderkey % {CDC_DELETE_MOD} = 0
+        UNION ALL
+        SELECT 3, o_orderkey, 'upsert', 'T', cents
+        FROM base WHERE o_orderkey % {ASOF_RESTATUS_MOD} = 0
+    ), cut AS (
+        SELECT * FROM log WHERE version <= {ASOF_VERSION}
+    ), winner AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY version DESC) AS rn
+            FROM cut
+        ) WHERE rn = 1
+    ), recon AS (
+        SELECT b.o_orderkey,
+               coalesce(w.new_status, b.o_orderstatus) AS status,
+               coalesce(w.new_cents, b.cents)::BIGINT AS cents_asof
+        FROM base b LEFT JOIN winner w USING (o_orderkey)
+        WHERE w.op IS NULL OR w.op != 'delete'
+    )
+    SELECT status, count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS key_checksum,
+           sum(cents_asof)::BIGINT AS revenue_cents
+    FROM recon GROUP BY status
+"""
+QUERIES["table_snapshot_asof"] = q_table_snapshot_asof
+
+
+def q_stats_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's tau-b (Kendall 1938; tau-b tie correction) between
+    per-user event count and per-user PURCHASE count — the
+    concordance-based companion to stats_spearman_corr, preferred when
+    the metrics are small discrete counts (exactly this pair) because
+    its tie handling is exact rather than rank-averaged.
+
+    Concordant/discordant pairs count on the JOINT DISTINCT-VALUE
+    contingency table, not on user pairs: cells (x, y, t) pair via a
+    one-sided non-equi self-join ((x1, y1) < (x2, y2) lexicographically)
+    and contribute t1*t2 to C when the coordinate signs agree, to D when
+    they oppose — O(|cells|^2) work where |cells| is bounded by the
+    VALUE-DOMAIN product (two small count domains), never by users; the
+    broadcast nested-loop this plans to is over the domain-sized table
+    (the event_transition_matrix |domain|^2 precedent).
+
+        tau_b = (C - D) / sqrt((n0 - t_x) * (n0 - t_y)),
+        n0 = n(n-1)/2, t_x = sum_x t(t-1)/2, t_y likewise.
+
+    Determinism: every count is an exact integer; n0/tx/ty use integer
+    div by 2 (t and t-1 have opposite parity — exact); tau_b is one
+    fixed double expression floored to micros. int64-headroom guard
+    (ENFORCED): C, D, n0 are all bounded by n^2/2, so the guard reads
+    only n: 2*log2(n) < 62 (wraps past ~2.1e9 users); tripped -> NULL
+    tau LOUDLY, mirrored in the oracle."""
+    events = load(spark, sf, "events")
+    users = events.groupBy("user_id").agg(
+        F.count("*").alias("x"),
+        F.sum(F.expr("if(event_type = 'purchase', 1, 0)")).alias("y"),
+    )
+    cells = users.groupBy("x", "y").agg(F.count("*").alias("t"))
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("t").alias("t1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("t").alias("t2")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("x1") < F.col("x2"))
+        | ((F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2"))),
+    )
+    # the pair join is EMPTY when only one distinct cell exists (a corpus
+    # where every user has identical metrics): sum-over-empty is NULL in
+    # both engines, but zero concordances is the true value
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "if((x2 - x1) * (y2 - y1) > 0, cast(t1 as bigint) * t2, 0)"
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("n_concordant"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "if((x2 - x1) * (y2 - y1) < 0, cast(t1 as bigint) * t2, 0)"
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("n_discordant"),
+    )
+    marg = cells.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.expr("t * (t - 1) div 2")).alias("t_xy"),
+    )
+    tx = cells.groupBy("x").agg(F.sum("t").alias("tv")).agg(
+        F.sum(F.expr("tv * (tv - 1) div 2")).alias("ties_x")
+    )
+    ty = cells.groupBy("y").agg(F.sum("t").alias("tv")).agg(
+        F.sum(F.expr("tv * (tv - 1) div 2")).alias("ties_y")
+    )
+    g = (
+        cd.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    ok = F.expr("case when n <= 1 then true else 2.0 * log2(cast(n as double)) < 62.0 end")
+    tau = F.expr(
+        "case when n > 1"
+        " and n * (n - 1) div 2 - ties_x > 0"
+        " and n * (n - 1) div 2 - ties_y > 0 then"
+        " cast(n_concordant - n_discordant as double)"
+        " / sqrt(cast(n * (n - 1) div 2 - ties_x as double)"
+        "        * cast(n * (n - 1) div 2 - ties_y as double)) end"
+    )
+    return g.select(
+        F.col("n").alias("n_users"),
+        F.when(ok, F.col("n_concordant")).alias("n_concordant"),
+        F.when(ok, F.col("n_discordant")).alias("n_discordant"),
+        "ties_x",
+        "ties_y",
+        F.when(ok, F.floor(tau * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "tau_b_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+ORACLES["stats_kendall_tau"] = """
+    WITH users AS (
+        SELECT user_id, count(*)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT x, y, count(*)::BIGINT AS t FROM users GROUP BY x, y
+    ), cd AS (
+        SELECT coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                        THEN a.t * b.t ELSE 0 END), 0)::BIGINT AS n_concordant,
+               coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                        THEN a.t * b.t ELSE 0 END), 0)::BIGINT AS n_discordant
+        FROM cells a JOIN cells b
+          ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+    ), marg AS (
+        SELECT sum(t)::BIGINT AS n FROM cells
+    ), tx AS (
+        SELECT sum(tv * (tv - 1) // 2)::BIGINT AS ties_x
+        FROM (SELECT sum(t)::BIGINT AS tv FROM cells GROUP BY x)
+    ), ty AS (
+        SELECT sum(tv * (tv - 1) // 2)::BIGINT AS ties_y
+        FROM (SELECT sum(t)::BIGINT AS tv FROM cells GROUP BY y)
+    ), g AS (
+        SELECT * FROM cd CROSS JOIN marg CROSS JOIN tx CROSS JOIN ty
+    ), ok_t AS (
+        SELECT *, CASE WHEN n <= 1 THEN true
+                  ELSE 2.0 * log2(n::DOUBLE) < 62.0 END AS headroom_ok
+        FROM g
+    )
+    SELECT n AS n_users,
+           CASE WHEN headroom_ok THEN n_concordant END AS n_concordant,
+           CASE WHEN headroom_ok THEN n_discordant END AS n_discordant,
+           ties_x, ties_y,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n > 1 AND n * (n - 1) // 2 - ties_x > 0
+                       AND n * (n - 1) // 2 - ties_y > 0 THEN
+               floor((n_concordant - n_discordant)::DOUBLE
+                     / sqrt((n * (n - 1) // 2 - ties_x)::DOUBLE
+                            * (n * (n - 1) // 2 - ties_y)::DOUBLE)
+                     * 1000000.0 + 0.5)::BIGINT END
+           END AS tau_b_micro,
+           headroom_ok
+    FROM ok_t
+"""
+QUERIES["stats_kendall_tau"] = q_stats_kendall_tau

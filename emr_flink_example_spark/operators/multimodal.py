@@ -512,3 +512,128 @@ ORACLES["multimodal_phash_pairs"] = f"""
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
 """
+
+
+#: constellation fingerprint geometry: AUDIO_WIN-sample windows split into
+#: FP_BANDS interleaved "frequency" bands; each window's peak band pairs
+#: with the NEXT window's peak (anchor->target, dt fixed at 1 hop)
+FP_BANDS = 8
+
+
+def audio_peaks_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per window: FP_BANDS interleaved band energies (band k sums the
+    squared centered samples at in-window offsets j with j % FP_BANDS ==
+    k — the deterministic stand-in for an FFT bin magnitude), then the
+    peak band (argmax, FIRST band on ties). All integer."""
+    out: dict[str, list] = {"doc_id": [], "win_idx": [], "peak_band": []}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        samples = [b - 128 for b in payload]
+        n = len(samples)
+        idx = 0
+        start = 0
+        while start < n:
+            win = samples[start : start + AUDIO_WIN]
+            bands = [0] * FP_BANDS
+            for j, s in enumerate(win):
+                bands[j % FP_BANDS] += s * s
+            peak = 0
+            for k in range(1, FP_BANDS):
+                if bands[k] > bands[peak]:
+                    peak = k
+            out["doc_id"].append(doc_id)
+            out["win_idx"].append(idx)
+            out["peak_band"].append(peak)
+            idx += 1
+            start += AUDIO_HOP
+    return pd.DataFrame(out)
+
+
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Constellation audio fingerprinting (the Shazam scheme, Wang 2003):
+    each window's spectral peak pairs with the NEXT window's peak into a
+    landmark hash (peak_a * FP_BANDS + peak_b); matching recordings share
+    hash sequences, so the corpus-wide hash frequency attached per
+    landmark is the match-candidate generator — the audio twin of the
+    pHash image path (hash -> equi-join candidates, never pairwise
+    signal comparison).
+
+    The peak extraction is the mapInPandas kernel (the audio_windows
+    batching: the 1->N window expansion stays inside the Python worker
+    per Arrow batch); pairing is ONE lead() window per doc ordered by
+    win_idx (recording-sized partitions, the per-doc sequence discipline)
+    and the frequency census joins back broadcast (hash space is
+    FP_BANDS^2 = 64 values).
+
+    Determinism: band energies are integer sums of squared byte-centered
+    samples; peaks break ties to the FIRST band in both engines (Python
+    strict > scan; DuckDB list_position on the max); hashes and counts
+    are exact integers end to end — no float anywhere."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield audio_peaks_batch(pdf)
+
+    peaks = docs.mapInPandas(
+        run, schema="doc_id bigint, win_idx int, peak_band int"
+    )
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    landmarks = peaks.withColumn(
+        "pair_hash",
+        F.when(
+            F.lead("peak_band").over(w).isNotNull(),
+            F.col("peak_band") * FP_BANDS + F.lead("peak_band").over(w),
+        ),
+    )
+    freq = (
+        landmarks.where(F.col("pair_hash").isNotNull())
+        .groupBy("pair_hash")
+        .agg(F.count("*").alias("n_pairs_same_hash"))
+    )
+    return landmarks.join(F.broadcast(freq), "pair_hash", "left").select(
+        "doc_id", "win_idx", "peak_band", "pair_hash", "n_pairs_same_hash"
+    )
+
+
+ORACLES["multimodal_audio_fingerprint"] = f"""
+    WITH wave AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, hx, n,
+               unnest(generate_series(0, greatest(n - 1, 0), {AUDIO_HOP})) AS start
+        FROM wave
+    ), banded AS (
+        SELECT doc_id, (start // {AUDIO_HOP})::INT AS win_idx,
+               list_transform(generate_series(0, {FP_BANDS - 1}), k ->
+                   coalesce(list_sum(list_transform(
+                       list_filter(generate_series(0,
+                           least({AUDIO_WIN}, n - start) - 1),
+                           j -> j % {FP_BANDS} = k),
+                       j -> (('0x' || substr(hx, 2 * (start + j) + 1, 2))::BIGINT - 128)
+                            * (('0x' || substr(hx, 2 * (start + j) + 1, 2))::BIGINT - 128))),
+                   0)) AS bands
+        FROM wins
+    ), peaks AS (
+        SELECT doc_id, win_idx,
+               (list_position(bands, list_max(bands)) - 1)::INT AS peak_band
+        FROM banded
+    ), landmarks AS (
+        SELECT doc_id, win_idx, peak_band,
+               CASE WHEN lead(peak_band) OVER
+                        (PARTITION BY doc_id ORDER BY win_idx) IS NOT NULL
+                    THEN peak_band * {FP_BANDS}
+                         + lead(peak_band) OVER
+                           (PARTITION BY doc_id ORDER BY win_idx) END AS pair_hash
+        FROM peaks
+    ), freq AS (
+        SELECT pair_hash, count(*)::BIGINT AS n_pairs_same_hash
+        FROM landmarks WHERE pair_hash IS NOT NULL GROUP BY pair_hash
+    )
+    SELECT l.doc_id, l.win_idx, l.peak_band, l.pair_hash, f.n_pairs_same_hash
+    FROM landmarks l LEFT JOIN freq f USING (pair_hash)
+"""
+QUERIES["multimodal_audio_fingerprint"] = q_multimodal_audio_fingerprint

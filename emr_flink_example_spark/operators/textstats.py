@@ -2630,6 +2630,10 @@ QUERIES = {
     # r9: mean reciprocal rank at K over the fixed evaluation queries
     "retrieval_mrr": q_retrieval_mrr,
 }
+# r9 continuation (LM-retrieval / dispersion / frequency-spectrum ops) is
+# registered next to its definitions at the end of this module — dict
+# insertion order IS catalog order, so late registration keeps the
+# append-at-tail rule.
 
 
 def _textrank_oracle() -> str:
@@ -3659,3 +3663,387 @@ def _mrr_oracle() -> str:
 
 
 ORACLES["retrieval_mrr"] = _mrr_oracle()
+
+
+#: Dirichlet smoothing pseudo-count for query-likelihood retrieval (Zhai &
+#: Lafferty 2001). Sized to the fixture's ~100-token docs; the standard
+#: web-scale default is ~2000.
+QL_MU = 100
+QL_TOPK = 20
+
+
+def q_retrieval_query_likelihood(spark: SparkSession, sf: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) for the fixed BM25_TERMS query — the language-modeling
+    counterpart to bm25_topk: score(q, d) = sum_t ln((tf_{t,d} + mu *
+    cf_t / T) / (|d| + mu)), ranking docs by how probable the query is
+    under each doc's smoothed unigram LM. Running it next to BM25 (and
+    fusing via retrieval_rrf_fusion) is the classic lexical ensemble.
+
+    Unlike BM25 the smoothed term probability is nonzero for tf = 0, so
+    EVERY doc scores against every query term — the doc-stats wide
+    aggregate (one explode + groupBy producing doclen and the per-term
+    tf columns together, the bm25_topk shape) feeds a pure map-side
+    score; no postings filter, no per-term pass. Corpus stats (T and
+    per-term collection frequencies cf_t) ride one broadcast scalar row.
+
+    Determinism: tf, doclen, cf, T are exact integers; each term's ln is
+    one fixed double expression over those integers floored to signed
+    MICRO-NATS, and the |q| per-term micros add as plain integer column
+    arithmetic (no float sum anywhere). The top-k cut orders by the
+    integer score with doc_id tiebreak.
+
+    100 TB: one corpus scan for doc stats + one self-derived branch for
+    the corpus row (materialize doc_stats once for a real index, the
+    bm25 note); the ranking cut is a global TakeOrdered top-k, never a
+    full sort."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode_outer(F.expr(TOKENS)).alias("token"))
+    doc_stats = tok.groupBy("doc_id").agg(
+        F.count("token").alias("doclen"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    corpus = doc_stats.groupBy().agg(
+        F.sum("doclen").alias("t_tokens"),
+        *[F.sum(f"tf_{i}").alias(f"cf_{i}") for i in range(len(BM25_TERMS))],
+    )
+    term_micros = [
+        F.expr(
+            f"case when cf_{i} > 0 and t_tokens > 0 then"
+            f" cast(floor(ln((cast(tf_{i} as double)"
+            f" + {QL_MU} * cast(cf_{i} as double) / cast(t_tokens as double))"
+            f" / (cast(doclen as double) + {QL_MU})) * 1000000.0 + 0.5)"
+            " as bigint) else null end"
+        ).alias(f"m_{i}")
+        for i in range(len(BM25_TERMS))
+    ]
+    scored = doc_stats.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "doclen",
+        sum(
+            (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(BM25_TERMS))
+        ).alias("n_terms_hit"),
+        *term_micros,
+    )
+    total = None
+    for i in range(len(BM25_TERMS)):
+        total = F.col(f"m_{i}") if total is None else total + F.col(f"m_{i}")
+    return (
+        scored.select(
+            "doc_id", "doclen", "n_terms_hit", total.alias("ql_micronats")
+        )
+        .orderBy(F.col("ql_micronats").desc(), F.col("doc_id").asc())
+        .limit(QL_TOPK)
+    )
+
+
+#: burstiness census: minimum document frequency for a term to be reported
+#: (variance of a 2-doc term is noise) and the report size
+BURST_MIN_DF = 5
+BURST_TOPK = 20
+
+
+def q_text_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Term burstiness census: the variance-to-mean ratio (index of
+    dispersion, Church & Gale 1995) of each term's per-document tf over
+    ALL docs (zeros included) — bursty terms (VMR >> 1) concentrate in
+    few docs (topical/boilerplate markers); VMR ~ 1 is Poisson-like
+    function-word behavior. The standard signal for spotting template
+    boilerplate that repetition_ngram's within-doc view misses.
+
+    VMR = (E[tf^2] - E[tf]^2) / E[tf] with expectations over n_docs.
+    Zeros contribute nothing to sum(tf) or sum(tf^2), so the per-term
+    postings aggregate (sum, sum of squares, df, max) IS the full-corpus
+    moment set once n_docs rides in as a broadcast scalar — no dense
+    term x doc grid is ever built.
+
+    Determinism: all moments are exact integers; VMR evaluates in one
+    fixed double expression floored to micros. int64-headroom guard
+    (ENFORCED, the Mann-Whitney discipline): sum(tf^2) <= df * max_tf^2,
+    so the per-term guard reads only df and max_tf (exact at any scale):
+    log2(df) + 2*log2(max_tf) < 62; tripped terms NULL their vmr_micro
+    LOUDLY (headroom_ok = false) and the oracle mirrors the CASE.
+
+    Scale shape: one explode + combine-friendly groupBy(term, doc) then
+    groupBy(term) — both map-side-combining; n_docs is a 1-row broadcast;
+    the report is a global TakeOrdered top-k. Nothing term x doc sized
+    shuffles twice, no window anywhere."""
+    docs = load(spark, sf, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    term = tf.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("sum_tf"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sum_tf2"),
+        F.max("tf").alias("max_tf"),
+    )
+    ok = F.expr(
+        "log2(cast(df as double)) + 2.0 * log2(cast(max_tf as double)) < 62.0"
+    )
+    vmr = F.expr(
+        "case when sum_tf > 0 then"
+        " (cast(sum_tf2 as double) / cast(n_docs as double)"
+        "  - (cast(sum_tf as double) / cast(n_docs as double))"
+        "    * (cast(sum_tf as double) / cast(n_docs as double)))"
+        " / (cast(sum_tf as double) / cast(n_docs as double)) end"
+    )
+    return (
+        term.where(F.col("df") >= BURST_MIN_DF)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            "sum_tf",
+            F.when(ok, F.floor(vmr * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+                "vmr_micro"
+            ),
+            ok.alias("headroom_ok"),
+        )
+        .orderBy(F.col("vmr_micro").desc_nulls_last(), F.col("token").asc())
+        .limit(BURST_TOPK)
+    )
+
+
+def q_lm_good_turing_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Good-Turing count-of-counts table (Good 1953; Gale & Sampson 1995
+    notation): N_r = number of token types observed exactly r times, the
+    adjusted count r* = (r+1) * N_{r+1} / N_r, and the leave-one-out
+    unseen-mass estimate p_0 = N_1 / N attached as a scalar — the
+    smoothing table every count-based LM (and the species-richness /
+    coverage estimators built on it) starts from, complementing the
+    Kneser-Ney ops with the frequency-spectrum view.
+
+    r* is NULL where N_{r+1} = 0 (the gap seam Simple Good-Turing fills
+    by regression — out of scope here, the raw table is the contract);
+    the N_{r+1} lookup is an equi-JOIN of the count-of-counts table onto
+    itself at r+1 rather than a lead() window, so gaps in observed r
+    resolve exactly and nothing needs dense r.
+
+    Determinism: N_r, N, N_1 are exact integers from two nested
+    combine-friendly aggregates (token counts, then counts of counts);
+    r* and p_0 are single double expressions over integers floored to
+    micros.
+
+    Scale shape: corpus scan -> vocab aggregate -> |distinct r|-sized
+    table (tiny; Zipf gives ~O(sqrt(vocab)) distinct counts); the self
+    join and the scalar attach are broadcasts. Nothing vocab-sized is
+    sorted or windowed."""
+    docs = load(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cc = vocab.groupBy("cnt").agg(F.count("*").alias("n_types")).select(
+        F.col("cnt").alias("r"), "n_types"
+    )
+    nxt = cc.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("n_types_next"))
+    tot = cc.agg(
+        F.sum(F.col("r") * F.col("n_types")).alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_types")).otherwise(0)).alias("n1"),
+    )
+    return (
+        cc.join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_types",
+            F.col("n_types_next").alias("n_types_next"),
+            F.expr(
+                "case when n_types_next is not null then"
+                " cast(floor((cast(r as double) + 1.0)"
+                " * cast(n_types_next as double) / cast(n_types as double)"
+                " * 1000000.0 + 0.5) as bigint) end"
+            ).alias("r_star_micro"),
+            F.expr(
+                "case when n_tokens > 0 then"
+                " cast(floor(cast(n1 as double) / cast(n_tokens as double)"
+                " * 1000000.0 + 0.5) as bigint) end"
+            ).alias("unseen_mass_micro"),
+        )
+    )
+
+
+QUERIES["retrieval_query_likelihood"] = q_retrieval_query_likelihood
+QUERIES["text_term_burstiness"] = q_text_term_burstiness
+QUERIES["lm_good_turing_counts"] = q_lm_good_turing_counts
+
+
+def _ql_oracle() -> str:
+    n = len(BM25_TERMS)
+    tf_cols = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    cf_cols = ", ".join(
+        f"sum(tf_{i})::BIGINT AS cf_{i}" for i in range(n)
+    )
+    term_micros = " + ".join(
+        f"""CASE WHEN cf_{i} > 0 AND t_tokens > 0 THEN
+            floor(ln((tf_{i}::DOUBLE + {QL_MU} * cf_{i}::DOUBLE / t_tokens::DOUBLE)
+                     / (doclen::DOUBLE + {QL_MU})) * 1000000.0 + 0.5)::BIGINT
+            ELSE NULL END"""
+        for i in range(n)
+    )
+    hits = " + ".join(f"(tf_{i} > 0)::INT" for i in range(n))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+        ), doc_stats AS (
+            SELECT d.doc_id,
+                   count(t.token)::BIGINT AS doclen, {tf_cols}
+            FROM documents d LEFT JOIN tok t USING (doc_id)
+            GROUP BY d.doc_id
+        ), corpus AS (
+            SELECT sum(doclen)::BIGINT AS t_tokens, {cf_cols} FROM doc_stats
+        )
+        SELECT doc_id, doclen, ({hits})::INT AS n_terms_hit,
+               ({term_micros})::BIGINT AS ql_micronats
+        FROM doc_stats CROSS JOIN corpus
+        ORDER BY ql_micronats DESC, doc_id ASC
+        LIMIT {QL_TOPK}
+    """
+
+
+ORACLES["retrieval_query_likelihood"] = _ql_oracle()
+
+ORACLES["text_term_burstiness"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+    ), n_docs_t AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    tf AS (
+        SELECT token, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY token, doc_id
+    ), term AS (
+        SELECT token, count(*)::BIGINT AS df, sum(tf)::BIGINT AS sum_tf,
+               sum(tf * tf)::BIGINT AS sum_tf2, max(tf)::BIGINT AS max_tf
+        FROM tf GROUP BY token
+    ), guarded AS (
+        SELECT *, log2(df::DOUBLE) + 2.0 * log2(max_tf::DOUBLE) < 62.0 AS headroom_ok
+        FROM term WHERE df >= {BURST_MIN_DF}
+    )
+    SELECT token, df, sum_tf,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN sum_tf > 0 THEN
+               floor((sum_tf2::DOUBLE / n_docs::DOUBLE
+                      - (sum_tf::DOUBLE / n_docs::DOUBLE)
+                        * (sum_tf::DOUBLE / n_docs::DOUBLE))
+                     / (sum_tf::DOUBLE / n_docs::DOUBLE)
+                     * 1000000.0 + 0.5)::BIGINT END
+           END AS vmr_micro,
+           headroom_ok
+    FROM guarded CROSS JOIN n_docs_t
+    ORDER BY vmr_micro DESC NULLS LAST, token ASC
+    LIMIT {BURST_TOPK}
+"""
+
+ORACLES["lm_good_turing_counts"] = f"""
+    WITH vocab AS (
+        SELECT token, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
+        GROUP BY token
+    ), cc AS (
+        SELECT cnt AS r, count(*)::BIGINT AS n_types FROM vocab GROUP BY cnt
+    ), tot AS (
+        SELECT sum(r * n_types)::BIGINT AS n_tokens,
+               sum(CASE WHEN r = 1 THEN n_types ELSE 0 END)::BIGINT AS n1
+        FROM cc
+    )
+    SELECT c.r, c.n_types, nx.n_types AS n_types_next,
+           CASE WHEN nx.n_types IS NOT NULL THEN
+             floor((c.r::DOUBLE + 1.0) * nx.n_types::DOUBLE / c.n_types::DOUBLE
+                   * 1000000.0 + 0.5)::BIGINT END AS r_star_micro,
+           CASE WHEN t.n_tokens > 0 THEN
+             floor(t.n1::DOUBLE / t.n_tokens::DOUBLE * 1000000.0 + 0.5)::BIGINT
+           END AS unseen_mass_micro
+    FROM cc c LEFT JOIN cc nx ON nx.r = c.r + 1 CROSS JOIN tot t
+"""
+
+
+def q_quality_gate_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the two independent quality
+    raters this engine already runs — the Gopher rule conjunction and
+    the fastText-style linear gate: chance-corrected agreement is the
+    standard way to decide whether a second gate adds signal or merely
+    echoes the first (kappa ~ 1: redundant; kappa ~ 0: independent
+    errors worth ensembling).
+
+    kappa = (p_o - p_e) / (1 - p_e) over the 2x2 agreement table; the
+    four cells are exact integers from ONE inner join of the two per-doc
+    verdict frames on doc_id; p_o/p_e evaluate in one fixed double
+    expression over those integers, floored to micros; a degenerate
+    p_e = 1 (both raters constant) NULLs kappa ANSI-safely.
+
+    Scale shape: both gates are scan-speed map-side pipelines (the
+    fastText side has one combine-friendly doc aggregate); the verdict
+    join is doc-keyed; the census is a 1-row fold."""
+    gopher = q_quality_gopher_rules(spark, sf).select("doc_id", "passes_gopher")
+    ft = q_quality_fasttext_gate(spark, sf).select("doc_id", "keep")
+    cells = gopher.join(ft, "doc_id").agg(
+        F.sum(F.expr("if(passes_gopher and keep, 1, 0)")).alias("a"),
+        F.sum(F.expr("if(passes_gopher and not keep, 1, 0)")).alias("b"),
+        F.sum(F.expr("if(not passes_gopher and keep, 1, 0)")).alias("c"),
+        F.sum(F.expr("if(not passes_gopher and not keep, 1, 0)")).alias("d"),
+    )
+    kappa = F.expr(
+        "case when a + b + c + d > 0 and"
+        " 1.0 - (cast(a + b as double) * cast(a + c as double)"
+        "        + cast(c + d as double) * cast(b + d as double))"
+        "   / (cast(a + b + c + d as double) * cast(a + b + c + d as double))"
+        " > 0.0 then"
+        " ((cast(a + d as double) / cast(a + b + c + d as double))"
+        "  - (cast(a + b as double) * cast(a + c as double)"
+        "     + cast(c + d as double) * cast(b + d as double))"
+        "    / (cast(a + b + c + d as double) * cast(a + b + c + d as double)))"
+        " / (1.0 - (cast(a + b as double) * cast(a + c as double)"
+        "           + cast(c + d as double) * cast(b + d as double))"
+        "   / (cast(a + b + c + d as double) * cast(a + b + c + d as double)))"
+        " end"
+    )
+    return cells.select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n_docs"),
+        F.col("a").alias("both_keep"),
+        F.col("b").alias("gopher_only"),
+        F.col("c").alias("fasttext_only"),
+        F.col("d").alias("both_drop"),
+        F.floor(kappa * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias(
+            "kappa_micro"
+        ),
+    )
+
+
+QUERIES["quality_gate_kappa"] = q_quality_gate_kappa
+ORACLES["quality_gate_kappa"] = f"""
+    WITH g AS (
+        SELECT doc_id, passes_gopher FROM ({_GOPHER_ORACLE})
+    ), f AS (
+        SELECT doc_id, keep FROM ({ORACLES["quality_fasttext_gate"]})
+    ), cells AS (
+        SELECT sum((passes_gopher AND keep)::INT)::BIGINT AS a,
+               sum((passes_gopher AND NOT keep)::INT)::BIGINT AS b,
+               sum((NOT passes_gopher AND keep)::INT)::BIGINT AS c,
+               sum((NOT passes_gopher AND NOT keep)::INT)::BIGINT AS d
+        FROM g JOIN f USING (doc_id)
+    )
+    SELECT (a + b + c + d)::BIGINT AS n_docs,
+           a AS both_keep, b AS gopher_only, c AS fasttext_only, d AS both_drop,
+           CASE WHEN a + b + c + d > 0 AND
+                     1.0 - ((a + b)::DOUBLE * (a + c)::DOUBLE
+                            + (c + d)::DOUBLE * (b + d)::DOUBLE)
+                       / ((a + b + c + d)::DOUBLE * (a + b + c + d)::DOUBLE) > 0.0
+                THEN floor((((a + d)::DOUBLE / (a + b + c + d)::DOUBLE)
+                            - ((a + b)::DOUBLE * (a + c)::DOUBLE
+                               + (c + d)::DOUBLE * (b + d)::DOUBLE)
+                              / ((a + b + c + d)::DOUBLE * (a + b + c + d)::DOUBLE))
+                           / (1.0 - ((a + b)::DOUBLE * (a + c)::DOUBLE
+                                     + (c + d)::DOUBLE * (b + d)::DOUBLE)
+                              / ((a + b + c + d)::DOUBLE * (a + b + c + d)::DOUBLE))
+                           * 1000000.0 + 0.5)::BIGINT END AS kappa_micro
+    FROM cells
+"""

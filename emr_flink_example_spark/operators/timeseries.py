@@ -1250,3 +1250,167 @@ ORACLES["timeseries_seasonal_decompose"] = f"""
            ((2 * sum(abs_resid) + count(*)) // (2 * count(*)))::BIGINT AS resid_mae_micro
     FROM joined GROUP BY 1, 2
 """
+
+
+#: SAX geometry: the 30-day series compresses to SAX_SEGMENTS PAA segments
+#: of SAX_SEG_DAYS days each, quantized into a 4-symbol alphabet at the
+#: standard N(0,1) quartile breakpoints (Lin et al. 2003).
+SAX_SEGMENTS = 6
+SAX_SEG_DAYS = 5  # N_DAYS / SAX_SEGMENTS
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+def q_timeseries_sax_words(spark: SparkSession, sf: str) -> DataFrame:
+    """SAX symbolic aggregate approximation (Lin, Keogh et al. 2003) of
+    each user's 30-day activity series: z-normalize, PAA-compress 30
+    days into 6 segment means, quantize each against the N(0,1)
+    quartile breakpoints into a 4-letter alphabet, and concatenate into
+    a 6-symbol word — identical words are cheap motif candidates, so
+    the word-frequency join gives the classic "how many users share
+    this shape" motif census without any pairwise distance work.
+
+    Determinism: daily values are exact integer cents; per-user moments
+    (sum, sum of squares) and per-segment sums are integer aggregates;
+    each segment's z-score is ONE fixed double expression over those
+    integers, snapped to 6 dp via floor(z*1e6 + 0.5) BEFORE the
+    breakpoint compares (the timeseries_dtw z-norm sync — an ulp
+    difference between engines could otherwise flip a symbol at a
+    breakpoint tie). int64-headroom guard (ENFORCED): sum(v^2) <=
+    n_days * max_v^2, so the guard reads log2(N_DAYS) + 2*log2(max_v) <
+    62 on the exact per-user max; tripped users NULL their word LOUDLY
+    (headroom_ok = false), oracle mirrors.
+
+    Scale shape: one combine-friendly (user, day) cents aggregate feeds
+    BOTH the per-user moment fold and the per-(user, segment) sums
+    (groupBys on the same user key — one partitioning reused); symbols
+    assemble map-side via array_sort(collect_list(struct(seg, sym)))
+    over exactly SAX_SEGMENTS rows per user; the motif count is a
+    groupBy(word) joined back (word space <= 4^6 = 4096, broadcast).
+    Nothing user x day sized is windowed or sorted."""
+    events = load(spark, sf, "events")
+    daily = (
+        events.groupBy("user_id", F.dayofmonth("ts").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v")
+        )
+    )
+    # zero-filled moments: absent days contribute 0 to s1/s2/seg sums, so
+    # no dense grid is materialized — only the divisor is fixed at N_DAYS
+    moments = daily.groupBy("user_id").agg(
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.max(F.abs(F.col("v"))).alias("max_v"),
+    )
+    segs = (
+        daily.withColumn("seg", ((F.col("day") - 1) / SAX_SEG_DAYS).cast("int"))
+        .groupBy("user_id", "seg")
+        .agg(F.sum("v").alias("seg_sum"))
+    )
+    # the segment grid must be dense (a silent user-segment is a PAA mean
+    # of 0, not a missing symbol): cross the users with the 6 segment ids
+    seg_grid = (
+        moments.select("user_id")
+        .crossJoin(
+            F.broadcast(
+                spark.range(SAX_SEGMENTS).select(F.col("id").cast("int").alias("seg"))
+            )
+        )
+        .join(segs, ["user_id", "seg"], "left")
+        .na.fill({"seg_sum": 0})
+    )
+    mu = f"cast(s1 as double) / {N_DAYS}.0"
+    var = f"cast(s2 as double) / {N_DAYS}.0 - ({mu}) * ({mu})"
+    z = (
+        f"(cast(seg_sum as double) / {SAX_SEG_DAYS}.0 - ({mu})) / sqrt({var})"
+    )
+    z_snap = f"floor(({z}) * 1000000.0 + 0.5) / 1000000.0"
+    sym = F.expr(
+        f"case when ({var}) <= 0.0 then null"
+        f" when ({z_snap}) < {SAX_BREAKS[0]} then 'a'"
+        f" when ({z_snap}) < {SAX_BREAKS[1]} then 'b'"
+        f" when ({z_snap}) < {SAX_BREAKS[2]} then 'c'"
+        " else 'd' end"
+    )
+    ok = F.expr(
+        f"log2({N_DAYS}.0) + 2.0 * log2(cast(greatest(max_v, 1) as double)) < 62.0"
+    )
+    words = (
+        seg_grid.join(moments, "user_id")
+        .select("user_id", "seg", sym.alias("sym"), ok.alias("headroom_ok"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "case when min(headroom_ok) and count(sym) = count(*) then"
+                " array_join(transform(array_sort(collect_list(struct(seg, sym))),"
+                " x -> x.sym), '') end"
+            ).alias("sax_word"),
+            F.min("headroom_ok").alias("headroom_ok"),
+        )
+    )
+    freq = words.where(F.col("sax_word").isNotNull()).groupBy("sax_word").agg(
+        F.count("*").alias("n_users_same_word")
+    )
+    return words.join(F.broadcast(freq), "sax_word", "left").select(
+        "user_id", "sax_word", "n_users_same_word", "headroom_ok"
+    )
+
+
+ORACLES["timeseries_sax_words"] = f"""
+    WITH daily AS (
+        SELECT user_id, extract(day FROM ts)::INT AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v
+        FROM events GROUP BY 1, 2
+    ), moments AS (
+        SELECT user_id, sum(v)::BIGINT AS s1, sum(v * v)::BIGINT AS s2,
+               max(abs(v))::BIGINT AS max_v
+        FROM daily GROUP BY user_id
+    ), segs AS (
+        SELECT user_id, ((day - 1) // {SAX_SEG_DAYS})::INT AS seg,
+               sum(v)::BIGINT AS seg_sum
+        FROM daily GROUP BY 1, 2
+    ), seg_grid AS (
+        SELECT m.user_id, g.seg::INT AS seg, coalesce(s.seg_sum, 0)::BIGINT AS seg_sum
+        FROM moments m CROSS JOIN range(0, {SAX_SEGMENTS}) g(seg)
+        LEFT JOIN segs s ON s.user_id = m.user_id AND s.seg = g.seg
+    ), symbols AS (
+        SELECT sg.user_id, sg.seg,
+               CASE WHEN (m.s2::DOUBLE / {N_DAYS}.0
+                          - (m.s1::DOUBLE / {N_DAYS}.0) * (m.s1::DOUBLE / {N_DAYS}.0)) <= 0.0
+                    THEN NULL
+                    ELSE CASE
+                      WHEN floor((sg.seg_sum::DOUBLE / {SAX_SEG_DAYS}.0
+                                  - m.s1::DOUBLE / {N_DAYS}.0)
+                                 / sqrt(m.s2::DOUBLE / {N_DAYS}.0
+                                        - (m.s1::DOUBLE / {N_DAYS}.0)
+                                          * (m.s1::DOUBLE / {N_DAYS}.0))
+                                 * 1000000.0 + 0.5) / 1000000.0 < {SAX_BREAKS[0]} THEN 'a'
+                      WHEN floor((sg.seg_sum::DOUBLE / {SAX_SEG_DAYS}.0
+                                  - m.s1::DOUBLE / {N_DAYS}.0)
+                                 / sqrt(m.s2::DOUBLE / {N_DAYS}.0
+                                        - (m.s1::DOUBLE / {N_DAYS}.0)
+                                          * (m.s1::DOUBLE / {N_DAYS}.0))
+                                 * 1000000.0 + 0.5) / 1000000.0 < {SAX_BREAKS[1]} THEN 'b'
+                      WHEN floor((sg.seg_sum::DOUBLE / {SAX_SEG_DAYS}.0
+                                  - m.s1::DOUBLE / {N_DAYS}.0)
+                                 / sqrt(m.s2::DOUBLE / {N_DAYS}.0
+                                        - (m.s1::DOUBLE / {N_DAYS}.0)
+                                          * (m.s1::DOUBLE / {N_DAYS}.0))
+                                 * 1000000.0 + 0.5) / 1000000.0 < {SAX_BREAKS[2]} THEN 'c'
+                      ELSE 'd' END END AS sym,
+               log2({N_DAYS}.0) + 2.0 * log2(greatest(m.max_v, 1)::DOUBLE) < 62.0
+                   AS headroom_ok
+        FROM seg_grid sg JOIN moments m USING (user_id)
+    ), words AS (
+        SELECT user_id,
+               CASE WHEN min(headroom_ok) AND count(sym) = count(*) THEN
+                 string_agg(sym, '' ORDER BY seg) END AS sax_word,
+               min(headroom_ok) AS headroom_ok
+        FROM symbols GROUP BY user_id
+    ), freq AS (
+        SELECT sax_word, count(*)::BIGINT AS n_users_same_word
+        FROM words WHERE sax_word IS NOT NULL GROUP BY sax_word
+    )
+    SELECT w.user_id, w.sax_word, f.n_users_same_word, w.headroom_ok
+    FROM words w LEFT JOIN freq f USING (sax_word)
+"""
+QUERIES["timeseries_sax_words"] = q_timeseries_sax_words

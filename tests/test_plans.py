@@ -21,6 +21,8 @@ ARROW_QUERIES = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio_windows",
+    # r9: the constellation peak extraction is the same Arrow kernel shape
+    "multimodal_audio_fingerprint",
     "timeseries_dtw",
     "timeseries_holt_forecast",
     "dedup_embedding_cosine_vectorized",
@@ -1160,4 +1162,130 @@ def test_cramers_v_margins_from_cell_table(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_query_likelihood_mapside_score_no_postings_filter(spark):
+    """Query likelihood: every doc scores all query terms map-side off
+    the wide doc-stats aggregate; corpus stats ride one broadcast row and
+    the cut is a global TakeOrdered — no per-term pass, no window, no
+    Python."""
+    plan = _plan(spark, "retrieval_query_likelihood")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row corpus attach
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_burstiness_moments_combine_friendly(spark):
+    """Burstiness: both aggregates (term x doc tf, then per-term moments)
+    have partial passes below their exchanges; n_docs attaches as a 1-row
+    broadcast and the report is a TakeOrdered top-k — no global sort, no
+    dense term x doc grid."""
+    plan = _plan(spark, "text_term_burstiness")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_good_turing_self_join_broadcast(spark):
+    """Good-Turing: the N_{r+1} lookup is a broadcast self-join of the
+    tiny count-of-counts table (never a lead() window over dense r), and
+    the totals attach as a 1-row broadcast."""
+    plan = _plan(spark, "lm_good_turing_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kaplan_meier_windows_over_duration_table(spark):
+    """KM: both running sums (reverse n_at_risk, forward cumulative log)
+    window over the DISTINCT-DURATION table, below which sit the user
+    aggregate's partial passes — nothing user-sized is sorted."""
+    plan = _plan(spark, "survival_kaplan_meier")
+    assert "Window" in plan
+    assert "partial_count" in plan or "partial_min" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_basket_pairs_capped_self_join(spark):
+    """Basket lift: the pair expansion is an equi-join on l_orderkey (a
+    hash join, never a cartesian), fed by the basket-size cap filter;
+    supports join back pair-bounded; the cut is a TakeOrdered top-k."""
+    plan = _plan(spark, "basket_lift_pairs")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sax_symbols_mapside_no_user_window(spark):
+    """SAX: symbols derive map-side from integer moment/segment
+    aggregates (partial passes present) and assemble via collect_list
+    over exactly 6 rows per user — no window operator, no Python, and
+    the word-frequency join back is a broadcast."""
+    plan = _plan(spark, "timeseries_sax_words")
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_incremental_refresh_delta_from_one_outer_join(spark):
+    """Incremental view maintenance: the delta derives from ONE key-
+    partitioned full outer join (unique keys per side — SortMergeJoin is
+    the right shape), the view/delta/recompute tables are status-keyed
+    (tiny) and combine via broadcast-eligible joins, and no window or
+    Python appears."""
+    plan = _plan(spark, "incremental_agg_refresh")
+    assert plan.count("FullOuter") >= 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_asof_winner_cut_on_log_only(spark):
+    """Time travel: the winner-per-key row_number windows over the LOG
+    (version-filtered first), the apply is one key-partitioned left join
+    onto base, and the census is a final tiny aggregate."""
+    plan = _plan(spark, "table_snapshot_asof")
+    assert "Window" in plan
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_audio_fingerprint_kernel_then_broadcast_census(spark):
+    """Constellation fingerprint: peak extraction is the mapInPandas
+    kernel (Arrow-batched), pairing is one per-doc lead window, and the
+    64-value hash census joins back broadcast — no pairwise signal
+    comparison anywhere."""
+    plan = _plan(spark, "multimodal_audio_fingerprint")
+    assert "MapInPandas" in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kappa_one_doc_join_one_fold(spark):
+    """Gate kappa: the two verdict pipelines join once on doc_id and fold
+    to one row — no window, no Python, no cartesian beyond the 1-row
+    scalar shape."""
+    plan = _plan(spark, "quality_gate_kappa")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kendall_pairs_over_domain_cells_only(spark):
+    """Kendall tau-b: the non-equi pair join is a BroadcastNestedLoopJoin
+    over the DOMAIN-SIZED contingency-cell table (below it sit the user
+    aggregate's partial passes), never over user rows."""
+    plan = _plan(spark, "stats_kendall_tau")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
     assert "BatchEvalPython" not in plan

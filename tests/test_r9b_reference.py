@@ -127,3 +127,452 @@ def test_cramers_v_matches_pure_python(spark):
     )
     assert got.cramers_v_micro == math.floor(v * 1000000.0 + 0.5)
     assert 0 <= got.cramers_v_micro <= 1_000_000
+
+
+def _tokens(text: str) -> list[str]:
+    import re
+
+    return re.findall("[a-zA-Z0-9]+", text)
+
+
+def test_query_likelihood_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        BM25_TERMS,
+        QL_MU,
+        QL_TOPK,
+        q_retrieval_query_likelihood,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: _tokens(r.text) for r in docs}
+    t_total = sum(len(v) for v in toks.values())
+    cf = Counter()
+    for v in toks.values():
+        cf.update(v)
+    scores = {}
+    for d, v in toks.items():
+        tf = Counter(v)
+        s = 0
+        for t in BM25_TERMS:
+            assert cf[t] > 0  # fixture guarantees the query terms exist
+            s += math.floor(
+                math.log(
+                    (tf[t] + QL_MU * cf[t] / t_total) / (len(v) + QL_MU)
+                )
+                * 1000000.0
+                + 0.5
+            )
+        scores[d] = (s, sum(1 for t in BM25_TERMS if tf[t] > 0), len(v))
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:QL_TOPK]
+    got = q_retrieval_query_likelihood(spark, SF_DIR).collect()
+    assert [(r.doc_id, r.ql_micronats, r.n_terms_hit, r.doclen) for r in got] == [
+        (d, s, h, dl) for d, (s, h, dl) in want
+    ]
+    # likelihoods are log-probabilities: strictly negative, and docs that
+    # hit more query terms dominate the top of the ranking
+    assert all(r.ql_micronats < 0 for r in got)
+    assert got[0].n_terms_hit == max(r.n_terms_hit for r in got)
+
+
+def test_burstiness_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        BURST_MIN_DF,
+        BURST_TOPK,
+        q_text_term_burstiness,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    n_docs = len(docs)
+    per_term: dict[str, list[int]] = {}
+    for r in docs:
+        for t, c in Counter(_tokens(r.text)).items():
+            per_term.setdefault(t, []).append(c)
+    rows = []
+    for t, tfs in per_term.items():
+        df = len(tfs)
+        if df < BURST_MIN_DF:
+            continue
+        s1, s2 = sum(tfs), sum(c * c for c in tfs)
+        mean = s1 / n_docs
+        vmr = (s2 / n_docs - mean * mean) / mean
+        rows.append((t, df, s1, math.floor(vmr * 1000000.0 + 0.5)))
+    want = sorted(rows, key=lambda r: (-r[3], r[0]))[:BURST_TOPK]
+    got = q_text_term_burstiness(spark, SF_DIR).collect()
+    assert [(r.token, r.df, r.sum_tf, r.vmr_micro) for r in got] == want
+    assert all(r.headroom_ok for r in got)
+    # over-dispersion sanity: a corpus of topical docs must show VMR > 1
+    # at the bursty end
+    assert got[0].vmr_micro > 1_000_000
+
+
+def test_good_turing_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        q_lm_good_turing_counts,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        cnt.update(_tokens(r.text))
+    cc = Counter(cnt.values())
+    n_tokens = sum(cnt.values())
+    got = {r.r: r for r in q_lm_good_turing_counts(spark, SF_DIR).collect()}
+    assert set(got) == set(cc)
+    for r, n_r in cc.items():
+        row = got[r]
+        assert row.n_types == n_r
+        nxt = cc.get(r + 1)
+        assert row.n_types_next == nxt
+        if nxt is None:
+            assert row.r_star_micro is None
+        else:
+            assert row.r_star_micro == math.floor(
+                (r + 1) * nxt / n_r * 1000000.0 + 0.5
+            )
+        assert row.unseen_mass_micro == math.floor(
+            cc[1] / n_tokens * 1000000.0 + 0.5
+        )
+    # adjusted-mass sanity (gap-aware: N_r * r* telescopes to
+    # (r+1) * N_{r+1} only where BOTH rows exist; rows whose successor
+    # count is absent contribute nothing): the micro-rounded masses land
+    # within per-row rounding of the exact integer masses
+    adj = sum(
+        got[r].n_types * got[r].r_star_micro
+        for r in cc
+        if got[r].r_star_micro is not None
+    )
+    exact = sum((r + 1) * cc[r + 1] for r in cc if (r + 1) in cc)
+    assert abs(adj / 1000000.0 - exact) < 0.5 * len(cc) + 1
+
+
+def test_kaplan_meier_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        KM_CHURN_GAP_DAYS,
+        q_survival_kaplan_meier,
+    )
+
+    rows = load(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    span: dict[int, list] = {}
+    for r in rows:
+        d = r.ts.date()
+        lo, hi = span.get(r.user_id, (d, d))
+        span[r.user_id] = (min(lo, d), max(hi, d))
+    anchor = max(hi for _, hi in span.values())
+    users = [
+        ((hi - lo).days, 1 if (anchor - hi).days > KM_CHURN_GAP_DAYS else 0)
+        for lo, hi in span.values()
+    ]
+    durs = sorted({d for d, _ in users})
+    got = {r.duration_days: r for r in q_survival_kaplan_meier(spark, SF_DIR).collect()}
+    assert set(got) == set(durs)
+    cum = 0
+    dead = False
+    for d in durs:
+        n_risk = sum(1 for dd, _ in users if dd >= d)
+        events_d = sum(o for dd, o in users if dd == d)
+        total_d = sum(1 for dd, _ in users if dd == d)
+        row = got[d]
+        assert row.n_at_risk == n_risk
+        assert row.d_events == events_d
+        assert row.n_censored == total_d - events_d
+        if events_d == n_risk and events_d > 0:
+            dead = True
+        if dead:
+            assert row.cum_neg_log_micro is None
+            assert row.survival_zero is True
+            continue
+        if events_d > 0:
+            cum += math.floor(
+                -math.log(1.0 - events_d / n_risk) * 1000000.0 + 0.5
+            )
+        assert row.cum_neg_log_micro == cum
+        assert row.survival_zero is False
+    # survival is a nonincreasing step function: cumulative -ln S grows
+    lived = [got[d].cum_neg_log_micro for d in durs if got[d].cum_neg_log_micro is not None]
+    assert lived == sorted(lived)
+
+
+def test_basket_lift_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        BASKET_MAX,
+        BASKET_MIN_SUPPORT,
+        BASKET_TOPK,
+        q_basket_lift_pairs,
+    )
+    from itertools import combinations
+
+    rows = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    baskets: dict[int, set] = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    baskets = {o: s for o, s in baskets.items() if len(s) <= BASKET_MAX}
+    n_orders = len(baskets)
+    supp: Counter = Counter()
+    pair_supp: Counter = Counter()
+    for s in baskets.values():
+        supp.update(s)
+        pair_supp.update(combinations(sorted(s), 2))
+    want = []
+    for (a, b), c in pair_supp.items():
+        if c < BASKET_MIN_SUPPORT:
+            continue
+        lift = math.floor(
+            n_orders * c / (supp[a] * supp[b]) * 1000000.0 + 0.5
+        )
+        want.append((a, b, c, supp[a], supp[b], lift))
+    want.sort(key=lambda t: (-t[5], t[0], t[1]))
+    got = q_basket_lift_pairs(spark, SF_DIR).collect()
+    assert [
+        (r.part_a, r.part_b, r.supp_ab, r.supp_a, r.supp_b, r.lift_micro)
+        for r in got
+    ] == want[:BASKET_TOPK]
+    # associated pairs beat independence: the top of the report has lift > 1
+    assert got[0].lift_micro > 1_000_000
+
+
+def test_sax_words_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.timeseries import (
+        N_DAYS,
+        SAX_BREAKS,
+        SAX_SEG_DAYS,
+        SAX_SEGMENTS,
+        q_timeseries_sax_words,
+    )
+
+    rows = load(spark, SF_DIR, "events").select("user_id", "ts", "value").collect()
+    daily: dict[tuple, int] = {}
+    for r in rows:
+        k = (r.user_id, r.ts.day)
+        daily[k] = daily.get(k, 0) + math.floor(r.value * 100 + 0.5)
+    users = sorted({u for u, _ in daily})
+    want = {}
+    for u in users:
+        vs = {d: v for (uu, d), v in daily.items() if uu == u}
+        s1 = sum(vs.values())
+        s2 = sum(v * v for v in vs.values())
+        mu = s1 / N_DAYS
+        var = s2 / N_DAYS - mu * mu
+        if var <= 0.0:
+            want[u] = None
+            continue
+        word = []
+        for seg in range(SAX_SEGMENTS):
+            seg_sum = sum(
+                v for d, v in vs.items() if (d - 1) // SAX_SEG_DAYS == seg
+            )
+            z = (seg_sum / SAX_SEG_DAYS - mu) / math.sqrt(var)
+            z = math.floor(z * 1000000.0 + 0.5) / 1000000.0
+            if z < SAX_BREAKS[0]:
+                word.append("a")
+            elif z < SAX_BREAKS[1]:
+                word.append("b")
+            elif z < SAX_BREAKS[2]:
+                word.append("c")
+            else:
+                word.append("d")
+        want[u] = "".join(word)
+    freq = Counter(w for w in want.values() if w is not None)
+    got = {r.user_id: r for r in q_timeseries_sax_words(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for u, w in want.items():
+        assert got[u].sax_word == w
+        assert got[u].headroom_ok is True
+        if w is not None:
+            assert got[u].n_users_same_word == freq[w]
+
+
+def test_incremental_refresh_matches_and_all_rows_matched(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        q_incremental_agg_refresh,
+    )
+
+    got = q_incremental_agg_refresh(spark, SF_DIR).collect()
+    # the query self-verifies: every refreshed group must equal the full
+    # recompute — a single False here means the delta algebra is wrong
+    assert len(got) > 0
+    assert all(r.matched for r in got)
+    # independent recompute of the refreshed view from raw rows
+    rows = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    from emr_flink_example_spark.operators.analytics import (
+        CDC_DELETE_MOD,
+        UPSERT_INSERT_MOD,
+        UPSERT_KEY_SHIFT,
+        UPSERT_UPDATE_MOD,
+    )
+
+    snap = {}
+    for r in rows:
+        snap[r.o_orderkey] = (r.o_orderstatus, math.floor(r.o_totalprice * 100 + 0.5))
+    new = dict(snap)
+    for r in rows:
+        if r.o_orderkey % UPSERT_UPDATE_MOD == 0:
+            new[r.o_orderkey] = ("U", math.floor((r.o_totalprice + 50.0) * 100 + 0.5))
+    for r in rows:
+        if r.o_orderkey % UPSERT_INSERT_MOD == 0:
+            new[r.o_orderkey + UPSERT_KEY_SHIFT] = (
+                "N",
+                math.floor(r.o_totalprice * 100 + 0.5),
+            )
+    new = {k: v for k, v in new.items() if k % CDC_DELETE_MOD != 0}
+    want: dict[str, list[int]] = {}
+    for st, c in new.values():
+        n, s = want.setdefault(st, [0, 0])
+        want[st] = [n + 1, s + c]
+    assert {r.status: [r.n_orders, r.revenue_cents] for r in got} == want
+
+
+def test_snapshot_asof_shows_v2_not_v3(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        ASOF_RESTATUS_MOD,
+        ASOF_VERSION,
+        CDC_DELETE_MOD,
+        UPSERT_UPDATE_MOD,
+        q_table_snapshot_asof,
+    )
+
+    assert ASOF_VERSION == 2
+    rows = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    state = {}
+    for r in rows:
+        state[r.o_orderkey] = (r.o_orderstatus, math.floor(r.o_totalprice * 100 + 0.5))
+    # v1: surcharge
+    for k in list(state):
+        if k % UPSERT_UPDATE_MOD == 0:
+            state[k] = ("U", state[k][1] + 5000)
+    # v2: delete
+    state = {k: v for k, v in state.items() if k % CDC_DELETE_MOD != 0}
+    # v3 (re-status to 'T') must NOT appear at AS OF 2
+    want: dict[str, list[int]] = {}
+    for k, (st, c) in state.items():
+        n, ks, s = want.setdefault(st, [0, 0, 0])
+        want[st] = [n + 1, ks + k, s + c]
+    got = {r.status: [r.n_orders, r.key_checksum, r.revenue_cents]
+           for r in q_table_snapshot_asof(spark, SF_DIR).collect()}
+    assert got == want
+    assert "T" not in got
+
+
+def test_audio_fingerprint_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.multimodal import (
+        AUDIO_HOP,
+        AUDIO_WIN,
+        FP_BANDS,
+        q_multimodal_audio_fingerprint,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    peaks: dict[int, list[int]] = {}
+    for r in docs:
+        samples = [b - 128 for b in r.text.encode("utf-8")]
+        seq = []
+        start = 0
+        while start < len(samples):
+            win = samples[start : start + AUDIO_WIN]
+            bands = [0] * FP_BANDS
+            for j, s in enumerate(win):
+                bands[j % FP_BANDS] += s * s
+            peak = 0
+            for k in range(1, FP_BANDS):
+                if bands[k] > bands[peak]:
+                    peak = k
+            seq.append(peak)
+            start += AUDIO_HOP
+        peaks[r.doc_id] = seq
+    hashes = []
+    for seq in peaks.values():
+        hashes.extend(
+            a * FP_BANDS + b for a, b in zip(seq, seq[1:])
+        )
+    freq = Counter(hashes)
+    got = q_multimodal_audio_fingerprint(spark, SF_DIR).collect()
+    by_doc: dict[int, dict[int, tuple]] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, {})[r.win_idx] = r
+    assert set(by_doc) == set(peaks)
+    for d, seq in peaks.items():
+        assert sorted(by_doc[d]) == list(range(len(seq)))
+        for i, p in enumerate(seq):
+            row = by_doc[d][i]
+            assert row.peak_band == p
+            if i + 1 < len(seq):
+                h = p * FP_BANDS + seq[i + 1]
+                assert row.pair_hash == h
+                assert row.n_pairs_same_hash == freq[h]
+            else:
+                assert row.pair_hash is None
+
+
+def test_gate_kappa_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        q_quality_fasttext_gate,
+        q_quality_gate_kappa,
+        q_quality_gopher_rules,
+    )
+
+    gop = {
+        r.doc_id: r.passes_gopher
+        for r in q_quality_gopher_rules(spark, SF_DIR).collect()
+    }
+    ft = {r.doc_id: r.keep for r in q_quality_fasttext_gate(spark, SF_DIR).collect()}
+    common = set(gop) & set(ft)
+    a = sum(1 for d in common if gop[d] and ft[d])
+    b = sum(1 for d in common if gop[d] and not ft[d])
+    c = sum(1 for d in common if not gop[d] and ft[d])
+    dd = sum(1 for d in common if not gop[d] and not ft[d])
+    n = a + b + c + dd
+    po = (a + dd) / n
+    pe = ((a + b) * (a + c) + (c + dd) * (b + dd)) / (n * n)
+    got = q_quality_gate_kappa(spark, SF_DIR).first()
+    assert (got.n_docs, got.both_keep, got.gopher_only, got.fasttext_only,
+            got.both_drop) == (n, a, b, c, dd)
+    if pe < 1.0:
+        kappa = (po - pe) / (1.0 - pe)
+        assert got.kappa_micro == math.floor(kappa * 1000000.0 + 0.5)
+        assert -1_000_000 <= got.kappa_micro <= 1_000_000
+    else:
+        assert got.kappa_micro is None
+
+
+def test_kendall_tau_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        q_stats_kendall_tau,
+    )
+
+    rows = load(spark, SF_DIR, "events").select("user_id", "event_type").collect()
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        x, y = agg.setdefault(r.user_id, [0, 0])
+        agg[r.user_id] = [x + 1, y + (1 if r.event_type == "purchase" else 0)]
+    pts = list(agg.values())
+    n = len(pts)
+    nc = nd = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            if s > 0:
+                nc += 1
+            elif s < 0:
+                nd += 1
+    tx = Counter(p[0] for p in pts)
+    ty = Counter(p[1] for p in pts)
+    ties_x = sum(t * (t - 1) // 2 for t in tx.values())
+    ties_y = sum(t * (t - 1) // 2 for t in ty.values())
+    n0 = n * (n - 1) // 2
+    tau = (nc - nd) / math.sqrt((n0 - ties_x) * (n0 - ties_y))
+    got = q_stats_kendall_tau(spark, SF_DIR).first()
+    assert got.headroom_ok is True
+    assert (got.n_users, got.n_concordant, got.n_discordant) == (n, nc, nd)
+    assert (got.ties_x, got.ties_y) == (ties_x, ties_y)
+    assert got.tau_b_micro == math.floor(tau * 1000000.0 + 0.5)
+    # Kendall and Spearman must agree in SIGN on the same monotone signal
+    from emr_flink_example_spark.operators.analytics import (
+        q_stats_spearman_corr,
+    )
+
+    rho = q_stats_spearman_corr(spark, SF_DIR).first().rho_micro
+    if abs(got.tau_b_micro) > 10_000:
+        assert (got.tau_b_micro > 0) == (rho > 0)
