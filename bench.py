@@ -218,6 +218,10 @@ HEADLINE = [
     # r9 ninth wave: inter-rater agreement + concordance statistics
     "quality_gate_kappa",
     "stats_kendall_tau",
+    # r9 tenth wave: Shapley attribution / graph Jaccard / retrieval P-R
+    "attribution_shapley",
+    "graph_node_jaccard",
+    "retrieval_precision_recall",
 ]
 
 

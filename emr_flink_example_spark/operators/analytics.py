@@ -2957,3 +2957,304 @@ ORACLES["stats_kendall_tau"] = """
     FROM ok_t
 """
 QUERIES["stats_kendall_tau"] = q_stats_kendall_tau
+
+
+#: Shapley channel universe: the four non-purchase event types, one bit each
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _shapley_coef() -> list[tuple[int, int]]:
+    """(|S|, |S|! * (C-1-|S|)!) for subset sizes 0..C-1 — the Shapley
+    weights scaled by C! so they are exact integers, precomputed in
+    Python and shipped to both engines as a literal table."""
+    import math
+
+    c = len(SHAPLEY_CHANNELS)
+    return [(s, math.factorial(s) * math.factorial(c - 1 - s)) for s in range(c)]
+
+
+def q_attribution_shapley(spark: SparkSession, sf: str) -> DataFrame:
+    """Shapley-value channel attribution (Shapley 1953; the data-driven
+    marketing form, e.g. Zhao et al. 2018) — the axiomatic companion to
+    attribution_markov_removal: each channel's credit is its average
+    marginal contribution over all orderings, computed exactly because
+    the channel universe is small (C = 4 -> 16 coalitions).
+
+    Characteristic function: v(S) = conversions among users whose
+    pre-conversion journey (the SET of channel types touched before
+    their first purchase; non-converters contribute their full journey
+    as a non-converting path) is CONTAINED in S — the "coalition S could
+    have produced these conversions" reading. phi_i = sum over S not
+    containing i of |S|!(C-1-|S|)!/C! * (v(S+i) - v(S)), computed with
+    C!-scaled INTEGER weights from a Python-precomputed literal table
+    (the _aa_weights discipline) so every intermediate is exact; the
+    only division is the final micro quantization, and efficiency
+    (sum phi_i = v(full) - v(empty)) is exposed as hash-checked columns.
+
+    Scale shape: one combine-friendly user aggregate (bitmask OR + first
+    purchase), one 16-row journey aggregate; everything after operates
+    on 16-row / 64-row literal-joined tables (the transition-matrix
+    |domain| precedent). Nothing user-sized moves twice."""
+    c = len(SHAPLEY_CHANNELS)
+    n_coal = 1 << c
+    events = load(spark, sf, "events")
+    bit = "case " + " ".join(
+        f"when event_type = '{ch}' then {1 << i}"
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    ) + " else 0 end"
+    first_p = events.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t_conv"))
+    journeys = (
+        events.join(F.broadcast(first_p), "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("t_conv").isNull() | (F.col("ts") < F.col("t_conv")))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(f"bit_or({bit})").alias("mask"),
+            F.max(F.col("t_conv").isNotNull().cast("int")).alias("converted"),
+        )
+        .groupBy("mask")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("converted").alias("n_conv"),
+        )
+    )
+    coal = spark.range(n_coal).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(journeys),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    coef = spark.createDataFrame(_shapley_coef(), "sz int, wt bigint")
+    chan = spark.createDataFrame(
+        [(i, ch) for i, ch in enumerate(SHAPLEY_CHANNELS)], "bit int, channel string"
+    )
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v_s"))
+    v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("v_si"))
+    marginals = (
+        chan.crossJoin(v1)
+        .where(F.expr("(s1 & shiftleft(1, bit)) = 0"))
+        .withColumn("s2", F.expr("s1 + shiftleft(1, bit)"))
+        .join(F.broadcast(v2), "s2")
+        .withColumn("sz", F.expr(f"bit_count(cast(s1 as bigint))").cast("int"))
+        .join(F.broadcast(coef), "sz")
+    )
+    phi = marginals.groupBy("bit", "channel").agg(
+        F.sum(F.col("wt") * (F.col("v_si") - F.col("v_s"))).alias("phi_cfact")
+    )
+    totals = v.agg(
+        F.max(F.when(F.col("s") == n_coal - 1, F.col("v"))).alias("v_full"),
+        F.max(F.when(F.col("s") == 0, F.col("v"))).alias("v_empty"),
+    )
+    import math as _math
+
+    cfact = _math.factorial(c)
+    return (
+        phi.crossJoin(F.broadcast(totals))
+        .select(
+            "channel",
+            "phi_cfact",
+            F.expr(
+                f"cast(floor(cast(phi_cfact as double) / {cfact}.0"
+                " * 1000000.0 + 0.5) as bigint)"
+            ).alias("phi_micro"),
+            "v_full",
+            "v_empty",
+        )
+        .orderBy(F.col("phi_cfact").desc(), F.col("channel").asc())
+    )
+
+
+def _shapley_oracle() -> str:
+    c = len(SHAPLEY_CHANNELS)
+    n_coal = 1 << c
+    import math
+
+    cfact = math.factorial(c)
+    bit = "CASE " + " ".join(
+        f"WHEN event_type = '{ch}' THEN {1 << i}"
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    ) + " ELSE 0 END"
+    coef_vals = ", ".join(f"({s}, {w})" for s, w in _shapley_coef())
+    chan_vals = ", ".join(
+        f"({i}, '{ch}')" for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    return f"""
+        WITH first_p AS (
+            SELECT user_id, min(ts) AS t_conv FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ), journeys AS (
+            SELECT mask, count(*)::BIGINT AS n_total,
+                   sum(converted)::BIGINT AS n_conv
+            FROM (
+                SELECT e.user_id,
+                       bit_or({bit})::INT AS mask,
+                       max((p.t_conv IS NOT NULL)::INT) AS converted
+                FROM events e LEFT JOIN first_p p USING (user_id)
+                WHERE e.event_type != 'purchase'
+                  AND (p.t_conv IS NULL OR e.ts < p.t_conv)
+                GROUP BY e.user_id
+            ) GROUP BY mask
+        ), coal AS (
+            SELECT unnest(generate_series(0, {n_coal - 1}))::INT AS s
+        ), v AS (
+            SELECT s, coalesce(sum(j.n_conv), 0)::BIGINT AS v
+            FROM coal LEFT JOIN journeys j ON (j.mask & coal.s) = j.mask
+            GROUP BY s
+        ), coef(sz, wt) AS (VALUES {coef_vals}),
+        chan(bit, channel) AS (VALUES {chan_vals}),
+        marginals AS (
+            SELECT ch.bit, ch.channel, v1.s AS s1,
+                   bit_count(v1.s::BIGINT)::INT AS sz,
+                   v1.v AS v_s, v2.v AS v_si
+            FROM chan ch
+            JOIN v v1 ON (v1.s & (1 << ch.bit)) = 0
+            JOIN v v2 ON v2.s = v1.s + (1 << ch.bit)
+        ), phi AS (
+            SELECT bit, channel,
+                   sum(coef.wt * (v_si - v_s))::BIGINT AS phi_cfact
+            FROM marginals JOIN coef USING (sz)
+            GROUP BY bit, channel
+        ), totals AS (
+            SELECT max(CASE WHEN s = {n_coal - 1} THEN v END)::BIGINT AS v_full,
+                   max(CASE WHEN s = 0 THEN v END)::BIGINT AS v_empty
+            FROM v
+        )
+        SELECT channel, phi_cfact,
+               floor(phi_cfact::DOUBLE / {cfact}.0 * 1000000.0 + 0.5)::BIGINT
+                   AS phi_micro,
+               v_full, v_empty
+        FROM phi CROSS JOIN totals
+        ORDER BY phi_cfact DESC, channel ASC
+    """
+
+
+ORACLES["attribution_shapley"] = _shapley_oracle()
+QUERIES["attribution_shapley"] = q_attribution_shapley
+
+
+#: node-Jaccard report size
+NODE_JACCARD_TOP_K = 50
+
+
+def q_graph_node_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood Jaccard similarity (Salton/Jaccard link prediction;
+    Liben-Nowell & Kleinberg 2003 baseline) over the SimHash Hamming
+    graph: for doc pairs sharing at least one neighbor, |N(u) n N(v)| /
+    |N(u) u N(v)| with an is_edge flag — the unweighted companion to
+    graph_adamic_adar (AA up-weights rare common neighbors; Jaccard
+    normalizes by neighborhood size, so hubs can't dominate), and the
+    same false-negative audit surface for the near-dup graph.
+
+    Scale shape: identical to the Adamic-Adar plan — the session-
+    memoized SimHash pair checkpoint, EXACT degrees, the hub pre-cap
+    row_number (WindowGroupLimit partial below the exchange) before the
+    per-center neighbor array, and map-side wedge expansion bounded at
+    |centers| * cap^2. Only the common-neighbor ENUMERATION is capped
+    (n_common is a lower bound at mega-hubs, the AA contract); degrees
+    in the denominator stay exact. Lives in analytics importing the
+    dedup machinery (the sketch_minhash_containment precedent) so the
+    driver-checked catalog prefix is undisturbed.
+
+    Determinism: counts and degrees are exact integers; jaccard_micro =
+    floor(inter * 1e6 / (deg_u + deg_v - inter) + 0.5) is the exact
+    integer division (2e6*i + u) div (2u); ordering is the
+    (jaccard, doc_a, doc_b) total order."""
+    from .dedup import AA_ADJ_CAP, _simhash_pairs_materialized
+
+    pairs = _simhash_pairs_materialized(spark, sf)
+    adj = pairs.select(F.col("doc_a").alias("w"), F.col("doc_b").alias("nbr")).union(
+        pairs.select(F.col("doc_b").alias("w"), F.col("doc_a").alias("nbr"))
+    )
+    deg = adj.groupBy("w").agg(F.count("*").alias("d"))
+    wcap = Window.partitionBy("w").orderBy("nbr")
+    capped = (
+        adj.withColumn("rk", F.row_number().over(wcap))
+        .where(F.col("rk") <= AA_ADJ_CAP)
+        .groupBy("w")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+        .where(F.size("nbrs") >= 2)
+    )
+    wedges = (
+        capped.select(F.posexplode("nbrs").alias("i", "u"), "nbrs")
+        .select("u", F.explode(F.slice("nbrs", F.col("i") + 2, AA_ADJ_CAP)).alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+    )
+    edge_flag = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), F.lit(True).alias("is_edge")
+    )
+    scored = (
+        wedges.join(deg.select(F.col("w").alias("u"), F.col("d").alias("deg_u")), "u")
+        .join(deg.select(F.col("w").alias("v"), F.col("d").alias("deg_v")), "v")
+        .join(edge_flag, ["u", "v"], "left")
+        .na.fill({"is_edge": False})
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            "n_common",
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "(2000000 * n_common + (deg_u + deg_v - n_common))"
+                " div (2 * (deg_u + deg_v - n_common))"
+            ).alias("jaccard_micro"),
+            "is_edge",
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_micro").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(NODE_JACCARD_TOP_K)
+
+
+def _node_jaccard_oracle() -> str:
+    from .dedup import AA_ADJ_CAP, SIMHASH_MAX_HAMMING, _simhash_oracle
+
+    return f"""
+        WITH fp AS ({_simhash_oracle()}),
+        dup_edges AS MATERIALIZED (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+        ),
+        adj AS MATERIALIZED (
+            SELECT doc_a AS w, doc_b AS nbr FROM dup_edges
+            UNION ALL SELECT doc_b, doc_a FROM dup_edges
+        ),
+        deg AS (SELECT w, count(*)::BIGINT AS d FROM adj GROUP BY w),
+        adj_capped AS (
+            SELECT w, nbr FROM (
+                SELECT w, nbr,
+                       row_number() OVER (PARTITION BY w ORDER BY nbr) AS rk
+                FROM adj
+            ) WHERE rk <= {AA_ADJ_CAP}
+        ),
+        wedges AS (
+            SELECT a1.nbr AS u, a2.nbr AS v, count(*)::BIGINT AS n_common
+            FROM adj_capped a1 JOIN adj_capped a2
+              ON a1.w = a2.w AND a1.nbr < a2.nbr
+            GROUP BY 1, 2
+        )
+        SELECT w.u AS doc_a, w.v AS doc_b, w.n_common,
+               du.d AS deg_u, dv.d AS deg_v,
+               ((2000000 * w.n_common + (du.d + dv.d - w.n_common))
+                // (2 * (du.d + dv.d - w.n_common)))::BIGINT AS jaccard_micro,
+               EXISTS (SELECT 1 FROM dup_edges e
+                       WHERE e.doc_a = w.u AND e.doc_b = w.v) AS is_edge
+        FROM wedges w
+        JOIN deg du ON du.w = w.u
+        JOIN deg dv ON dv.w = w.v
+        ORDER BY jaccard_micro DESC, doc_a ASC, doc_b ASC
+        LIMIT {NODE_JACCARD_TOP_K}
+    """
+
+
+ORACLES["graph_node_jaccard"] = _node_jaccard_oracle()
+QUERIES["graph_node_jaccard"] = q_graph_node_jaccard

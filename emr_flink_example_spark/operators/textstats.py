@@ -4047,3 +4047,134 @@ ORACLES["quality_gate_kappa"] = f"""
                            * 1000000.0 + 0.5)::BIGINT END AS kappa_micro
     FROM cells
 """
+
+
+def q_retrieval_precision_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision@K / Recall@K / F1@K over the same fixed evaluation
+    queries, ranking, and relevance judgment as retrieval_mrr — the
+    set-overlap completion of the eval suite (NDCG grades graded order,
+    MRR the first hit; P/R/F1 grade the whole retrieved SET, the metric
+    reported for filtering/dedup retrieval where every hit counts).
+
+    Relevant = the document contains EVERY query term; retrieved = the
+    top MRR_K by (total query-term tf desc, doc_id). All three metrics
+    are exact integer micros: P = h/K, R = h/R_q, and F1 = 2PR/(P+R)
+    simplifies to 2h/(K + R_q) — each quantized by the exact integer
+    division (2e6*a + b) div (2b), so no doubles exist anywhere in the
+    query.
+
+    Scale shape: the retrieval_mrr plan (broadcast query set onto term-
+    filtered postings, WindowGroupLimit partial top-K) plus ONE extra
+    |queries|-row aggregate for the total-relevant denominators, computed
+    from the SAME hits frame before the rank cut — no second corpus
+    scan."""
+    docs = load(spark, sf, "documents")
+    qrows = [
+        (qi, t, len(terms)) for qi, terms in enumerate(MRR_QUERIES) for t in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id int, term string, n_terms int")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+    hits = (
+        tok.join(F.broadcast(qdf), tok["token"] == qdf["term"])
+        .groupBy("query_id", "n_terms", "doc_id")
+        .agg(
+            F.count("*").alias("tf_total"),
+            F.count_distinct("term").alias("n_hit_terms"),
+        )
+    ).persist()
+    rel = F.col("n_hit_terms") == F.col("n_terms")
+    total_rel = hits.groupBy("query_id").agg(
+        F.sum(rel.cast("bigint")).alias("n_relevant")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf_total").desc(), F.col("doc_id").asc()
+    )
+    topk = hits.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= MRR_K
+    )
+    per_q = topk.groupBy("query_id").agg(
+        F.sum(rel.cast("bigint")).alias("hits_at_k"),
+        F.count("*").alias("n_retrieved"),
+    )
+    qids = qdf.select("query_id").distinct()
+    return (
+        qids.join(per_q, "query_id", "left")
+        .join(total_rel, "query_id", "left")
+        .na.fill({"hits_at_k": 0, "n_retrieved": 0, "n_relevant": 0})
+        .select(
+            "query_id",
+            "hits_at_k",
+            "n_retrieved",
+            "n_relevant",
+            F.expr(
+                f"(2000000 * hits_at_k + {MRR_K}) div (2 * {MRR_K})"
+            ).alias("precision_micro"),
+            F.expr(
+                "case when n_relevant > 0 then"
+                " (2000000 * hits_at_k + n_relevant) div (2 * n_relevant)"
+                " else cast(0 as bigint) end"
+            ).alias("recall_micro"),
+            F.expr(
+                f"case when hits_at_k > 0 then"
+                f" (4000000 * hits_at_k + ({MRR_K} + n_relevant))"
+                f" div (2 * ({MRR_K} + n_relevant))"
+                " else cast(0 as bigint) end"
+            ).alias("f1_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pr_oracle() -> str:
+    qvals = ", ".join(
+        f"({qi}, '{t}', {len(terms)})"
+        for qi, terms in enumerate(MRR_QUERIES)
+        for t in terms
+    )
+    return f"""
+        WITH q(query_id, term, n_terms) AS (VALUES {qvals}),
+        tok AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+        ), hits AS (
+            SELECT q.query_id, q.n_terms, t.doc_id,
+                   count(*)::BIGINT AS tf_total,
+                   count(DISTINCT q.term)::BIGINT AS n_hit_terms
+            FROM tok t JOIN q ON t.token = q.term
+            GROUP BY 1, 2, 3
+        ), total_rel AS (
+            SELECT query_id,
+                   sum((n_hit_terms = n_terms)::INT)::BIGINT AS n_relevant
+            FROM hits GROUP BY query_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY tf_total DESC, doc_id ASC) AS rank
+            FROM hits
+        ), per_q AS (
+            SELECT query_id,
+                   sum((n_hit_terms = n_terms)::INT)::BIGINT AS hits_at_k,
+                   count(*)::BIGINT AS n_retrieved
+            FROM ranked WHERE rank <= {MRR_K} GROUP BY query_id
+        ), qids AS (SELECT DISTINCT query_id FROM q)
+        SELECT qids.query_id,
+               coalesce(p.hits_at_k, 0)::BIGINT AS hits_at_k,
+               coalesce(p.n_retrieved, 0)::BIGINT AS n_retrieved,
+               coalesce(tr.n_relevant, 0)::BIGINT AS n_relevant,
+               ((2000000 * coalesce(p.hits_at_k, 0) + {MRR_K})
+                // (2 * {MRR_K}))::BIGINT AS precision_micro,
+               CASE WHEN coalesce(tr.n_relevant, 0) > 0 THEN
+                 ((2000000 * coalesce(p.hits_at_k, 0) + tr.n_relevant)
+                  // (2 * tr.n_relevant))::BIGINT
+               ELSE 0 END AS recall_micro,
+               CASE WHEN coalesce(p.hits_at_k, 0) > 0 THEN
+                 ((4000000 * p.hits_at_k + ({MRR_K} + coalesce(tr.n_relevant, 0)))
+                  // (2 * ({MRR_K} + coalesce(tr.n_relevant, 0))))::BIGINT
+               ELSE 0 END AS f1_micro
+        FROM qids
+        LEFT JOIN per_q p USING (query_id)
+        LEFT JOIN total_rel tr USING (query_id)
+        ORDER BY query_id
+    """
+
+
+QUERIES["retrieval_precision_recall"] = q_retrieval_precision_recall
+ORACLES["retrieval_precision_recall"] = _pr_oracle()

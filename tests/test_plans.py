@@ -1289,3 +1289,37 @@ def test_kendall_pairs_over_domain_cells_only(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_shapley_coalitions_are_literal_sized(spark):
+    """Shapley: after the one user-level aggregate (partial passes
+    present), everything operates on 16-row coalition / 64-row marginal
+    literal-joined tables — no window, no Python, no user-sized
+    re-shuffle."""
+    plan = _plan(spark, "attribution_shapley")
+    assert "partial_count" in plan or "partial_sum" in plan or "partial_min" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_node_jaccard_hub_precap_before_collect(spark):
+    """Node Jaccard reuses the AA scale shape: the hub pre-cap rank
+    filter runs as WindowGroupLimit with a PARTIAL pass below the
+    exchange, wedges expand map-side from the capped arrays, and the
+    report is a TakeOrdered top-k."""
+    plan = _plan(spark, "graph_node_jaccard")
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_precision_recall_one_postings_build(spark):
+    """P/R@K: the query set broadcasts onto term-filtered postings; the
+    total-relevant denominators and the top-K cut both read the SAME
+    persisted hits frame (InMemoryTableScan x2), and the rank cut is a
+    WindowGroupLimit partial."""
+    plan = _plan(spark, "retrieval_precision_recall")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan

@@ -576,3 +576,142 @@ def test_kendall_tau_matches_pure_python(spark):
     rho = q_stats_spearman_corr(spark, SF_DIR).first().rho_micro
     if abs(got.tau_b_micro) > 10_000:
         assert (got.tau_b_micro > 0) == (rho > 0)
+
+
+def test_shapley_matches_pure_python(spark):
+    from itertools import combinations as _comb
+
+    from emr_flink_example_spark.operators.analytics import (
+        SHAPLEY_CHANNELS,
+        q_attribution_shapley,
+    )
+
+    rows = load(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    first_p: dict[int, object] = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    journeys: dict[int, int] = {}
+    touched: dict[int, bool] = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            continue
+        conv = r.user_id in first_p
+        if conv and r.ts >= first_p[r.user_id]:
+            continue
+        mask = journeys.get(r.user_id, 0)
+        if r.event_type in SHAPLEY_CHANNELS:
+            mask |= 1 << SHAPLEY_CHANNELS.index(r.event_type)
+        journeys[r.user_id] = mask
+        touched[r.user_id] = conv
+    jagg: Counter = Counter()
+    for u, m in journeys.items():
+        if touched[u]:
+            jagg[m] += 1
+    c = len(SHAPLEY_CHANNELS)
+    v = {
+        s: sum(n for m, n in jagg.items() if m & s == m)
+        for s in range(1 << c)
+    }
+    fact = math.factorial
+    phi = {}
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        tot = 0
+        for s in range(1 << c):
+            if s & (1 << i):
+                continue
+            sz = bin(s).count("1")
+            tot += fact(sz) * fact(c - 1 - sz) * (v[s + (1 << i)] - v[s])
+        phi[ch] = tot
+    got = {r.channel: r for r in q_attribution_shapley(spark, SF_DIR).collect()}
+    assert set(got) == set(SHAPLEY_CHANNELS)
+    for ch in SHAPLEY_CHANNELS:
+        assert got[ch].phi_cfact == phi[ch]
+        assert got[ch].phi_micro == math.floor(
+            phi[ch] / fact(c) * 1000000.0 + 0.5
+        )
+        assert got[ch].v_full == v[(1 << c) - 1]
+        assert got[ch].v_empty == v[0]
+    # efficiency axiom: attributions sum to v(full) - v(empty), exactly,
+    # in C!-scaled integers
+    assert sum(phi.values()) == fact(c) * (v[(1 << c) - 1] - v[0])
+
+
+def test_precision_recall_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        MRR_K,
+        MRR_QUERIES,
+        q_retrieval_precision_recall,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: Counter(_tokens(r.text)) for r in docs}
+    got = {r.query_id: r for r in q_retrieval_precision_recall(spark, SF_DIR).collect()}
+    for qi, terms in enumerate(MRR_QUERIES):
+        scored = []
+        for d, tf in toks.items():
+            total = sum(tf[t] for t in terms)
+            if total > 0:
+                scored.append((-total, d, all(tf[t] > 0 for t in terms)))
+        scored.sort()
+        n_rel = sum(1 for _, _, r in scored if r)
+        top = scored[:MRR_K]
+        h = sum(1 for _, _, r in top if r)
+        row = got[qi]
+        assert row.hits_at_k == h
+        assert row.n_retrieved == min(MRR_K, len(scored))
+        assert row.n_relevant == n_rel
+        assert row.precision_micro == (2_000_000 * h + MRR_K) // (2 * MRR_K)
+        assert row.recall_micro == (
+            (2_000_000 * h + n_rel) // (2 * n_rel) if n_rel else 0
+        )
+        assert row.f1_micro == (
+            (4_000_000 * h + MRR_K + n_rel) // (2 * (MRR_K + n_rel)) if h else 0
+        )
+
+
+def test_node_jaccard_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        NODE_JACCARD_TOP_K,
+        q_graph_node_jaccard,
+    )
+    from emr_flink_example_spark.operators.dedup import (
+        AA_ADJ_CAP,
+        q_simhash_hamming_pairs,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in q_simhash_hamming_pairs(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    ]
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {w: len(ns) for w, ns in adj.items()}
+    wedge: Counter = Counter()
+    for w, ns in adj.items():
+        capped = sorted(ns)[:AA_ADJ_CAP]
+        for i in range(len(capped)):
+            for j in range(i + 1, len(capped)):
+                wedge[(capped[i], capped[j])] += 1
+    edge_set = set(pairs)
+    rows = []
+    for (u, v), n_common in wedge.items():
+        union = deg[u] + deg[v] - n_common
+        rows.append(
+            (
+                u, v, n_common, deg[u], deg[v],
+                (2_000_000 * n_common + union) // (2 * union),
+                (u, v) in edge_set,
+            )
+        )
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    got = q_graph_node_jaccard(spark, SF_DIR).collect()
+    assert [
+        (r.doc_a, r.doc_b, r.n_common, r.deg_u, r.deg_v, r.jaccard_micro, r.is_edge)
+        for r in got
+    ] == rows[:NODE_JACCARD_TOP_K]
