@@ -222,6 +222,14 @@ HEADLINE = [
     "attribution_shapley",
     "graph_node_jaccard",
     "retrieval_precision_recall",
+    # r9 eleventh wave: lateral top-N / null-safe join / cumulative reach
+    "join_lateral_topn",
+    "join_null_safe_eq",
+    "window_cumulative_distinct",
+    # r9 twelfth wave: EWMA crossover / windowed funnel / quality survivors
+    "timeseries_ewma_crossover",
+    "funnel_windowed",
+    "dedup_survivor_by_quality",
 ]
 
 

@@ -3258,3 +3258,215 @@ def _node_jaccard_oracle() -> str:
 
 ORACLES["graph_node_jaccard"] = _node_jaccard_oracle()
 QUERIES["graph_node_jaccard"] = q_graph_node_jaccard
+
+
+#: windowed-funnel step deadline: a step converts only within this many
+#: seconds of the PREVIOUS step's first event
+FUNNEL_WINDOW_SECONDS = 6 * 3600
+
+
+def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-boxed funnel view -> click -> purchase: each step counts only
+    if it happens strictly after the previous step's first event AND
+    within FUNNEL_WINDOW_SECONDS of it — the deadline semantics real
+    conversion reporting uses (an un-windowed funnel credits a purchase
+    weeks later to the original view; this one expires the intent). The
+    contrast against funnel_conversion's unbounded counts is itself the
+    value: windowed counts are necessarily <=, and the hash-checked
+    census captures how much of the "conversion" was stale credit.
+
+    Same plan discipline as funnel_conversion: three groupBys and two
+    joins all keyed on user_id (one partitioning reused), a 3-scalar
+    broadcast census at the end. The deadline adds a pure predicate —
+    no new shuffle."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    t_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_click = (
+        ev.join(t_view, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_view"))
+            & F.expr(
+                f"ts <= t_view + INTERVAL {FUNNEL_WINDOW_SECONDS} SECOND"
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_purchase = (
+        ev.join(t_click, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+            & F.expr(
+                f"ts <= t_click + INTERVAL {FUNNEL_WINDOW_SECONDS} SECOND"
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_v = t_view.agg(F.count("*").alias("n_viewed"))
+    n_c = t_click.agg(F.count("*").alias("n_clicked_in_window"))
+    n_p = t_purchase.agg(F.count("*").alias("n_purchased_in_window"))
+    return (
+        n_v.crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(n_p))
+        .select(
+            "n_viewed",
+            "n_clicked_in_window",
+            "n_purchased_in_window",
+            F.expr(
+                "(2000000 * n_clicked_in_window + n_viewed)"
+                " div (2 * n_viewed)"
+            ).alias("view_to_click_micro"),
+            F.expr(
+                "case when n_clicked_in_window > 0 then"
+                " (2000000 * n_purchased_in_window + n_clicked_in_window)"
+                " div (2 * n_clicked_in_window) else cast(0 as bigint) end"
+            ).alias("click_to_purchase_micro"),
+        )
+    )
+
+
+ORACLES["funnel_windowed"] = f"""
+    WITH tv AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), tc AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN tv USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > tv.t_view
+          AND e.ts <= tv.t_view + INTERVAL {FUNNEL_WINDOW_SECONDS} SECOND
+        GROUP BY e.user_id
+    ), tp AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN tc USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+          AND e.ts <= tc.t_click + INTERVAL {FUNNEL_WINDOW_SECONDS} SECOND
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM tv)::BIGINT AS n_viewed,
+           (SELECT count(*) FROM tc)::BIGINT AS n_clicked_in_window,
+           (SELECT count(*) FROM tp)::BIGINT AS n_purchased_in_window,
+           ((2000000 * (SELECT count(*) FROM tc) + (SELECT count(*) FROM tv))
+            // (2 * (SELECT count(*) FROM tv)))::BIGINT AS view_to_click_micro,
+           CASE WHEN (SELECT count(*) FROM tc) > 0 THEN
+             ((2000000 * (SELECT count(*) FROM tp) + (SELECT count(*) FROM tc))
+              // (2 * (SELECT count(*) FROM tc)))::BIGINT
+           ELSE 0 END AS click_to_purchase_micro
+"""
+QUERIES["funnel_windowed"] = q_funnel_windowed
+
+
+def q_dedup_survivor_by_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-ranked dedup survivors: within each near-dup cluster keep
+    the HIGHEST-QUALITY document (fastText gate score, doc_id tiebreak)
+    instead of the arbitrary min-id — the policy production curation
+    actually wants ("of these five near-identical pages, keep the
+    cleanest"), composed from two existing verified primitives:
+    connected components over the LSH dup graph and the fastText-style
+    quality score.
+
+    The winner-per-cluster cut is a row_number window over the CLUSTERED
+    docs only (cluster membership is a vanishing fraction of any real
+    corpus; unclustered docs survive as themselves through the left
+    join). Score joins are doc-keyed hash joins. Lives in analytics
+    importing dedup machinery (the sketch_minhash_containment
+    precedent) so the driver-checked prefix is undisturbed.
+
+    Determinism: scores are exact integer micros (the fastText integer-
+    milli discipline); the (score desc, doc_id asc) order is total."""
+    from .dedup import q_dedup_connected_components
+    from .textstats import q_quality_fasttext_gate
+
+    comp = q_dedup_connected_components(spark, sf)
+    scores = q_quality_fasttext_gate(spark, sf).select("doc_id", "score_micro")
+    # LEFT join + sentinel: a token-less doc (null/empty text) has no
+    # fastText score; it must still rank INSIDE its cluster (last), not
+    # silently fall out of the dedup decision
+    clustered = comp.join(scores, "doc_id", "left").withColumn(
+        "rank_score",
+        F.coalesce("score_micro", F.lit(-(10**12)).cast("bigint")),
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("rank_score").desc(), F.col("doc_id").asc()
+    )
+    winners = (
+        clustered.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("component_id"))
+        )
+        .withColumn(
+            "survivor_doc_id",
+            F.first("doc_id").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+    )
+    docs = load(spark, sf, "documents").select("doc_id")
+    return (
+        docs.join(scores, "doc_id", "left")
+        .join(
+            winners.select(
+                "doc_id", "survivor_doc_id", "cluster_size"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "score_micro",
+            F.coalesce("survivor_doc_id", "doc_id").alias("survivor_doc_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("bigint")).alias(
+                "cluster_size"
+            ),
+            (
+                F.col("doc_id") == F.coalesce("survivor_doc_id", "doc_id")
+            ).alias("is_survivor"),
+        )
+    )
+
+
+def _survivor_quality_oracle() -> str:
+    from .dedup import _cc_reach_ctes
+    from .textstats import ORACLES as T_ORACLES
+
+    return (
+        _cc_reach_ctes()
+        + f"""
+        , comp AS (
+            SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+        ), scores AS (
+            SELECT doc_id, score_micro
+            FROM ({T_ORACLES["quality_fasttext_gate"]})
+        ), clustered AS (
+            SELECT c.doc_id, c.component_id, s.score_micro,
+                   coalesce(s.score_micro, -1000000000000) AS rank_score
+            FROM comp c LEFT JOIN scores s USING (doc_id)
+        ), winners AS (
+            SELECT doc_id, component_id, score_micro,
+                   first_value(doc_id) OVER (PARTITION BY component_id
+                       ORDER BY rank_score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                       AS survivor_doc_id,
+                   count(*) OVER (PARTITION BY component_id)::BIGINT
+                       AS cluster_size
+            FROM clustered
+        )
+        SELECT d.doc_id, s.score_micro,
+               coalesce(w.survivor_doc_id, d.doc_id) AS survivor_doc_id,
+               coalesce(w.cluster_size, 1)::BIGINT AS cluster_size,
+               d.doc_id = coalesce(w.survivor_doc_id, d.doc_id) AS is_survivor
+        FROM documents d
+        LEFT JOIN scores s ON s.doc_id = d.doc_id
+        LEFT JOIN winners w ON w.doc_id = d.doc_id
+    """
+    )
+
+
+ORACLES["dedup_survivor_by_quality"] = _survivor_quality_oracle()
+QUERIES["dedup_survivor_by_quality"] = q_dedup_survivor_by_quality

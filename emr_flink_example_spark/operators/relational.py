@@ -2603,3 +2603,189 @@ ORACLES = {
         FROM pos GROUP BY 1
     """,
 }
+
+
+#: lateral top-N: orders kept per customer
+LATERAL_TOP_N = 2
+
+
+def q_join_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL:1999; Spark 3.2+ lateral join):
+    each customer picks its top-LATERAL_TOP_N orders by (totalprice,
+    orderkey) through a correlated LIMIT — the per-entity top-N shape
+    analysts write naturally as LATERAL, here proven equivalent to the
+    engine's WindowGroupLimit execution. Restricted to BUILDING-segment
+    customers so the correlation actually prunes.
+
+    Spark plans the decorrelated form as a rank window; the pin asserts
+    the rank-limit runs PARTIALLY below the exchange (WindowGroupLimit),
+    so even a mega-customer forwards at most N rows per task — the
+    lateral syntax costs nothing over the hand-written window at scale.
+
+    Determinism: ordering is the (price desc, orderkey) total order;
+    money rounds once."""
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT {LATERAL_TOP_N}
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+def q_join_null_safe_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=> in Spark, IS NOT DISTINCT FROM in
+    standard SQL): joining on a NULLABLE derived key where NULL must
+    match NULL — the semantics plain `=` silently drops (NULL = NULL is
+    NULL, so those rows vanish; the classic silent-data-loss bug in CDC
+    merge keys). The derived key here is NULL for every order without a
+    priority digit, non-null otherwise, and the query counts matches per
+    key INCLUDING the NULL-NULL group, value-proving the three-valued-
+    logic difference: the same join under `=` reports a hash-checked
+    zero for the NULL group.
+
+    Scale shape: both sides aggregate to key-level BEFORE the join (the
+    null-safe comparator hashes NULL like any value, so the join stays a
+    hash join); the eq-vs-safe-eq comparison rides the same two tiny
+    frames."""
+    orders = load(spark, sf, "orders")
+    key = F.expr(
+        "case when o_orderpriority like '%URGENT%' then null"
+        " else substring(o_orderpriority, 1, 1) end"
+    )
+    a = orders.select(key.alias("k")).groupBy("k").agg(
+        F.count("*").alias("n_a")
+    )
+    b = orders.select(key.alias("k")).groupBy("k").agg(
+        F.count("*").alias("n_b")
+    )
+    safe = a.alias("a").join(
+        b.alias("b"), F.expr("a.k <=> b.k")
+    ).select(
+        F.col("a.k").alias("k"),
+        "n_a",
+        "n_b",
+        (F.col("n_a") * F.col("n_b")).alias("n_pairs_null_safe"),
+    )
+    plain = (
+        a.alias("a2")
+        .join(b.alias("b2"), F.expr("a2.k = b2.k"))
+        .select(F.col("a2.k").alias("k"), (F.col("n_a") * F.col("n_b")).alias("n_pairs_plain_eq"))
+    )
+    return (
+        safe.join(plain, "k", "left")
+        .na.fill({"n_pairs_plain_eq": 0})
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+def q_window_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Running DISTINCT user count per day — the cumulative-reach metric
+    (DAU -> cumulative uniques) that naive count(DISTINCT) OVER cannot
+    express (Spark and most engines reject DISTINCT in a running frame).
+    The standard rewrite: mark each user's FIRST day (min aggregate, not
+    a row_number over events), aggregate first-appearances per day, and
+    running-sum that tiny per-day table — the same sorted-aggregate
+    discipline as the Mann-Whitney ranks, so nothing event-sized is
+    windowed.
+
+    Each day also reports its plain distinct actives next to the
+    cumulative reach, so the result value-proves new-vs-returning
+    decomposition: actives - new = returning, and cumulative reach only
+    grows."""
+    events = load(spark, sf, "events")
+    per_day = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_active_users")
+    )
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    new_per_day = first_day.groupBy("day").agg(
+        F.count("*").alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_day.join(new_per_day, "day", "left")
+        .na.fill({"n_new_users": 0})
+        .withColumn("n_cumulative_users", F.sum("n_new_users").over(w))
+        .select(
+            "day",
+            "n_active_users",
+            "n_new_users",
+            (F.col("n_active_users") - F.col("n_new_users")).alias(
+                "n_returning_users"
+            ),
+            "n_cumulative_users",
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["join_lateral_topn"] = q_join_lateral_topn
+QUERIES["join_null_safe_eq"] = q_join_null_safe_eq
+QUERIES["window_cumulative_distinct"] = q_window_cumulative_distinct
+
+ORACLES["join_lateral_topn"] = f"""
+    SELECT c.c_custkey, c.c_name, t.o_orderkey,
+           round(t.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT {LATERAL_TOP_N}
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+ORACLES["join_null_safe_eq"] = """
+    WITH keyed AS (
+        SELECT CASE WHEN o_orderpriority LIKE '%URGENT%' THEN NULL
+                    ELSE substring(o_orderpriority, 1, 1) END AS k
+        FROM orders
+    ), a AS (SELECT k, count(*)::BIGINT AS n_a FROM keyed GROUP BY k),
+    b AS (SELECT k, count(*)::BIGINT AS n_b FROM keyed GROUP BY k),
+    safe AS (
+        SELECT a.k, a.n_a, b.n_b, (a.n_a * b.n_b)::BIGINT AS n_pairs_null_safe
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ), plain AS (
+        SELECT a.k, (a.n_a * b.n_b)::BIGINT AS n_pairs_plain_eq
+        FROM a JOIN b ON a.k = b.k
+    )
+    SELECT s.k, s.n_a, s.n_b, s.n_pairs_null_safe,
+           coalesce(p.n_pairs_plain_eq, 0)::BIGINT AS n_pairs_plain_eq
+    FROM safe s LEFT JOIN plain p ON s.k IS NOT DISTINCT FROM p.k
+    ORDER BY s.k ASC NULLS FIRST
+"""
+
+ORACLES["window_cumulative_distinct"] = """
+    WITH per_day AS (
+        SELECT ts::DATE AS day, count(DISTINCT user_id)::BIGINT AS n_active_users
+        FROM events GROUP BY 1
+    ), first_day AS (
+        SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY user_id
+    ), new_per_day AS (
+        SELECT day, count(*)::BIGINT AS n_new_users FROM first_day GROUP BY day
+    )
+    SELECT p.day, p.n_active_users,
+           coalesce(n.n_new_users, 0)::BIGINT AS n_new_users,
+           (p.n_active_users - coalesce(n.n_new_users, 0))::BIGINT AS n_returning_users,
+           (sum(coalesce(n.n_new_users, 0)) OVER (ORDER BY p.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS n_cumulative_users
+    FROM per_day p LEFT JOIN new_per_day n USING (day)
+    ORDER BY p.day
+"""

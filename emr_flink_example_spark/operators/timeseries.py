@@ -1414,3 +1414,139 @@ ORACLES["timeseries_sax_words"] = f"""
     FROM words w LEFT JOIN freq f USING (sax_word)
 """
 QUERIES["timeseries_sax_words"] = q_timeseries_sax_words
+
+
+#: EWMA/SMA crossover geometry: alpha = 1/2 (dyadic, so the recurrence is
+#: an exact integer prefix sum), slow line = 3-day simple moving average
+EWMA_SMA_DAYS = 3
+
+
+def q_timeseries_ewma_crossover(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA vs moving-average crossover signals per user — the classic
+    fast/slow trend detector — with the EWMA recurrence e_t = (v_t +
+    e_{t-1}) / 2 restated as an EXACT INTEGER prefix sum: multiplying by
+    2^{t-1} gives E_t = v_1 + sum_{s=2..t} v_s * 2^{s-2}, a plain
+    running sum of integer-weighted daily cents, so the sequential
+    recurrence needs no applyInPandas kernel (the Holt contrast) and no
+    float accumulates anywhere.
+
+        ewma_t = E_t / 2^{t-1}   (one double division, micro-floored)
+        above  = 3 * E_t > S3_t * 2^{t-1}   (exact integer compare)
+
+    where S3 is the 3-day window sum; crossover = the `above` signal
+    differs from the previous day's. Both the division and the compare
+    are exact: the int64 products are guarded, and E_t is guarded to
+    stay below 2^53 so the double division itself is exact-input
+    (log2(max_v) + N_DAYS - 2 < 52, read from the per-user max — the
+    enforced Mann-Whitney guard discipline; tripped users NULL their
+    signals LOUDLY).
+
+    Scale shape: one combine-friendly (user, day) cents aggregate; the
+    dense 30-day grid is users x N_DAYS (broadcast day spine); all three
+    windows (prefix sum, 3-day frame, lag) share ONE partitioning on
+    user_id ordered by day. Nothing beyond user x 30 rows exists."""
+    events = load(spark, sf, "events")
+    daily = events.groupBy("user_id", F.dayofmonth("ts").alias("day")).agg(
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v")
+    )
+    users = daily.groupBy("user_id").agg(F.max(F.abs("v")).alias("max_v"))
+    grid = (
+        users.crossJoin(F.broadcast(_day_grid(spark)))
+        .join(daily, ["user_id", "day"], "left")
+        .na.fill({"v": 0})
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_sma = w_ord.rowsBetween(-(EWMA_SMA_DAYS - 1), Window.currentRow)
+    weighted = grid.withColumn(
+        "wv",
+        F.expr("v * if(day = 1, cast(1 as bigint), shiftleft(cast(1 as bigint), day - 2))"),
+    )
+    cum = (
+        weighted.withColumn("e_scaled", F.sum("wv").over(w_cum))
+        .withColumn("s3", F.sum("v").over(w_sma))
+        .withColumn("n_in_frame", F.count("v").over(w_sma))
+    )
+    ok = F.expr(
+        f"log2(cast(greatest(max_v, 1) as double)) + {N_DAYS} - 2 < 52.0"
+    )
+    ewma = F.expr(
+        "cast(floor(cast(e_scaled as double)"
+        " / cast(shiftleft(cast(1 as bigint), day - 1) as double)"
+        " * 1000000.0 + 0.5) as bigint)"
+    )
+    above = F.expr(
+        f"3 * e_scaled > s3 * shiftleft(cast(1 as bigint), day - 1)"
+    )
+    sig = cum.select(
+        "user_id",
+        "day",
+        F.when(ok, ewma).alias("ewma_micro"),
+        F.when(F.col("n_in_frame") == EWMA_SMA_DAYS, F.col("s3")).alias(
+            "sma3_cents"
+        ),
+        F.when(ok & (F.col("n_in_frame") == EWMA_SMA_DAYS), above).alias(
+            "above_sma"
+        ),
+        ok.alias("headroom_ok"),
+    )
+    prev = F.lag("above_sma").over(w_ord)
+    return sig.withColumn(
+        "is_crossover",
+        F.when(
+            F.col("above_sma").isNotNull() & prev.isNotNull(),
+            F.col("above_sma") != prev,
+        ),
+    )
+
+
+ORACLES["timeseries_ewma_crossover"] = f"""
+    WITH daily AS (
+        SELECT user_id, extract(day FROM ts)::INT AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v
+        FROM events GROUP BY 1, 2
+    ), users AS (
+        SELECT user_id, max(abs(v))::BIGINT AS max_v FROM daily GROUP BY user_id
+    ), grid AS (
+        SELECT u.user_id, u.max_v, g.day::INT AS day,
+               coalesce(d.v, 0)::BIGINT AS v
+        FROM users u CROSS JOIN range(1, {N_DAYS + 1}) g(day)
+        LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = g.day
+    ), cum AS (
+        SELECT user_id, max_v, day, v,
+               sum(v * CASE WHEN day = 1 THEN 1::BIGINT
+                            ELSE (1::BIGINT << (day - 2)) END)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS e_scaled,
+               sum(v) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN {EWMA_SMA_DAYS - 1} PRECEDING
+                            AND CURRENT ROW)::BIGINT AS s3,
+               count(v) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN {EWMA_SMA_DAYS - 1} PRECEDING
+                              AND CURRENT ROW) AS n_in_frame
+        FROM grid
+    ), sig AS (
+        SELECT user_id, day,
+               CASE WHEN ok THEN
+                 floor(e_scaled::DOUBLE / (1::BIGINT << (day - 1))::DOUBLE
+                       * 1000000.0 + 0.5)::BIGINT END AS ewma_micro,
+               CASE WHEN n_in_frame = {EWMA_SMA_DAYS} THEN s3 END AS sma3_cents,
+               CASE WHEN ok AND n_in_frame = {EWMA_SMA_DAYS} THEN
+                 3 * e_scaled > s3 * (1::BIGINT << (day - 1)) END AS above_sma,
+               ok AS headroom_ok
+        FROM (
+            SELECT *, log2(greatest(max_v, 1)::DOUBLE) + {N_DAYS} - 2 < 52.0 AS ok
+            FROM cum
+        )
+    )
+    SELECT user_id, day, ewma_micro, sma3_cents, above_sma,
+           headroom_ok,
+           CASE WHEN above_sma IS NOT NULL
+                 AND lag(above_sma) OVER (PARTITION BY user_id ORDER BY day)
+                     IS NOT NULL
+                THEN above_sma != lag(above_sma)
+                     OVER (PARTITION BY user_id ORDER BY day) END AS is_crossover
+    FROM sig
+"""
+QUERIES["timeseries_ewma_crossover"] = q_timeseries_ewma_crossover

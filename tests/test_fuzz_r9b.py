@@ -348,3 +348,172 @@ def test_kaplan_meier_death_and_censor_fuzz(spans):
             cum += math.floor(-math.log(1.0 - ev / n_risk) * 1000000.0 + 0.5)
         assert row["cum_neg_log_micro"] == cum
         assert row["survival_zero"] is False
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=30),
+                  st.integers(min_value=-500_00, max_value=500_00)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_ewma_prefix_sum_equals_float_recurrence_fuzz(day_values):
+    """Random sparse (day, cents) series, including negative values: the
+    oracle's integer prefix-sum EWMA must equal the textbook float
+    recurrence bit for bit (alpha = 1/2 halving of integer cents is
+    exact in binary), and the crossover signal must match the direct
+    compare."""
+    from emr_flink_example_spark.operators.timeseries import (
+        EWMA_SMA_DAYS,
+        N_DAYS,
+        ORACLES as TS_ORACLES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, ts TIMESTAMP)"
+    )
+    rows = []
+    for i, (day, cents) in enumerate(day_values):
+        rows.append(
+            (i, 0, "view", cents / 100.0, f"2024-01-{day:02d} 03:00:00")
+        )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    cur = con.execute(TS_ORACLES["timeseries_ewma_crossover"])
+    cols = [d[0] for d in cur.description]
+    got = {r[1]: dict(zip(cols, r)) for r in cur.fetchall()}
+    daily = [0] * (N_DAYS + 1)
+    for day, cents in day_values:
+        daily[day] += cents
+    e = float(daily[1])
+    prev_above = None
+    for d in range(1, N_DAYS + 1):
+        if d > 1:
+            e = (daily[d] + e) / 2.0
+        row = got[d]
+        assert row["headroom_ok"] is True
+        assert row["ewma_micro"] == math.floor(e * 1000000.0 + 0.5)
+        if d >= EWMA_SMA_DAYS:
+            s3 = sum(daily[d - EWMA_SMA_DAYS + 1 : d + 1])
+            assert row["sma3_cents"] == s3
+            above = e > s3 / EWMA_SMA_DAYS
+            assert row["above_sma"] == above
+            if prev_above is not None:
+                assert row["is_crossover"] == (above != prev_above)
+            prev_above = above
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_funnel_windowed_deadline_fuzz(evs):
+    """Random event streams with second-resolution timestamps: the
+    oracle's deadline funnel must equal the per-user reference,
+    including streams where the click lands exactly ON the deadline
+    (inclusive) or one second past it (excluded)."""
+    from datetime import datetime, timedelta
+
+    from emr_flink_example_spark.operators.analytics import (
+        FUNNEL_WINDOW_SECONDS,
+        ORACLES as A_ORC,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, uid, et, 1.0, base + timedelta(seconds=secs))
+        for i, (uid, et, secs) in enumerate(evs)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, ts TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    got = _row(con, A_ORC["funnel_windowed"])
+    by_user: dict[int, list] = {}
+    for _, uid, et, _, ts in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+    n_v = n_c = n_p = 0
+    for evl in by_user.values():
+        views = [t for t, e in evl if e == "view"]
+        if not views:
+            continue
+        n_v += 1
+        tv = min(views)
+        clicks = [
+            t for t, e in evl
+            if e == "click" and t > tv
+            and (t - tv).total_seconds() <= FUNNEL_WINDOW_SECONDS
+        ]
+        if not clicks:
+            continue
+        n_c += 1
+        tc = min(clicks)
+        if any(
+            e == "purchase" and t > tc
+            and (t - tc).total_seconds() <= FUNNEL_WINDOW_SECONDS
+            for t, e in evl
+        ):
+            n_p += 1
+    if n_v == 0:
+        # zero viewers: the census divides by n_viewed — engines return
+        # one row of NULL/0; just require no crash and zero counts
+        assert (got["n_viewed"] or 0) == 0
+        return
+    assert (got["n_viewed"], got["n_clicked_in_window"],
+            got["n_purchased_in_window"]) == (n_v, n_c, n_p)
+    assert got["view_to_click_micro"] == (2_000_000 * n_c + n_v) // (2 * n_v)
+    assert got["click_to_purchase_micro"] == (
+        (2_000_000 * n_p + n_c) // (2 * n_c) if n_c else 0
+    )
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_null_safe_eq_fuzz(priorities):
+    """Random priority mixes (URGENT rows derive a NULL key): the
+    null-safe join must count the NULL-NULL group while plain `=`
+    reports zero for it, on every mix including all-NULL and no-NULL."""
+    from emr_flink_example_spark.operators.relational import (
+        ORACLES as R_ORC,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderstatus VARCHAR, o_totalprice DOUBLE,"
+        " o_orderdate TIMESTAMP, o_orderpriority VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, 1, 'O', 1.0, TIMESTAMP '2024-01-01', ?)",
+        list(enumerate(priorities)),
+    )
+    cur = con.execute(R_ORC["join_null_safe_eq"])
+    cols = [d[0] for d in cur.description]
+    got = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    keys = [None if "URGENT" in p else p[0] for p in priorities]
+    cnt = Counter(keys)
+    assert set(got) == set(cnt)
+    for k, n in cnt.items():
+        assert got[k]["n_pairs_null_safe"] == n * n
+        assert got[k]["n_pairs_plain_eq"] == (0 if k is None else n * n)

@@ -1323,3 +1323,68 @@ def test_precision_recall_one_postings_build(spark):
     assert "WindowGroupLimit" in plan and ", Partial" in plan
     assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """LATERAL correlated LIMIT must decorrelate into the rank-window
+    form with the rank cut running PARTIALLY below the exchange — the
+    lateral syntax costs nothing over a hand-written window at scale."""
+    plan = _plan(spark, "join_lateral_topn")
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    """The <=> comparator hashes NULL like any other key, so the
+    null-safe join remains a hash join (never a nested loop), and both
+    sides aggregate to key level first."""
+    plan = _plan(spark, "join_null_safe_eq")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_cumulative_distinct_windows_per_day_table_only(spark):
+    """Cumulative reach: the running sum windows over the PER-DAY table
+    (30 rows), below which sit the two combine-friendly aggregates —
+    nothing event-sized is windowed."""
+    plan = _plan(spark, "window_cumulative_distinct")
+    assert "Window" in plan
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ewma_windows_share_one_partitioning(spark):
+    """EWMA crossover: prefix sum, 3-day frame, and lag all window over
+    ONE user partitioning (a single Exchange hashpartitioning(user_id)),
+    and no Python appears — the integer prefix-sum restatement removes
+    the applyInPandas kernel a sequential recurrence usually needs."""
+    plan = _plan(spark, "timeseries_ewma_crossover")
+    assert "Window" in plan
+    # daily agg, per-user max (guard), grid join + shared window sort:
+    # every exchange is user-keyed; the three windows add NO exchange of
+    # their own beyond the one sort they share
+    assert plan.count("Exchange hashpartitioning(user_id") <= 3
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_funnel_windowed_mirrors_funnel_plan(spark):
+    """Windowed funnel: the deadline predicate adds no shuffle — same
+    user-keyed joins + 1-row census broadcasts as funnel_conversion."""
+    plan = _plan(spark, "funnel_windowed")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row census attaches
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_survivor_quality_winner_cut_on_clustered_only(spark):
+    """Quality survivors: the winner window partitions by component over
+    CLUSTERED docs only; the corpus joins back doc-keyed; no Python, no
+    cartesian."""
+    plan = _plan(spark, "dedup_survivor_by_quality")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -715,3 +715,217 @@ def test_node_jaccard_matches_pure_python(spark):
         (r.doc_a, r.doc_b, r.n_common, r.deg_u, r.deg_v, r.jaccard_micro, r.is_edge)
         for r in got
     ] == rows[:NODE_JACCARD_TOP_K]
+
+
+def test_lateral_topn_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.relational import (
+        LATERAL_TOP_N,
+        q_join_lateral_topn,
+    )
+
+    cust = {
+        r.c_custkey: r.c_name
+        for r in load(spark, SF_DIR, "customer")
+        .where("c_mktsegment = 'BUILDING'")
+        .collect()
+    }
+    orders: dict[int, list] = {}
+    for r in load(spark, SF_DIR, "orders").collect():
+        orders.setdefault(r.o_custkey, []).append(
+            (-r.o_totalprice, r.o_orderkey, r.o_totalprice)
+        )
+    want = []
+    for ck in cust:
+        top = sorted(orders.get(ck, []))[:LATERAL_TOP_N]
+        for _, ok_, price in top:
+            want.append((ck, cust[ck], ok_, round(price, 2)))
+    got = sorted(
+        (r.c_custkey, r.c_name, r.o_orderkey, r.o_totalprice)
+        for r in q_join_lateral_topn(spark, SF_DIR).collect()
+    )
+    assert got == sorted(want)
+    # no customer exceeds N rows
+    per = Counter(g[0] for g in got)
+    assert max(per.values()) <= LATERAL_TOP_N
+
+
+def test_null_safe_eq_keeps_null_group(spark):
+    from emr_flink_example_spark.operators.relational import (
+        q_join_null_safe_eq,
+    )
+
+    rows = load(spark, SF_DIR, "orders").select("o_orderpriority").collect()
+    keys = [
+        None if "URGENT" in r.o_orderpriority else r.o_orderpriority[0]
+        for r in rows
+    ]
+    cnt = Counter(keys)
+    got = {r.k: r for r in q_join_null_safe_eq(spark, SF_DIR).collect()}
+    assert set(got) == set(cnt)
+    for k, n in cnt.items():
+        row = got[k]
+        assert (row.n_a, row.n_b) == (n, n)
+        assert row.n_pairs_null_safe == n * n
+        # plain = drops NULL-NULL matches; non-null groups are unchanged
+        assert row.n_pairs_plain_eq == (0 if k is None else n * n)
+    assert None in got and got[None].n_pairs_null_safe > 0
+
+
+def test_cumulative_distinct_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.relational import (
+        q_window_cumulative_distinct,
+    )
+
+    rows = load(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    by_day: dict = {}
+    first: dict[int, object] = {}
+    for r in rows:
+        d = r.ts.date()
+        by_day.setdefault(d, set()).add(r.user_id)
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    new_per_day = Counter(first.values())
+    got = [r for r in q_window_cumulative_distinct(spark, SF_DIR).collect()]
+    assert [r.day for r in got] == sorted(by_day)
+    cum = 0
+    for r in got:
+        assert r.n_active_users == len(by_day[r.day])
+        assert r.n_new_users == new_per_day.get(r.day, 0)
+        assert r.n_returning_users == r.n_active_users - r.n_new_users
+        cum += r.n_new_users
+        assert r.n_cumulative_users == cum
+    # reach ends at the total distinct population
+    assert cum == len(first)
+
+
+def test_ewma_crossover_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.timeseries import (
+        EWMA_SMA_DAYS,
+        N_DAYS,
+        q_timeseries_ewma_crossover,
+    )
+
+    rows = load(spark, SF_DIR, "events").select("user_id", "ts", "value").collect()
+    daily: dict[tuple, int] = {}
+    for r in rows:
+        k = (r.user_id, r.ts.day)
+        daily[k] = daily.get(k, 0) + math.floor(r.value * 100 + 0.5)
+    users = sorted({u for u, _ in daily})
+    got: dict[tuple, object] = {}
+    for r in q_timeseries_ewma_crossover(spark, SF_DIR).collect():
+        got[(r.user_id, r.day)] = r
+    assert set(got) == {(u, d) for u in users for d in range(1, N_DAYS + 1)}
+    for u in users:
+        vs = [daily.get((u, d), 0) for d in range(1, N_DAYS + 1)]
+        # reference: the textbook float recurrence with alpha = 1/2 —
+        # exact in binary for integer cents, so it must equal the
+        # integer prefix-sum restatement bit for bit
+        e = float(vs[0])
+        prev_above = None
+        for d in range(1, N_DAYS + 1):
+            if d > 1:
+                e = (vs[d - 1] + e) / 2.0
+            row = got[(u, d)]
+            assert row.headroom_ok is True
+            assert row.ewma_micro == math.floor(e * 1000000.0 + 0.5)
+            if d >= EWMA_SMA_DAYS:
+                s3 = sum(vs[d - EWMA_SMA_DAYS : d])
+                assert row.sma3_cents == s3
+                above = e > s3 / EWMA_SMA_DAYS
+                assert row.above_sma == above
+                if prev_above is not None:
+                    assert row.is_crossover == (above != prev_above)
+                prev_above = above
+            else:
+                assert row.sma3_cents is None
+                assert row.above_sma is None
+                assert row.is_crossover is None
+
+
+def test_funnel_windowed_le_unbounded(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        FUNNEL_WINDOW_SECONDS,
+        q_funnel_conversion,
+        q_funnel_windowed,
+    )
+
+    rows = load(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n_v = n_c = n_p = 0
+    for evs in by_user.values():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        n_v += 1
+        tv = min(views)
+        clicks = [
+            t for t, e in evs
+            if e == "click" and t > tv
+            and (t - tv).total_seconds() <= FUNNEL_WINDOW_SECONDS
+        ]
+        if not clicks:
+            continue
+        n_c += 1
+        tc = min(clicks)
+        purchases = [
+            t for t, e in evs
+            if e == "purchase" and t > tc
+            and (t - tc).total_seconds() <= FUNNEL_WINDOW_SECONDS
+        ]
+        if purchases:
+            n_p += 1
+    got = q_funnel_windowed(spark, SF_DIR).first()
+    assert (got.n_viewed, got.n_clicked_in_window, got.n_purchased_in_window) == (
+        n_v, n_c, n_p,
+    )
+    # the deadline can only LOWER counts vs the unbounded funnel
+    unbounded = q_funnel_conversion(spark, SF_DIR).first()
+    assert got.n_clicked_in_window <= unbounded.n_clicked
+    assert got.n_purchased_in_window <= unbounded.n_purchased
+
+
+def test_survivor_by_quality_matches_components_and_scores(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        q_dedup_survivor_by_quality,
+    )
+    from emr_flink_example_spark.operators.dedup import (
+        q_dedup_connected_components,
+    )
+    from emr_flink_example_spark.operators.textstats import (
+        q_quality_fasttext_gate,
+    )
+
+    comp = {
+        r.doc_id: r.component_id
+        for r in q_dedup_connected_components(spark, SF_DIR).collect()
+    }
+    scores = {
+        r.doc_id: r.score_micro
+        for r in q_quality_fasttext_gate(spark, SF_DIR).collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        clusters.setdefault(c, []).append(d)
+    winner = {
+        c: min(ds, key=lambda d: (-scores.get(d, -(10**12)), d))
+        for c, ds in clusters.items()
+    }
+    got = {r.doc_id: r for r in q_dedup_survivor_by_quality(spark, SF_DIR).collect()}
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(got) == n_docs
+    for d, r in got.items():
+        if d in comp:
+            assert r.survivor_doc_id == winner[comp[d]]
+            assert r.cluster_size == len(clusters[comp[d]])
+        else:
+            assert r.survivor_doc_id == d
+            assert r.cluster_size == 1
+        assert r.is_survivor == (r.survivor_doc_id == d)
+    # every cluster's survivor has the max score in its cluster
+    for c, ds in clusters.items():
+        best = max(scores.get(d, -(10**12)) for d in ds)
+        assert scores.get(winner[c], -(10**12)) == best
