@@ -230,6 +230,10 @@ HEADLINE = [
     "timeseries_ewma_crossover",
     "funnel_windowed",
     "dedup_survivor_by_quality",
+    # r9 thirteenth wave: clustering coefficient / RAKE / weighted median
+    "graph_clustering_coefficient",
+    "text_keyphrase_rake",
+    "agg_weighted_median",
 ]
 
 

@@ -3470,3 +3470,75 @@ def _survivor_quality_oracle() -> str:
 
 ORACLES["dedup_survivor_by_quality"] = _survivor_quality_oracle()
 QUERIES["dedup_survivor_by_quality"] = q_dedup_survivor_by_quality
+
+
+def q_graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998) and
+    the corpus-wide transitivity ratio over the near-dup graph: cc(v) =
+    2*t(v) / (d(v)*(d(v)-1)) grades how clique-like each doc's dup
+    neighbourhood is (cc ~ 1: template boilerplate clique; cc ~ 0: chain
+    of possibly-false-positive links), and transitivity = sum(2t) /
+    sum(d(d-1)) gives the one-number corpus health metric. Pure
+    composition over the verified degree-oriented triangle counter —
+    zero new graph machinery.
+
+    Determinism: t and d are exact integers; cc_micro = (2e6*2t +
+    d(d-1)) div (2*d(d-1)) is the exact integer division; transitivity
+    rides the same integer sums in a broadcast scalar row. Nodes with
+    d < 2 (no possible wedge) publish NULL cc, ANSI-safe.
+
+    Scale shape: the triangle query's bounded shapes (skew-guarded LSH
+    pair stream, orientation-capped wedges) plus one integer fold and a
+    broadcast attach. Lives in analytics importing dedup machinery (the
+    node-Jaccard precedent) so the driver-checked prefix is
+    undisturbed."""
+    from .dedup import q_graph_triangle_count
+
+    tri = q_graph_triangle_count(spark, sf)
+    glob = tri.agg(
+        F.sum(2 * F.col("n_triangles")).alias("closed_x2"),
+        F.sum(F.col("degree") * (F.col("degree") - 1)).alias("wedges_x2"),
+    )
+    return (
+        tri.crossJoin(F.broadcast(glob))
+        .select(
+            "doc_id",
+            "degree",
+            "n_triangles",
+            F.expr(
+                "case when degree >= 2 then"
+                " (2000000 * 2 * n_triangles + degree * (degree - 1))"
+                " div (2 * degree * (degree - 1)) end"
+            ).alias("local_cc_micro"),
+            F.expr(
+                "case when wedges_x2 > 0 then"
+                " (2000000 * closed_x2 + wedges_x2) div (2 * wedges_x2)"
+                " else cast(0 as bigint) end"
+            ).alias("transitivity_micro"),
+        )
+    )
+
+
+def _clustering_coef_oracle() -> str:
+    from .dedup import _triangle_oracle
+
+    return f"""
+        WITH tri AS ({_triangle_oracle()}),
+        gstats AS (
+            SELECT sum(2 * n_triangles)::BIGINT AS closed_x2,
+                   sum(degree * (degree - 1))::BIGINT AS wedges_x2
+            FROM tri
+        )
+        SELECT doc_id, degree, n_triangles,
+               CASE WHEN degree >= 2 THEN
+                 ((2000000 * 2 * n_triangles + degree * (degree - 1))
+                  // (2 * degree * (degree - 1)))::BIGINT END AS local_cc_micro,
+               CASE WHEN wedges_x2 > 0 THEN
+                 ((2000000 * closed_x2 + wedges_x2) // (2 * wedges_x2))::BIGINT
+               ELSE 0 END AS transitivity_micro
+        FROM tri CROSS JOIN gstats
+    """
+
+
+ORACLES["graph_clustering_coefficient"] = _clustering_coef_oracle()
+QUERIES["graph_clustering_coefficient"] = q_graph_clustering_coefficient

@@ -2789,3 +2789,79 @@ ORACLES["window_cumulative_distinct"] = """
     FROM per_day p LEFT JOIN new_per_day n USING (day)
     ORDER BY p.day
 """
+
+
+def q_agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact weighted median per group: the price point at which half
+    the QUANTITY (not half the line items) has been sold — the
+    inventory-weighted location statistic plain percentile_cont cannot
+    express. Per l_returnflag: the smallest price whose running quantity
+    weight reaches half the group total (the standard lower weighted
+    median), plus the total weight and the reached cumulative weight as
+    hash-checked witnesses.
+
+    Determinism: prices and quantities are exact integers (cents /
+    integer quantities); the cut compares 2 * cum_weight >= total
+    (integer cross-multiplication, no halving division); the per-group
+    minimum over qualifying rows is a total order.
+
+    Scale shape: one combine-friendly (group, price) aggregate FIRST
+    (the corpus-sized scan), then the running-weight window over the
+    AGGREGATED distinct-price table (the Mann-Whitney sorted-aggregate
+    discipline — |distinct prices| per group, never line items), then a
+    1-row-per-group min fold."""
+    li = load(spark, sf, "lineitem")
+    by_price = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias(
+            "price_cents"
+        ),
+    ).agg(F.sum(F.expr("cast(l_quantity as bigint)")).alias("w"))
+    win = Window.partitionBy("grp").orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("grp")
+    cum = by_price.withColumn("cum_w", F.sum("w").over(win)).withColumn(
+        "total_w", F.sum("w").over(wtot)
+    )
+    return (
+        cum.where(2 * F.col("cum_w") >= F.col("total_w"))
+        .groupBy("grp")
+        .agg(
+            F.min(F.struct("price_cents", "cum_w")).alias("m"),
+            F.max("total_w").alias("total_weight"),
+        )
+        .select(
+            "grp",
+            F.col("m.price_cents").alias("weighted_median_cents"),
+            F.col("m.cum_w").alias("cum_weight_at_median"),
+            "total_weight",
+        )
+        .orderBy("grp")
+    )
+
+
+ORACLES["agg_weighted_median"] = """
+    WITH by_price AS (
+        SELECT l_returnflag AS grp,
+               floor(l_extendedprice * 100 + 0.5)::BIGINT AS price_cents,
+               sum(l_quantity::BIGINT)::BIGINT AS w
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT grp, price_cents, w,
+               sum(w) OVER (PARTITION BY grp ORDER BY price_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_w,
+               sum(w) OVER (PARTITION BY grp)::BIGINT AS total_w
+        FROM by_price
+    ), qual AS (
+        SELECT * FROM cum WHERE 2 * cum_w >= total_w
+    )
+    SELECT grp,
+           min(price_cents)::BIGINT AS weighted_median_cents,
+           min(cum_w)::BIGINT AS cum_weight_at_median,
+           max(total_w)::BIGINT AS total_weight
+    FROM qual GROUP BY grp
+    ORDER BY grp
+"""
+QUERIES["agg_weighted_median"] = q_agg_weighted_median

@@ -4178,3 +4178,174 @@ def _pr_oracle() -> str:
 
 QUERIES["retrieval_precision_recall"] = q_retrieval_precision_recall
 ORACLES["retrieval_precision_recall"] = _pr_oracle()
+
+
+#: RAKE geometry: candidate phrases are maximal stopword-free token runs,
+#: truncated to this many words (the standard RAKE hygiene — unbounded runs
+#: make degree scores meaningless), reported top-k by score
+RAKE_MAX_PHRASE = 3
+RAKE_TOPK = 20
+
+
+def q_text_keyphrase_rake(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-delimited token runs (gaps-and-islands over
+    the token stream — island id = running count of stopwords, the
+    classic SQL formulation), each word scores deg(w)/freq(w) with
+    deg(w) = sum of host-phrase lengths and freq(w) = occurrences over
+    ALL phrase instances, and a phrase scores the sum of its word
+    scores. The degree/frequency ratio up-weights words living in long
+    collocations — TextRank's co-occurrence signal with zero iteration.
+
+    Determinism: deg and freq are exact integers; the phrase score
+    sum(deg_i / freq_i) is assembled as the exact rational
+    sum(deg_i * (prod_j freq_j / freq_i)) / prod_j freq_j over the
+    phrase's <= RAKE_MAX_PHRASE words (the div is exact — every freq_i
+    divides the product), then quantized by ONE double division floored
+    to micros. int64-headroom guard (ENFORCED): num/den are bounded by
+    9 * max_freq^3, so the per-phrase guard reads only the max word
+    frequency: 3 * log2(max_freq) + 4 < 62; tripped phrases NULL their
+    score LOUDLY, mirrored in the oracle.
+
+    Scale shape: one posexplode; the island id is a running sum over
+    per-DOC partitions (the per-doc sequence discipline); phrase
+    assembly and word stats are combine-friendly aggregates; the
+    per-phrase word re-join is bounded by phrase length; the report is
+    a global TakeOrdered top-k."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(TOKENS)).alias("pos", "token")
+    ).withColumn("is_stop", F.col("token").isin(*STOPWORDS))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.withColumn(
+        "island", F.sum(F.col("is_stop").cast("int")).over(w_doc)
+    ).where(~F.col("is_stop"))
+    instances = (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x.token,
+                ),
+                1,
+                RAKE_MAX_PHRASE,
+            ).alias("words")
+        )
+        .select(F.array_join("words", " ").alias("phrase"), "words")
+    )
+    inst_members = instances.select(
+        "phrase", F.size("words").alias("plen"), F.explode("words").alias("token")
+    )
+    word_stats = inst_members.groupBy("token").agg(
+        F.sum("plen").alias("deg"), F.count("*").alias("freq")
+    )
+    uniq = instances.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"),
+        F.first("words").alias("words"),  # phrase determines words exactly
+    )
+    pairs = (
+        uniq.select("phrase", "n_occurrences", F.explode("words").alias("token"))
+        .join(F.broadcast(word_stats), "token")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.expr(
+                "aggregate(collect_list(cast(freq as bigint)),"
+                " cast(1 as bigint), (acc, x) -> acc * x)"
+            ).alias("den"),
+            F.collect_list(F.struct("deg", "freq")).alias("df"),
+            F.max("freq").alias("max_freq"),
+        )
+    )
+    ok = F.expr("3.0 * log2(cast(max_freq as double)) + 4.0 < 62.0")
+    num = F.expr(
+        "aggregate(df, cast(0 as bigint), (acc, p) ->"
+        " acc + p.deg * (den div p.freq))"
+    )
+    score = F.expr(
+        "cast(floor(cast(num as double) / cast(den as double)"
+        " * 1000000.0 + 0.5) as bigint)"
+    )
+    return (
+        pairs.withColumn("num", num)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.when(ok, F.col("num")).alias("score_num"),
+            F.when(ok, F.col("den")).alias("score_den"),
+            F.when(ok, score).alias("rake_micro"),
+            ok.alias("headroom_ok"),
+        )
+        .orderBy(F.col("rake_micro").desc_nulls_last(), F.col("phrase").asc())
+        .limit(RAKE_TOPK)
+    )
+
+
+ORACLES["text_keyphrase_rake"] = f"""
+    WITH tok_lists AS (
+        SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), toks AS (
+        SELECT doc_id, i AS pos, toks[i] AS token,
+               toks[i] IN ({_SW}) AS is_stop
+        FROM tok_lists, unnest(generate_series(1, len(toks))) t(i)
+    ), runs AS (
+        SELECT doc_id, pos, token,
+               sum(is_stop::INT) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM toks
+        QUALIFY NOT is_stop
+    ), instances AS (
+        SELECT array_to_string(words, ' ') AS phrase, words
+        FROM (
+            SELECT doc_id, island,
+                   list_slice(list_transform(
+                       list_sort(list({{'pos': pos, 'token': token}})),
+                       r -> r.token),
+                       1, {RAKE_MAX_PHRASE}) AS words
+            FROM runs GROUP BY doc_id, island
+        )
+    ), inst_members AS (
+        SELECT phrase, len(words)::BIGINT AS plen, unnest(words) AS token
+        FROM instances
+    ), word_stats AS (
+        SELECT token, sum(plen)::BIGINT AS deg, count(*)::BIGINT AS freq
+        FROM inst_members GROUP BY token
+    ), uniq AS (
+        SELECT phrase, count(*)::BIGINT AS n_occurrences FROM instances
+        GROUP BY phrase
+    ), pairs AS (
+        SELECT u.phrase, u.n_occurrences,
+               count(*)::BIGINT AS n_words,
+               list({{'deg': w.deg, 'freq': w.freq}}) AS df,
+               max(w.freq)::BIGINT AS max_freq
+        FROM (SELECT phrase, n_occurrences,
+                     unnest(string_split(phrase, ' ')) AS token
+              FROM uniq) u
+        JOIN word_stats w USING (token)
+        GROUP BY u.phrase, u.n_occurrences
+    ), scored AS (
+        SELECT phrase, n_words, n_occurrences, max_freq, df,
+               list_reduce(list_transform(df, p -> p.freq),
+                           (a, b) -> a * b)::BIGINT AS den,
+               3.0 * log2(max_freq::DOUBLE) + 4.0 < 62.0 AS headroom_ok
+        FROM pairs
+    ), final AS (
+        SELECT phrase, n_words, n_occurrences, den, headroom_ok,
+               list_sum(list_transform(df, p ->
+                   p.deg * (den // p.freq)))::BIGINT AS num
+        FROM scored
+    )
+    SELECT phrase, n_words, n_occurrences,
+           CASE WHEN headroom_ok THEN num END AS score_num,
+           CASE WHEN headroom_ok THEN den END AS score_den,
+           CASE WHEN headroom_ok THEN
+             floor(num::DOUBLE / den::DOUBLE * 1000000.0 + 0.5)::BIGINT
+           END AS rake_micro,
+           headroom_ok
+    FROM final
+    ORDER BY rake_micro DESC NULLS LAST, phrase ASC
+    LIMIT {RAKE_TOPK}
+"""
+QUERIES["text_keyphrase_rake"] = q_text_keyphrase_rake

@@ -1388,3 +1388,33 @@ def test_survivor_quality_winner_cut_on_clustered_only(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_clustering_coefficient_composes_triangle_plan(spark):
+    """Clustering coefficient adds one integer fold + broadcast attach on
+    top of the triangle plan — no new window, no Python, no cartesian
+    beyond the 1-row scalar attach."""
+    plan = _plan(spark, "graph_clustering_coefficient")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row transitivity attach
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_rake_islands_window_per_doc_only(spark):
+    """RAKE: the island id is a running sum over per-DOC partitions; the
+    report is a TakeOrdered top-k; word stats broadcast back onto the
+    bounded phrase-member join."""
+    plan = _plan(spark, "text_keyphrase_rake")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_median_windows_over_price_table(spark):
+    """Weighted median: the running-weight window runs over the
+    AGGREGATED (group, distinct price) table — partial sums sit below
+    it; nothing line-item-sized is windowed."""
+    plan = _plan(spark, "agg_weighted_median")
+    assert "Window" in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan

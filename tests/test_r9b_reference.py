@@ -929,3 +929,122 @@ def test_survivor_by_quality_matches_components_and_scores(spark):
     for c, ds in clusters.items():
         best = max(scores.get(d, -(10**12)) for d in ds)
         assert scores.get(winner[c], -(10**12)) == best
+
+
+def test_clustering_coefficient_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        q_graph_clustering_coefficient,
+    )
+    from emr_flink_example_spark.operators.dedup import (
+        q_graph_triangle_count,
+    )
+
+    tri = {
+        r.doc_id: (r.degree, r.n_triangles)
+        for r in q_graph_triangle_count(spark, SF_DIR).collect()
+    }
+    closed_x2 = sum(2 * t for _, t in tri.values())
+    wedges_x2 = sum(d * (d - 1) for d, _ in tri.values())
+    got = {r.doc_id: r for r in q_graph_clustering_coefficient(spark, SF_DIR).collect()}
+    assert set(got) == set(tri)
+    for doc, (d, t) in tri.items():
+        row = got[doc]
+        assert (row.degree, row.n_triangles) == (d, t)
+        if d >= 2:
+            den = d * (d - 1)
+            assert row.local_cc_micro == (2_000_000 * 2 * t + den) // (2 * den)
+            assert 0 <= row.local_cc_micro <= 1_000_000
+        else:
+            assert row.local_cc_micro is None
+        assert row.transitivity_micro == (
+            (2_000_000 * closed_x2 + wedges_x2) // (2 * wedges_x2)
+            if wedges_x2
+            else 0
+        )
+
+
+def test_rake_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        RAKE_MAX_PHRASE,
+        RAKE_TOPK,
+        STOPWORDS,
+        q_text_keyphrase_rake,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    instances = []
+    for r in docs:
+        run: list[str] = []
+        for tok in _tokens(r.text) + ["the"]:  # sentinel flushes the tail
+            if tok in STOPWORDS:
+                if run:
+                    instances.append(tuple(run[:RAKE_MAX_PHRASE]))
+                    run = []
+            else:
+                run.append(tok)
+    deg: Counter = Counter()
+    freq: Counter = Counter()
+    for words in instances:
+        for w in words:
+            deg[w] += len(words)
+            freq[w] += 1
+    occurrences = Counter(" ".join(w) for w in instances)
+    rows = []
+    for phrase, n_occ in occurrences.items():
+        words = phrase.split(" ")
+        den = 1
+        for w in words:
+            den *= freq[w]
+        num = sum(deg[w] * (den // freq[w]) for w in words)
+        rows.append(
+            (
+                phrase,
+                len(words),
+                n_occ,
+                num,
+                den,
+                math.floor(num / den * 1000000.0 + 0.5),
+            )
+        )
+    rows.sort(key=lambda t: (-t[5], t[0]))
+    got = q_text_keyphrase_rake(spark, SF_DIR).collect()
+    assert [
+        (r.phrase, r.n_words, r.n_occurrences, r.score_num, r.score_den,
+         r.rake_micro)
+        for r in got
+    ] == rows[:RAKE_TOPK]
+    assert all(r.headroom_ok for r in got)
+    # degree/freq ratio bounds: every word score is within [1, MAX], so a
+    # k-word phrase scores within [k, k*MAX] — micro-quantized
+    for r in got:
+        assert r.n_words * 1_000_000 <= r.rake_micro <= (
+            r.n_words * RAKE_MAX_PHRASE * 1_000_000
+        )
+
+
+def test_weighted_median_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.relational import (
+        q_agg_weighted_median,
+    )
+
+    rows = load(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups: dict[str, dict[int, int]] = {}
+    for r in rows:
+        price = math.floor(r.l_extendedprice * 100 + 0.5)
+        g = groups.setdefault(r.l_returnflag, {})
+        g[price] = g.get(price, 0) + int(r.l_quantity)
+    got = {r.grp: r for r in q_agg_weighted_median(spark, SF_DIR).collect()}
+    assert set(got) == set(groups)
+    for grp, weights in groups.items():
+        total = sum(weights.values())
+        cum = 0
+        for price in sorted(weights):
+            cum += weights[price]
+            if 2 * cum >= total:
+                break
+        row = got[grp]
+        assert row.weighted_median_cents == price
+        assert row.cum_weight_at_median == cum
+        assert row.total_weight == total
