@@ -234,6 +234,9 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "text_keyphrase_rake",
     "agg_weighted_median",
+    # r9 fourteenth wave: Heaps-law growth / Brown-Forsythe spread test
+    "vocab_heaps_law",
+    "abtest_brown_forsythe",
 ]
 
 

@@ -3320,8 +3320,9 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
             "n_clicked_in_window",
             "n_purchased_in_window",
             F.expr(
-                "(2000000 * n_clicked_in_window + n_viewed)"
-                " div (2 * n_viewed)"
+                "case when n_viewed > 0 then"
+                " (2000000 * n_clicked_in_window + n_viewed)"
+                " div (2 * n_viewed) else cast(0 as bigint) end"
             ).alias("view_to_click_micro"),
             F.expr(
                 "case when n_clicked_in_window > 0 then"
@@ -3352,8 +3353,10 @@ ORACLES["funnel_windowed"] = f"""
     SELECT (SELECT count(*) FROM tv)::BIGINT AS n_viewed,
            (SELECT count(*) FROM tc)::BIGINT AS n_clicked_in_window,
            (SELECT count(*) FROM tp)::BIGINT AS n_purchased_in_window,
-           ((2000000 * (SELECT count(*) FROM tc) + (SELECT count(*) FROM tv))
-            // (2 * (SELECT count(*) FROM tv)))::BIGINT AS view_to_click_micro,
+           CASE WHEN (SELECT count(*) FROM tv) > 0 THEN
+             ((2000000 * (SELECT count(*) FROM tc) + (SELECT count(*) FROM tv))
+              // (2 * (SELECT count(*) FROM tv)))::BIGINT
+           ELSE 0 END AS view_to_click_micro,
            CASE WHEN (SELECT count(*) FROM tc) > 0 THEN
              ((2000000 * (SELECT count(*) FROM tp) + (SELECT count(*) FROM tc))
               // (2 * (SELECT count(*) FROM tc)))::BIGINT
@@ -3542,3 +3545,149 @@ def _clustering_coef_oracle() -> str:
 
 ORACLES["graph_clustering_coefficient"] = _clustering_coef_oracle()
 QUERIES["graph_clustering_coefficient"] = q_graph_clustering_coefficient
+
+
+def q_abtest_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test (Brown & Forsythe
+    1974 — Levene's test with the MEDIAN center, the robust form) on
+    purchase values between the deterministic arms: Mann-Whitney asks
+    whether spend LOCATION shifts; this asks whether spend SPREAD does —
+    the two together cover the standard "same conversion, different
+    behavior" experiment readouts.
+
+        z_ij = |x_ij - med_j|,  W = (N-k)/(k-1) *
+               sum_j n_j (zbar_j - zbar)^2 / sum_ij (z_ij - zbar_j)^2
+
+    Determinism discipline: values quantize to exact integer MILLIS;
+    each arm's median is the lower weighted median from the sorted
+    DISTINCT-value table (the agg_weighted_median cut — 2*cum >= n, no
+    averaging division); z sums and z-square sums are exact bigints; W
+    evaluates in ONE double expression over the integer sums (the
+    chi-square precedent) floored to micros. int64-headroom guard
+    (ENFORCED): sum(z^2) <= n * max_z^2, so the guard reads only n and
+    the max |deviation|: log2(n) + 2*log2(max_z) < 62; tripped -> NULL
+    W LOUDLY, mirrored in the oracle.
+
+    Scale shape: one combine-friendly (arm, value) aggregate, the
+    median cut windows over the DISTINCT-value table per arm, medians
+    broadcast back, then one (arm)-level and one 1-row fold. Nothing
+    event-sized is sorted."""
+    events = load(spark, sf, "events")
+    vals = events.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
+    )
+    by_val = vals.groupBy("arm", "v").agg(F.count("*").alias("w"))
+    w_cut = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_arm = Window.partitionBy("arm")
+    med = (
+        by_val.withColumn("cum", F.sum("w").over(w_cut))
+        .withColumn("n_arm", F.sum("w").over(w_arm))
+        .where(2 * F.col("cum") >= F.col("n_arm"))
+        .groupBy("arm")
+        .agg(F.min("v").alias("med"))
+    )
+    z = vals.join(F.broadcast(med), "arm").select(
+        "arm", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    arm_stats = z.groupBy("arm").agg(
+        F.count("*").alias("n_j"),
+        F.sum("z").alias("sz_j"),
+        F.sum(F.col("z") * F.col("z")).alias("szz_j"),
+        F.max("z").alias("max_z_j"),
+    )
+    g = arm_stats.agg(
+        F.count("*").alias("k"),
+        F.sum("n_j").alias("n_total"),
+        F.sum("sz_j").alias("sz"),
+        # within-group SS = sum_j (szz_j - sz_j^2 / n_j): per-arm double
+        # terms over exact ints, summed across EXACTLY k = 2 arms — a
+        # 2-operand float sum is commutative-exact (a + b == b + a
+        # bitwise), so no ordering hazard exists; k > 2 designs would
+        # need the integer common-denominator form instead
+        F.sum(
+            F.expr(
+                "cast(szz_j as double)"
+                " - cast(sz_j as double) * cast(sz_j as double)"
+                " / cast(n_j as double)"
+            )
+        ).alias("ss_within"),
+        F.sum(
+            F.expr(
+                "cast(sz_j as double) * cast(sz_j as double) / cast(n_j as double)"
+            )
+        ).alias("sum_sq_over_n"),
+        F.max(F.expr("log2(cast(n_j as double))"
+                     " + 2.0 * log2(cast(greatest(max_z_j, 1) as double))")).alias(
+            "guard_bits"
+        ),
+    )
+    ok = F.expr("case when n_total = 0 then true else guard_bits < 62.0 end")
+    w_stat = F.expr(
+        "case when k > 1 and n_total > k and ss_within > 0.0 then"
+        " (cast(n_total - k as double) / cast(k - 1 as double))"
+        " * (sum_sq_over_n - cast(sz as double) * cast(sz as double)"
+        "    / cast(n_total as double))"
+        " / ss_within end"
+    )
+    return g.select(
+        "k",
+        "n_total",
+        F.when(ok, F.col("sz")).alias("sum_abs_dev_milli"),
+        F.when(
+            ok, F.floor(w_stat * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        ).alias("bf_w_micro"),
+        ok.alias("headroom_ok"),
+    )
+
+
+ORACLES["abtest_brown_forsythe"] = """
+    WITH vals AS (
+        SELECT (user_id % 2)::INT AS arm,
+               floor(value * 1000 + 0.5)::BIGINT AS v
+        FROM events WHERE event_type = 'purchase'
+    ), by_val AS (
+        SELECT arm, v, count(*)::BIGINT AS w FROM vals GROUP BY arm, v
+    ), med AS (
+        SELECT arm, min(v)::BIGINT AS med FROM (
+            SELECT arm, v,
+                   sum(w) OVER (PARTITION BY arm ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(w) OVER (PARTITION BY arm) AS n_arm
+            FROM by_val
+        ) WHERE 2 * cum >= n_arm GROUP BY arm
+    ), z AS (
+        SELECT vals.arm, abs(v - med)::BIGINT AS z
+        FROM vals JOIN med USING (arm)
+    ), arm_stats AS (
+        SELECT arm, count(*)::BIGINT AS n_j, sum(z)::BIGINT AS sz_j,
+               sum(z * z)::BIGINT AS szz_j, max(z)::BIGINT AS max_z_j
+        FROM z GROUP BY arm
+    ), g AS (
+        SELECT count(*)::BIGINT AS k, sum(n_j)::BIGINT AS n_total,
+               sum(sz_j)::BIGINT AS sz,
+               sum(szz_j::DOUBLE - sz_j::DOUBLE * sz_j::DOUBLE / n_j::DOUBLE)
+                   AS ss_within,
+               sum(sz_j::DOUBLE * sz_j::DOUBLE / n_j::DOUBLE) AS sum_sq_over_n,
+               max(log2(n_j::DOUBLE)
+                   + 2.0 * log2(greatest(max_z_j, 1)::DOUBLE)) AS guard_bits
+        FROM arm_stats
+    ), ok_t AS (
+        SELECT *, CASE WHEN n_total = 0 THEN true
+                  ELSE guard_bits < 62.0 END AS headroom_ok
+        FROM g
+    )
+    SELECT k, n_total,
+           CASE WHEN headroom_ok THEN sz END AS sum_abs_dev_milli,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN k > 1 AND n_total > k AND ss_within > 0.0 THEN
+               floor(((n_total - k)::DOUBLE / (k - 1)::DOUBLE)
+                     * (sum_sq_over_n - sz::DOUBLE * sz::DOUBLE / n_total::DOUBLE)
+                     / ss_within * 1000000.0 + 0.5)::BIGINT END
+           END AS bf_w_micro,
+           headroom_ok
+    FROM ok_t
+"""
+QUERIES["abtest_brown_forsythe"] = q_abtest_brown_forsythe

@@ -4349,3 +4349,176 @@ ORACLES["text_keyphrase_rake"] = f"""
     LIMIT {RAKE_TOPK}
 """
 QUERIES["text_keyphrase_rake"] = q_text_keyphrase_rake
+
+
+#: Heaps-law census: cumulative vocabulary checkpoints every this many docs
+#: (ordered by doc_id)
+HEAPS_CHECKPOINT_DOCS = 50
+
+
+def q_vocab_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978; V = K * n^beta):
+    cumulative distinct vocabulary V and cumulative token count n are
+    sampled at every HEAPS_CHECKPOINT_DOCS-th document (doc_id order),
+    and beta/ln K come from the least-squares fit of ln V on ln n over
+    the checkpoints — the corpus-growth diagnostic that predicts
+    vocabulary size (and so hash/vocab table sizing) at 100x the data.
+
+    The cumulative distinct count uses the first-appearance rewrite (the
+    window_cumulative_distinct discipline): each token type maps to the
+    POSITION of its first host doc (one aggregate), checkpoints then
+    count first-appearances <= c — no sequential scan, no quadratic
+    re-distinct. Token totals ride the same per-doc aggregate.
+
+    Determinism: positions/counts are exact integers; ln values quantize
+    to integer milli-nats BEFORE the regression moments (the
+    vocab_zipf_slope discipline — order-independent integer moments,
+    slope/intercept as identical-double ratios of exact integers,
+    micro-floored once).
+
+    Scale shape: one corpus scan -> (token, first_pos) + per-doc token
+    counts; the checkpoint table is |n_docs / 50| rows; windows run over
+    the checkpoint/doc tables only."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+    w_pos = Window.orderBy("doc_id")
+    doc_stats = (
+        tok.groupBy("doc_id")
+        .agg(F.count("*").alias("doclen"))
+        .withColumn("pos", F.row_number().over(w_pos))
+    )
+    first_pos = (
+        tok.join(doc_stats.select("doc_id", "pos"), "doc_id")
+        .groupBy("token")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    w_cum = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    checkpoints = (
+        doc_stats.withColumn("cum_tokens", F.sum("doclen").over(w_cum))
+        .withColumn("max_pos", F.max("pos").over(w_all))
+        .where(
+            (F.col("pos") % HEAPS_CHECKPOINT_DOCS == 0)
+            | (F.col("pos") == F.col("max_pos"))
+        )
+        .select("pos", "cum_tokens")
+    )
+    new_types = first_pos.groupBy("first_pos").agg(
+        F.count("*").alias("n_new")
+    )
+    w_types = Window.orderBy("first_pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vocab_at = new_types.withColumn("cum_vocab", F.sum("n_new").over(w_types))
+    # checkpoint vocab = cumulative new types at the LAST first_pos <= pos:
+    # an as-of join expressed as max-over-filter via a range condition on
+    # the tiny checkpoint x first_pos product (both bounded tables)
+    joined = (
+        checkpoints.join(
+            F.broadcast(vocab_at), F.col("first_pos") <= F.col("pos"), "left"
+        )
+        .groupBy("pos", "cum_tokens")
+        .agg(F.max(F.struct("first_pos", "cum_vocab")).alias("m"))
+        .select(
+            "pos",
+            "cum_tokens",
+            F.coalesce(F.col("m.cum_vocab"), F.lit(0)).alias("cum_vocab"),
+        )
+    )
+    pts = joined.where(F.col("cum_vocab") > 0).select(
+        "pos",
+        "cum_tokens",
+        "cum_vocab",
+        F.expr(
+            "cast(floor(ln(cast(cum_tokens as double)) * 1000 + 0.5) as bigint)"
+        ).alias("x"),
+        F.expr(
+            "cast(floor(ln(cast(cum_vocab as double)) * 1000 + 0.5) as bigint)"
+        ).alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").alias("r"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    beta = F.expr(
+        "case when r * sxx - sx * sx <> 0 then"
+        " cast(r * sxy - sx * sy as double) / cast(r * sxx - sx * sx as double)"
+        " end"
+    )
+    return pts.crossJoin(F.broadcast(mom)).select(
+        "pos",
+        "cum_tokens",
+        "cum_vocab",
+        F.col("r").alias("n_checkpoints"),
+        F.floor(beta * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias(
+            "heaps_beta_micro"
+        ),
+        F.expr(
+            "case when r * sxx - sx * sx <> 0 then cast(floor("
+            " (cast(sy as double) / r - (cast(r * sxy - sx * sy as double)"
+            " / cast(r * sxx - sx * sx as double)) * cast(sx as double) / r)"
+            " / 1000.0 * 1000000.0 + 0.5) as bigint) end"
+        ).alias("heaps_lnk_micro"),
+    )
+
+
+ORACLES["vocab_heaps_law"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+    ), doc_stats AS (
+        SELECT doc_id, count(*)::BIGINT AS doclen,
+               row_number() OVER (ORDER BY doc_id) AS pos
+        FROM tok GROUP BY doc_id
+    ), first_pos AS (
+        SELECT t.token, min(d.pos)::BIGINT AS first_pos
+        FROM tok t JOIN doc_stats d USING (doc_id)
+        GROUP BY t.token
+    ), checkpoints AS (
+        SELECT pos, cum_tokens FROM (
+            SELECT pos,
+                   sum(doclen) OVER (ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS cum_tokens,
+                   max(pos) OVER () AS max_pos
+            FROM doc_stats
+        ) WHERE pos % {HEAPS_CHECKPOINT_DOCS} = 0 OR pos = max_pos
+    ), vocab_at AS (
+        SELECT first_pos,
+               sum(n_new) OVER (ORDER BY first_pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_vocab
+        FROM (SELECT first_pos, count(*)::BIGINT AS n_new
+              FROM first_pos GROUP BY first_pos)
+    ), joined AS (
+        SELECT c.pos, c.cum_tokens,
+               coalesce(max_by(v.cum_vocab, v.first_pos), 0)::BIGINT AS cum_vocab
+        FROM checkpoints c LEFT JOIN vocab_at v ON v.first_pos <= c.pos
+        GROUP BY c.pos, c.cum_tokens
+    ), pts AS (
+        SELECT pos, cum_tokens, cum_vocab,
+               floor(ln(cum_tokens::DOUBLE) * 1000 + 0.5)::BIGINT AS x,
+               floor(ln(cum_vocab::DOUBLE) * 1000 + 0.5)::BIGINT AS y
+        FROM joined WHERE cum_vocab > 0
+    ), mom AS (
+        SELECT count(*)::BIGINT AS r, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        FROM pts
+    )
+    SELECT pos, cum_tokens, cum_vocab, r AS n_checkpoints,
+           CASE WHEN r * sxx - sx * sx <> 0 THEN
+             floor((r * sxy - sx * sy)::DOUBLE / (r * sxx - sx * sx)::DOUBLE
+                   * 1000000.0 + 0.5)::BIGINT END AS heaps_beta_micro,
+           CASE WHEN r * sxx - sx * sx <> 0 THEN
+             floor((sy::DOUBLE / r - ((r * sxy - sx * sy)::DOUBLE
+                    / (r * sxx - sx * sx)::DOUBLE) * sx::DOUBLE / r)
+                   / 1000.0 * 1000000.0 + 0.5)::BIGINT END AS heaps_lnk_micro
+    FROM pts CROSS JOIN mom
+"""
+QUERIES["vocab_heaps_law"] = q_vocab_heaps_law

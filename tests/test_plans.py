@@ -1418,3 +1418,26 @@ def test_weighted_median_windows_over_price_table(spark):
     assert "Window" in plan
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_heaps_first_appearance_no_sequential_distinct(spark):
+    """Heaps law: cumulative vocabulary derives from the first-appearance
+    aggregate (min pos per token) — windows run over the checkpoint /
+    first-pos tables only; no event-sized re-distinct per checkpoint, no
+    Python."""
+    plan = _plan(spark, "vocab_heaps_law")
+    assert "Window" in plan
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_brown_forsythe_median_cut_on_distinct_values(spark):
+    """Brown-Forsythe: the per-arm median comes from the sorted
+    DISTINCT-value table (partial aggregate below the window), medians
+    broadcast back, and the test statistic folds in two tiny
+    aggregates — nothing event-sized is sorted."""
+    plan = _plan(spark, "abtest_brown_forsythe")
+    assert "Window" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

@@ -1048,3 +1048,90 @@ def test_weighted_median_matches_pure_python(spark):
         assert row.weighted_median_cents == price
         assert row.cum_weight_at_median == cum
         assert row.total_weight == total
+
+
+def test_heaps_law_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        HEAPS_CHECKPOINT_DOCS,
+        q_vocab_heaps_law,
+    )
+
+    docs = sorted(
+        load(spark, SF_DIR, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    tokked = [(r.doc_id, _tokens(r.text)) for r in docs]
+    tokked = [(d, t) for d, t in tokked if t]  # zero-token docs hold no pos
+    seen: set[str] = set()
+    cum_tokens = 0
+    pts = []
+    n = len(tokked)
+    for i, (_, toks) in enumerate(tokked, start=1):
+        cum_tokens += len(toks)
+        seen.update(toks)
+        if i % HEAPS_CHECKPOINT_DOCS == 0 or i == n:
+            pts.append((i, cum_tokens, len(seen)))
+    r = len(pts)
+    xs = [math.floor(math.log(ct) * 1000 + 0.5) for _, ct, _ in pts]
+    ys = [math.floor(math.log(cv) * 1000 + 0.5) for _, _, cv in pts]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (r * sxy - sx * sy) / (r * sxx - sx * sx)
+    lnk = (sy / r - beta * sx / r) / 1000.0
+    got = {row.pos: row for row in q_vocab_heaps_law(spark, SF_DIR).collect()}
+    assert set(got) == {p for p, _, _ in pts}
+    for p, ct, cv in pts:
+        row = got[p]
+        assert (row.cum_tokens, row.cum_vocab) == (ct, cv)
+        assert row.n_checkpoints == r
+        assert row.heaps_beta_micro == math.floor(beta * 1000000.0 + 0.5)
+        assert row.heaps_lnk_micro == math.floor(lnk * 1000000.0 + 0.5)
+    # sublinear growth: beta < 1 always; the synthetic fixture's CLOSED
+    # ~31-type vocabulary saturates immediately, so beta ~ 0 here (an
+    # open Zipfian corpus would give 0 < beta < 1 strictly)
+    assert 0 <= got[pts[0][0]].heaps_beta_micro < 1_000_000
+    assert got[pts[-1][0]].cum_vocab >= got[pts[0][0]].cum_vocab
+
+
+def test_brown_forsythe_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        q_abtest_brown_forsythe,
+    )
+
+    rows = load(spark, SF_DIR, "events").where("event_type = 'purchase'").select(
+        "user_id", "value"
+    ).collect()
+    arms: dict[int, list[int]] = {0: [], 1: []}
+    for r in rows:
+        arms[r.user_id % 2].append(math.floor(r.value * 1000 + 0.5))
+    meds = {}
+    for a, vs in arms.items():
+        vs.sort()
+        total = len(vs)
+        cnt = Counter(vs)
+        cum = 0
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if 2 * cum >= total:
+                meds[a] = v
+                break
+    zs = {a: [abs(v - meds[a]) for v in vs] for a, vs in arms.items()}
+    k = 2
+    n_total = sum(len(z) for z in zs.values())
+    sz = sum(sum(z) for z in zs.values())
+    ss_within = sum(
+        sum(v * v for v in z) - sum(z) ** 2 / len(z) for z in zs.values()
+    )
+    sum_sq_over_n = sum(sum(z) ** 2 / len(z) for z in zs.values())
+    w = (
+        ((n_total - k) / (k - 1))
+        * (sum_sq_over_n - sz * sz / n_total)
+        / ss_within
+    )
+    got = q_abtest_brown_forsythe(spark, SF_DIR).first()
+    assert (got.k, got.n_total) == (k, n_total)
+    assert got.headroom_ok is True
+    assert got.sum_abs_dev_milli == sz
+    assert got.bf_w_micro == math.floor(w * 1000000.0 + 0.5)
+    assert got.bf_w_micro >= 0
