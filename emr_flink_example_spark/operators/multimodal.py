@@ -440,9 +440,13 @@ ORACLES = {
                    octet_length(encode(text)) AS n
             FROM documents
         ), wins AS (
+            -- n > 0 guard: the Spark kernel's `while start < n` loop emits
+            -- ZERO windows for an empty payload; without the guard the
+            -- series (0, greatest(n-1,0)) would emit a phantom win_idx=0
+            -- row for empty docs and the engines would diverge (ADVICE r9)
             SELECT doc_id, hx, n,
                    unnest(generate_series(0, greatest(n - 1, 0), {AUDIO_HOP})) AS start
-            FROM wave
+            FROM wave WHERE n > 0
         )
         SELECT doc_id,
                (start // {AUDIO_HOP})::INT AS win_idx,
@@ -603,9 +607,12 @@ ORACLES["multimodal_audio_fingerprint"] = f"""
                octet_length(encode(text)) AS n
         FROM documents
     ), wins AS (
+        -- n > 0: empty payloads emit zero windows in the Spark kernel
+        -- (audio_peaks_batch), so the oracle must not emit a phantom
+        -- win_idx=0 row for them (ADVICE r9 empty-payload parity)
         SELECT doc_id, hx, n,
                unnest(generate_series(0, greatest(n - 1, 0), {AUDIO_HOP})) AS start
-        FROM wave
+        FROM wave WHERE n > 0
     ), banded AS (
         SELECT doc_id, (start // {AUDIO_HOP})::INT AS win_idx,
                list_transform(generate_series(0, {FP_BANDS - 1}), k ->

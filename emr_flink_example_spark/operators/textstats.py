@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import portable_hash, portable_hash_sql_duckdb
+from ..cache import pinned
 from ..io import load
 
 TOKEN_RE = "[a-zA-Z0-9]+"
@@ -205,7 +206,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).transform(pinned)
     dftab = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -734,7 +735,7 @@ def q_lm_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     key). Per-doc aggregation is one combine-friendly shuffle."""
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt")).persist()
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt")).transform(pinned)
     tot = vocab.agg(F.sum("cnt").alias("n_total"), F.count("*").alias("v"))
     micro = F.expr(
         "cast(floor(-ln(cast(cnt + 1 as double) / (n_total + v)) * 1000000 + 0.5) as bigint)"
@@ -962,7 +963,7 @@ def q_lm_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("pair"),
     )
-    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).persist()
+    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).transform(pinned)
     ctx = (
         pair_cnt.select(F.expr("split_part(pair, ' ', 1)").alias("w1"), "c_pair")
         .groupBy("w1")
@@ -1256,7 +1257,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
                 F.when(F.col("lang") != DSIR_TARGET_LANG, 1).otherwise(0)
             ).alias("q_cnt"),
         )
-        .persist()
+        .transform(pinned)
     )
     tot = counts.agg(F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot"))
 
@@ -1389,7 +1390,7 @@ def q_corpus_divergence_kl(spark: SparkSession, sf: str) -> DataFrame:
     vocabulary, not the token stream."""
     docs = load(spark, sf, "documents")
     tok = docs.select("lang", F.explode(F.expr(TOKENS)).alias("token"))
-    lt = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt_lt")).persist()
+    lt = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt_lt")).transform(pinned)
     vocab = lt.groupBy("token").agg(F.sum("cnt_lt").alias("cnt_t"))
     langtot = lt.groupBy("lang").agg(
         F.sum("cnt_lt").alias("n_l"), F.count("*").alias("n_types")
@@ -1722,7 +1723,7 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     sh = (
         docs.select("doc_id", F.expr(TOKENS).alias("tokens"))
         .select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
-    ).persist()  # feeds the df count and the rejoin: one tokenize pass
+    ).transform(pinned)  # feeds the df count and the rejoin: one tokenize pass
     sdf = sh.groupBy("s").agg(F.count("*").alias("df"))
     per = (
         sh.join(sdf, "s")
@@ -1798,7 +1799,7 @@ def q_pmi_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
     dw = (
         docs.select("doc_id", F.explode(F.array_distinct(F.expr(TOKENS))).alias("w"))
         .distinct()
-    ).persist()  # feeds both the df counts and the pair self-join: one scan
+    ).transform(pinned)  # feeds both the df counts and the pair self-join: one scan
     n_docs = docs.groupBy().agg(F.count("*").alias("n"))
     df = dw.groupBy("w").agg(F.count("*").alias("df"))
     pairs = (
@@ -2216,7 +2217,7 @@ def q_lm_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("pair")
     )
-    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).persist()
+    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).transform(pinned)
     split1 = F.expr("split_part(pair, ' ', 1)")
     split2 = F.expr("split_part(pair, ' ', 2)")
     ctx = (
@@ -2295,7 +2296,7 @@ def q_lm_kneser_ney_surprisal(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("pair"),
     )
-    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).persist()
+    pair_cnt = bg.groupBy("pair").agg(F.count("*").alias("c_pair")).transform(pinned)
     split1 = F.expr("split_part(pair, ' ', 1)")
     split2 = F.expr("split_part(pair, ' ', 2)")
     ctx = (
@@ -2451,7 +2452,7 @@ def q_quality_lang_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
         docs.select("lang", bucket.alias("chars_bucket"))
         .groupBy("lang", "chars_bucket")
         .agg(F.count("*").alias("n_xy"))
-        .persist()
+        .transform(pinned)
     )
     mx = joint.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
     my = joint.groupBy("chars_bucket").agg(F.sum("n_xy").alias("n_y"))
@@ -4081,7 +4082,7 @@ def q_retrieval_precision_recall(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("tf_total"),
             F.count_distinct("term").alias("n_hit_terms"),
         )
-    ).persist()
+    ).transform(pinned)
     rel = F.col("n_hit_terms") == F.col("n_terms")
     total_rel = hits.groupBy("query_id").agg(
         F.sum(rel.cast("bigint")).alias("n_relevant")
@@ -4440,15 +4441,27 @@ def q_vocab_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
             "cast(floor(ln(cast(cum_vocab as double)) * 1000 + 0.5) as bigint)"
         ).alias("y"),
     )
+    # int64 headroom (ADVICE r9): every regression product is bounded by
+    # r^2 * max(x,y)^2 (sx*sx, r*sxx, r*sxy, sx*sy), so the ENFORCED guard
+    # is 2*log2(r) + 2*log2(max_xy) < 62 — beta/lnK NULL loudly past it
+    # (~5M docs at 50-doc checkpoints), mirrored in the oracle. Same
+    # discipline as the spearman/gini/RAKE siblings.
     mom = pts.agg(
         F.count("*").alias("r"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max(F.greatest("x", "y")).alias("max_xy"),
+    ).withColumn(
+        "headroom_ok",
+        F.expr(
+            "2.0 * log2(cast(r as double))"
+            " + 2.0 * log2(cast(greatest(max_xy, 2) as double)) < 62.0"
+        ),
     )
     beta = F.expr(
-        "case when r * sxx - sx * sx <> 0 then"
+        "case when headroom_ok and r * sxx - sx * sx <> 0 then"
         " cast(r * sxy - sx * sy as double) / cast(r * sxx - sx * sx as double)"
         " end"
     )
@@ -4461,11 +4474,12 @@ def q_vocab_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
             "heaps_beta_micro"
         ),
         F.expr(
-            "case when r * sxx - sx * sx <> 0 then cast(floor("
+            "case when headroom_ok and r * sxx - sx * sx <> 0 then cast(floor("
             " (cast(sy as double) / r - (cast(r * sxy - sx * sy as double)"
             " / cast(r * sxx - sx * sx as double)) * cast(sx as double) / r)"
             " / 1000.0 * 1000000.0 + 0.5) as bigint) end"
         ).alias("heaps_lnk_micro"),
+        "headroom_ok",
     )
 
 
@@ -4508,17 +4522,22 @@ ORACLES["vocab_heaps_law"] = f"""
         FROM joined WHERE cum_vocab > 0
     ), mom AS (
         SELECT count(*)::BIGINT AS r, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+               max(greatest(x, y))::BIGINT AS max_xy,
+               2.0 * log2(count(*)::DOUBLE)
+                 + 2.0 * log2(greatest(max(greatest(x, y)), 2)::DOUBLE) < 62.0
+                 AS headroom_ok
         FROM pts
     )
     SELECT pos, cum_tokens, cum_vocab, r AS n_checkpoints,
-           CASE WHEN r * sxx - sx * sx <> 0 THEN
+           CASE WHEN headroom_ok AND r * sxx - sx * sx <> 0 THEN
              floor((r * sxy - sx * sy)::DOUBLE / (r * sxx - sx * sx)::DOUBLE
                    * 1000000.0 + 0.5)::BIGINT END AS heaps_beta_micro,
-           CASE WHEN r * sxx - sx * sx <> 0 THEN
+           CASE WHEN headroom_ok AND r * sxx - sx * sx <> 0 THEN
              floor((sy::DOUBLE / r - ((r * sxy - sx * sy)::DOUBLE
                     / (r * sxx - sx * sx)::DOUBLE) * sx::DOUBLE / r)
-                   / 1000.0 * 1000000.0 + 0.5)::BIGINT END AS heaps_lnk_micro
+                   / 1000.0 * 1000000.0 + 0.5)::BIGINT END AS heaps_lnk_micro,
+           headroom_ok
     FROM pts CROSS JOIN mom
 """
 QUERIES["vocab_heaps_law"] = q_vocab_heaps_law

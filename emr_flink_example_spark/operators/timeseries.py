@@ -1286,10 +1286,18 @@ def q_timeseries_sax_words(spark: SparkSession, sf: str) -> DataFrame:
     assemble map-side via array_sort(collect_list(struct(seg, sym)))
     over exactly SAX_SEGMENTS rows per user; the motif count is a
     groupBy(word) joined back (word space <= 4^6 = 4096, broadcast).
-    Nothing user x day sized is windowed or sorted."""
+    Nothing user x day sized is windowed or sorted.
+
+    Day domain (ADVICE r9): the statistic is DEFINED on the 1..N_DAYS
+    grid, so out-of-grid events (day > N_DAYS, i.e. the 31st) are
+    excluded EXPLICITLY in both engines before any aggregate — they
+    previously fed s1/s2 while silently missing from the PAA segments,
+    which kept engine parity but skewed the z-norm. Pinned by
+    tests/test_sax_day_domain.py on a day-31-bearing fixture."""
     events = load(spark, sf, "events")
     daily = (
-        events.groupBy("user_id", F.dayofmonth("ts").alias("day"))
+        events.where(F.dayofmonth("ts") <= N_DAYS)
+        .groupBy("user_id", F.dayofmonth("ts").alias("day"))
         .agg(
             F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v")
         )
@@ -1357,9 +1365,11 @@ def q_timeseries_sax_words(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLES["timeseries_sax_words"] = f"""
     WITH daily AS (
+        -- day <= N_DAYS: the SAX grid is 1..{N_DAYS}; out-of-grid events
+        -- are excluded from moments AND segments alike (ADVICE r9)
         SELECT user_id, extract(day FROM ts)::INT AS day,
                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v
-        FROM events GROUP BY 1, 2
+        FROM events WHERE extract(day FROM ts) <= {N_DAYS} GROUP BY 1, 2
     ), moments AS (
         SELECT user_id, sum(v)::BIGINT AS s1, sum(v * v)::BIGINT AS s2,
                max(abs(v))::BIGINT AS max_v
@@ -1444,7 +1454,20 @@ def q_timeseries_ewma_crossover(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one combine-friendly (user, day) cents aggregate; the
     dense 30-day grid is users x N_DAYS (broadcast day spine); all three
     windows (prefix sum, 3-day frame, lag) share ONE partitioning on
-    user_id ordered by day. Nothing beyond user x 30 rows exists."""
+    user_id ordered by day. Nothing beyond user x 30 rows exists.
+
+    Series-length bound + upgrade path (VERDICT r9 #6): the 2^{t-1}
+    scaling is CONSTITUTIONALLY bounded — log2(max_v) + N - 2 < 52 can
+    never hold much past N ~ 40, whatever the values. For longer grids
+    the named fallback is an applyInPandas kernel over user_id-grouped
+    (day, v) rows computing E_t as a PYTHON BIGINT prefix sum and
+    rounding exactly in integer space (ewma_micro = (E_t * 2_000_000 +
+    2^{t-1}) // 2^t — no float ever touches the unbounded term), i.e.
+    the Holt-kernel shape at `timeseries_holt_forecast`. It is not
+    wired here because the query is DEFINED on the 30-day grid and the
+    oracle cannot mirror bigints past DuckDB's 128-bit hugeint; tripped
+    users instead NULL loudly (guard-trip pinned in
+    tests/test_ewma_guard_trip.py on both engines)."""
     events = load(spark, sf, "events")
     daily = events.groupBy("user_id", F.dayofmonth("ts").alias("day")).agg(
         F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v")

@@ -73,6 +73,23 @@ def test_all_queries_survive_null_text(spark, nully_sf_dir):
     assert all(r.n_tokens >= 0 for r in rows)
 
 
+def test_audio_oracle_parity_on_empty_payloads(spark, nully_sf_dir):
+    """ADVICE r9: an empty text payload must emit ZERO audio windows in
+    BOTH engines. The Spark kernels' `while start < n` loop emits nothing
+    for n=0; the oracles' generate_series(0, greatest(n-1,0)) used to emit
+    a phantom win_idx=0 row until the `WHERE n > 0` guard. Cross-engine
+    hash parity on the null-text fixture (io.load coalesces NULL -> '')
+    proves the guard closes the divergence."""
+    from emr_flink_example_spark.plans import catalog
+    from emr_flink_example_spark.testing import compare, connect_oracle
+
+    qs, os_ = catalog.all_queries(), catalog.all_oracles()
+    con = connect_oracle(nully_sf_dir)
+    for name in ("multimodal_audio_windows", "multimodal_audio_fingerprint"):
+        ok, msg = compare(spark, con, qs[name], os_[name], nully_sf_dir)
+        assert ok, f"{name}: {msg}"
+
+
 @pytest.fixture(scope="module")
 def null_embedding_dir(tmp_path_factory):
     """sf0.001 clone with every 7th embedding NULL'd — excluded by the
