@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import MERSENNE_61
+from ..cache import pinned
 from ..io import load
 from .textstats import TOKEN_RE
 
@@ -135,7 +136,7 @@ def q_dedup_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
                 F.array_join(F.expr(f"slice(tokens, start, {SPAN_TOKENS})"), " ")
             ).alias("h"),
         )
-        .persist()
+        .transform(pinned)
     )
     dup = (
         spans.groupBy("h")
@@ -200,7 +201,7 @@ def q_dedup_span_trim(spark: SparkSession, sf: str) -> DataFrame:
                 F.array_join(F.expr(f"slice(tokens, start, {SPAN_TOKENS})"), " ")
             ).alias("h"),
         )
-        .persist()
+        .transform(pinned)
     )
     owners = (
         spans.groupBy("h")
@@ -273,16 +274,15 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
     hash equality therefore PROVES the prefix filter lossless on this
     corpus, not merely consistently implemented.
 
-    Scale shape: the global shingle order is a window over the aggregated
-    df table (|vocab| rows, not corpus rows); prefixes are a per-doc
-    row_number filter; verification joins only candidate pairs back to
-    the two docs' shingle rows — candidate-bounded, never all-pairs.
-    The unpartitioned row_number window does run as a single task, but its
-    input is the deduplicated shingle-TYPE table — bounded by vocabulary
-    growth (~Heaps' law, sublinear in corpus size), not by corpus rows. If
-    vocab ever outgrows one task, the filter only needs SOME total order:
-    replace the window with a distributed sort + per-partition offset rank
-    (zipWithIndex shape) and the algorithm is unchanged."""
+    Scale shape: the prefix filter needs only SOME corpus-wide total order
+    on shingles, and (df asc, shingle asc) IS one — lexicographic on two
+    columns every row already carries. So no global rank is ever
+    materialized: df joins onto the inverted rows and the per-doc
+    row_number window orders by (df, shingle) directly. Every window in
+    the plan is partitioned by doc_id; there is no unpartitioned sort
+    anywhere (plan-pinned in tests/test_plans.py), and the shape is
+    vocabulary-size-independent — the r9 single-task vocab-rank window is
+    gone, not mitigated."""
     docs = _shingled_docs(spark, sf)
     # NOT persisted, on measurement: the inverted stream has four consumers
     # (df counts, prefix build, both verification sides — 6 parquet scans,
@@ -298,11 +298,9 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
         F.explode_outer("shingles").alias("shingle"),
     ).where(F.col("shingle").isNotNull())
     dfreq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
-    w_global = Window.orderBy(F.col("df").asc(), F.col("shingle").asc())
-    ranked_sh = dfreq.select(
-        "shingle", F.row_number().over(w_global).alias("grank")
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("grank")
     p = (
         F.col("n_shingles")
         - F.floor(
@@ -311,7 +309,7 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
         + 1
     )
     prefix = (
-        inv.join(ranked_sh, "shingle")
+        inv.join(dfreq, "shingle")
         .withColumn("pos", F.row_number().over(w_doc))
         .where(F.col("pos") <= p)
         .select("doc_id", "shingle")
@@ -1853,7 +1851,7 @@ def q_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     exact_jaccard a ratio of ints rounded to 6, so the error column is
     engine-exact."""
     pairs = q_dedup_minhash_lsh(spark, sf)
-    sh = _shingled_docs(spark, sf).persist()
+    sh = _shingled_docs(spark, sf).transform(pinned)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -42,15 +42,14 @@ UDTF_QUERIES = {"udtf_leading_tokens"}
 
 
 def _plan(spark, name: str) -> str:
-    # Order-independence: a previously built query's persist() (tfidf, the
-    # minhash signature frame, ...) stays registered in the shared session
-    # and would substitute InMemoryTableScans into LATER queries' plans,
-    # flipping exact scan-count pins depending on test order (bit us in r8
-    # when sketch_minhash_bbit's cached signatures absorbed
-    # split_leakage_audit's parquet scan). Clear leaked caches first; a
-    # query's OWN persists re-register during its build, so pins that
-    # expect their query's InMemoryTableScan still hold.
-    spark.catalog.clearCache()
+    # Order-independence is mechanical now: all_queries() wraps every
+    # builder to drain the previous query's pinned frames before building
+    # (cache.unpersist_all — VERDICT r9 #5), so a previously built query's
+    # persist can no longer substitute InMemoryTableScans into THIS plan
+    # (bit us in r8 when sketch_minhash_bbit's cached signatures absorbed
+    # split_leakage_audit's parquet scan). A query's OWN pins re-register
+    # during its build, so pins that expect their query's
+    # InMemoryTableScan still hold.
     df = catalog.all_queries()[name](spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -717,14 +716,23 @@ def test_matryoshka_probe_broadcast_only(spark):
 
 def test_ppjoin_prefix_index_no_corpus_window(spark):
     """PPJoin: candidate generation is a broadcast equi-join on the prefix
-    shingle index with the doc_a < doc_b residual; the global df-rank
-    windows run over the AGGREGATED (shingle, df) table — value-bounded,
-    never the corpus — and nothing is cartesian or sort-merged."""
+    shingle index with the doc_a < doc_b residual; nothing is cartesian or
+    sort-merged. r10: the global vocab-rank window is GONE — (df, shingle)
+    is itself the corpus-wide total order, so every Window in the plan must
+    be doc_id-partitioned and every Sort local (no single-task global sort
+    anywhere, at any vocabulary size)."""
     plan = _plan(spark, "dedup_jaccard_ppjoin")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # prefix index + pair joins
     assert "(doc_id" in plan  # the a<b residual rides the equi-join
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "expected the per-doc prefix rank window"
+    for ln in win_lines:  # partition spec present => not a global window
+        assert "windowspecdefinition(doc_id" in ln, f"unpartitioned: {ln}"
+    for ln in plan.splitlines():  # `true` = global sort (single range shuffle)
+        if "+- Sort [" in ln:
+            assert "], false, 0" in ln, f"global sort: {ln.strip()[:120]}"
 
 
 def test_ndcg_rides_bm25_shape(spark):
