@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from emr_flink_example_spark import cache  # noqa: E402
 from emr_flink_example_spark.plans import catalog  # noqa: E402
 from emr_flink_example_spark.session import local_test_session  # noqa: E402
 
@@ -245,7 +246,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = local_test_session()
     spark.sparkContext.setLogLevel("ERROR")
-    queries = catalog.all_queries()
+    queries = catalog.all_queries(managed=False)
 
     import shutil
     import tempfile
@@ -302,7 +303,11 @@ def main() -> None:
             # bench artifact (rounds 3-4 recorded NO timings because a single
             # failure crashed the run before the JSON line was printed)
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-        spark.catalog.clearCache()
+        # release this query's pinned frames before the next one (the r10
+        # mechanical hook, called explicitly here because bench uses
+        # managed=False to keep pins warm across a query's min-of-3 runs —
+        # the same cadence the r9 clearCache call gave)
+        cache.unpersist_all(spark)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
@@ -312,8 +317,55 @@ def main() -> None:
         "runs_per_query": 3,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        import subprocess
+
+        out["git_rev"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        out["git_rev"] = None
     if errors:
         out["errors"] = errors
+
+    # Self-adjudicating bench noise (VERDICT r9 #4): this shared host swings
+    # per-query timings by up to ~4x run-to-run, so round-over-round reads
+    # need a best-across-runs figure computed MECHANICALLY, not hand-built
+    # from two artifacts after the fact. Fold in every same-sf BENCH_local*
+    # artifact already on disk (the driver's earlier run, the builder's
+    # round-stamped copy — read BEFORE this run overwrites BENCH_local.json)
+    # and emit the per-query min plus the observed noise band; each artifact
+    # carries its git_rev so a consumer can see when mins mix code versions.
+    import glob
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior: dict[str, dict] = {}
+    prior_revs: dict[str, str | None] = {}
+    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_local*.json"))):
+        try:
+            with open(p) as f:
+                j = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if j.get("sf") == out["sf"] and isinstance(j.get("queries"), dict):
+            prior[os.path.basename(p)] = j["queries"]
+            prior_revs[os.path.basename(p)] = j.get("git_rev")
+    if prior:
+        series = [timings, *prior.values()]
+        min_across, band = {}, {}
+        for q, t in timings.items():
+            vals = [s[q] for s in series if isinstance(s.get(q), (int, float))]
+            min_across[q] = round(min(vals), 3)
+            if len(vals) > 1 and min(vals) > 0:
+                band[q] = round(max(vals) / min(vals), 2)
+        out["min_across_artifacts"] = min_across
+        out["min_across_artifacts_total"] = round(sum(min_across.values()), 3)
+        out["artifacts_used"] = prior_revs
+        if band:
+            bs = sorted(band.values())
+            out["noise_band_median"] = bs[len(bs) // 2]
+            out["noise_band_max"] = bs[-1]
     print(json.dumps(out))
     # Truncation-proofing (VERDICT r7 #1: the driver tails ~2000 chars of
     # stdout, and at 76+ queries the full JSON line outgrew it, losing the

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import pinned
 from ..io import load
 
 #: deterministic "change set" for the upsert demo: every 10th order surcharged,
@@ -855,7 +856,7 @@ def q_sketch_minhash_bbit(spark: SparkSession, sf: str) -> DataFrame:
     pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b", "est_jaccard")
     # persisted: the a/b sides are distinct projections of one signature
     # frame (no ReusedExchange) — the minhash_calibration precedent
-    sig = _minhash_signatures(spark, sf).persist()
+    sig = _minhash_signatures(spark, sf).transform(pinned)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     onebit = F.expr(

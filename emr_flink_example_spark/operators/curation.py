@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import pinned
 from ..io import load
 from .dedup import q_dedup_minhash_lsh, q_dedup_repeated_spans
 from .textstats import q_text_quality
@@ -118,7 +119,7 @@ def _curation_gates(
         .withColumn("alive3", F.col("alive2") & (F.col("doc_id") == F.col("keeper_id")))
         .withColumn("alive4", F.col("alive3") & F.col("is_near_dup").isNull())
         .select("doc_id", "lang", "q_ok", "alive2", "alive3", "alive4")
-        .persist()
+        .transform(pinned)
     )
     c = flags.agg(
         F.count("*").alias("n_input"),
@@ -267,7 +268,7 @@ def curate_for_training(
         .join(F.broadcast(rates), "lang")
         .where(h < F.col("keep_rate") * 10000)
         .select("doc_id")
-        .persist()
+        .transform(pinned)
     )
     caches.append(reb_ids)
     n_rebalance = reb_ids.count()
@@ -290,7 +291,7 @@ def curate_for_training(
         ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
-    ).persist()
+    ).transform(pinned)
     caches.append(chunks)
     n_chunks = chunks.count()
     _mark("chunking")

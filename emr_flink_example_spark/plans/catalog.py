@@ -5,22 +5,26 @@ Driver contract (__spark_entry__.py): `queries()` maps name -> builder,
 the driver's weaker rows-only check (documented per-module; currently only
 sketch-based ops whose values are engine-specific, e.g. HLL approx counts).
 
-Cache-hygiene contract: builders may `persist()` frames that feed multiple
-consumers INSIDE one query (tf-idf postings, minhash signatures, KN pair
-counts) and do not unpersist them — the returned DataFrame is lazy, so the
-builder cannot know when its caches stop being referenced. The RUNNER owns
-release: anything sweeping multiple catalog queries in one session must call
-`spark.catalog.clearCache()` between queries (bench.py, tools/selfcheck.py,
-tools/determinism.py, and tests/test_plans.py's `_plan` all do), or leaked
-caches accumulate in executor storage and substitute InMemoryTableScans
-into later queries' plans.
+Cache hygiene is MECHANICAL as of r10 (VERDICT r9 #5): builders pin
+multi-consumer frames via `cache.pinned()` (tf-idf postings, minhash
+signatures, KN pair counts — the returned DataFrame is lazy, so a builder
+cannot unpersist its own pins), and `all_queries()` wraps every builder to
+drain the pin registry (`cache.unpersist_all`) before the next query
+builds. Runners need no clearCache contract anymore; an external embedder
+sweeping the catalog gets flat executor storage and substitution-free
+plans for free. After the LAST query of a sweep, `cache.unpersist_all(
+spark)` releases the final query's pins (optional — they are one query's
+worth of aggregated frames).
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .. import cache
 
 from ..operators import (
     analytics,
@@ -76,13 +80,31 @@ def _reorder(out: dict) -> dict:
     return head
 
 
-def all_queries() -> dict[str, QueryFn]:
+def _managed(fn: QueryFn) -> QueryFn:
+    """Catalog-boundary cache hook: release the PREVIOUS query's pinned
+    frames before building this one (see module docstring)."""
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cache.unpersist_all(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
+def all_queries(managed: bool = True) -> dict[str, QueryFn]:
+    """managed=False returns the raw builders (no boundary drain) for
+    callers that own the release cadence themselves — bench.py keeps its
+    r9 measurement protocol (pins live across a query's min-of-3 runs,
+    drained between queries via an explicit cache.unpersist_all)."""
     out: dict[str, QueryFn] = {}
     for m in _MODULES:
         overlap = out.keys() & m.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names {overlap} in {m.__name__}")
-        out.update(m.QUERIES)
+        out.update(
+            {k: _managed(v) if managed else v for k, v in m.QUERIES.items()}
+        )
     return _reorder(out)
 
 

@@ -38,11 +38,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = catalog.all_queries()
     n_fail = 0
+    # cache hygiene is mechanical now: all_queries() wraps every builder to
+    # drain the previous query's pinned frames (cache.unpersist_all), so the
+    # sweep needs no clearCache calls (VERDICT r9 #5)
     for name in names:
-        # same cache-hygiene contract as bench.py/selfcheck.py: builders
-        # may persist() intra-query frames; the RUNNER releases them
-        # between queries so a long sweep doesn't accumulate storage
-        spark.catalog.clearCache()
         try:
             a = _multiset(queries[name](spark, sf_dir))
             b = _multiset(queries[name](spark, sf_dir))

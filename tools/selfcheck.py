@@ -30,9 +30,9 @@ def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
     names = only or list(qs)
     n_pass = n_fail = n_rows_only = 0
     results: dict[str, dict] = {}
+    # flat memory across the sweep is mechanical now: all_queries() drains
+    # the previous query's pinned frames before each build (VERDICT r9 #5)
     for name in names:
-        # flat memory across the sweep: release any intra-query persists
-        spark.catalog.clearCache()
         t0 = time.time()
         if name not in os_:
             try:
