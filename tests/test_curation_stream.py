@@ -98,6 +98,32 @@ def test_replayed_curation_batch_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(idx).count() == 4  # one row per band, once
 
 
+def test_clean_batch_skips_reject_write_and_observes_stats(spark, tmp_path):
+    """r10: gate stats ride the probe job via observe(); an all-clean
+    micro-batch spends ZERO jobs on the audit channel (no reject
+    partition is written at all), while a dirty batch still writes its
+    partition and both record accurate observed counts."""
+    out, rej, idx = (
+        str(tmp_path / "c"),
+        str(tmp_path / "r"),
+        str(tmp_path / "i"),
+    )
+    sink = CurationStreamSink(out, rej, idx)
+    clean = spark.createDataFrame([(1, GOOD)], "doc_id bigint, text string")
+    sink(clean, 0)
+    assert not os.path.isdir(rej)  # skip-when-empty: no dir, no job
+    assert sink.last_gate_stats == {"batch_id": 0, "n_input": 1, "n_rejected": 0}
+    dirty = spark.createDataFrame(
+        [(3, TOO_SHORT), (4, NO_STOPS)], "doc_id bigint, text string"
+    )
+    sink(dirty, 1)
+    assert sink.last_gate_stats == {"batch_id": 1, "n_input": 2, "n_rejected": 2}
+    assert {r.doc_id for r in spark.read.parquet(rej).collect()} == {3, 4}
+    # replay of the clean batch observes the same zero and skips again
+    sink(clean, 0)
+    assert os.listdir(rej) == ["batch_id=1"]
+
+
 def test_every_input_doc_is_accounted_for(spark, tmp_path):
     out, rej, idx = (
         str(tmp_path / "c"),
