@@ -2030,6 +2030,133 @@ def q_ann_binary_hamming_banded_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_binary_hamming_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Flip-one-band multi-probe for the banded binary tier (r10; the
+    `ann_lsh_multiprobe_topk` precedent applied to the sign-code index):
+    each query probes, per 8-bit band, its EXACT value plus the 8
+    one-bit-flip values — 9 keys per band, 72 per query — so a candidate
+    is generated iff some band differs by AT MOST ONE bit. Pigeonhole:
+    16 mismatched bits cannot put >= 2 in all 8 bands, so losslessness
+    extends from Hamming 7 (exact-band agreement, the banded tier) to
+    Hamming 15 — recall pushed outward WITHOUT the full-scan tier.
+
+    The cost lands where it should at 100 TB: the corpus-side index is
+    UNCHANGED (8 (band, value) keys per vector — multi-probe needs no
+    bigger index, unlike widening bands), and only the per-query probe
+    set fans out 9x; expected touch rate rises from ~8/256 to ~72/256 of
+    a uniform corpus, still sublinear and still an equi-join.
+
+    Determinism: the ORACLE is the exhaustive pairwise join with the
+    identical per-band bit_count(xor) <= 1 predicate, so hash equality
+    proves the 72-key probe expansion reproduces the near-band semantics
+    exactly (the banded tier's discipline, one Hamming ring wider)."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+        .select(
+            "vec_id",
+            "e",
+            _norm("e").alias("nrm"),
+            _binq_word("e", 0).alias("w0"),
+            _binq_word("e", 32).alias("w1"),
+        )
+    )
+
+    def _band_val(b: int) -> F.Column:
+        word = F.col("w0") if b < _BINQ_BANDS // 2 else F.col("w1")
+        shift = (b % (_BINQ_BANDS // 2)) * _BINQ_BAND_BITS
+        return F.shiftright(word, shift).bitwiseAND(
+            F.lit((1 << _BINQ_BAND_BITS) - 1)
+        )
+
+    # corpus index: one exact (band, value) key per band per vector
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_val(b).alias("val"))
+                    for b in range(_BINQ_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    # query probes: exact value + the 8 one-bit flips per band. A corpus
+    # band value matches AT MOST ONE of a band's 9 probe keys (they are
+    # pairwise distinct), so the per-pair match count below is exactly
+    # the number of bands within <= 1 bit.
+    probe_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (
+                _band_val(b)
+                if i == 0
+                else _band_val(b).bitwiseXOR(F.lit(1 << (i - 1)))
+            ).alias("val"),
+        )
+        for b in range(_BINQ_BANDS)
+        for i in range(_BINQ_BAND_BITS + 1)
+    ]
+    qb = (
+        emb.where(F.col("vec_id") < 10)
+        .select("vec_id", "w0", "w1")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array(*probe_structs)).alias("bv"),
+        )
+        .select("query_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(bands, ["band", "val"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.count("*").alias("n_bands_near"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("w0").alias("c0"),
+        F.col("w1").alias("c1"),
+    )
+    ham = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("hamming", F.expr("bit_count(q0 ^ c0) + bit_count(q1 ^ c1)"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = ham.withColumn("h_rank", F.row_number().over(w_short)).where(
+        F.col("h_rank") <= BINQ_SHORTLIST
+    )
+    rer = short.withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("nn_rank", F.row_number().over(w_fin))
+        .where(F.col("nn_rank") <= BINQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "nn_rank",
+            "hamming",
+            "n_bands_near",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
 def q_embedding_anisotropy(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding anisotropy census (Ethayarajh 2019): the mean pairwise
     cosine over all unit-normalized vectors — near 0 for an isotropic
@@ -2208,6 +2335,10 @@ QUERIES = {
     "ann_binary_hamming_banded_topk": q_ann_binary_hamming_banded_topk,
     # r9: one-pass mean-pairwise-cosine anisotropy census
     "embedding_anisotropy": q_embedding_anisotropy,
+    # r10: flip-one-band multi-probe — losslessness pushed to Hamming 15
+    # on the UNCHANGED corpus index (appended at the module tail, outside
+    # the driver's 50-query prefix)
+    "ann_binary_hamming_multiprobe_topk": q_ann_binary_hamming_multiprobe_topk,
 }
 
 
@@ -3078,6 +3209,54 @@ ORACLES = {
             FROM rer
         )
         SELECT query_id, neighbor_id, nn_rank, hamming, n_bands_hit,
+               round(cosine, 4) AS cosine
+        FROM fin WHERE nn_rank <= {BINQ_TOPK}
+    """,
+    # exhaustive pairwise join with the per-band bit_count(xor) <= 1
+    # predicate — hash equality proves the 72-key multi-probe expansion
+    # reproduces the near-band semantics exactly (one Hamming ring wider
+    # than the banded tier's exact-agreement oracle)
+    "ann_binary_hamming_multiprobe_topk": f"""
+        WITH emb AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        ), packed AS MATERIALIZED (
+            SELECT vec_id,
+                   bit_or(CASE WHEN i < 32 AND e[i + 1] > 0
+                               THEN (1::BIGINT << i) ELSE 0 END) AS w0,
+                   bit_or(CASE WHEN i >= 32 AND e[i + 1] > 0
+                               THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS w1
+            FROM emb, range(64) r(i) GROUP BY vec_id
+        ), q AS (
+            SELECT p.vec_id AS query_id, e.e AS qe, p.w0 AS q0, p.w1 AS q1
+            FROM packed p JOIN emb e USING (vec_id) WHERE p.vec_id < 10
+        ), c AS (
+            SELECT p.vec_id AS neighbor_id, e.e AS ce, p.w0 AS c0, p.w1 AS c1
+            FROM packed p JOIN emb e USING (vec_id)
+        ), cand AS (
+            SELECT query_id, neighbor_id, qe, ce,
+                   bit_count(xor(q0, c0)) + bit_count(xor(q1, c1)) AS hamming,
+                   ({" + ".join(
+                       f"(bit_count(xor((q{w} >> {s}) & 255, (c{w} >> {s}) & 255)) <= 1)::INT"
+                       for w in (0, 1)
+                       for s in (0, 8, 16, 24)
+                   )})::BIGINT AS n_bands_near
+            FROM q CROSS JOIN c WHERE query_id != neighbor_id
+        ), short AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming ASC, neighbor_id ASC) AS h_rank
+            FROM cand WHERE n_bands_near >= 1
+        ), rer AS (
+            SELECT query_id, neighbor_id, hamming, n_bands_near,
+                   {_COS_DUCK} AS cosine
+            FROM short WHERE h_rank <= {BINQ_SHORTLIST}
+        ), fin AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS nn_rank
+            FROM rer
+        )
+        SELECT query_id, neighbor_id, nn_rank, hamming, n_bands_near,
                round(cosine, 4) AS cosine
         FROM fin WHERE nn_rank <= {BINQ_TOPK}
     """,

@@ -179,3 +179,74 @@ def test_banded_binary_tier_pigeonhole_and_planted_recall(spark, tmp_path):
     # the planted flips guarantee in-ball winners for every query
     assert all(ham <= 3 for _, ham in full.values())
     assert banded == full
+
+
+def test_multiprobe_extends_losslessness_to_hamming_15(spark, tmp_path):
+    """r10 recall-ladder extension (VERDICT r9 #7): plant near-dups whose
+    sign flips hit EVERY 8-bit band at least once (Hamming 8/12/15) — the
+    exact-agreement banded tier is BLIND to them by construction, while
+    flip-one-band multi-probe must return the full-scan top-3 verbatim
+    (pigeonhole: <= 15 mismatches leave some band within 1 bit).
+
+    Band b covers dims [8b, 8b+8), so dim d lands in band d // 8."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emr_flink_example_spark.operators.similarity import (
+        q_ann_binary_hamming_banded_topk,
+        q_ann_binary_hamming_multiprobe_topk,
+        q_ann_binary_hamming_topk,
+    )
+
+    rng = random.Random(23)
+    base = [[rng.uniform(0.1, 1) * rng.choice((-1, 1)) for _ in range(64)] for _ in range(10)]
+    vecs = list(base)
+    # per-band flip plans: every band hit >= 1 time (banded-blind), at
+    # least one band hit <= 1 time (multiprobe-visible)
+    plans = (
+        [1] * 8,  # Hamming 8: one flip per band
+        [2] * 4 + [1] * 4,  # Hamming 12
+        [2] * 7 + [1],  # Hamming 15
+    )
+    for qi in range(10):
+        for plan in plans:
+            v = list(base[qi])
+            for b, k in enumerate(plan):
+                for d in rng.sample(range(8 * b, 8 * b + 8), k):
+                    v[d] = -v[d]
+            vecs.append(v)
+    vecs += [[rng.uniform(0.1, 1) * rng.choice((-1, 1)) for _ in range(64)] for _ in range(160)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    sf = str(tmp_path)
+    full = {
+        (r.query_id, r.nn_rank): (r.neighbor_id, r.hamming)
+        for r in q_ann_binary_hamming_topk(spark, sf).collect()
+    }
+    multi = {
+        (r.query_id, r.nn_rank): (r.neighbor_id, r.hamming)
+        for r in q_ann_binary_hamming_multiprobe_topk(spark, sf).collect()
+    }
+    assert full and multi
+    # every full-scan winner sits beyond the banded guarantee (7) but
+    # inside the multi-probe guarantee (15)
+    assert all(8 <= ham <= 15 for _, ham in full.values())
+    assert multi == full
+    # the banded tier's recall on the same corpus is strictly worse: the
+    # planted neighbors share no exact band with their query
+    full_set = {(q, n) for (q, _), (n, _) in full.items()}
+    banded_set = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_binary_hamming_banded_topk(spark, sf).collect()
+    }
+    assert len(banded_set & full_set) < len(full_set)
