@@ -72,6 +72,11 @@ ROWS_PER_TASK_BOUND = 16
 #: every generator collapses onto one hot key)
 N_HOT = int(os.environ.get("STRESS_N_HOT", 1024))
 N_BACKGROUND = 200
+#: guarded-variant cap for the end-to-end layer: the fixture's hot bucket
+#: (N_HOT members) must EXCEED the cap or the guard legitimately emits the
+#: single (0, 0) chunk and there is nothing to measure (the first artifact
+#: run showed exactly that at cap = N_HOT = 1024)
+E2E_CAP = int(os.environ.get("STRESS_E2E_CAP", 128))
 
 BOILERPLATE = (
     "all rights reserved this document is provided as is without warranty "
@@ -323,8 +328,9 @@ def stress_end_to_end(fixture_dir: str) -> dict:
         fn = getattr(importlib.import_module(mod_name), fn_name)
         res[name] = {
             "n_hot_docs": N_HOT,
+            "cap": E2E_CAP,
             "guarded": _measured_run(
-                f"{name}-guard", lambda s, fn=fn: fn(s, fixture_dir)
+                f"{name}-guard", lambda s, fn=fn: fn(s, fixture_dir, cap=E2E_CAP)
             ),
             "unguarded": _measured_run(
                 f"{name}-raw", lambda s, fn=fn: fn(s, fixture_dir, cap=10**9)
@@ -375,6 +381,20 @@ def main() -> None:
                     f"{path}: unguarded did not skew "
                     f"({u['max_task_shuffle_write_records']} vs guarded "
                     f"{g['max_task_shuffle_write_records']})"
+                )
+        # end-to-end: the guarded run's worst task must carry at most half
+        # the unguarded one's (the production queries interleave other
+        # stages into the same metrics, so the bound is relative, not
+        # the direct layer's absolute cap^2 figure)
+        for path, r in report.get("end_to_end", {}).items():
+            g, u = r["guarded"], r["unguarded"]
+            if g["max_task_shuffle_write_records"] * 2 > u[
+                "max_task_shuffle_write_records"
+            ]:
+                problems.append(
+                    f"{path}: guarded worst task not reduced "
+                    f"({g['max_task_shuffle_write_records']} vs unguarded "
+                    f"{u['max_task_shuffle_write_records']})"
                 )
         report["bound_max_task_write_records"] = bound
         report["problems"] = problems
