@@ -238,6 +238,26 @@ HEADLINE = [
     # r9 fourteenth wave: Heaps-law growth / Brown-Forsythe spread test
     "vocab_heaps_law",
     "abtest_brown_forsythe",
+    # r10 first wave: k-group rank test / AUC / path mining / skyline
+    "stats_kruskal_wallis",
+    "stats_roc_auc",
+    "events_path_trigrams",
+    "pareto_skyline_users",
+    # r10 second wave: JS divergence / fightin' words / Fleiss / MAP
+    "corpus_divergence_js",
+    "text_distinctive_terms",
+    "quality_fleiss_kappa",
+    "retrieval_map",
+    # r10 third wave: moving median / HITS / CUPED
+    "window_moving_median",
+    "graph_hits",
+    "abtest_cuped",
+    # r10 fourth wave: effect size / association rules / normalized-position
+    # windows / centroid affinity
+    "abtest_cohens_d",
+    "basket_association_rules",
+    "window_percent_rank_cume",
+    "embedding_centroid_affinity",
 ]
 
 

@@ -3692,3 +3692,938 @@ ORACLES["abtest_brown_forsythe"] = """
     FROM ok_t
 """
 QUERIES["abtest_brown_forsythe"] = q_abtest_brown_forsythe
+
+
+def q_stats_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) across event-type
+    groups on event value — the k-group generalization of
+    abtest_mann_whitney ("do the event types draw value from the same
+    distribution?"), the standard nonparametric one-way ANOVA when the
+    heavy-tailed value column rules out the F test.
+
+    Determinism discipline (the Mann-Whitney/Spearman rank pattern):
+    values are exact millis; ranks come from the global DISTINCT-value
+    table with exact tie handling via DOUBLED average ranks r2 = 2*cum
+    + t + 1; per-group doubled-rank sums S2_j and tie moments
+    sum(t^3 - t) are exact bigints. With R_j = S2_j / 2,
+      H = 3/(N*(N+1)) * sum(S2_j^2 / n_j) - 3*(N+1),
+    tie-corrected by C = 1 - sum(t^3 - t)/(N^3 - N); both evaluate in
+    one fixed double expression floored once to micros. C = 0 (all
+    values identical) NULLs h_micro ANSI-safely.
+
+    int64-headroom guard (ENFORCED, the Spearman discipline): the tie
+    moment is bounded by N^3, so the guard reads only N:
+    3*log2(N) < 62, wrapping past ~1.6e6 ranked rows. Tripped ->
+    h_micro NULL LOUDLY (headroom_ok = false); the oracle mirrors the
+    same CASE. (S2_j <= 2*N*n_j stays comfortably inside the same
+    bound; S2_j^2 is evaluated in doubles, the chi-square precedent.)
+
+    Scale shape: one combine-friendly (event_type, v) pre-aggregate,
+    one running-sum window over the DISTINCT-VALUE table (bounded by
+    value cardinality, not event count — the vocab_coverage sorted-
+    aggregate discipline), one hash join back on v, a k-row group fold
+    and a 1-row final fold. Nothing event-sized is sorted."""
+    ev = load(spark, sf, "events")
+    vals = ev.select(
+        "event_type",
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
+    )
+    gv = vals.groupBy("event_type", "v").agg(F.count("*").alias("w")).transform(pinned)
+    by_val = gv.groupBy("v").agg(F.sum("w").alias("t"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked_vals = by_val.select(
+        "v",
+        "t",
+        (2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1).alias("r2"),
+    )
+    per_group = (
+        gv.join(ranked_vals.select("v", "r2"), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("w").alias("n_j"),
+            F.sum(F.col("w") * F.col("r2")).alias("s2_j"),
+        )
+    )
+    ties = ranked_vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    )
+    g = per_group.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n_j").alias("n_total"),
+        F.sum(
+            F.col("s2_j").cast("double")
+            * F.col("s2_j").cast("double")
+            / F.col("n_j").cast("double")
+        ).alias("sum_s2sq_over_n"),
+    ).crossJoin(F.broadcast(ties))
+    ok = F.expr(
+        "case when n_total <= 1 then true"
+        " else 3.0 * log2(cast(n_total as double)) < 62.0 end"
+    )
+    h = F.expr(
+        "case when n_total > 1 and k_groups > 1"
+        " and cast(n_total as double) * cast(n_total as double)"
+        "     * cast(n_total as double) - cast(n_total as double)"
+        "     - cast(tie3 as double) > 0.0 then"
+        " (3.0 / (cast(n_total as double) * (cast(n_total as double) + 1.0))"
+        "  * sum_s2sq_over_n - 3.0 * (cast(n_total as double) + 1.0))"
+        " / (1.0 - cast(tie3 as double)"
+        "    / (cast(n_total as double) * cast(n_total as double)"
+        "       * cast(n_total as double) - cast(n_total as double))) end"
+    )
+    return g.select(
+        "n_total",
+        "k_groups",
+        F.when(ok, F.col("tie3")).alias("tie3"),
+        F.when(ok, F.floor(h * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "h_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["stats_kruskal_wallis"] = q_stats_kruskal_wallis
+ORACLES["stats_kruskal_wallis"] = """
+    WITH vals AS (
+        SELECT event_type, floor(value * 1000 + 0.5)::BIGINT AS v FROM events
+    ), gv AS (
+        SELECT event_type, v, count(*)::BIGINT AS w FROM vals
+        GROUP BY event_type, v
+    ), by_val AS (
+        SELECT v, sum(w)::BIGINT AS t FROM gv GROUP BY v
+    ), ranked_vals AS (
+        SELECT v, t,
+               (2 * coalesce(sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1)::BIGINT AS r2
+        FROM by_val
+    ), per_group AS (
+        SELECT event_type, sum(w)::BIGINT AS n_j,
+               sum(w * r2)::BIGINT AS s2_j
+        FROM gv JOIN ranked_vals USING (v) GROUP BY event_type
+    ), ties AS (
+        SELECT sum(t * t * t - t)::BIGINT AS tie3 FROM ranked_vals
+    ), g AS (
+        SELECT count(*)::BIGINT AS k_groups, sum(n_j)::BIGINT AS n_total,
+               sum(s2_j::DOUBLE * s2_j::DOUBLE / n_j::DOUBLE) AS sum_s2sq_over_n
+        FROM per_group
+    ), ok_t AS (
+        SELECT *, CASE WHEN n_total <= 1 THEN true
+                  ELSE 3.0 * log2(n_total::DOUBLE) < 62.0 END AS headroom_ok
+        FROM g CROSS JOIN ties
+    )
+    SELECT n_total, k_groups,
+           CASE WHEN headroom_ok THEN tie3 END AS tie3,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n_total > 1 AND k_groups > 1
+                   AND n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+                       - n_total::DOUBLE - tie3::DOUBLE > 0.0
+             THEN floor((3.0 / (n_total::DOUBLE * (n_total::DOUBLE + 1.0))
+                         * sum_s2sq_over_n - 3.0 * (n_total::DOUBLE + 1.0))
+                        / (1.0 - tie3::DOUBLE
+                           / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+                              - n_total::DOUBLE))
+                        * 1000000.0 + 0.5)::BIGINT END
+           END AS h_micro,
+           headroom_ok
+    FROM ok_t
+"""
+
+
+def q_stats_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC AUC (Hanley & McNeil 1982) of document length as a predictor
+    of the English label — the threshold-free grade of a scalar quality
+    signal against a binary target, computed through the Mann-Whitney
+    rank identity AUC = (R_pos - n_pos*(n_pos+1)/2) / (n_pos*n_neg),
+    which is how AUC is evaluated at corpus scale (no threshold sweep,
+    no sort of the full score column per threshold).
+
+    Determinism discipline: ranks come from the DISTINCT-score table
+    with DOUBLED average ranks (r2 = 2*cum + t + 1, the Mann-Whitney
+    pattern), so with S2 = sum of doubled ranks over positives,
+    AUC = (S2 - 2*n_pos*(n_pos+1)/2) / (2*n_pos*n_neg)
+        = (S2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+    — exact integer numerator and denominator, one double division
+    floored once to micros. Ties across classes get the standard 0.5
+    credit automatically via the average rank.
+
+    int64-headroom guard (ENFORCED): S2 <= 2*N^2, so the guard reads
+    only N: 1 + 2*log2(N) < 62, wrapping past ~1.5e9 docs. Tripped ->
+    auc_micro NULL LOUDLY; the oracle mirrors the CASE.
+
+    Scale shape: one combine-friendly (score, is_pos) pre-aggregate,
+    one running-sum window over the DISTINCT-SCORE table (score
+    cardinality, not corpus size), one hash join back, a 1-row fold."""
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("s"),
+        F.expr("if(lang = 'en', 1, 0)").alias("pos"),
+    )
+    gs = scored.groupBy("s").agg(
+        F.count("*").alias("t"), F.sum("pos").alias("t_pos")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = gs.select(
+        "t",
+        "t_pos",
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias("r2"),
+    )
+    g = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum("t_pos").alias("n_pos"),
+        F.sum(F.col("t_pos") * F.col("r2")).alias("s2_pos"),
+    )
+    ok = F.expr(
+        "case when n <= 1 then true"
+        " else 1.0 + 2.0 * log2(cast(n as double)) < 62.0 end"
+    )
+    auc = F.expr(
+        "case when n_pos > 0 and n - n_pos > 0 then"
+        " (cast(s2_pos as double) - cast(n_pos as double)"
+        "  * (cast(n_pos as double) + 1.0))"
+        " / (2.0 * cast(n_pos as double) * cast(n - n_pos as double)) end"
+    )
+    return g.select(
+        F.col("n_pos"),
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.when(ok, F.col("s2_pos")).alias("s2_pos"),
+        F.when(ok, F.floor(auc * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "auc_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["stats_roc_auc"] = q_stats_roc_auc
+ORACLES["stats_roc_auc"] = """
+    WITH scored AS (
+        SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ), gs AS (
+        SELECT s, count(*)::BIGINT AS t, sum(pos)::BIGINT AS t_pos
+        FROM scored GROUP BY s
+    ), ranked AS (
+        SELECT t, t_pos,
+               (2 * coalesce(sum(t) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1)::BIGINT AS r2
+        FROM gs
+    ), g AS (
+        SELECT sum(t)::BIGINT AS n, sum(t_pos)::BIGINT AS n_pos,
+               sum(t_pos * r2)::BIGINT AS s2_pos
+        FROM ranked
+    ), ok_t AS (
+        SELECT *, CASE WHEN n <= 1 THEN true
+                  ELSE 1.0 + 2.0 * log2(n::DOUBLE) < 62.0 END AS headroom_ok
+        FROM g
+    )
+    SELECT n_pos, (n - n_pos)::BIGINT AS n_neg,
+           CASE WHEN headroom_ok THEN s2_pos END AS s2_pos,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               floor((s2_pos::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
+                     / (2.0 * n_pos::DOUBLE * (n - n_pos)::DOUBLE)
+                     * 1000000.0 + 0.5)::BIGINT END
+           END AS auc_micro,
+           headroom_ok
+    FROM ok_t
+"""
+
+
+#: how many top paths events_path_trigrams reports
+PATH_TOPK = 15
+
+
+def q_events_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top event-sequence trigrams across per-user clickstreams — the
+    "what do users actually do, three steps at a time" path-mining
+    census (the n-gram view of the event_transition_matrix Markov
+    chain: transitions grade ONE hop, path trigrams surface the
+    dominant three-step journeys for funnel design).
+
+    Each user's events are ordered by the total (ts, event_id) order;
+    a trigram is three CONSECUTIVE events 'a>b>c' (lead window, no
+    session gap split — sessionize_events owns gap semantics). The
+    report is the global top PATH_TOPK trigrams by (count desc, path
+    asc) — a total order, so the cut is deterministic.
+
+    Scale shape: the lead windows are per-user partitions (the
+    sessionize discipline — user-keyed exchange, no global sort); the
+    trigram count is a combine-friendly groupBy bounded by the
+    |event_type|^3 path domain, and the final top-k window runs over
+    that DOMAIN-sized table, never the event stream. At 100 TB the
+    only event-sized exchange is the user partitioning every
+    clickstream op shares."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    counts = tri.groupBy("path").agg(F.count("*").alias("n_occurrences"))
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= PATH_TOPK)
+        .select("rank", "path", "n_occurrences")
+    )
+
+
+QUERIES["events_path_trigrams"] = q_events_path_trigrams
+ORACLES["events_path_trigrams"] = f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), tri AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e3 IS NOT NULL
+    ), counts AS (
+        SELECT path, count(*)::BIGINT AS n_occurrences FROM tri GROUP BY path
+    )
+    SELECT row_number() OVER (ORDER BY n_occurrences DESC, path ASC) AS rank,
+           path, n_occurrences
+    FROM counts
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT {PATH_TOPK}
+"""
+
+
+def q_pareto_skyline_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto skyline (Borzsony, Kossmann & Stocker 2001, "The Skyline
+    Operator") over per-user (total spend, event count): the
+    non-dominated users — nobody else is >= on BOTH metrics and
+    strictly greater on at least one. The multi-objective "best
+    customers" set that no single weighted score can produce.
+
+    2D skyline via the sorted-sweep identity instead of the O(n^2)
+    dominance join: a point is on the skyline iff (a) its y is the max
+    y at its exact x (else a same-x higher-y point dominates) and
+    (b) y > max y over all points with STRICTLY greater x (computed as
+    a running max with a 1-row lag over the distinct-x table ordered
+    x desc). Duplicate (x, y) points tie into the skyline together
+    (dominance requires one strict inequality). All comparisons are
+    exact integers (milli-spend, counts).
+
+    Scale shape: the corpus-sized scan collapses to one combine-
+    friendly per-user aggregate; the sweep windows run over the
+    DISTINCT-SPEND table (value cardinality). The global order over
+    distinct spend values is the inherent cost of an exact skyline —
+    the same accepted trade as the exact Gini sort (revenue_gini_
+    lorenz); the 100 TB approximation path is sweeping an equi-depth
+    histogram of x instead. Output is the skyline itself (guaranteed
+    small: one point per distinct dominating x)."""
+    ev = load(spark, sf, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias(
+            "spend_milli"
+        ),
+        F.count("*").alias("n_events"),
+    )
+    by_x = users.groupBy("spend_milli").agg(F.max("n_events").alias("max_y"))
+    wd = Window.orderBy(F.col("spend_milli").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = by_x.select(
+        "spend_milli",
+        "max_y",
+        F.coalesce(F.max("max_y").over(wd), F.lit(-1)).alias("max_y_gt"),
+    ).where(F.col("max_y") > F.col("max_y_gt"))
+    return (
+        users.join(
+            frontier.select("spend_milli", F.col("max_y").alias("n_events")),
+            ["spend_milli", "n_events"],
+        )
+        .select("user_id", "spend_milli", "n_events")
+    )
+
+
+QUERIES["pareto_skyline_users"] = q_pareto_skyline_users
+ORACLES["pareto_skyline_users"] = """
+    WITH users AS (
+        SELECT user_id, sum(floor(value * 1000 + 0.5)::BIGINT)::BIGINT AS spend_milli,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT u.user_id, u.spend_milli, u.n_events
+    FROM users u
+    WHERE NOT EXISTS (
+        SELECT 1 FROM users o
+        WHERE o.spend_milli >= u.spend_milli AND o.n_events >= u.n_events
+          AND (o.spend_milli > u.spend_milli OR o.n_events > u.n_events)
+    )
+"""
+
+
+#: HITS power-iteration rounds (fixed, like PAGERANK_ITERS) and the integer
+#: normalization unit: scores live in e-6 units and every round rescales the
+#: vector to ~1e6 total mass with one integer division
+HITS_ITERS = 3
+HITS_SCALE = 10**6
+
+
+def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    user -> event-type engagement graph: authority scores for event
+    types ("which actions do the broadest hubs concentrate on") — the
+    mutual-reinforcement companion to graph_pagerank (PageRank ranks
+    within ONE node set; HITS co-ranks the two sides of a bipartite
+    interaction).
+
+    Determinism discipline (the PageRank integer-mass pattern): scores
+    are integers in e-6 units; each round is (a) one exact integer
+    edge-sum, (b) one integer renormalization x div (X div 1e6) that
+    rescales total mass back to ~1e6. Truncating division is identical
+    in both engines (all quantities positive), so after HITS_ITERS
+    fixed rounds the vector is bit-exact; the DuckDB oracle unrolls the
+    same rounds as CTEs on the same distinct-edge CTE.
+
+    int64-headroom: every edge-sum is bounded by 1e6 * |edges| (each
+    node holds <= ~1e6 units after renormalization), so int64 holds to
+    ~9e12 edges — no realistic trip, asserted in the docstring rather
+    than guarded (the PageRank precedent).
+
+    Scale shape: per round ONE node-keyed equi-join (edges x scores) +
+    ONE map-side-combinable integer groupBy per direction, exactly the
+    label-propagation shape; the mass total rides a one-row broadcast;
+    `localCheckpoint` truncates per-round lineage. The authority side
+    (output) is |event_type|-domain sized."""
+    ev = load(spark, sf, "events")
+    edges = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    hubs = edges.select("user_id").distinct().select(
+        "user_id", F.lit(HITS_SCALE).cast("bigint").alias("h")
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hubs, "user_id")
+            .groupBy("event_type")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_tot = a_raw.groupBy().agg(F.sum("a_raw").alias("a_sum"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select(
+                "event_type",
+                F.expr(
+                    f"a_raw div greatest(a_sum div {HITS_SCALE}, 1)"
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            edges.join(F.broadcast(auth), "event_type")
+            .groupBy("user_id")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_tot = h_raw.groupBy().agg(F.sum("h_raw").alias("h_sum"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select(
+                "user_id",
+                F.expr(
+                    f"h_raw div greatest(h_sum div {HITS_SCALE}, 1)"
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    deg = edges.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    return auth.join(deg, "event_type").select(
+        "event_type", "n_users", F.col("a").alias("auth_micro")
+    )
+
+
+QUERIES["graph_hits"] = q_graph_hits
+
+
+def _hits_oracle() -> str:
+    body = [
+        """
+        WITH edges AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), h0 AS (
+            SELECT DISTINCT user_id, 1000000::BIGINT AS h FROM edges
+        )"""
+    ]
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        body.append(
+            f""", araw{i} AS (
+            SELECT e.event_type, sum(p.h)::BIGINT AS a_raw
+            FROM edges e JOIN {prev_h} p USING (user_id)
+            GROUP BY e.event_type
+        ), a{i} AS (
+            SELECT event_type,
+                   (a_raw // greatest((SELECT sum(a_raw) FROM araw{i})
+                                      // {HITS_SCALE}, 1))::BIGINT AS a
+            FROM araw{i}
+        ), hraw{i} AS (
+            SELECT e.user_id, sum(a.a)::BIGINT AS h_raw
+            FROM edges e JOIN a{i} a USING (event_type)
+            GROUP BY e.user_id
+        ), h{i} AS (
+            SELECT user_id,
+                   (h_raw // greatest((SELECT sum(h_raw) FROM hraw{i})
+                                      // {HITS_SCALE}, 1))::BIGINT AS h
+            FROM hraw{i}
+        )"""
+        )
+        prev_h = f"h{i}"
+    body.append(
+        f"""
+        SELECT a.event_type,
+               (SELECT count(DISTINCT e.user_id) FROM edges e
+                WHERE e.event_type = a.event_type)::BIGINT AS n_users,
+               a.a AS auth_micro
+        FROM a{HITS_ITERS} a
+    """
+    )
+    return "".join(body)
+
+
+ORACLES["graph_hits"] = _hits_oracle()
+
+
+#: CUPED pre-period cutoff: events on or before this day-of-month are the
+#: pre-experiment covariate window (the fixture spans days 1..30)
+CUPED_PRE_DAY = 15
+
+
+def q_abtest_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013,
+    "Improving the Sensitivity of Online Controlled Experiments") over
+    per-user spend: theta = cov(X, Y) / var(X) for pre-period covariate
+    X and experiment-period metric Y, and the achieved variance
+    reduction rho^2 — the number that says how much smaller an A/B test
+    gets by regressing out each user's own history.
+
+    Determinism discipline: per-user pre/post milli-sums are exact
+    integers from ONE conditional aggregate (no second scan, no join);
+    the five moments (sx, sy, sxx, syy, sxy) are exact bigint sums;
+    theta and rho^2 evaluate in one fixed double expression each,
+    floored once to micros.
+
+    int64-headroom guard (ENFORCED, the Brown-Forsythe max-reading
+    pattern): the cross moments are bounded by n * max|x| * max|y|, so
+    the guard reads n and the two exact maxima: log2(n) +
+    log2(greatest(max_ax, 1)) + log2(greatest(max_ay, 1)) < 62 (and the
+    same with 2*log2(max) on the squares, folded via the larger of the
+    two maxima). Tripped -> theta/rho2 NULL LOUDLY, mirrored in the
+    oracle.
+
+    Scale shape: one combine-friendly user aggregate, one 1-row fold —
+    the cheapest possible two-period experiment readout (no per-period
+    scans, no user-sized sort)."""
+    ev = load(spark, sf, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.expr(
+                f"if(dayofmonth(ts) <= {CUPED_PRE_DAY},"
+                " cast(floor(value * 1000 + 0.5) as bigint), 0)"
+            )
+        ).alias("x"),
+        F.sum(
+            F.expr(
+                f"if(dayofmonth(ts) > {CUPED_PRE_DAY},"
+                " cast(floor(value * 1000 + 0.5) as bigint), 0)"
+            )
+        ).alias("y"),
+    )
+    g = users.agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max(F.abs("x")).alias("max_ax"),
+        F.max(F.abs("y")).alias("max_ay"),
+    )
+    ok = F.expr(
+        "case when n_users = 0 then true else"
+        " log2(cast(n_users as double))"
+        " + 2.0 * log2(cast(greatest(max_ax, max_ay, 2) as double)) < 62.0 end"
+    )
+    theta = F.expr(
+        "case when n_users > 1"
+        " and cast(n_users as double) * cast(sxx as double)"
+        "     - cast(sx as double) * cast(sx as double) > 0.0 then"
+        " (cast(n_users as double) * cast(sxy as double)"
+        "  - cast(sx as double) * cast(sy as double))"
+        " / (cast(n_users as double) * cast(sxx as double)"
+        "    - cast(sx as double) * cast(sx as double)) end"
+    )
+    rho2 = F.expr(
+        "case when n_users > 1"
+        " and cast(n_users as double) * cast(sxx as double)"
+        "     - cast(sx as double) * cast(sx as double) > 0.0"
+        " and cast(n_users as double) * cast(syy as double)"
+        "     - cast(sy as double) * cast(sy as double) > 0.0 then"
+        " ((cast(n_users as double) * cast(sxy as double)"
+        "   - cast(sx as double) * cast(sy as double))"
+        "  * (cast(n_users as double) * cast(sxy as double)"
+        "     - cast(sx as double) * cast(sy as double)))"
+        " / ((cast(n_users as double) * cast(sxx as double)"
+        "     - cast(sx as double) * cast(sx as double))"
+        "    * (cast(n_users as double) * cast(syy as double)"
+        "       - cast(sy as double) * cast(sy as double))) end"
+    )
+    return g.select(
+        "n_users",
+        F.when(ok, F.col("sxy")).alias("sxy"),
+        F.when(ok, F.floor(theta * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "theta_micro"
+        ),
+        F.when(ok, F.floor(rho2 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "var_reduction_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["abtest_cuped"] = q_abtest_cuped
+ORACLES["abtest_cuped"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               sum(CASE WHEN day(ts) <= {CUPED_PRE_DAY}
+                   THEN floor(value * 1000 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN day(ts) > {CUPED_PRE_DAY}
+                   THEN floor(value * 1000 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT count(*)::BIGINT AS n_users,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+               sum(x * y)::BIGINT AS sxy,
+               max(abs(x))::BIGINT AS max_ax, max(abs(y))::BIGINT AS max_ay
+        FROM users
+    ), ok_t AS (
+        SELECT *, CASE WHEN n_users = 0 THEN true ELSE
+                  log2(n_users::DOUBLE)
+                  + 2.0 * log2(greatest(max_ax, max_ay, 2)::DOUBLE) < 62.0
+                  END AS headroom_ok
+        FROM g
+    )
+    SELECT n_users,
+           CASE WHEN headroom_ok THEN sxy END AS sxy,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n_users > 1
+                   AND n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
+             THEN floor((n_users::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                        / (n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * 1000000.0 + 0.5)::BIGINT END
+           END AS theta_micro,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n_users > 1
+                   AND n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
+                   AND n_users::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0.0
+             THEN floor(((n_users::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         * (n_users::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+                        / ((n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                           * (n_users::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                        * 1000000.0 + 0.5)::BIGINT END
+           END AS var_reduction_micro,
+           headroom_ok
+    FROM ok_t
+"""
+
+
+def q_abtest_cohens_d(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's d effect size (Cohen 1988) between the two experiment arms
+    on purchase value — the "how BIG is the difference" companion to the
+    significance tests (Mann-Whitney/z/chi-square say whether; d says
+    how much, in pooled-standard-deviation units, the number a launch
+    review actually reads).
+
+    d = (mean_1 - mean_0) / s_pooled with s_pooled^2 = ((n_0-1)s_0^2 +
+    (n_1-1)s_1^2) / (n_0+n_1-2). Per-arm moments (n, sum, sum-of-
+    squares) are exact bigint sums over exact milli values from ONE
+    combine-friendly aggregate; d evaluates in one fixed double
+    expression floored to micros.
+
+    int64-headroom guard (ENFORCED, the Brown-Forsythe max-reading
+    pattern): sum(v^2) <= n * max_v^2, so the guard reads n and the
+    exact max: log2(n) + 2*log2(max|v|) < 62. Tripped -> d NULL LOUDLY,
+    mirrored in the oracle.
+
+    Scale shape: one scan, one 2-row aggregate, one 1-row fold — the
+    cheapest possible effect-size readout."""
+    ev = load(spark, sf, "events")
+    vals = ev.where(F.col("event_type") == "purchase").select(
+        F.expr("cast(user_id % 2 as int)").alias("arm"),
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
+    )
+    arms = vals.groupBy("arm").agg(
+        F.count("*").alias("n_j"),
+        F.sum("v").alias("s_j"),
+        F.sum(F.col("v") * F.col("v")).alias("ss_j"),
+        F.max(F.abs("v")).alias("max_v_j"),
+    )
+    g = arms.agg(
+        F.sum("n_j").alias("n_total"),
+        F.min(F.when(F.col("arm") == 0, F.col("n_j"))).alias("n0"),
+        F.min(F.when(F.col("arm") == 0, F.col("s_j"))).alias("s0"),
+        F.min(F.when(F.col("arm") == 0, F.col("ss_j"))).alias("ss0"),
+        F.min(F.when(F.col("arm") == 1, F.col("n_j"))).alias("n1"),
+        F.min(F.when(F.col("arm") == 1, F.col("s_j"))).alias("s1"),
+        F.min(F.when(F.col("arm") == 1, F.col("ss_j"))).alias("ss1"),
+        F.max("max_v_j").alias("max_v"),
+    )
+    ok = F.expr(
+        "case when n_total is null or n_total = 0 then true else"
+        " log2(cast(n_total as double))"
+        " + 2.0 * log2(cast(greatest(max_v, 2) as double)) < 62.0 end"
+    )
+    d = F.expr(
+        "case when n0 > 1 and n1 > 1 then"
+        " case when ((cast(n0 as double) - 1.0)"
+        "  * ((cast(ss0 as double) - cast(s0 as double) * cast(s0 as double)"
+        "      / cast(n0 as double)) / (cast(n0 as double) - 1.0))"
+        "  + (cast(n1 as double) - 1.0)"
+        "  * ((cast(ss1 as double) - cast(s1 as double) * cast(s1 as double)"
+        "      / cast(n1 as double)) / (cast(n1 as double) - 1.0)))"
+        " / (cast(n0 + n1 as double) - 2.0) > 0.0 then"
+        " (cast(s1 as double) / cast(n1 as double)"
+        "  - cast(s0 as double) / cast(n0 as double))"
+        " / sqrt(((cast(n0 as double) - 1.0)"
+        "   * ((cast(ss0 as double) - cast(s0 as double) * cast(s0 as double)"
+        "       / cast(n0 as double)) / (cast(n0 as double) - 1.0))"
+        "   + (cast(n1 as double) - 1.0)"
+        "   * ((cast(ss1 as double) - cast(s1 as double) * cast(s1 as double)"
+        "       / cast(n1 as double)) / (cast(n1 as double) - 1.0)))"
+        "  / (cast(n0 + n1 as double) - 2.0)) end end"
+    )
+    return g.select(
+        "n0",
+        "n1",
+        F.when(ok, F.col("s0")).alias("sum0_milli"),
+        F.when(ok, F.col("s1")).alias("sum1_milli"),
+        F.when(ok, F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "cohens_d_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["abtest_cohens_d"] = q_abtest_cohens_d
+ORACLES["abtest_cohens_d"] = """
+    WITH vals AS (
+        SELECT (user_id % 2)::INT AS arm,
+               floor(value * 1000 + 0.5)::BIGINT AS v
+        FROM events WHERE event_type = 'purchase'
+    ), arms AS (
+        SELECT arm, count(*)::BIGINT AS n_j, sum(v)::BIGINT AS s_j,
+               sum(v * v)::BIGINT AS ss_j, max(abs(v))::BIGINT AS max_v_j
+        FROM vals GROUP BY arm
+    ), g AS (
+        SELECT sum(n_j)::BIGINT AS n_total,
+               min(CASE WHEN arm = 0 THEN n_j END)::BIGINT AS n0,
+               min(CASE WHEN arm = 0 THEN s_j END)::BIGINT AS s0,
+               min(CASE WHEN arm = 0 THEN ss_j END)::BIGINT AS ss0,
+               min(CASE WHEN arm = 1 THEN n_j END)::BIGINT AS n1,
+               min(CASE WHEN arm = 1 THEN s_j END)::BIGINT AS s1,
+               min(CASE WHEN arm = 1 THEN ss_j END)::BIGINT AS ss1,
+               max(max_v_j)::BIGINT AS max_v
+        FROM arms
+    ), ok_t AS (
+        SELECT *, CASE WHEN n_total IS NULL OR n_total = 0 THEN true ELSE
+                  log2(n_total::DOUBLE)
+                  + 2.0 * log2(greatest(max_v, 2)::DOUBLE) < 62.0
+                  END AS headroom_ok
+        FROM g
+    )
+    SELECT n0, n1,
+           CASE WHEN headroom_ok THEN s0 END AS sum0_milli,
+           CASE WHEN headroom_ok THEN s1 END AS sum1_milli,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n0 > 1 AND n1 > 1 THEN
+               CASE WHEN ((n0::DOUBLE - 1.0)
+                          * ((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                             / (n0::DOUBLE - 1.0))
+                          + (n1::DOUBLE - 1.0)
+                          * ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                             / (n1::DOUBLE - 1.0)))
+                         / ((n0 + n1)::DOUBLE - 2.0) > 0.0 THEN
+                 floor((s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE)
+                       / sqrt(((n0::DOUBLE - 1.0)
+                               * ((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE
+                                   / n0::DOUBLE) / (n0::DOUBLE - 1.0))
+                               + (n1::DOUBLE - 1.0)
+                               * ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE
+                                   / n1::DOUBLE) / (n1::DOUBLE - 1.0)))
+                              / ((n0 + n1)::DOUBLE - 2.0))
+                       * 1000000.0 + 0.5)::BIGINT END END
+           END AS cohens_d_micro,
+           headroom_ok
+    FROM ok_t
+"""
+
+
+#: how many directed association rules basket_association_rules reports
+RULES_TOPK = 20
+
+
+def q_basket_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed association rules a -> b (Agrawal & Srikant 1994) over
+    the same capped basket pairs as basket_lift_pairs: confidence =
+    supp(ab)/supp(a), leverage = supp(ab)/N - supp(a)*supp(b)/N^2, and
+    conviction = (1 - supp(b)/N) / (1 - conf) — the directional
+    completion of the symmetric lift view (lift can't say WHICH way the
+    association runs; a recommender needs the arrow).
+
+    Each undirected co-occurrence pair emits both directions; supports
+    are exact integer distinct-order counts reused from the one
+    deduplicated (order, part) frame; the three metrics are fixed
+    double expressions floored to micros (conviction NULL at conf = 1,
+    the standard divide-by-zero convention, mirrored in the oracle).
+    Top RULES_TOPK by the INTEGER (conf_micro desc, part_a, part_b)
+    total order.
+
+    100 TB: identical shape to basket_lift_pairs — the BASKET_MAX skew
+    guard bounds the self-join, supports join back pair-bounded, the
+    cut is a global TakeOrdered over rule-count rows."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    order_part = li.distinct().transform(pinned)
+    sized = order_part.groupBy("l_orderkey").agg(
+        F.count("*").alias("basket_size")
+    )
+    ok_orders = sized.where(F.col("basket_size") <= BASKET_MAX).select(
+        "l_orderkey"
+    )
+    capped = order_part.join(ok_orders, "l_orderkey")
+    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("supp_ab"))
+    )
+    directed = pairs.select("part_a", "part_b", "supp_ab").union(
+        pairs.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "supp_ab",
+        )
+    )
+    supp = order_part.groupBy("l_partkey").agg(F.count("*").alias("supp"))
+    n_orders = sized.groupBy().agg(F.count("*").alias("n_orders"))
+    scored = (
+        directed.join(
+            supp.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")),
+            "part_a",
+        )
+        .join(
+            supp.select(F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "supp_ab",
+            "supp_a",
+            "supp_b",
+            F.expr(
+                "cast(floor(cast(supp_ab as double) / cast(supp_a as double)"
+                " * 1000000.0 + 0.5) as bigint)"
+            ).alias("conf_micro"),
+            F.expr(
+                "cast(floor((cast(supp_ab as double) / cast(n_orders as double)"
+                " - cast(supp_a as double) * cast(supp_b as double)"
+                "   / (cast(n_orders as double) * cast(n_orders as double)))"
+                " * 1000000.0 + 0.5) as bigint)"
+            ).alias("leverage_micro"),
+            F.expr(
+                "case when supp_ab < supp_a then"
+                " cast(floor((1.0 - cast(supp_b as double) / cast(n_orders as double))"
+                " / (1.0 - cast(supp_ab as double) / cast(supp_a as double))"
+                " * 1000000.0 + 0.5) as bigint) end"
+            ).alias("conviction_micro"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("conf_micro").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RULES_TOPK)
+        .select(
+            "rank",
+            "part_a",
+            "part_b",
+            "supp_ab",
+            "conf_micro",
+            "leverage_micro",
+            "conviction_micro",
+        )
+    )
+
+
+QUERIES["basket_association_rules"] = q_basket_association_rules
+
+
+def _rules_oracle() -> str:
+    return f"""
+    WITH order_part AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), ok_orders AS (
+        SELECT l_orderkey FROM order_part GROUP BY l_orderkey
+        HAVING count(*) <= {BASKET_MAX}
+    ), capped AS (
+        SELECT op.l_orderkey, op.l_partkey
+        FROM order_part op JOIN ok_orders USING (l_orderkey)
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*)::BIGINT AS supp_ab
+        FROM capped a JOIN capped b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), directed AS (
+        SELECT part_a, part_b, supp_ab FROM pairs
+        UNION ALL
+        SELECT part_b, part_a, supp_ab FROM pairs
+    ), supp AS (
+        SELECT l_partkey, count(*)::BIGINT AS supp FROM order_part
+        GROUP BY l_partkey
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM order_part
+    ), scored AS (
+        SELECT d.part_a, d.part_b, d.supp_ab,
+               floor(d.supp_ab::DOUBLE / sa.supp::DOUBLE * 1000000.0
+                     + 0.5)::BIGINT AS conf_micro,
+               floor((d.supp_ab::DOUBLE / n.n_orders::DOUBLE
+                      - sa.supp::DOUBLE * sb.supp::DOUBLE
+                        / (n.n_orders::DOUBLE * n.n_orders::DOUBLE))
+                     * 1000000.0 + 0.5)::BIGINT AS leverage_micro,
+               CASE WHEN d.supp_ab < sa.supp THEN
+                 floor((1.0 - sb.supp::DOUBLE / n.n_orders::DOUBLE)
+                       / (1.0 - d.supp_ab::DOUBLE / sa.supp::DOUBLE)
+                       * 1000000.0 + 0.5)::BIGINT END AS conviction_micro
+        FROM directed d
+        JOIN supp sa ON sa.l_partkey = d.part_a
+        JOIN supp sb ON sb.l_partkey = d.part_b
+        CROSS JOIN n
+    )
+    SELECT row_number() OVER (ORDER BY conf_micro DESC, part_a ASC, part_b ASC)
+               AS rank,
+           part_a, part_b, supp_ab, conf_micro, leverage_micro, conviction_micro
+    FROM scored
+    ORDER BY conf_micro DESC, part_a ASC, part_b ASC
+    LIMIT {RULES_TOPK}
+    """
+
+
+ORACLES["basket_association_rules"] = _rules_oracle()

@@ -2865,3 +2865,142 @@ ORACLES["agg_weighted_median"] = """
     ORDER BY grp
 """
 QUERIES["agg_weighted_median"] = q_agg_weighted_median
+
+
+#: moving-median frame width (rows): current row + the 4 preceding
+MOVING_MEDIAN_WINDOW = 5
+
+
+def q_window_moving_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user moving median of event value over the last
+    MOVING_MEDIAN_WINDOW events — the robust rolling center (a rolling
+    MEAN follows one outlier; the rolling median ignores it), the
+    windowed companion to agg_weighted_median / outlier_robust_mad.
+
+    Spark has no median window function, so the frame's values ride a
+    collect_list over the bounded ROWS frame, sort_array picks the two
+    middle elements, and the result is reported DOUBLED (lo + hi) so an
+    even frame's half-step median stays an exact integer — no doubles
+    anywhere (the Mann-Whitney doubled-rank discipline applied to a
+    window). The frame is hard-bounded at MOVING_MEDIAN_WINDOW rows, so
+    the per-row array is O(1) — this is the documented safe use of
+    collect_list (the hub-precap discipline: never over an unbounded
+    group). DuckDB's native median() over the same ROWS frame, doubled,
+    is the independent oracle (it computes the even-frame average as
+    exact .5 halves, so 2x is integer-exact).
+
+    Scale shape: one user-keyed exchange shared with every other
+    clickstream window op, a per-partition sort by (ts, event_id), and
+    a map-side bounded-frame window — no global sort, no second
+    shuffle. Output is row-per-event, the doc_fingerprint convention."""
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(MOVING_MEDIAN_WINDOW - 1), 0)
+    )
+    vals = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v_milli"),
+        F.col("ts"),
+    )
+    arr = vals.withColumn(
+        "frame", F.sort_array(F.collect_list("v_milli").over(w))
+    )
+    lo = F.element_at("frame", F.expr("cast((size(frame) + 1) / 2 as int)"))
+    hi = F.element_at("frame", F.expr("cast(size(frame) / 2 + 1 as int)"))
+    return arr.select(
+        "user_id",
+        "event_id",
+        "v_milli",
+        F.size("frame").alias("frame_len"),
+        (lo + hi).alias("med_milli_x2"),
+    )
+
+
+QUERIES["window_moving_median"] = q_window_moving_median
+ORACLES["window_moving_median"] = f"""
+    WITH vals AS (
+        SELECT user_id, event_id, ts,
+               floor(value * 1000 + 0.5)::BIGINT AS v_milli
+        FROM events
+    )
+    SELECT user_id, event_id, v_milli,
+           count(*) OVER w AS frame_len,
+           (2 * median(v_milli) OVER w)::BIGINT AS med_milli_x2
+    FROM vals
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN {MOVING_MEDIAN_WINDOW - 1} PRECEDING
+                          AND CURRENT ROW)
+"""
+
+
+def q_window_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist over customer account balances per market
+    segment — the normalized-position window pair (rank_dense_ntile
+    covers the ordinal family; these two are the [0,1]-normalized family
+    analysts quote as percentiles).
+
+    Both are exact rationals of integer window primitives —
+    percent_rank = (rank-1)/(n-1), cume_dist = |rows <= current|/n — so
+    rather than compare raw doubles across engines, the result is
+    quantized to micros with the exact integer-division identities
+    (2e6*(r-1) + (n-1)) div (2*(n-1)) and (2e6*c + n) div (2n): no
+    doubles anywhere, bit-equal by construction.
+
+    Scale shape: one segment-keyed exchange + per-partition sort shared
+    by both functions (one Window spec); output row-per-customer."""
+    cust = load(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").asc(),
+        F.col("c_custkey").asc(),
+    )
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias(
+            "acctbal_cents"
+        ),
+        F.rank().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("c_mktsegment")).alias("n"),
+        F.cume_dist().over(w).alias("_cd_raw"),
+    )
+    return ranked.select(
+        "c_mktsegment",
+        "c_custkey",
+        "acctbal_cents",
+        F.expr(
+            "case when n > 1 then"
+            " (2000000 * (cast(r as bigint) - 1) + (n - 1)) div (2 * (n - 1))"
+            " else cast(0 as bigint) end"
+        ).alias("pct_rank_micro"),
+        # cume_dist's numerator (#peers <= current) is re-derived exactly
+        # from the native function: cd * n is an exact integer by window
+        # semantics, so round-tripping through the double is lossless
+        F.expr(
+            "(2000000 * cast(round(_cd_raw * n) as bigint) + n) div (2 * n)"
+        ).alias("cume_dist_micro"),
+    )
+
+
+QUERIES["window_percent_rank_cume"] = q_window_percent_rank_cume
+ORACLES["window_percent_rank_cume"] = """
+    WITH ranked AS (
+        SELECT c_mktsegment, c_custkey,
+               floor(c_acctbal * 100 + 0.5)::BIGINT AS acctbal_cents,
+               rank() OVER w AS r,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n,
+               cume_dist() OVER w AS cd_raw
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY floor(c_acctbal * 100 + 0.5)::BIGINT ASC,
+                              c_custkey ASC)
+    )
+    SELECT c_mktsegment, c_custkey, acctbal_cents,
+           CASE WHEN n > 1 THEN (2000000 * (r - 1) + (n - 1)) // (2 * (n - 1))
+                ELSE 0 END::BIGINT AS pct_rank_micro,
+           ((2000000 * round(cd_raw * n)::BIGINT + n) // (2 * n))::BIGINT
+               AS cume_dist_micro
+    FROM ranked
+"""

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import pinned
 from ..io import load
 
 DIM = 64
@@ -3328,4 +3329,103 @@ ORACLES["embedding_anisotropy"] = """
              / (n::DOUBLE * (n - 1)::DOUBLE) * 1000000.0 + 0.5)::BIGINT
            END AS mean_pairwise_cos_micro
     FROM folded
+"""
+
+
+def q_embedding_centroid_affinity(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-centroid cosine affinity matrix: cosine similarity between
+    every pair of per-label mean embeddings — the class-confusability
+    census (two labels whose centroids cosine near 1 are the merge/
+    relabel candidates; the cross-SOURCE version is the domain-mixing
+    readout a curation run reports next to the JS divergence).
+
+    Determinism discipline: centroid components are quantized to exact
+    e-6 integers FIRST (round(avg, 6) — the embedding_centroids
+    contract — times 1e6), so the |labels|^2 x DIM dot/norm moments are
+    exact BIGINT sums (components ~1e6, squares ~1e12, x64 dims ~6e13
+    — int64-safe by construction at any corpus size, since the
+    centroid SCALE is data-independent); only the final cosine is one
+    fixed double expression floored to micros.
+
+    Scale shape: one posexplode + (label, dim) combine-friendly
+    aggregate (the embedding_centroids shuffle), then the pair census
+    joins the DIM-keyed centroid table to itself on dim with label_a <
+    label_b — |labels|^2 * DIM rows, domain-sized, never corpus-sized.
+    100 TB: identical plan; only the first aggregate sees the data."""
+    emb = load(spark, sf, "embeddings").select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    cent = emb.groupBy("label", "dim").agg(
+        F.expr(
+            "cast(floor(round(avg(v), 6) * 1000000.0 + 0.5) as bigint)"
+        ).alias("c"),
+        F.count("*").alias("n_vectors"),
+    ).transform(pinned)
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("c").alias("ca"),
+        F.col("n_vectors").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("c").alias("cb"),
+        F.col("n_vectors").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("naa"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nbb"),
+        )
+    )
+    cos = F.expr(
+        "case when naa > 0 and nbb > 0 then"
+        " cast(dot as double)"
+        " / sqrt(cast(naa as double) * cast(nbb as double)) end"
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias(
+            "cos_micro"
+        ),
+    )
+
+
+QUERIES["embedding_centroid_affinity"] = q_embedding_centroid_affinity
+ORACLES["embedding_centroid_affinity"] = """
+    WITH flat AS (
+        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings
+    ), cent AS (
+        SELECT label, dim,
+               floor(round(avg(v), 6) * 1000000.0 + 0.5)::BIGINT AS c,
+               count(*)::BIGINT AS n_vectors
+        FROM flat GROUP BY label, dim
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               min(a.n_vectors)::BIGINT AS n_a, min(b.n_vectors)::BIGINT AS n_b,
+               sum(a.c * b.c)::BIGINT AS dot,
+               sum(a.c * a.c)::BIGINT AS naa,
+               sum(b.c * b.c)::BIGINT AS nbb
+        FROM cent a JOIN cent b USING (dim)
+        WHERE a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, n_a, n_b,
+           CASE WHEN naa > 0 AND nbb > 0 THEN
+             floor(dot::DOUBLE / sqrt(naa::DOUBLE * nbb::DOUBLE)
+                   * 1000000.0 + 0.5)::BIGINT END AS cos_micro
+    FROM pairs
 """

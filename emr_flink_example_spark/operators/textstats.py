@@ -4541,3 +4541,524 @@ ORACLES["vocab_heaps_law"] = f"""
     FROM pts CROSS JOIN mom
 """
 QUERIES["vocab_heaps_law"] = q_vocab_heaps_law
+
+
+#: floor(ln(2) * 1e6 + 0.5): the micro-nat term every out-of-support token
+#: contributes to KL(Q || M) in the Jensen-Shannon fold (q/m = 2 exactly)
+_LN2_MICRO = 693147
+
+
+def q_corpus_divergence_js(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the whole-corpus unigram
+    distribution (Lin 1991) — the SYMMETRIC, bounded (<= ln 2) companion
+    to corpus_divergence_kl, the standard corpus-mixing distance when
+    neither side's support contains the other (JSD is finite always;
+    KL needs P's support inside Q's).
+
+    JSD(P_s, Q) = KL(P_s || M)/2 + KL(Q || M)/2 with M = (P_s + Q)/2.
+    Both ratios collapse to count products: p/m = 2*c_s*n / (c_s*n +
+    c_t*n_s) and q/m = 2*c_t*n_s / (c_s*n + c_t*n_s), so only tokens in
+    the SOURCE's support need a scored row; every out-of-support corpus
+    token contributes exactly q*ln 2, folded in closed form from the
+    remainder mass rem = n - sum(c_t over the source support). The join
+    is source-vocab sized, never |source| x |vocab|.
+
+    Determinism (the KL discipline): per-type log terms floored to
+    micro-nats FIRST, weighted by exact integer counts, integer-summed;
+    the single final double expression divides the two integer sums by
+    n_s and n and halves, floored once.
+
+    int64-headroom guard (ENFORCED): each per-type micro magnitude is
+    bounded by 1e6*(ln 2 + ln n), so the count-weighted sums are bounded
+    by n * that; the guard reads only n: log2(n) + log2(693148 +
+    1e6*ln(n)) < 62 (wraps past ~3e10 tokens). Tripped -> jsd NULL
+    LOUDLY, same CASE in the oracle.
+
+    Scale shape: one (source, token) partial-count shuffle (map-side
+    combine, vocab-bounded), pinned and reused by the vocab / source-
+    total branches; corpus totals ride a one-row broadcast."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("source", F.explode(F.expr(TOKENS)).alias("token"))
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("c_s"))
+        .transform(pinned)
+    )
+    vocab = st.groupBy("token").agg(F.sum("c_s").alias("c_t"))
+    stot = st.groupBy("source").agg(
+        F.sum("c_s").alias("n_s"), F.count("*").alias("n_types")
+    )
+    tot = vocab.groupBy().agg(F.sum("c_t").alias("n"))
+    joined = (
+        st.join(vocab, "token")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    denom = (
+        F.col("c_s").cast("double") * F.col("n").cast("double")
+        + F.col("c_t").cast("double") * F.col("n_s").cast("double")
+    )
+    m1 = F.floor(
+        F.log(2.0 * F.col("c_s").cast("double") * F.col("n").cast("double") / denom)
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    m2 = F.floor(
+        F.log(2.0 * F.col("c_t").cast("double") * F.col("n_s").cast("double") / denom)
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    per_source = joined.groupBy("source").agg(
+        F.min("n_s").alias("n_tokens"),
+        F.min("n_types").alias("n_types"),
+        F.min("n").alias("n"),
+        F.sum(F.col("c_s") * m1).alias("sum_p"),
+        F.sum(F.col("c_t") * m2).alias("sum_q"),
+        F.sum("c_t").alias("support_mass"),
+    )
+    ok = F.expr(
+        "case when n <= 1 then true"
+        " else log2(cast(n as double))"
+        "      + log2(693148.0 + 1000000.0 * ln(cast(n as double))) < 62.0 end"
+    )
+    jsd = F.expr(
+        f"(cast(sum_p as double) / cast(n_tokens as double)"
+        f" + (cast(sum_q as double)"
+        f"    + cast(n - support_mass as double) * {_LN2_MICRO}.0)"
+        f"   / cast(n as double)) / 2.0"
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.when(ok, F.floor(jsd + F.lit(0.5)).cast("bigint")).alias(
+            "jsd_micronats"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["corpus_divergence_js"] = q_corpus_divergence_js
+ORACLES["corpus_divergence_js"] = f"""
+    WITH tok AS (
+        SELECT source, unnest({TOKENS_DUCK}) AS token FROM documents
+    ), st AS (
+        SELECT source, token, count(*)::BIGINT AS c_s FROM tok
+        GROUP BY source, token
+    ), vocab AS (
+        SELECT token, sum(c_s)::BIGINT AS c_t FROM st GROUP BY token
+    ), stot AS (
+        SELECT source, sum(c_s)::BIGINT AS n_s, count(*)::BIGINT AS n_types
+        FROM st GROUP BY source
+    ), tot AS (
+        SELECT sum(c_t)::BIGINT AS n FROM vocab
+    ), scored AS (
+        SELECT s.source, s.c_s, v.c_t, g.n_s, g.n_types, tot.n,
+               floor(ln(2.0 * s.c_s::DOUBLE * tot.n::DOUBLE
+                        / (s.c_s::DOUBLE * tot.n::DOUBLE
+                           + v.c_t::DOUBLE * g.n_s::DOUBLE))
+                     * 1000000 + 0.5)::BIGINT AS m1,
+               floor(ln(2.0 * v.c_t::DOUBLE * g.n_s::DOUBLE
+                        / (s.c_s::DOUBLE * tot.n::DOUBLE
+                           + v.c_t::DOUBLE * g.n_s::DOUBLE))
+                     * 1000000 + 0.5)::BIGINT AS m2
+        FROM st s JOIN vocab v USING (token)
+                  JOIN stot g USING (source)
+                  CROSS JOIN tot
+    ), per_source AS (
+        SELECT source, min(n_s)::BIGINT AS n_tokens,
+               min(n_types)::BIGINT AS n_types, min(n)::BIGINT AS n,
+               sum(c_s * m1)::BIGINT AS sum_p,
+               sum(c_t * m2)::BIGINT AS sum_q,
+               sum(c_t)::BIGINT AS support_mass
+        FROM scored GROUP BY source
+    ), ok_t AS (
+        SELECT *, CASE WHEN n <= 1 THEN true
+                  ELSE log2(n::DOUBLE)
+                       + log2(693148.0 + 1000000.0 * ln(n::DOUBLE)) < 62.0
+                  END AS headroom_ok
+        FROM per_source
+    )
+    SELECT source, n_tokens, n_types,
+           CASE WHEN headroom_ok THEN
+             floor((sum_p::DOUBLE / n_tokens::DOUBLE
+                    + (sum_q::DOUBLE + (n - support_mass)::DOUBLE * {_LN2_MICRO}.0)
+                      / n::DOUBLE) / 2.0 + 0.5)::BIGINT END AS jsd_micronats,
+           headroom_ok
+    FROM ok_t
+"""
+
+
+#: how many distinctive terms text_distinctive_terms reports per source
+DISTINCTIVE_TOPK = 10
+
+
+def q_text_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distinctive vocabulary via the log-odds ratio with a
+    Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words") —
+    the corpus-linguistics standard for "which terms mark THIS slice
+    against the rest", preferred over raw tf-idf deltas because the
+    prior shrinks rare-term noise and the z-normalization makes scores
+    comparable across frequency bands.
+
+    With the symmetric a_w = 1 prior: delta_sw = ln((y_sw + 1) /
+    (n_s + V - y_sw - 1)) - ln((y_rw + 1) / (n_r + V - y_rw - 1)) where
+    y_rw = c_w - y_sw is the rest-of-corpus count and V the vocabulary
+    size; var = 1/(y_sw + 1) + 1/(y_rw + 1); z = delta / sqrt(var).
+
+    Determinism: every input to the score is an exact integer (counts,
+    totals, V); z evaluates in ONE fixed double expression floored to
+    micros, and the per-source top-DISTINCTIVE_TOPK cut orders by the
+    INTEGER (z_micro desc, token asc) total order — never by a raw
+    double — so the cut is engine-exact.
+
+    Scale shape: one (source, token) partial-count shuffle pinned and
+    reused (the JS/KL discipline); scalars (n, V) broadcast; the top-k
+    is a per-source row_number over the vocab-sized score table that
+    Catalyst executes as WindowGroupLimit (partial top-k below the
+    exchange)."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("source", F.explode(F.expr(TOKENS)).alias("token"))
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("y_sw"))
+        .transform(pinned)
+    )
+    vocab = st.groupBy("token").agg(F.sum("y_sw").alias("c_w"))
+    stot = st.groupBy("source").agg(F.sum("y_sw").alias("n_s"))
+    tot = vocab.groupBy().agg(
+        F.sum("c_w").alias("n"), F.count("*").alias("v")
+    )
+    scored = (
+        st.join(vocab, "token")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "z_micro",
+            F.expr(
+                "cast(floor("
+                " (ln((cast(y_sw as double) + 1.0)"
+                "     / (cast(n_s as double) + cast(v as double)"
+                "        - cast(y_sw as double) - 1.0))"
+                "  - ln((cast(c_w - y_sw as double) + 1.0)"
+                "       / (cast(n - n_s as double) + cast(v as double)"
+                "          - cast(c_w - y_sw as double) - 1.0)))"
+                " / sqrt(1.0 / (cast(y_sw as double) + 1.0)"
+                "        + 1.0 / (cast(c_w - y_sw as double) + 1.0))"
+                " * 1000000.0 + 0.5) as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("z_micro").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= DISTINCTIVE_TOPK)
+        .select("source", "rank", "token", "y_sw", "z_micro")
+    )
+
+
+QUERIES["text_distinctive_terms"] = q_text_distinctive_terms
+ORACLES["text_distinctive_terms"] = f"""
+    WITH tok AS (
+        SELECT source, unnest({TOKENS_DUCK}) AS token FROM documents
+    ), st AS (
+        SELECT source, token, count(*)::BIGINT AS y_sw FROM tok
+        GROUP BY source, token
+    ), vocab AS (
+        SELECT token, sum(y_sw)::BIGINT AS c_w FROM st GROUP BY token
+    ), stot AS (
+        SELECT source, sum(y_sw)::BIGINT AS n_s FROM st GROUP BY source
+    ), tot AS (
+        SELECT sum(c_w)::BIGINT AS n, count(*)::BIGINT AS v FROM vocab
+    ), scored AS (
+        SELECT s.source, s.token, s.y_sw,
+               floor((ln((s.y_sw::DOUBLE + 1.0)
+                         / (g.n_s::DOUBLE + tot.v::DOUBLE
+                            - s.y_sw::DOUBLE - 1.0))
+                      - ln(((vv.c_w - s.y_sw)::DOUBLE + 1.0)
+                           / ((tot.n - g.n_s)::DOUBLE + tot.v::DOUBLE
+                              - (vv.c_w - s.y_sw)::DOUBLE - 1.0)))
+                     / sqrt(1.0 / (s.y_sw::DOUBLE + 1.0)
+                            + 1.0 / ((vv.c_w - s.y_sw)::DOUBLE + 1.0))
+                     * 1000000.0 + 0.5)::BIGINT AS z_micro
+        FROM st s JOIN vocab vv USING (token)
+                  JOIN stot g USING (source)
+                  CROSS JOIN tot
+    ), ranked AS (
+        SELECT source, row_number() OVER (PARTITION BY source
+                   ORDER BY z_micro DESC, token ASC) AS rank,
+               token, y_sw, z_micro
+        FROM scored
+    )
+    SELECT source, rank, token, y_sw, z_micro
+    FROM ranked WHERE rank <= {DISTINCTIVE_TOPK}
+"""
+
+
+#: the third rater for Fleiss' kappa: a blunt length gate (chars >= this).
+#: Sized to the fixture's ~300-char median so the rater actually splits.
+FLEISS_MIN_CHARS = 300
+
+
+def q_quality_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) across THREE independent binary
+    quality raters — the Gopher rule conjunction, the fastText-style
+    linear gate, and a blunt length gate — the multi-rater extension of
+    quality_gate_kappa (Cohen handles exactly two raters; Fleiss grades
+    the whole panel at once, the "is the gate ensemble coherent or
+    noise" number reported for curation rater panels).
+
+    With m = 3 raters and binary categories, each doc reduces to the
+    integer k_i = #raters voting keep; per-item agreement P_i =
+    (k_i^2 + (m-k_i)^2 - m) / (m(m-1)), so the whole statistic needs
+    only the four counts n_k = |{i : k_i = k}| (k = 0..3):
+    P_bar = sum_k n_k * (k^2 + (3-k)^2 - 3) / (N * 6), p_keep =
+    sum_k n_k * k / (3N), P_e = p_keep^2 + (1-p_keep)^2, kappa =
+    (P_bar - P_e) / (1 - P_e). All inputs exact integers; one fixed
+    double expression floored to micros; a degenerate P_e = 1 (all
+    raters constant) NULLs kappa ANSI-safely.
+
+    Scale shape: all three raters are scan-speed map-side pipelines
+    (the fastText side has one combine-friendly doc aggregate); the
+    verdict joins are doc-keyed; the census is a 4-row fold."""
+    gopher = q_quality_gopher_rules(spark, sf).select("doc_id", "passes_gopher")
+    ft = q_quality_fasttext_gate(spark, sf).select("doc_id", "keep")
+    length = load(spark, sf, "documents").select(
+        "doc_id", (F.col("n_chars") >= FLEISS_MIN_CHARS).alias("len_keep")
+    )
+    votes = (
+        gopher.join(ft, "doc_id")
+        .join(length, "doc_id")
+        .select(
+            F.expr(
+                "if(passes_gopher, 1, 0) + if(keep, 1, 0) + if(len_keep, 1, 0)"
+            ).alias("k")
+        )
+    )
+    cells = votes.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("if(k = 0, 1, 0)")).alias("n0"),
+        F.sum(F.expr("if(k = 1, 1, 0)")).alias("n1"),
+        F.sum(F.expr("if(k = 2, 1, 0)")).alias("n2"),
+        F.sum(F.expr("if(k = 3, 1, 0)")).alias("n3"),
+    )
+    kappa = F.expr(
+        "case when n_docs > 0 then"
+        # P_bar: per-item pair agreement averaged; k^2+(3-k)^2-3 maps
+        # k=0,3 -> 6 and k=1,2 -> 2
+        " (cast(6 * (n0 + n3) + 2 * (n1 + n2) as double)"
+        "  / (cast(n_docs as double) * 6.0)) end"
+    )
+    p_keep = F.expr(
+        "case when n_docs > 0 then"
+        " cast(n1 + 2 * n2 + 3 * n3 as double) / (3.0 * cast(n_docs as double))"
+        " end"
+    )
+    pe = p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep)
+    k_expr = F.when(
+        (F.col("n_docs") > 0) & (F.lit(1.0) - pe > 0.0),
+        F.floor((kappa - pe) / (F.lit(1.0) - pe) * 1000000.0 + 0.5).cast(
+            "bigint"
+        ),
+    )
+    return cells.select(
+        "n_docs",
+        "n0",
+        "n1",
+        "n2",
+        "n3",
+        k_expr.alias("fleiss_kappa_micro"),
+    )
+
+
+QUERIES["quality_fleiss_kappa"] = q_quality_fleiss_kappa
+ORACLES["quality_fleiss_kappa"] = f"""
+    WITH g AS (
+        SELECT doc_id, passes_gopher FROM ({_GOPHER_ORACLE})
+    ), f AS (
+        SELECT doc_id, keep FROM ({{FASTTEXT}})
+    ), votes AS (
+        SELECT g.passes_gopher::INT + f.keep::INT
+               + (d.n_chars >= {FLEISS_MIN_CHARS})::INT AS k
+        FROM g JOIN f USING (doc_id) JOIN documents d USING (doc_id)
+    ), cells AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum((k = 0)::INT)::BIGINT AS n0,
+               sum((k = 1)::INT)::BIGINT AS n1,
+               sum((k = 2)::INT)::BIGINT AS n2,
+               sum((k = 3)::INT)::BIGINT AS n3
+        FROM votes
+    ), terms AS (
+        SELECT *,
+               CASE WHEN n_docs > 0 THEN
+                 (6 * (n0 + n3) + 2 * (n1 + n2))::DOUBLE
+                 / (n_docs::DOUBLE * 6.0) END AS p_bar,
+               CASE WHEN n_docs > 0 THEN
+                 (n1 + 2 * n2 + 3 * n3)::DOUBLE / (3.0 * n_docs::DOUBLE)
+               END AS p_keep
+        FROM cells
+    )
+    SELECT n_docs, n0, n1, n2, n3,
+           CASE WHEN n_docs > 0
+                 AND 1.0 - (p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep))
+                     > 0.0
+           THEN floor((p_bar - (p_keep * p_keep
+                                + (1.0 - p_keep) * (1.0 - p_keep)))
+                      / (1.0 - (p_keep * p_keep
+                                + (1.0 - p_keep) * (1.0 - p_keep)))
+                      * 1000000.0 + 0.5)::BIGINT END AS fleiss_kappa_micro
+    FROM terms
+""".replace("{FASTTEXT}", ORACLES["quality_fasttext_gate"])
+
+
+def q_retrieval_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean average precision at MRR_K over the fixed multi-query
+    evaluation set — the area-under-precision-recall completion of the
+    retrieval eval suite (NDCG grades graded order, MRR the first hit,
+    P/R/F1 the retrieved set; AP integrates precision at EVERY relevant
+    hit, the TREC headline metric). Ranking and relevance exactly as
+    retrieval_mrr: rank by (total query-term tf desc, doc_id), relevant
+    = contains EVERY query term; AP denominator = min(R_q, K) with R_q
+    the TOTAL relevant count in the corpus, so a query whose relevant
+    docs exceed the cutoff is graded against the best achievable K.
+
+    Determinism: for the i-th relevant doc at rank k_i, precision i/k_i
+    quantizes to the exact integer micro (2e6*i + k_i) div (2*k_i)
+    BEFORE summation (a double sum over per-hit terms would be
+    order-dependent); the per-query AP and the final mean are the same
+    exact integer divisions. Queries with R_q = 0 report ap_micro = 0
+    (the MRR no-hit convention).
+
+    Scale shape: identical to retrieval_mrr — broadcast query set,
+    postings filtered to query terms before any shuffle, per-query
+    WindowGroupLimit top-K, |queries|-row folds."""
+    docs = load(spark, sf, "documents")
+    qrows = [
+        (qi, t, len(terms)) for qi, terms in enumerate(MRR_QUERIES) for t in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id int, term string, n_terms int")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+    hits = (
+        tok.join(F.broadcast(qdf), tok["token"] == qdf["term"])
+        .groupBy("query_id", "n_terms", "doc_id")
+        .agg(
+            F.count("*").alias("tf_total"),
+            F.count_distinct("term").alias("n_hit_terms"),
+        )
+        .withColumn(
+            "is_rel", (F.col("n_hit_terms") == F.col("n_terms")).cast("int")
+        )
+        .transform(pinned)
+    )
+    n_rel = hits.groupBy("query_id").agg(F.sum("is_rel").alias("n_relevant"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf_total").desc(), F.col("doc_id").asc()
+    )
+    topk = hits.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= MRR_K
+    )
+    wrel = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    rel_hits = (
+        topk.where(F.col("is_rel") == 1)
+        .withColumn("i", F.row_number().over(wrel))
+        .select(
+            "query_id",
+            F.expr("(2000000 * i + rank) div (2 * rank)").alias("p_micro"),
+        )
+    )
+    per_q_sum = rel_hits.groupBy("query_id").agg(
+        F.sum("p_micro").alias("sum_p_micro")
+    )
+    qids = qdf.select("query_id").distinct()
+    scored = (
+        qids.join(n_rel, "query_id", "left")
+        .join(per_q_sum, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
+            F.expr(
+                f"case when coalesce(n_relevant, 0) > 0 then"
+                f" (2 * coalesce(sum_p_micro, 0)"
+                f"  + least(n_relevant, {MRR_K}))"
+                f" div (2 * least(n_relevant, {MRR_K}))"
+                " else cast(0 as bigint) end"
+            ).alias("ap_micro"),
+        )
+    )
+    m = scored.agg(
+        F.expr(
+            "(2 * sum(ap_micro) + count(*)) div (2 * count(*))"
+        ).alias("map_micro")
+    )
+    return scored.crossJoin(F.broadcast(m))
+
+
+QUERIES["retrieval_map"] = q_retrieval_map
+
+
+def _map_oracle() -> str:
+    qvals = ", ".join(
+        f"({qi}, '{t}', {len(terms)})"
+        for qi, terms in enumerate(MRR_QUERIES)
+        for t in terms
+    )
+    return f"""
+        WITH q(query_id, term, n_terms) AS (VALUES {qvals}),
+        tok AS (
+            SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+        ),
+        hits AS (
+            SELECT q.query_id, q.n_terms, t.doc_id,
+                   count(*)::BIGINT AS tf_total,
+                   count(DISTINCT q.term)::BIGINT AS n_hit_terms
+            FROM tok t JOIN q ON t.token = q.term
+            GROUP BY 1, 2, 3
+        ),
+        flagged AS (
+            SELECT *, (n_hit_terms = n_terms)::INT AS is_rel FROM hits
+        ),
+        n_rel AS (
+            SELECT query_id, sum(is_rel)::BIGINT AS n_relevant
+            FROM flagged GROUP BY query_id
+        ),
+        topk AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY tf_total DESC, doc_id ASC) AS rank
+            FROM flagged
+        ),
+        rel_hits AS (
+            SELECT query_id,
+                   ((2000000 * row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY rank ASC)
+                     + rank) // (2 * rank))::BIGINT AS p_micro
+            FROM topk WHERE rank <= {MRR_K} AND is_rel = 1
+        ),
+        per_q_sum AS (
+            SELECT query_id, sum(p_micro)::BIGINT AS sum_p_micro
+            FROM rel_hits GROUP BY query_id
+        ),
+        scored AS (
+            SELECT qq.query_id,
+                   coalesce(r.n_relevant, 0)::BIGINT AS n_relevant,
+                   CASE WHEN coalesce(r.n_relevant, 0) > 0 THEN
+                     (2 * coalesce(s.sum_p_micro, 0)
+                      + least(r.n_relevant, {MRR_K}))
+                     // (2 * least(r.n_relevant, {MRR_K}))
+                   ELSE 0 END::BIGINT AS ap_micro
+            FROM (SELECT DISTINCT query_id FROM q) qq
+            LEFT JOIN n_rel r USING (query_id)
+            LEFT JOIN per_q_sum s USING (query_id)
+        ),
+        m AS (
+            SELECT ((2 * sum(ap_micro) + count(*)) // (2 * count(*)))::BIGINT
+                       AS map_micro
+            FROM scored
+        )
+        SELECT s.query_id, s.n_relevant, s.ap_micro, m.map_micro
+        FROM scored s CROSS JOIN m
+    """
+
+
+ORACLES["retrieval_map"] = _map_oracle()
