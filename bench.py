@@ -258,6 +258,15 @@ HEADLINE = [
     "basket_association_rules",
     "window_percent_rank_cume",
     "embedding_centroid_affinity",
+    # r10 fifth wave: ANOVA F / conversion latency percentiles / lagged
+    # cross-correlation / LOO 1-NN embedding eval
+    "stats_f_oneway",
+    "funnel_time_to_convert",
+    "timeseries_crosscorr",
+    "embedding_knn_loo_accuracy",
+    # r10 sixth wave: deterministic-resample inference / diverse coreset
+    "abtest_permutation_test",
+    "sample_coreset_kcenter",
 ]
 
 

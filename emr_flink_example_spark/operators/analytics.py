@@ -4627,3 +4627,334 @@ def _rules_oracle() -> str:
 
 
 ORACLES["basket_association_rules"] = _rules_oracle()
+
+
+def q_stats_f_oneway(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F test (Fisher 1925) across event-type groups on
+    event value — the parametric mean-separation twin of
+    stats_kruskal_wallis (KW compares rank distributions; F compares
+    means under the equal-variance normal model; running both is the
+    standard robustness pairing), plus eta-squared (SSB/SST), the
+    explained-variance effect size.
+
+    Determinism discipline: per-group moments (n_j, sum, sum of
+    squares) are exact bigint sums over exact milli values from ONE
+    combine-friendly aggregate; SSB = sum(s_j^2/n_j) - S^2/N and
+    SSW = SS - sum(s_j^2/n_j) evaluate as fixed double expressions over
+    those integers (the s_j^2 products are the chi-square double
+    precedent), F and eta^2 floored once to micros.
+
+    int64-headroom guard (ENFORCED, max-reading): sum(v^2) <= N *
+    max|v|^2, so log2(N) + 2*log2(max|v|) < 62; tripped -> NULL LOUDLY,
+    mirrored in the oracle.
+
+    Scale shape: one scan, one k-row aggregate, one 1-row fold."""
+    ev = load(spark, sf, "events")
+    vals = ev.select(
+        "event_type",
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
+    )
+    groups = vals.groupBy("event_type").agg(
+        F.count("*").alias("n_j"),
+        F.sum("v").alias("s_j"),
+        F.sum(F.col("v") * F.col("v")).alias("ss_j"),
+        F.max(F.abs("v")).alias("max_v_j"),
+    )
+    g = groups.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n_j").alias("n_total"),
+        F.sum("s_j").alias("s_tot"),
+        F.sum("ss_j").alias("ss_tot"),
+        F.sum(
+            F.col("s_j").cast("double")
+            * F.col("s_j").cast("double")
+            / F.col("n_j").cast("double")
+        ).alias("sum_sq_over_n"),
+        F.max("max_v_j").alias("max_v"),
+    )
+    ok = F.expr(
+        "case when n_total = 0 then true else"
+        " log2(cast(n_total as double))"
+        " + 2.0 * log2(cast(greatest(max_v, 2) as double)) < 62.0 end"
+    )
+    ssb = (
+        "(sum_sq_over_n - cast(s_tot as double) * cast(s_tot as double)"
+        " / cast(n_total as double))"
+    )
+    ssw = "(cast(ss_tot as double) - sum_sq_over_n)"
+    f_stat = F.expr(
+        f"case when k_groups > 1 and n_total > k_groups and {ssw} > 0.0 then"
+        f" ({ssb} / (cast(k_groups as double) - 1.0))"
+        f" / ({ssw} / (cast(n_total as double) - cast(k_groups as double)))"
+        " end"
+    )
+    eta2 = F.expr(
+        f"case when {ssb} + {ssw} > 0.0 then {ssb} / ({ssb} + {ssw}) end"
+    )
+    return g.select(
+        "n_total",
+        "k_groups",
+        F.when(ok, F.col("s_tot")).alias("sum_milli"),
+        F.when(ok, F.floor(f_stat * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "f_micro"
+        ),
+        F.when(ok, F.floor(eta2 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "eta2_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["stats_f_oneway"] = q_stats_f_oneway
+ORACLES["stats_f_oneway"] = """
+    WITH vals AS (
+        SELECT event_type, floor(value * 1000 + 0.5)::BIGINT AS v FROM events
+    ), groups AS (
+        SELECT event_type, count(*)::BIGINT AS n_j, sum(v)::BIGINT AS s_j,
+               sum(v * v)::BIGINT AS ss_j, max(abs(v))::BIGINT AS max_v_j
+        FROM vals GROUP BY event_type
+    ), g AS (
+        SELECT count(*)::BIGINT AS k_groups, sum(n_j)::BIGINT AS n_total,
+               sum(s_j)::BIGINT AS s_tot, sum(ss_j)::BIGINT AS ss_tot,
+               sum(s_j::DOUBLE * s_j::DOUBLE / n_j::DOUBLE) AS sum_sq_over_n,
+               max(max_v_j)::BIGINT AS max_v
+        FROM groups
+    ), ok_t AS (
+        SELECT *, CASE WHEN n_total = 0 THEN true ELSE
+                  log2(n_total::DOUBLE)
+                  + 2.0 * log2(greatest(max_v, 2)::DOUBLE) < 62.0
+                  END AS headroom_ok
+        FROM g
+    )
+    SELECT n_total, k_groups,
+           CASE WHEN headroom_ok THEN s_tot END AS sum_milli,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN k_groups > 1 AND n_total > k_groups
+                   AND ss_tot::DOUBLE - sum_sq_over_n > 0.0 THEN
+               floor(((sum_sq_over_n - s_tot::DOUBLE * s_tot::DOUBLE
+                       / n_total::DOUBLE) / (k_groups::DOUBLE - 1.0))
+                     / ((ss_tot::DOUBLE - sum_sq_over_n)
+                        / (n_total::DOUBLE - k_groups::DOUBLE))
+                     * 1000000.0 + 0.5)::BIGINT END
+           END AS f_micro,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN (sum_sq_over_n - s_tot::DOUBLE * s_tot::DOUBLE
+                        / n_total::DOUBLE)
+                       + (ss_tot::DOUBLE - sum_sq_over_n) > 0.0 THEN
+               floor((sum_sq_over_n - s_tot::DOUBLE * s_tot::DOUBLE
+                      / n_total::DOUBLE)
+                     / ((sum_sq_over_n - s_tot::DOUBLE * s_tot::DOUBLE
+                         / n_total::DOUBLE)
+                        + (ss_tot::DOUBLE - sum_sq_over_n))
+                     * 1000000.0 + 0.5)::BIGINT END
+           END AS eta2_micro,
+           headroom_ok
+    FROM ok_t
+"""
+
+
+#: time-to-convert percentile probes (percent units)
+TTC_PCTS = (25, 50, 75, 90)
+
+
+def q_funnel_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution: exact percentiles of the latency
+    from a user's FIRST view to their first purchase strictly after it
+    — the funnel's "how long does conversion take" readout that decides
+    attribution windows and re-engagement timing (funnel_conversion /
+    funnel_windowed count WHO converts; this measures WHEN).
+
+    Exact-percentile discipline (the outlier_robust_mad / weighted-
+    median pattern): latencies are exact integer seconds; each
+    percentile is the smallest latency v whose running count satisfies
+    100*cum >= p*n over the DISTINCT-LATENCY table — no interpolation,
+    no float boundaries, engine-exact by integer cross-multiplication.
+
+    Scale shape: two user-keyed aggregates (first view, first purchase
+    after it — one join on the funnel's shared user partitioning), then
+    the percentile machinery runs over the DISTINCT-latency table
+    (value cardinality); the report is a 1-row fold."""
+    ev = load(spark, sf, "events")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        first_view.join(purch, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.min("t_view").alias("t_view"))
+        .select(
+            F.expr(
+                "cast(unix_timestamp(t_purchase) - unix_timestamp(t_view)"
+                " as bigint)"
+            ).alias("delta_s")
+        )
+    )
+    dv = conv.groupBy("delta_s").agg(F.count("*").alias("t"))
+    w = Window.orderBy("delta_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dv.select(
+        "delta_s", F.sum("t").over(w).alias("cum")
+    )
+    tot = dv.groupBy().agg(F.sum("t").alias("n"))
+    probes = cum.crossJoin(F.broadcast(tot))
+    aggs = [F.max("n").alias("n_converted")] + [
+        F.min(
+            F.when(100 * F.col("cum") >= p * F.col("n"), F.col("delta_s"))
+        ).alias(f"p{p}_s")
+        for p in TTC_PCTS
+    ]
+    return probes.agg(*aggs)
+
+
+QUERIES["funnel_time_to_convert"] = q_funnel_time_to_convert
+ORACLES["funnel_time_to_convert"] = f"""
+    WITH first_view AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+        SELECT e.user_id,
+               date_diff('second', v.t_view, min(e.ts))::BIGINT AS delta_s
+        FROM events e JOIN first_view v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id, v.t_view
+    ), dv AS (
+        SELECT delta_s, count(*)::BIGINT AS t FROM conv GROUP BY delta_s
+    ), cum AS (
+        SELECT delta_s,
+               sum(t) OVER (ORDER BY delta_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dv
+    ), tot AS (SELECT sum(t)::BIGINT AS n FROM dv)
+    SELECT max(n)::BIGINT AS n_converted,
+           {", ".join(f"min(CASE WHEN 100 * cum >= {p} * n THEN delta_s END)::BIGINT AS p{p}_s" for p in TTC_PCTS)}
+    FROM cum CROSS JOIN tot
+"""
+
+
+#: permutation-test resamples (the observed labeling is replicate 0)
+PERM_K = 64
+
+
+def q_abtest_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Permutation test (Fisher 1935) for the arm difference in per-user
+    purchase spend: relabel users into pseudo-arms PERM_K times, measure
+    how often the relabeled |mean difference| reaches the observed one —
+    the exact-logic significance test that needs NO normality, variance,
+    or large-n assumption (the inference of last resort when the value
+    distribution defeats the z/t machinery).
+
+    Deterministic resampling discipline (no RNG anywhere): replicate k
+    assigns user u to arm portable_hash(user_id || ':' || k) % 2 — the
+    salted-hash split every sampler in this engine uses, reproduced
+    bit-exactly by the DuckDB oracle via the md5 portable-hash SQL. The
+    whole resample fan-out is ONE explode of the per-user aggregate
+    (never of raw events), so the shuffle carries users x (K+1) rows of
+    three integers.
+
+    Determinism: per-replicate arm sums/counts are exact integers; each
+    replicate's |mean diff| is quantized to integer micro-millis FIRST
+    (floor once), and the comparison against the observed replicate and
+    the p-value (1 + #{k >= obs}) / (K + 1) are pure integer
+    arithmetic.
+
+    Scale shape: one combine-friendly user aggregate, one map-side
+    explode, one (K+1 x 2)-row aggregate, one broadcast of the observed
+    stat. At 100 TB the only corpus-sized exchange is the user
+    aggregate every A/B op shares."""
+    ev = load(spark, sf, "events")
+    users = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias("y")
+    )
+    reps = users.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_K))).alias("k"),
+    ).select(
+        "k",
+        "y",
+        F.expr(
+            "case when k = 0 then cast(user_id % 2 as int) else"
+            " cast(conv(substring(md5(concat(cast(user_id as string), ':',"
+            " cast(k as string))), 1, 15), 16, 10) as bigint) % 2 end"
+        )
+        .cast("int")
+        .alias("arm"),
+    )
+    per_rep = (
+        reps.groupBy("k", "arm")
+        .agg(F.count("*").alias("n_a"), F.sum("y").alias("s_a"))
+        .groupBy("k")
+        .agg(
+            F.min(F.when(F.col("arm") == 0, F.col("n_a"))).alias("n0"),
+            F.min(F.when(F.col("arm") == 0, F.col("s_a"))).alias("s0"),
+            F.min(F.when(F.col("arm") == 1, F.col("n_a"))).alias("n1"),
+            F.min(F.when(F.col("arm") == 1, F.col("s_a"))).alias("s1"),
+        )
+        .select(
+            "k",
+            F.expr(
+                "case when n0 > 0 and n1 > 0 then"
+                " cast(floor(abs(cast(s1 as double) / cast(n1 as double)"
+                " - cast(s0 as double) / cast(n0 as double)) * 1000.0 + 0.5)"
+                " as bigint) end"
+            ).alias("stat_micro"),
+        )
+    )
+    obs = per_rep.where(F.col("k") == 0).select(
+        F.col("stat_micro").alias("stat_obs_micro")
+    )
+    scored = per_rep.where(F.col("k") > 0).crossJoin(F.broadcast(obs))
+    return scored.agg(
+        F.count("*").alias("n_perms"),
+        F.min("stat_obs_micro").alias("stat_obs_micro"),
+        F.sum(
+            F.expr("if(stat_micro >= stat_obs_micro, 1, 0)")
+        ).alias("n_ge"),
+        F.expr(
+            "(2000000 * (1 + sum(if(stat_micro >= stat_obs_micro, 1, 0)))"
+            " + (count(*) + 1)) div (2 * (count(*) + 1))"
+        ).alias("p_micro"),
+    )
+
+
+QUERIES["abtest_permutation_test"] = q_abtest_permutation_test
+ORACLES["abtest_permutation_test"] = f"""
+    WITH users AS (
+        SELECT user_id, sum(floor(value * 1000 + 0.5)::BIGINT)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), reps AS (
+        SELECT k.k, u.y,
+               CASE WHEN k.k = 0 THEN (u.user_id % 2)::INT ELSE
+                 ((('0x' || substr(md5(u.user_id::VARCHAR || ':' ||
+                    k.k::VARCHAR), 1, 15))::BIGINT) % 2)::INT END AS arm
+        FROM users u
+        CROSS JOIN (SELECT unnest(generate_series(0, {PERM_K})) AS k) k
+    ), per_rep AS (
+        SELECT k,
+               min(CASE WHEN arm = 0 THEN n_a END)::BIGINT AS n0,
+               min(CASE WHEN arm = 0 THEN s_a END)::BIGINT AS s0,
+               min(CASE WHEN arm = 1 THEN n_a END)::BIGINT AS n1,
+               min(CASE WHEN arm = 1 THEN s_a END)::BIGINT AS s1
+        FROM (
+            SELECT k, arm, count(*)::BIGINT AS n_a, sum(y)::BIGINT AS s_a
+            FROM reps GROUP BY k, arm
+        ) GROUP BY k
+    ), stats AS (
+        SELECT k,
+               CASE WHEN n0 > 0 AND n1 > 0 THEN
+                 floor(abs(s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE)
+                       * 1000.0 + 0.5)::BIGINT END AS stat_micro
+        FROM per_rep
+    ), obs AS (
+        SELECT stat_micro AS stat_obs_micro FROM stats WHERE k = 0
+    )
+    SELECT count(*)::BIGINT AS n_perms,
+           min(stat_obs_micro)::BIGINT AS stat_obs_micro,
+           sum((stat_micro >= stat_obs_micro)::INT)::BIGINT AS n_ge,
+           ((2000000 * (1 + sum((stat_micro >= stat_obs_micro)::INT))
+             + (count(*) + 1)) // (2 * (count(*) + 1)))::BIGINT AS p_micro
+    FROM stats CROSS JOIN obs WHERE k > 0
+"""

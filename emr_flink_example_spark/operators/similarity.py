@@ -3429,3 +3429,304 @@ ORACLES["embedding_centroid_affinity"] = """
                    * 1000000.0 + 0.5)::BIGINT END AS cos_micro
     FROM pairs
 """
+
+
+#: LOO evaluation query-set size: vec_id < this (the knn_bruteforce
+#: convention widened for a meaningful accuracy denominator)
+LOO_N_QUERIES = 50
+
+
+def q_embedding_knn_loo_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy over a fixed query sample — the
+    standard embedding-quality eval (Papernot & McDaniel 2018 DkNN
+    framing): if a vector's nearest OTHER vector usually shares its
+    label, the space is locally label-coherent and safe to power the
+    semantic dedup / hard-negative ops; accuracy near chance flags a
+    broken or collapsed embedding column before it poisons curation.
+
+    Ranking and determinism exactly as knn_bruteforce: exact cosine,
+    zero-vector exclusion, (cosine desc, neighbor_id) total order, the
+    query side broadcast; accuracy is the exact integer micro division
+    (2e6*correct + n) div (2n), attached MRR-style to every row.
+
+    Scale shape: broadcast(queries) x corpus map-side scored,
+    WindowGroupLimit keeps one row per query before anything wide
+    moves; the accuracy fold is |queries|-row. 100 TB: swap the exact
+    scan for the banded-Hamming or IVF-PQ shortlist tier — the eval
+    harness (rank-1 + label compare + micro accuracy) is unchanged."""
+    emb = (
+        load(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .withColumn("nrm", _norm("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    q = emb.where(F.col("vec_id") < LOO_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    nn1 = (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") == 1)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (F.col("query_label") == F.col("neighbor_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+    acc = nn1.agg(
+        F.expr(
+            "(2000000 * sum(correct) + count(*)) div (2 * count(*))"
+        ).alias("accuracy_micro")
+    )
+    return nn1.crossJoin(F.broadcast(acc))
+
+
+QUERIES["embedding_knn_loo_accuracy"] = q_embedding_knn_loo_accuracy
+ORACLES["embedding_knn_loo_accuracy"] = f"""
+    WITH emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e
+        FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+    ), q AS (
+        SELECT vec_id AS query_id, label AS query_label, e AS qe
+        FROM emb WHERE vec_id < {LOO_N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, label AS neighbor_label, e AS ce
+        FROM emb
+    ), scored AS (
+        SELECT q.query_id, q.query_label, c.neighbor_id, c.neighbor_label,
+               list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe))
+                  * sqrt(list_dot_product(ce, ce))) AS cosine
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.neighbor_id
+    ), nn1 AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               (query_label = neighbor_label)::INT AS correct
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), acc AS (
+        SELECT ((2000000 * sum(correct) + count(*)) // (2 * count(*)))::BIGINT
+                   AS accuracy_micro
+        FROM nn1
+    )
+    SELECT n.query_id, n.query_label, n.neighbor_id, n.neighbor_label,
+           n.correct, a.accuracy_micro
+    FROM nn1 n CROSS JOIN acc a
+"""
+
+
+#: k-center coreset size (fixed selection budget, the Lloyd-trainer
+#: discipline: a fixed loop is what lets the oracle unroll it in SQL)
+CORESET_K = 8
+
+
+def _d2_lit(e_col: str, center: list[float]) -> str:
+    """Squared L2 between array column `e_col` and an inlined center vector
+    as the sequential zip_with fold — the exact Spark twin of DuckDB's
+    list_dot_product over the elementwise diff (the JL-distortion pairing,
+    proven bit-equal by that query's hash checks)."""
+    lit = "array(" + ", ".join(f"{v!r}D" for v in center) + ")"
+    return (
+        f"aggregate(zip_with({e_col}, {lit}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def q_sample_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal,
+    the 2-approximation): pick CORESET_K embeddings so every vector is
+    close to some pick — the standard diverse-subset selector for
+    labeling budgets, eval-set construction, and seeding (k-means++'s
+    deterministic cousin). Output: the picks in selection order with
+    their assigned-member counts and the coverage radius (the max
+    min-distance any vector has to its nearest pick — the quantity the
+    greedy algorithm 2-approximates).
+
+    Determinism discipline: selection runs on the deterministic
+    `_train_sample` hash-sample (rate mirrored in SQL by the oracle);
+    the seed is the smallest vec_id; each round's farthest point argmax
+    orders by the MICRO-QUANTIZED min-d2 (floored once) with vec_id
+    tiebreak; d2 is the sequential zip_with fold == DuckDB
+    list_dot_product over the diff list (the JL pairing). Assignment
+    uses the strict-< first-min fold (`_kmeans_assign_expr`), mirrored
+    in the oracle as the explicit first-min CASE chain.
+
+    Scale shape (the trainer contract): one corpus scan builds the
+    cap-bounded sample (localCheckpoint'd); each of the K-1 rounds is a
+    map-side distance fold against LITERAL centers + one TakeOrdered-1
+    (the driver only ever holds K vectors); the final assignment/radius
+    pass is one map-side fold + one combine-friendly K-row aggregate.
+    At 100 TB the selection cost is constant in the corpus (the sample
+    cap); only the sample filter and the final assignment see the data."""
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).where(F.col("e").isNotNull())
+    first = base.orderBy("vec_id").select("vec_id", "e").head(1)
+    if not first:  # empty corpus: contract schema, zero rows
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, n_assigned bigint, radius_micro bigint"
+        )
+    samp = _train_sample(base)
+    centers = [(first[0].vec_id, [float(x) for x in first[0].e])]
+    for _ in range(CORESET_K - 1):
+        min_d2 = "least(" + ", ".join(
+            _d2_lit("e", cv) for _, cv in centers
+        ) + ")" if len(centers) > 1 else _d2_lit("e", centers[0][1])
+        nxt = (
+            samp.withColumn(
+                "md2_micro",
+                F.expr(f"cast(floor({min_d2} * 1000000.0 + 0.5) as bigint)"),
+            )
+            .orderBy(F.col("md2_micro").desc(), F.col("vec_id").asc())
+            .head(1)
+        )[0]
+        centers.append((nxt.vec_id, [float(x) for x in nxt.e]))
+    cents = [cv for _, cv in centers]
+    assign = _kmeans_assign_expr(cents, len(cents[0]))
+    min_d2_all = "least(" + ", ".join(_d2_lit("e", cv) for cv in cents) + ")"
+    assigned = samp.select(
+        assign.alias("rank0"),
+        F.expr(
+            f"cast(floor({min_d2_all} * 1000000.0 + 0.5) as bigint)"
+        ).alias("md2_micro"),
+    )
+    stats = assigned.groupBy("rank0").agg(F.count("*").alias("n_assigned"))
+    radius = assigned.groupBy().agg(F.max("md2_micro").alias("radius_micro"))
+    picks = spark.createDataFrame(
+        [(i, int(vid)) for i, (vid, _) in enumerate(centers)],
+        "rank0 int, vec_id bigint",
+    )
+    return (
+        picks.join(stats, "rank0", "left")
+        .crossJoin(F.broadcast(radius))
+        .select(
+            (F.col("rank0") + 1).alias("rank"),
+            "vec_id",
+            F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+            "radius_micro",
+        )
+    )
+
+
+QUERIES["sample_coreset_kcenter"] = q_sample_coreset_kcenter
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled farthest-point traversal: CTE c0..c{K-1} each pick one
+    row; d2 via list_dot_product over the diff list (the JL pairing of
+    Spark's zip_with squared-diff fold); one-row center CTEs are CROSS
+    JOINed in (DuckDB forbids subqueries inside lambdas); the final
+    assignment is the first-min CASE chain mirroring the strict-< fold."""
+
+    def d2(j: int) -> str:
+        return (
+            f"list_dot_product("
+            f"list_transform(generate_series(1, {DIM}),"
+            f" i -> s.e[i] - p{j}.e[i]),"
+            f"list_transform(generate_series(1, {DIM}),"
+            f" i -> s.e[i] - p{j}.e[i]))"
+        )
+
+    ctes = [
+        """
+        base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            WHERE embedding IS NOT NULL
+        ), rate AS (
+            SELECT greatest(1, ((count(*) + %d - 1) // %d))::BIGINT AS r
+            FROM base
+        ), samp AS MATERIALIZED (
+            SELECT b.vec_id, b.e FROM base b, rate
+            WHERE (('0x' || substr(md5(b.vec_id::VARCHAR), 1, 15))::BIGINT)
+                  %% rate.r = 0
+        ), c0 AS (
+            SELECT vec_id, e FROM base ORDER BY vec_id ASC LIMIT 1
+        )"""
+        % (TRAIN_SAMPLE_CAP, TRAIN_SAMPLE_CAP)
+    ]
+    for i in range(1, CORESET_K):
+        joins = " ".join(f"CROSS JOIN c{j} p{j}" for j in range(i))
+        terms = ", ".join(d2(j) for j in range(i))
+        md2 = f"least({terms})" if i > 1 else d2(0)
+        ctes.append(
+            f""", c{i} AS (
+            SELECT s.vec_id, s.e FROM samp s {joins}
+            ORDER BY floor({md2} * 1000000.0 + 0.5)::BIGINT DESC,
+                     s.vec_id ASC
+            LIMIT 1
+        )"""
+        )
+    all_joins = " ".join(f"CROSS JOIN c{j} p{j}" for j in range(CORESET_K))
+    d2_cols = ",\n                   ".join(
+        f"{d2(j)} AS d{j}" for j in range(CORESET_K)
+    )
+    # first-min CASE chain == the strict-< ascending fold
+    cases = []
+    for j in range(CORESET_K):
+        conds = [f"d{j} < d{i}" for i in range(j)] + [
+            f"d{j} <= d{i}" for i in range(j + 1, CORESET_K)
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN {j}")
+    least_all = "least(" + ", ".join(f"d{j}" for j in range(CORESET_K)) + ")"
+    picks_rows = " UNION ALL ".join(
+        f"SELECT {i} AS rank0, (SELECT vec_id FROM c{i}) AS vec_id"
+        for i in range(CORESET_K)
+    )
+    return (
+        "WITH "
+        + "".join(ctes)
+        + f""", dists AS (
+            SELECT s.vec_id,
+                   {d2_cols}
+            FROM samp s {all_joins}
+        ), assigned AS (
+            SELECT CASE {' '.join(cases)} END AS rank0,
+                   floor({least_all} * 1000000.0 + 0.5)::BIGINT AS md2_micro
+            FROM dists
+        ), stats AS (
+            SELECT rank0, count(*)::BIGINT AS n_assigned FROM assigned
+            GROUP BY rank0
+        ), radius AS (
+            SELECT max(md2_micro)::BIGINT AS radius_micro FROM assigned
+        ), picks AS (
+            {picks_rows}
+        )
+        SELECT (p.rank0 + 1)::INT AS rank, p.vec_id,
+               coalesce(st.n_assigned, 0)::BIGINT AS n_assigned,
+               r.radius_micro
+        FROM picks p LEFT JOIN stats st USING (rank0) CROSS JOIN radius r
+    """
+    )
+
+
+ORACLES["sample_coreset_kcenter"] = _kcenter_oracle()

@@ -1573,3 +1573,205 @@ ORACLES["timeseries_ewma_crossover"] = f"""
     FROM sig
 """
 QUERIES["timeseries_ewma_crossover"] = q_timeseries_ewma_crossover
+
+
+#: cross-correlation probe: lead series, lag series, max |lag| in hours
+XCORR_A = "view"
+XCORR_B = "purchase"
+XCORR_MAX_LAG = 6
+
+
+def q_timeseries_crosscorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly XCORR_A and XCORR_B
+    event-count series at lags -XCORR_MAX_LAG..+XCORR_MAX_LAG — the
+    lead/lag discovery tool (a peak at lag k > 0 means views lead
+    purchases by k hours: the conversion latency at the AGGREGATE level,
+    complementing funnel_time_to_convert's per-user view).
+
+    r_k = sum_i devA_i * devB_{i+k} / sqrt(sum devA^2 * sum devB^2) with
+    each series' deviations L-scaled to integers (dev = L*x - T, the ACF
+    discipline), so every numerator is an exact bigint in any
+    accumulation order; the denominator is one sqrt over two exact
+    integer sums; micro-floored once.
+
+    int64-headroom guard (ENFORCED, the ACF bound): |dev| <= L*T, so
+    3*log2(L) + 2*log2(max(T_A, T_B)) < 62, checked on the exact
+    pre-scaling totals, NULLing xcorr_micro loudly; mirrored verbatim.
+
+    Scale shape: one shuffle to the hourly rollup (the _dense_hourly
+    construction); the side-by-side (h, devA, devB) frame is GRID-sized
+    (L rows), so its single ordered window pass computing all 13 lag
+    columns is bounded by the calendar, not the corpus — the accepted
+    domain-sized-sort trade every dense-grid op in this module makes."""
+    dense = _dense_hourly(spark, sf).where(
+        F.col("event_type").isin(XCORR_A, XCORR_B)
+    )
+    totals = dense.groupBy("event_type").agg(
+        F.count("*").alias("len"), F.sum("n").alias("tot")
+    )
+    dev = dense.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "h",
+        (F.col("len") * F.col("n") - F.col("tot")).alias("dev"),
+        "len",
+        "tot",
+    )
+    a = dev.where(F.col("event_type") == XCORR_A).select(
+        "h", F.col("dev").alias("da"), F.col("len").alias("l"),
+        F.col("tot").alias("ta"),
+    )
+    b = dev.where(F.col("event_type") == XCORR_B).select(
+        "h", F.col("dev").alias("db"), F.col("tot").alias("tb")
+    )
+    side = a.join(b, "h")
+    wo = Window.orderBy("h")
+    lags = list(range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1))
+    shifted = side.select(
+        "da",
+        "l",
+        "ta",
+        "tb",
+        *[
+            (
+                F.lead("db", k).over(wo) if k >= 0 else F.lag("db", -k).over(wo)
+            ).alias(f"b{k + XCORR_MAX_LAG}")
+            for k in lags
+        ],
+    )
+    pairs = shifted.select(
+        "l",
+        "ta",
+        "tb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (F.col("da") * F.col(f"b{k + XCORR_MAX_LAG}")).alias("p"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("lp"),
+    ).select("l", "ta", "tb", F.col("lp.lag").alias("lag"), F.col("lp.p").alias("p"))
+    nums = pairs.where(F.col("p").isNotNull()).groupBy("lag").agg(
+        F.sum("p").alias("num"),
+        F.count("*").alias("n_pairs"),
+        F.min("l").alias("l"),
+        F.min("ta").alias("ta"),
+        F.min("tb").alias("tb"),
+    )
+    dens = (
+        dev.groupBy("event_type")
+        .agg(F.sum(F.col("dev") * F.col("dev")).alias("d2"))
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("event_type") == XCORR_A, F.col("d2"))).alias(
+                "den_a"
+            ),
+            F.min(F.when(F.col("event_type") == XCORR_B, F.col("d2"))).alias(
+                "den_b"
+            ),
+        )
+    )
+    joined = nums.crossJoin(F.broadcast(dens))
+    ok = F.expr(
+        "3.0 * log2(cast(l as double))"
+        " + 2.0 * log2(cast(greatest(ta, tb, 2) as double)) < 62.0"
+    )
+    xc = F.expr(
+        "case when den_a > 0 and den_b > 0 then"
+        " cast(num as double)"
+        " / sqrt(cast(den_a as double) * cast(den_b as double)) end"
+    )
+    return joined.select(
+        "lag",
+        "n_pairs",
+        F.when(ok, F.floor(xc * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "xcorr_micro"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["timeseries_crosscorr"] = q_timeseries_crosscorr
+
+
+def _xcorr_oracle() -> str:
+    lags = list(range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1))
+    shift_cols = ",\n                   ".join(
+        (
+            f"lead(db, {k}) OVER wo AS b{k + XCORR_MAX_LAG}"
+            if k >= 0
+            else f"lag(db, {-k}) OVER wo AS b{k + XCORR_MAX_LAG}"
+        )
+        for k in lags
+    )
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {k} AS lag, da * b{k + XCORR_MAX_LAG} AS p, l, ta, tb"
+        f" FROM shifted WHERE b{k + XCORR_MAX_LAG} IS NOT NULL"
+        for k in lags
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(h) AS lo, max(h) AS hi FROM hourly
+        ), grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 HOUR)) AS h) g
+        ), dense AS MATERIALIZED (
+            SELECT g.event_type, g.h, coalesce(hourly.n, 0)::BIGINT AS n
+            FROM grid g LEFT JOIN hourly
+              ON hourly.event_type = g.event_type AND hourly.h = g.h
+            WHERE g.event_type IN ('{XCORR_A}', '{XCORR_B}')
+        ), totals AS (
+            SELECT event_type, count(*)::BIGINT AS len, sum(n)::BIGINT AS tot
+            FROM dense GROUP BY 1
+        ), dev AS MATERIALIZED (
+            SELECT d.event_type, d.h, t.len * d.n - t.tot AS dev, t.len, t.tot
+            FROM dense d JOIN totals t USING (event_type)
+        ), side AS (
+            SELECT a.h, a.dev AS da, b.dev AS db, a.len AS l,
+                   a.tot AS ta, b.tot AS tb
+            FROM (SELECT * FROM dev WHERE event_type = '{XCORR_A}') a
+            JOIN (SELECT * FROM dev WHERE event_type = '{XCORR_B}') b
+              USING (h)
+        ), shifted AS (
+            SELECT da, l, ta, tb,
+                   {shift_cols}
+            FROM side WINDOW wo AS (ORDER BY h)
+        ), pairs AS (
+            {unions}
+        ), nums AS (
+            SELECT lag, sum(p)::BIGINT AS num, count(*)::BIGINT AS n_pairs,
+                   min(l)::BIGINT AS l, min(ta)::BIGINT AS ta,
+                   min(tb)::BIGINT AS tb
+            FROM pairs GROUP BY lag
+        ), dens AS (
+            SELECT min(CASE WHEN event_type = '{XCORR_A}' THEN d2 END)::BIGINT
+                       AS den_a,
+                   min(CASE WHEN event_type = '{XCORR_B}' THEN d2 END)::BIGINT
+                       AS den_b
+            FROM (SELECT event_type, sum(dev * dev)::BIGINT AS d2
+                  FROM dev GROUP BY event_type)
+        )
+        SELECT n.lag, n.n_pairs,
+               CASE WHEN 3.0 * log2(n.l::DOUBLE)
+                         + 2.0 * log2(greatest(n.ta, n.tb, 2)::DOUBLE) < 62.0
+               THEN CASE WHEN d.den_a > 0 AND d.den_b > 0 THEN
+                 floor(n.num::DOUBLE / sqrt(d.den_a::DOUBLE * d.den_b::DOUBLE)
+                       * 1000000.0 + 0.5)::BIGINT END END AS xcorr_micro,
+               3.0 * log2(n.l::DOUBLE)
+               + 2.0 * log2(greatest(n.ta, n.tb, 2)::DOUBLE) < 62.0
+                   AS headroom_ok
+        FROM nums n CROSS JOIN dens d
+    """
+
+
+ORACLES["timeseries_crosscorr"] = _xcorr_oracle()

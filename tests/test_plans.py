@@ -1449,3 +1449,103 @@ def test_brown_forsythe_median_cut_on_distinct_values(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- r10 pins
+
+
+def test_kruskal_ranks_on_distinct_values(spark):
+    """Kruskal-Wallis: ranks come from the DISTINCT-value running-sum
+    window (value cardinality), the join back is a broadcast-able hash
+    join, and the group fold is a partial aggregate — nothing
+    event-sized is sorted; no Python."""
+    plan = _plan(spark, "stats_kruskal_wallis")
+    assert "Window" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_distinctive_terms_topk_is_window_group_limit(spark):
+    """Fightin'-words top-k per source: the rank <= K filter must
+    rewrite to WindowGroupLimit so each task forwards at most K rows
+    per source before the exchange."""
+    plan = _plan(spark, "text_distinctive_terms")
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_retrieval_map_topk_is_window_group_limit(spark):
+    """MAP@K: the per-query top-K cut is a WindowGroupLimit (the MRR
+    pin), and the query set rides a broadcast join onto the postings."""
+    plan = _plan(spark, "retrieval_map")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_path_trigrams_windows_are_user_partitioned(spark):
+    """Path trigrams: the lead() windows run under the user_id
+    partitioning (the event-sized pass), and the only unpartitioned
+    window is the final top-k over the |event_type|^3 DOMAIN-sized
+    count table — which must sit ABOVE the count aggregate (partial
+    combine below it), never over raw events."""
+    plan = _plan(spark, "events_path_trigrams")
+    assert "windowspecdefinition(user_id" in plan
+    # exactly two Window nodes: the user-partitioned lead pass and the
+    # domain-sized global rank
+    assert plan.count("Window [") == 2
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_moving_median_frame_is_bounded(spark):
+    """Moving median: the collect_list window must carry the HARD
+    5-row frame (specifiedwindowframe rowframe -4, currentrow) — an
+    unbounded frame here would be the collect_list anti-pattern."""
+    plan = _plan(spark, "window_moving_median")
+    assert "specifiedwindowframe(RowFrame, -4, currentrow" in plan
+    assert "windowspecdefinition(user_id" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hits_rounds_are_joins_plus_partial_aggregates(spark):
+    """HITS: the per-round join+aggregate plans execute EAGERLY behind
+    localCheckpoint (the PageRank lineage-truncation discipline), so
+    the final plan shows only the checkpointed authority scan, the
+    degree aggregate (partial combine), and a broadcast-able join — no
+    Python, no window, no sort of the edge set."""
+    plan = _plan(spark, "graph_hits")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skyline_sweep_on_distinct_spend(spark):
+    """Pareto skyline: the sweep windows run over the DISTINCT-SPEND
+    aggregate (value cardinality), and the user-level metrics fold
+    map-side (partial aggregate) before any exchange."""
+    plan = _plan(spark, "pareto_skyline_users")
+    assert "Window" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_crosscorr_single_window_pass_all_lags(spark):
+    """Cross-correlation: ONE ordered window pass computes all 13 lag
+    columns over the GRID-sized side-by-side frame (13 lead/lag
+    expressions inside one Window operator), never 13 passes."""
+    plan = _plan(spark, "timeseries_crosscorr")
+    # all 13 lag/lead expressions live in ONE Window node (each
+    # expression repeats the spec string, so count NODES not specs)
+    assert plan.count("Window [") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_knn_loo_broadcasts_queries(spark):
+    """LOO 1-NN eval: the query sample must be the BROADCAST side of
+    the scoring join and the rank-1 cut a WindowGroupLimit."""
+    plan = _plan(spark, "embedding_knn_loo_accuracy")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan

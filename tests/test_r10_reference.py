@@ -627,3 +627,271 @@ def test_centroid_affinity_matches_pure_python(spark):
         for r in q_embedding_centroid_affinity(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_f_oneway_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import q_stats_f_oneway
+
+    rows = load(spark, SF_DIR, "events").select("event_type", "value").collect()
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(
+            math.floor(r.value * 1000 + 0.5)
+        )
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s_tot = sum(sum(v) for v in groups.values())
+    ss_tot = sum(sum(x * x for x in v) for v in groups.values())
+    sum_sq_over_n = sum(float(sum(v)) ** 2 / len(v) for v in groups.values())
+    ssb = sum_sq_over_n - float(s_tot) ** 2 / n
+    ssw = ss_tot - sum_sq_over_n
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta2 = ssb / (ssb + ssw)
+    got = q_stats_f_oneway(spark, SF_DIR).first()
+    assert got.n_total == n and got.k_groups == k
+    assert got.headroom_ok is True
+    assert got.sum_milli == s_tot
+    assert got.f_micro == math.floor(f * 1000000.0 + 0.5)
+    assert got.eta2_micro == math.floor(eta2 * 1000000.0 + 0.5)
+    assert 0 <= got.eta2_micro <= 1_000_000
+
+
+def test_time_to_convert_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        TTC_PCTS,
+        q_funnel_time_to_convert,
+    )
+
+    rows = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    first_view: dict[int, object] = {}
+    for r in rows:
+        if r.event_type == "view" and (
+            r.user_id not in first_view or r.ts < first_view[r.user_id]
+        ):
+            first_view[r.user_id] = r.ts
+    deltas = {}
+    for r in rows:
+        if r.event_type != "purchase" or r.user_id not in first_view:
+            continue
+        if r.ts > first_view[r.user_id]:
+            # both engines count SECOND-BOUNDARY crossings (unix_timestamp
+            # truncates each endpoint; date_diff('second') counts
+            # boundaries), so truncate endpoints before differencing
+            d = int(
+                (
+                    r.ts.replace(microsecond=0)
+                    - first_view[r.user_id].replace(microsecond=0)
+                ).total_seconds()
+            )
+            if r.user_id not in deltas or d < deltas[r.user_id]:
+                deltas[r.user_id] = d
+    vals = sorted(deltas.values())
+    n = len(vals)
+
+    def pct(p):
+        cum = 0
+        for v, t in sorted(Counter(vals).items()):
+            cum += t
+            if 100 * cum >= p * n:
+                return v
+        raise AssertionError
+
+    got = q_funnel_time_to_convert(spark, SF_DIR).first()
+    assert got.n_converted == n
+    for p in TTC_PCTS:
+        assert getattr(got, f"p{p}_s") == pct(p)
+    assert got.p25_s <= got.p50_s <= got.p75_s <= got.p90_s
+
+
+def test_crosscorr_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.timeseries import (
+        XCORR_A,
+        XCORR_B,
+        XCORR_MAX_LAG,
+        q_timeseries_crosscorr,
+    )
+
+    rows = load(spark, SF_DIR, "events").select("event_type", "ts").collect()
+    hourly: Counter = Counter()
+    hours = set()
+    for r in rows:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        hours.add(h)
+        if r.event_type in (XCORR_A, XCORR_B):
+            hourly[(r.event_type, h)] += 1
+    # dense grid spans min..max over ALL types (the _dense_hourly bounds)
+    import datetime
+
+    lo, hi = min(hours), max(hours)
+    grid = []
+    h = lo
+    while h <= hi:
+        grid.append(h)
+        h += datetime.timedelta(hours=1)
+    length = len(grid)
+    ta = sum(v for (t, _), v in hourly.items() if t == XCORR_A)
+    tb = sum(v for (t, _), v in hourly.items() if t == XCORR_B)
+    da = [length * hourly.get((XCORR_A, h), 0) - ta for h in grid]
+    db = [length * hourly.get((XCORR_B, h), 0) - tb for h in grid]
+    den = math.sqrt(
+        float(sum(x * x for x in da)) * float(sum(x * x for x in db))
+    )
+    got = {
+        r.lag: (r.n_pairs, r.xcorr_micro)
+        for r in q_timeseries_crosscorr(spark, SF_DIR).collect()
+    }
+    for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1):
+        num = 0
+        n_pairs = 0
+        for i in range(length):
+            j = i + k
+            if 0 <= j < length:
+                num += da[i] * db[j]
+                n_pairs += 1
+        assert got[k] == (n_pairs, math.floor(num / den * 1000000.0 + 0.5))
+    # zero lag of a series with itself would be exactly 1; cross-series
+    # correlations stay inside [-1, 1] up to micro fuzz
+    assert all(-1_000_001 <= v <= 1_000_001 for _, v in got.values())
+
+
+def test_knn_loo_accuracy_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.similarity import (
+        LOO_N_QUERIES,
+        q_embedding_knn_loo_accuracy,
+    )
+
+    rows = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = {
+        r.vec_id: ([float(x) for x in r.embedding], r.label)
+        for r in rows
+        if any(float(x) != 0.0 for x in r.embedding)
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    expect = {}
+    correct = 0
+    qids = [v for v in vecs if v < LOO_N_QUERIES]
+    for qid in qids:
+        qe, ql = vecs[qid]
+        best = max(
+            ((cos(qe, vecs[c][0]), -c) for c in vecs if c != qid),
+        )
+        nid = -best[1]
+        nl = vecs[nid][1]
+        expect[qid] = (ql, nid, nl, int(ql == nl))
+        correct += int(ql == nl)
+    acc = (2000000 * correct + len(qids)) // (2 * len(qids))
+    got = {
+        r.query_id: (r.query_label, r.neighbor_id, r.neighbor_label, r.correct)
+        for r in q_embedding_knn_loo_accuracy(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    accs = {
+        r.accuracy_micro
+        for r in q_embedding_knn_loo_accuracy(spark, SF_DIR).collect()
+    }
+    assert accs == {acc}
+
+
+def test_permutation_test_matches_pure_python(spark):
+    import hashlib
+
+    from emr_flink_example_spark.operators.analytics import (
+        PERM_K,
+        q_abtest_permutation_test,
+    )
+
+    rows = (
+        load(spark, SF_DIR, "events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "value")
+        .collect()
+    )
+    users: dict[int, int] = {}
+    for r in rows:
+        users[r.user_id] = users.get(r.user_id, 0) + math.floor(
+            r.value * 1000 + 0.5
+        )
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def stat(arms: dict[int, int]) -> int:
+        s = [0, 0]
+        n = [0, 0]
+        for u, y in users.items():
+            a = arms[u]
+            s[a] += y
+            n[a] += 1
+        return math.floor(abs(s[1] / n[1] - s[0] / n[0]) * 1000.0 + 0.5)
+
+    obs = stat({u: u % 2 for u in users})
+    n_ge = 0
+    for k in range(1, PERM_K + 1):
+        sk = stat({u: phash(f"{u}:{k}") % 2 for u in users})
+        if sk >= obs:
+            n_ge += 1
+    p = (2000000 * (1 + n_ge) + (PERM_K + 1)) // (2 * (PERM_K + 1))
+    got = q_abtest_permutation_test(spark, SF_DIR).first()
+    assert got.n_perms == PERM_K
+    assert got.stat_obs_micro == obs
+    assert got.n_ge == n_ge
+    assert got.p_micro == p
+    # a valid permutation p-value lives in [1/(K+1), 1]
+    assert 2000000 // (2 * (PERM_K + 1)) <= got.p_micro <= 1_000_000
+
+
+def test_kcenter_coreset_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.similarity import (
+        CORESET_K,
+        q_sample_coreset_kcenter,
+    )
+
+    rows = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def d2(a, b):
+        # mirror the sequential fold order of the engines
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    seed = min(vecs)
+    centers = [seed]
+    for _ in range(CORESET_K - 1):
+        best = None
+        for v, e in vecs.items():
+            md2 = min(d2(e, vecs[c]) for c in centers)
+            key = (-math.floor(md2 * 1000000.0 + 0.5), v)
+            if best is None or key < best[0]:
+                best = (key, v)
+        centers.append(best[1])
+    # assignment: first-min over selection order
+    n_assigned = Counter()
+    radius = 0
+    for v, e in vecs.items():
+        ds = [d2(e, vecs[c]) for c in centers]
+        m = min(ds)
+        n_assigned[ds.index(m)] += 1
+        radius = max(radius, math.floor(m * 1000000.0 + 0.5))
+    got = {
+        r.rank: (r.vec_id, r.n_assigned, r.radius_micro)
+        for r in q_sample_coreset_kcenter(spark, SF_DIR).collect()
+    }
+    assert got == {
+        i + 1: (c, n_assigned[i], radius) for i, c in enumerate(centers)
+    }
+    # greedy invariant: the selected points are distinct
+    assert len({v for v, _, _ in got.values()}) == CORESET_K
