@@ -267,6 +267,11 @@ HEADLINE = [
     # r10 sixth wave: deterministic-resample inference / diverse coreset
     "abtest_permutation_test",
     "sample_coreset_kcenter",
+    # r10 seventh wave: streaks / entropy rate / sketch algebra / diversity
+    "user_activity_streaks",
+    "events_markov_entropy",
+    "sketch_hll_intersection",
+    "text_simpson_diversity",
 ]
 
 

@@ -4958,3 +4958,201 @@ ORACLES["abtest_permutation_test"] = f"""
              + (count(*) + 1)) // (2 * (count(*) + 1)))::BIGINT AS p_micro
     FROM stats CROSS JOIN obs WHERE k > 0
 """
+
+
+#: streak report size
+STREAK_TOPK = 15
+
+
+def q_user_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands rewrite (island id = day_number - row_number over
+    the user's DISTINCT active days, constant within each maximal run),
+    reported as the top STREAK_TOPK users by (longest streak desc,
+    n_active_days desc, user_id asc) — the engagement-loyalty metric
+    every retention team tracks next to cohort_retention (cohorts
+    grade RETURN; streaks grade CONTINUITY).
+
+    Determinism: days are exact integers (datediff from a fixed epoch),
+    the island id is integer arithmetic over integer row_numbers, and
+    every reported column is an exact count; the cut is a total order.
+
+    Scale shape: one user-keyed exchange shared with every clickstream
+    op; the distinct-day table is a per-user combine-friendly
+    aggregate; the row_number window and the island groupBy both run
+    under the SAME user_id hash partitioning (no second exchange); the
+    global cut is a TakeOrdered over user-level rows."""
+    ev = load(spark, sf, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.expr("datediff(to_date(ts), date'1970-01-01')").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    per_user = runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak_days"),
+        F.sum("run_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+    )
+    wr = Window.orderBy(
+        F.col("longest_streak_days").desc(),
+        F.col("n_active_days").desc(),
+        F.col("user_id").asc(),
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= STREAK_TOPK)
+        .select(
+            "rank", "user_id", "longest_streak_days", "n_active_days", "n_streaks"
+        )
+    )
+
+
+QUERIES["user_activity_streaks"] = q_user_activity_streaks
+ORACLES["user_activity_streaks"] = f"""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day
+        FROM events
+    ), islands AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+        FROM days
+    ), runs AS (
+        SELECT user_id, island, count(*)::BIGINT AS run_len
+        FROM islands GROUP BY user_id, island
+    ), per_user AS (
+        SELECT user_id, max(run_len)::BIGINT AS longest_streak_days,
+               sum(run_len)::BIGINT AS n_active_days,
+               count(*)::BIGINT AS n_streaks
+        FROM runs GROUP BY user_id
+    )
+    SELECT row_number() OVER (ORDER BY longest_streak_days DESC,
+                              n_active_days DESC, user_id ASC) AS rank,
+           user_id, longest_streak_days, n_active_days, n_streaks
+    FROM per_user
+    ORDER BY longest_streak_days DESC, n_active_days DESC, user_id ASC
+    LIMIT {STREAK_TOPK}
+"""
+
+
+def q_events_markov_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain (Shannon 1948):
+    H = -sum_i pi_i * sum_j p_ij ln p_ij over the event_transition_matrix
+    chain, with the stationary weight pi_i estimated as state i's share
+    of observed transitions — ONE number for "how predictable is the
+    next user action", the information-theoretic summary the
+    transition-matrix op displays as a grid. Reported next to the
+    maximum ln|states| so the predictability ratio is read directly.
+
+    Determinism discipline (the KL micro-nat pattern): per-(i,j) the
+    term -ln(n_ij / n_i) is floored to integer micro-nats FIRST, then
+    count-weighted (n_ij) and integer-summed; the single final division
+    by N (total transitions) is one double expression floored once.
+    |states| and ln|states| are exact integers / one literal-free ln
+    over an exact integer.
+
+    int64-headroom: |micro| <= 1e6 * ln(N), count-weighted sums bounded
+    by N * that — the JS-divergence guard form, ENFORCED: log2(N) +
+    log2(1e6*ln(N)+1) < 62, loud NULL, mirrored in the oracle.
+
+    Scale shape: the transition counts are the |types|^2 aggregate off
+    ONE user-keyed lag window (the transition-matrix shape); everything
+    downstream is domain-sized."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("i"),
+        F.col("event_type").alias("j"),
+    ).where(F.col("i").isNotNull())
+    counts = trans.groupBy("i", "j").agg(F.count("*").alias("n_ij"))
+    row_tot = counts.groupBy("i").agg(F.sum("n_ij").alias("n_i"))
+    tot = row_tot.groupBy().agg(
+        F.sum("n_i").alias("n"), F.count("*").alias("n_states")
+    )
+    scored = (
+        counts.join(F.broadcast(row_tot), "i")
+        .withColumn(
+            "micro",
+            F.expr(
+                "cast(floor(-ln(cast(n_ij as double) / cast(n_i as double))"
+                " * 1000000.0 + 0.5) as bigint)"
+            ),
+        )
+    )
+    g = scored.agg(
+        F.sum(F.col("n_ij") * F.col("micro")).alias("wsum"),
+    ).crossJoin(F.broadcast(tot))
+    ok = F.expr(
+        "case when n <= 1 then true else"
+        " log2(cast(n as double))"
+        " + log2(1000000.0 * ln(cast(n as double)) + 1.0) < 62.0 end"
+    )
+    return g.select(
+        "n",
+        "n_states",
+        F.when(
+            ok,
+            F.expr("cast(floor(cast(wsum as double) / cast(n as double) + 0.5) as bigint)"),
+        ).alias("entropy_rate_micronats"),
+        F.when(
+            ok,
+            F.expr(
+                "cast(floor(ln(cast(n_states as double)) * 1000000.0 + 0.5) as bigint)"
+            ),
+        ).alias("max_entropy_micronats"),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["events_markov_entropy"] = q_events_markov_entropy
+ORACLES["events_markov_entropy"] = """
+    WITH trans AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS i,
+               event_type AS j
+        FROM events
+    ), counts AS (
+        SELECT i, j, count(*)::BIGINT AS n_ij FROM trans
+        WHERE i IS NOT NULL GROUP BY i, j
+    ), row_tot AS (
+        SELECT i, sum(n_ij)::BIGINT AS n_i FROM counts GROUP BY i
+    ), tot AS (
+        SELECT sum(n_i)::BIGINT AS n, count(*)::BIGINT AS n_states
+        FROM row_tot
+    ), scored AS (
+        SELECT c.n_ij,
+               floor(-ln(c.n_ij::DOUBLE / r.n_i::DOUBLE) * 1000000.0
+                     + 0.5)::BIGINT AS micro
+        FROM counts c JOIN row_tot r USING (i)
+    ), g AS (
+        SELECT sum(n_ij * micro)::BIGINT AS wsum FROM scored
+    ), ok_t AS (
+        SELECT *, CASE WHEN n <= 1 THEN true ELSE
+                  log2(n::DOUBLE) + log2(1000000.0 * ln(n::DOUBLE) + 1.0)
+                  < 62.0 END AS headroom_ok
+        FROM g CROSS JOIN tot
+    )
+    SELECT n, n_states,
+           CASE WHEN headroom_ok THEN
+             floor(wsum::DOUBLE / n::DOUBLE + 0.5)::BIGINT
+           END AS entropy_rate_micronats,
+           CASE WHEN headroom_ok THEN
+             floor(ln(n_states::DOUBLE) * 1000000.0 + 0.5)::BIGINT
+           END AS max_entropy_micronats,
+           headroom_ok
+    FROM ok_t
+"""

@@ -5062,3 +5062,252 @@ def _map_oracle() -> str:
 
 
 ORACLES["retrieval_map"] = _map_oracle()
+
+
+#: the two behaviour cohorts the HLL intersection estimates overlap for
+HLL_SET_A = "view"
+HLL_SET_B = "purchase"
+
+
+def q_sketch_hll_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-user OVERLAP between two behaviour cohorts from HLL
+    sketches alone — inclusion-exclusion over mergeable registers:
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where est(A ∪ B) comes from
+    MAX-merging the two register tables (never re-touching raw events).
+    This is the sketch-algebra read every audience-overlap / cohort-
+    intersection dashboard runs at 100 TB: three 64-row register tables
+    answer a question whose exact form needs a distinct-pair join. The
+    exact overlap is computed alongside for the measured error (the
+    sketch_hll_distinct contract).
+
+    Same register construction as sketch_hll_distinct (trailing-zero
+    rho over the portable hash, exact-integer harmonic sums, the
+    linear-counting branch); the three estimates and the intersection
+    difference evaluate in ONE fixed double expression each, rounded
+    once at 2 decimals (the difference can be negative — HLL error is
+    unbiased, not one-sided — and ships as-is, clamping is the
+    CONSUMER's choice; documented, and the exact column exposes it).
+
+    Scale shape: one event scan -> per-(cohort, bucket) max registers
+    (map-side combinable); the union merge and the three estimate folds
+    run over <= 3*HLL_M rows."""
+    from ..functions.hashing import portable_hash
+
+    events = load(spark, sf, "events")
+    hashed = events.where(
+        F.col("event_type").isin(HLL_SET_A, HLL_SET_B)
+    ).select(
+        "event_type",
+        "user_id",
+        portable_hash(F.col("user_id").cast("string")).alias("h"),
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"h % {HLL_M}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN shiftright(h, {HLL_P}) = 0 THEN {_HLL_RHO_CAP} "
+                f"ELSE length(bin(shiftright(h, {HLL_P}) & -shiftright(h, {HLL_P}))) END"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .transform(pinned)
+    )
+    union_regs = regs.groupBy("bucket").agg(F.max("m_j").alias("m_j")).select(
+        F.lit("union").alias("set_name"), "bucket", "m_j"
+    )
+    all_regs = regs.select(
+        F.col("event_type").alias("set_name"), "bucket", "m_j"
+    ).union(union_regs)
+    agg = all_regs.groupBy("set_name").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")).alias(
+            "s_nonempty"
+        ),
+        F.count("*").alias("v_nonempty"),
+    )
+    scale = float(1 << _HLL_RHO_CAP)
+    folded = agg.select(
+        "set_name",
+        (
+            F.col("s_nonempty")
+            + (F.lit(HLL_M) - F.col("v_nonempty")) * F.lit(1 << _HLL_RHO_CAP)
+        ).alias("s"),
+        (F.lit(HLL_M) - F.col("v_nonempty")).alias("v0"),
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(scale) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v0") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v0")),
+    ).otherwise(raw)
+    ests = folded.select("set_name", est.alias("est")).groupBy().agg(
+        F.min(F.when(F.col("set_name") == HLL_SET_A, F.col("est"))).alias("ea"),
+        F.min(F.when(F.col("set_name") == HLL_SET_B, F.col("est"))).alias("eb"),
+        F.min(F.when(F.col("set_name") == "union", F.col("est"))).alias("eu"),
+    )
+    users = hashed.select("event_type", "user_id").distinct()
+    exact = (
+        users.groupBy("user_id")
+        .agg(F.count("*").alias("n_types"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_exact_union"),
+            F.sum(F.expr("if(n_types = 2, 1, 0)")).alias("n_exact_both"),
+        )
+    )
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "n_exact_both",
+        "n_exact_union",
+        F.round("ea", 2).alias("est_a"),
+        F.round("eb", 2).alias("est_b"),
+        F.round("eu", 2).alias("est_union"),
+        F.round(F.col("ea") + F.col("eb") - F.col("eu"), 2).alias(
+            "est_intersection"
+        ),
+    )
+
+
+QUERIES["sketch_hll_intersection"] = q_sketch_hll_intersection
+ORACLES["sketch_hll_intersection"] = f"""
+    WITH hashed AS (
+        SELECT event_type, user_id,
+               (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS h
+        FROM events WHERE event_type IN ('{HLL_SET_A}', '{HLL_SET_B}')
+    ), regs AS (
+        SELECT event_type, h % {HLL_M} AS bucket,
+               max(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_CAP}
+                   ELSE length(bin((h >> {HLL_P}) & -(h >> {HLL_P})))
+                   END) AS m_j
+        FROM hashed GROUP BY event_type, h % {HLL_M}
+    ), all_regs AS (
+        SELECT event_type AS set_name, bucket, m_j FROM regs
+        UNION ALL
+        SELECT 'union', bucket, max(m_j) FROM regs GROUP BY bucket
+    ), agg AS (
+        SELECT set_name,
+               sum((1::BIGINT << ({_HLL_RHO_CAP} - m_j)))::BIGINT AS s_nonempty,
+               count(*)::BIGINT AS v_nonempty
+        FROM all_regs GROUP BY set_name
+    ), folded AS (
+        SELECT set_name,
+               (s_nonempty + ({HLL_M} - v_nonempty)
+                * (1::BIGINT << {_HLL_RHO_CAP}))::BIGINT AS s,
+               ({HLL_M} - v_nonempty)::BIGINT AS v0
+        FROM agg
+    ), ests AS (
+        SELECT set_name,
+               CASE WHEN {HLL_ALPHA} * {HLL_M} * {HLL_M}
+                         * {float(1 << _HLL_RHO_CAP)} / s <= 2.5 * {HLL_M}
+                     AND v0 > 0
+               THEN {float(HLL_M)} * ln({float(HLL_M)} / v0)
+               ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M}
+                    * {float(1 << _HLL_RHO_CAP)} / s END AS est
+        FROM folded
+    ), pivoted AS (
+        SELECT min(CASE WHEN set_name = '{HLL_SET_A}' THEN est END) AS ea,
+               min(CASE WHEN set_name = '{HLL_SET_B}' THEN est END) AS eb,
+               min(CASE WHEN set_name = 'union' THEN est END) AS eu
+        FROM ests
+    ), exact AS (
+        SELECT count(*)::BIGINT AS n_exact_union,
+               sum((n_types = 2)::INT)::BIGINT AS n_exact_both
+        FROM (
+            SELECT user_id, count(*)::BIGINT AS n_types
+            FROM (SELECT DISTINCT event_type, user_id FROM hashed)
+            GROUP BY user_id
+        )
+    )
+    SELECT e.n_exact_both, e.n_exact_union,
+           round(p.ea, 2) AS est_a, round(p.eb, 2) AS est_b,
+           round(p.eu, 2) AS est_union,
+           round(p.ea + p.eb - p.eu, 2) AS est_intersection
+    FROM pivoted p CROSS JOIN exact e
+"""
+
+
+def q_text_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source lexical diversity via Simpson's index (Simpson 1949):
+    lambda = sum_t c_t*(c_t-1) / (n*(n-1)) — the probability two tokens
+    drawn without replacement are the SAME type — reported with its two
+    standard transforms, diversity D = 1 - lambda and the effective
+    vocabulary 1/lambda (the "how many equally-common types would look
+    like this" number). The repeat-probability view of diversity that
+    entropy (text_entropy) and Zipf/Heaps fits don't give directly:
+    lambda is an EXACT rational of counts, no logs, so it is the
+    diversity metric that survives integer-only auditing.
+
+    Determinism: numerator sum(c*(c-1)) and denominator n*(n-1) are
+    exact bigints; the three outputs are fixed double expressions over
+    those integers floored to micros (effective vocab floored to
+    milli-types for headroom).
+
+    int64-headroom guard (ENFORCED, max-reading): sum(c^2) <= n * max_c,
+    guard log2(n) + log2(max_c) < 62 on exact aggregates — NULLs loudly,
+    mirrored. (n*(n-1) needs 2*log2(n) < 63, folded into the same CASE.)
+
+    Scale shape: one (source, token) combine-friendly count (the
+    JS-divergence shuffle, vocab-bounded), one source-level fold."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("source", F.explode(F.expr(TOKENS)).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    g = st.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep2"),
+        F.max("c").alias("max_c"),
+    )
+    ok = F.expr(
+        "case when n <= 1 then true else"
+        " log2(cast(n as double)) + log2(cast(greatest(max_c, 2) as double))"
+        " < 62.0 and 2.0 * log2(cast(n as double)) < 62.0 end"
+    )
+    lam = F.expr(
+        "case when n > 1 then cast(rep2 as double)"
+        " / (cast(n as double) * (cast(n as double) - 1.0)) end"
+    )
+    return g.select(
+        "source",
+        "n",
+        "n_types",
+        F.when(ok, F.col("rep2")).alias("rep2"),
+        F.when(ok, F.floor(lam * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "simpson_micro"
+        ),
+        F.when(
+            ok & (F.col("rep2") > 0),
+            F.floor(F.lit(1000.0) / lam + F.lit(0.5)).cast("bigint"),
+        ).alias("effective_vocab_milli"),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["text_simpson_diversity"] = q_text_simpson_diversity
+ORACLES["text_simpson_diversity"] = f"""
+    WITH tok AS (
+        SELECT source, unnest({TOKENS_DUCK}) AS token FROM documents
+    ), st AS (
+        SELECT source, token, count(*)::BIGINT AS c FROM tok
+        GROUP BY source, token
+    ), g AS (
+        SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_types,
+               sum(c * (c - 1))::BIGINT AS rep2, max(c)::BIGINT AS max_c
+        FROM st GROUP BY source
+    ), ok_t AS (
+        SELECT *, CASE WHEN n <= 1 THEN true ELSE
+                  log2(n::DOUBLE) + log2(greatest(max_c, 2)::DOUBLE) < 62.0
+                  AND 2.0 * log2(n::DOUBLE) < 62.0 END AS headroom_ok
+        FROM g
+    )
+    SELECT source, n, n_types,
+           CASE WHEN headroom_ok THEN rep2 END AS rep2,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n > 1 THEN
+               floor(rep2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0))
+                     * 1000000.0 + 0.5)::BIGINT END
+           END AS simpson_micro,
+           CASE WHEN headroom_ok AND rep2 > 0 AND n > 1 THEN
+             floor(1000.0 / (rep2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                   + 0.5)::BIGINT END AS effective_vocab_milli,
+           headroom_ok
+    FROM ok_t
+"""

@@ -895,3 +895,168 @@ def test_kcenter_coreset_matches_pure_python(spark):
     }
     # greedy invariant: the selected points are distinct
     assert len({v for v, _, _ in got.values()}) == CORESET_K
+
+
+def test_activity_streaks_match_pure_python(spark):
+    import datetime
+
+    from emr_flink_example_spark.operators.analytics import (
+        STREAK_TOPK,
+        q_user_activity_streaks,
+    )
+
+    rows = load(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    epoch = datetime.date(1970, 1, 1)
+    byu: dict[int, set] = {}
+    for r in rows:
+        byu.setdefault(r.user_id, set()).add((r.ts.date() - epoch).days)
+    per_user = []
+    for u, ds in byu.items():
+        days = sorted(ds)
+        longest = cur = 1
+        n_streaks = 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                cur = 1
+                n_streaks += 1
+            longest = max(longest, cur)
+        per_user.append((-longest, -len(days), u, n_streaks))
+    per_user.sort()
+    expect = [
+        (i + 1, u, -nl, -nd, ns)
+        for i, (nl, nd, u, ns) in enumerate(per_user[:STREAK_TOPK])
+    ]
+    got = [
+        (r.rank, r.user_id, r.longest_streak_days, r.n_active_days, r.n_streaks)
+        for r in q_user_activity_streaks(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expect
+
+
+def test_markov_entropy_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        q_events_markov_entropy,
+    )
+
+    rows = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    byu: dict[int, list] = {}
+    for r in rows:
+        byu.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    counts: Counter = Counter()
+    for seq in byu.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    row_tot: Counter = Counter()
+    for (a, _), c in counts.items():
+        row_tot[a] += c
+    n = sum(row_tot.values())
+    wsum = sum(
+        c * math.floor(-math.log(c / row_tot[a]) * 1000000.0 + 0.5)
+        for (a, _), c in counts.items()
+    )
+    got = q_events_markov_entropy(spark, SF_DIR).first()
+    assert got.n == n
+    assert got.n_states == len(row_tot)
+    assert got.headroom_ok is True
+    assert got.entropy_rate_micronats == math.floor(wsum / n + 0.5)
+    assert got.max_entropy_micronats == math.floor(
+        math.log(len(row_tot)) * 1000000.0 + 0.5
+    )
+    # entropy rate cannot exceed the uniform bound (up to micro fuzz)
+    assert got.entropy_rate_micronats <= got.max_entropy_micronats + 1
+
+
+def test_hll_intersection_matches_reference(spark, ):
+    import hashlib
+
+    from emr_flink_example_spark.operators.textstats import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        HLL_SET_A,
+        HLL_SET_B,
+        _HLL_RHO_CAP,
+        q_sketch_hll_intersection,
+    )
+
+    rows = (
+        load(spark, SF_DIR, "events")
+        .where(f"event_type in ('{HLL_SET_A}', '{HLL_SET_B}')")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    sets = {HLL_SET_A: set(), HLL_SET_B: set()}
+    for r in rows:
+        sets[r.event_type].add(r.user_id)
+
+    def est(ids) -> float:
+        regs: dict[int, int] = {}
+        for uid in ids:
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+            rest = h >> HLL_P
+            rho = _HLL_RHO_CAP if rest == 0 else len(bin(rest & -rest)) - 2
+            b = h % HLL_M
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (_HLL_RHO_CAP - m) for m in regs.values())
+        s += (HLL_M - len(regs)) * (1 << _HLL_RHO_CAP)
+        v0 = HLL_M - len(regs)
+        raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_CAP) / s
+        if raw <= 2.5 * HLL_M and v0 > 0:
+            return float(HLL_M) * math.log(float(HLL_M) / v0)
+        return raw
+
+    ea = est(sets[HLL_SET_A])
+    eb = est(sets[HLL_SET_B])
+    eu = est(sets[HLL_SET_A] | sets[HLL_SET_B])
+    got = q_sketch_hll_intersection(spark, SF_DIR).first()
+    assert got.n_exact_union == len(sets[HLL_SET_A] | sets[HLL_SET_B])
+    assert got.n_exact_both == len(sets[HLL_SET_A] & sets[HLL_SET_B])
+    assert got.est_a == round(ea, 2)
+    assert got.est_b == round(eb, 2)
+    assert got.est_union == round(eu, 2)
+    assert got.est_intersection == round(ea + eb - eu, 2)
+    # the sketch overlap lands within 50% of truth on this fixture
+    # (inclusion-exclusion compounds three estimators' errors)
+    assert abs(got.est_intersection - got.n_exact_both) <= max(
+        0.5 * got.n_exact_both, 10
+    )
+
+
+def test_simpson_diversity_matches_pure_python(spark):
+    import re
+
+    from emr_flink_example_spark.operators.textstats import (
+        q_text_simpson_diversity,
+    )
+
+    rows = load(spark, SF_DIR, "documents").select("source", "text").collect()
+    st: Counter = Counter()
+    for r in rows:
+        for t in re.findall(r"[a-zA-Z0-9]+", r.text or ""):
+            st[(r.source, t)] += 1
+    per_source: dict[str, list[int]] = {}
+    for (s, _), c in st.items():
+        per_source.setdefault(s, []).append(c)
+    got = {
+        r.source: r for r in q_text_simpson_diversity(spark, SF_DIR).collect()
+    }
+    for s, cs in per_source.items():
+        n = sum(cs)
+        rep2 = sum(c * (c - 1) for c in cs)
+        lam = rep2 / (n * (n - 1))
+        r = got[s]
+        assert r.n == n
+        assert r.n_types == len(cs)
+        assert r.rep2 == rep2
+        assert r.headroom_ok is True
+        assert r.simpson_micro == math.floor(lam * 1000000.0 + 0.5)
+        assert r.effective_vocab_milli == math.floor(1000.0 / lam + 0.5)
+        # diversity bounds: 1/n_types <= lambda <= 1
+        assert r.simpson_micro <= 1_000_000
