@@ -272,6 +272,10 @@ HEADLINE = [
     "events_markov_entropy",
     "sketch_hll_intersection",
     "text_simpson_diversity",
+    # r10 eighth wave: interval sweep / cohort LTV / paired-gate McNemar
+    "orders_open_interval_census",
+    "events_cohort_ltv",
+    "quality_gate_mcnemar",
 ]
 
 

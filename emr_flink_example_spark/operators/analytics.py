@@ -5156,3 +5156,230 @@ ORACLES["events_markov_entropy"] = """
            headroom_ok
     FROM ok_t
 """
+
+
+def q_orders_open_interval_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-order census per month — how many orders were IN FLIGHT
+    (placed but not yet fully shipped) during each calendar month — via
+    the interval delta-sweep: every order contributes +1 at its opening
+    month and -1 at the month AFTER its last shipment, and the census is
+    one running sum over the month grid. The classic interval-stabbing
+    rewrite: a naive month x open-interval join materializes
+    |months| x |orders| rows; the sweep shuffles exactly 2 deltas per
+    order into a |months|-bounded aggregate (the WIP/backlog readout
+    every fulfillment dashboard needs).
+
+    An order's interval is [month(o_orderdate), month(max l_shipdate)]
+    over its line items (inner join: lineitem-less orders have no
+    shipment evidence and are excluded — documented contract). The
+    synthetic fixture contains orders whose latest shipment month
+    precedes the order month (~19% at sf0.001 — the generator draws the
+    dates independently); both engines CLAMP close >= open so such an
+    order is open exactly its opening month, which is also what a real
+    lake's dirty timestamps need (caught by the pure-Python reference
+    test — the mirrored unclamped delta would silently hash-match).
+
+    Determinism: months are exact integers (months_between fixed-epoch),
+    deltas and running sums are pure integer arithmetic.
+
+    Scale shape: one orderkey-keyed join + combine-friendly per-order
+    max, a 2-delta map-side explode, one |months|-sized aggregate, and
+    the running sum over the CALENDAR-bounded month table (the
+    dense-grid trade every census op makes)."""
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.min(
+                F.expr(
+                    "cast(months_between(date_trunc('month', o_orderdate),"
+                    " date'1970-01-01') as bigint)"
+                )
+            ).alias("m_open"),
+            F.max(
+                F.expr(
+                    "cast(months_between(date_trunc('month', l_shipdate),"
+                    " date'1970-01-01') as bigint)"
+                )
+            ).alias("m_close_raw"),
+        )
+        .select(
+            "o_orderkey",
+            "m_open",
+            F.greatest("m_close_raw", "m_open").alias("m_close"),
+        )
+    )
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("m_open").alias("m"), F.lit(1).alias("d"),
+                         F.lit(1).alias("opened"), F.lit(0).alias("closed")),
+                F.struct((F.col("m_close") + 1).alias("m"), F.lit(-1).alias("d"),
+                         F.lit(0).alias("opened"), F.lit(0).alias("closed")),
+                F.struct(F.col("m_close").alias("m"), F.lit(0).alias("d"),
+                         F.lit(0).alias("opened"), F.lit(1).alias("closed")),
+            )
+        ).alias("x")
+    ).select("x.m", "x.d", "x.opened", "x.closed")
+    monthly = deltas.groupBy("m").agg(
+        F.sum("d").alias("delta"),
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    bounds = iv.groupBy().agg(
+        F.min("m_open").alias("lo"), F.max("m_close").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+    dense = grid.join(monthly, "m", "left").select(
+        "m",
+        F.coalesce("delta", F.lit(0)).alias("delta"),
+        F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return dense.select(
+        F.expr(
+            "cast(add_months(date'1970-01-01', cast(m as int)) as timestamp)"
+        ).alias("month"),
+        "n_opened",
+        "n_closed",
+        F.sum("delta").over(w).alias("open_during"),
+    )
+
+
+QUERIES["orders_open_interval_census"] = q_orders_open_interval_census
+ORACLES["orders_open_interval_census"] = """
+    WITH iv AS (
+        SELECT o_orderkey, m_open, greatest(m_close_raw, m_open) AS m_close
+        FROM (
+            SELECT o.o_orderkey,
+                   min(datediff('month', DATE '1970-01-01',
+                       date_trunc('month', o.o_orderdate)))::BIGINT AS m_open,
+                   max(datediff('month', DATE '1970-01-01',
+                       date_trunc('month', l.l_shipdate)))::BIGINT AS m_close_raw
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey
+        )
+    ), deltas AS (
+        SELECT m_open AS m, 1 AS d, 1 AS opened, 0 AS closed FROM iv
+        UNION ALL
+        SELECT m_close + 1, -1, 0, 0 FROM iv
+        UNION ALL
+        SELECT m_close, 0, 0, 1 FROM iv
+    ), monthly AS (
+        SELECT m, sum(d)::BIGINT AS delta, sum(opened)::BIGINT AS n_opened,
+               sum(closed)::BIGINT AS n_closed
+        FROM deltas GROUP BY m
+    ), bounds AS (
+        SELECT min(m_open) AS lo, max(m_close) AS hi FROM iv
+    ), grid AS (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds))) AS m
+    ), dense AS (
+        SELECT g.m, coalesce(mo.delta, 0)::BIGINT AS delta,
+               coalesce(mo.n_opened, 0)::BIGINT AS n_opened,
+               coalesce(mo.n_closed, 0)::BIGINT AS n_closed
+        FROM grid g LEFT JOIN monthly mo ON mo.m = g.m
+    )
+    SELECT (DATE '1970-01-01' + to_months(m::INT))::TIMESTAMP AS month,
+           n_opened, n_closed,
+           sum(delta) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS open_during
+    FROM dense
+"""
+
+
+def q_events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    signup cohort (DAY of a user's FIRST event — day grain because the
+    fixture stream spans one month; the production swap to month is one
+    truncation constant) by cohort age in days, plus the per-user
+    running LTV — the revenue completion of cohort_retention (retention
+    counts who returns; LTV prices what the cohort is worth as it ages,
+    the payback-period readout growth teams plot as the fan chart).
+
+    Determinism: cohorts and ages are exact integer day indices
+    (datediff against a fixed epoch); revenue is exact milli
+    sums; the cumulative is an integer running-sum window; the per-user
+    LTV is the exact integer micro division (2e6*cum + n) div (2n).
+
+    Scale shape: one user-keyed aggregate finds first-event months (the
+    cohort_retention shuffle), one broadcast join tags purchases, one
+    (cohort x age) combine-friendly aggregate, and the running-sum
+    window partitions by cohort over the CALENDAR-bounded grid."""
+    ev = load(spark, sf, "events")
+    m = "cast(datediff(to_date(ts), date'1970-01-01') as bigint)"
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.expr(m)).alias("cohort_m")
+    )
+    sizes = firsts.groupBy("cohort_m").agg(F.count("*").alias("cohort_users"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(m).alias("ev_m"),
+            F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
+        )
+        .join(firsts, "user_id")
+        .groupBy("cohort_m", (F.col("ev_m") - F.col("cohort_m")).alias("age"))
+        .agg(F.sum("v").alias("rev_milli"), F.count("*").alias("n_purchases"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.expr(
+                "cast(date_add(date'1970-01-01', cast(cohort_m as int))"
+                " as timestamp)"
+            ).alias("cohort_day"),
+            "age",
+            "cohort_users",
+            "n_purchases",
+            "rev_milli",
+            F.sum("rev_milli").over(w).alias("cum_rev_milli"),
+            F.expr(
+                "(2000000 * sum(rev_milli) over (partition by cohort_m"
+                " order by age rows between unbounded preceding and current row)"
+                " + cohort_users) div (2 * cohort_users)"
+            ).alias("ltv_per_user_micro_milli"),
+        )
+    )
+
+
+QUERIES["events_cohort_ltv"] = q_events_cohort_ltv
+ORACLES["events_cohort_ltv"] = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(datediff('day', DATE '1970-01-01', ts::DATE))::BIGINT
+                   AS cohort_m
+        FROM events GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_m, count(*)::BIGINT AS cohort_users
+        FROM firsts GROUP BY cohort_m
+    ), rev AS (
+        SELECT f.cohort_m,
+               (datediff('day', DATE '1970-01-01', e.ts::DATE)
+                - f.cohort_m)::BIGINT AS age,
+               sum(floor(e.value * 1000 + 0.5)::BIGINT)::BIGINT AS rev_milli,
+               count(*)::BIGINT AS n_purchases
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT (DATE '1970-01-01' + to_days(r.cohort_m::INT))::TIMESTAMP
+               AS cohort_day,
+           r.age, s.cohort_users, r.n_purchases, r.rev_milli,
+           sum(r.rev_milli) OVER w::BIGINT AS cum_rev_milli,
+           ((2000000 * sum(r.rev_milli) OVER w + s.cohort_users)
+            // (2 * s.cohort_users))::BIGINT AS ltv_per_user_micro_milli
+    FROM rev r JOIN sizes s USING (cohort_m)
+    WINDOW w AS (PARTITION BY r.cohort_m ORDER BY r.age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

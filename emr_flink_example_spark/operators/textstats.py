@@ -5311,3 +5311,75 @@ ORACLES["text_simpson_diversity"] = f"""
            headroom_ok
     FROM ok_t
 """
+
+
+def q_quality_gate_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's test (McNemar 1947) between the two paired quality
+    raters — the Gopher rule conjunction and the fastText-style gate on
+    the SAME documents: do the two gates disagree symmetrically, or
+    does one systematically keep what the other drops? The PAIRED
+    complement to quality_gate_kappa (kappa grades agreement strength;
+    McNemar tests the DIRECTION of disagreement — the question asked
+    when replacing gate A with gate B: 'does B keep significantly more
+    than A on the same docs?').
+
+    With continuity correction: chi2 = (|b - c| - 1)^2 / (b + c) over
+    the discordant cells (b = gopher-only keeps, c = fastText-only
+    keeps); b + c = 0 (no disagreement) NULLs the statistic
+    ANSI-safely. All cells exact integers from the one doc-keyed join;
+    chi2 is one fixed double expression floored to micros, compared
+    against the 3.841 (df=1, alpha=.05) Python-literal critical value
+    (the chi-square precedent).
+
+    Scale shape: identical to quality_gate_kappa — two scan-speed
+    map-side raters, one doc-keyed join, a 1-row fold."""
+    gopher = q_quality_gopher_rules(spark, sf).select("doc_id", "passes_gopher")
+    ft = q_quality_fasttext_gate(spark, sf).select("doc_id", "keep")
+    cells = gopher.join(ft, "doc_id").agg(
+        F.sum(F.expr("if(passes_gopher and not keep, 1, 0)")).alias("b"),
+        F.sum(F.expr("if(not passes_gopher and keep, 1, 0)")).alias("c"),
+        F.count("*").alias("n_docs"),
+    )
+    chi2 = F.expr(
+        "case when b + c > 0 then"
+        " (cast(abs(b - c) as double) - 1.0) * (cast(abs(b - c) as double) - 1.0)"
+        " / cast(b + c as double) end"
+    )
+    return cells.select(
+        "n_docs",
+        F.col("b").alias("gopher_only_keeps"),
+        F.col("c").alias("fasttext_only_keeps"),
+        F.floor(chi2 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias(
+            "mcnemar_chi2_micro"
+        ),
+        F.expr(
+            "case when b + c > 0 then"
+            " (cast(abs(b - c) as double) - 1.0)"
+            " * (cast(abs(b - c) as double) - 1.0)"
+            " / cast(b + c as double) > 3.841 end"
+        ).alias("significant_05"),
+    )
+
+
+QUERIES["quality_gate_mcnemar"] = q_quality_gate_mcnemar
+ORACLES["quality_gate_mcnemar"] = f"""
+    WITH g AS (
+        SELECT doc_id, passes_gopher FROM ({_GOPHER_ORACLE})
+    ), f AS (
+        SELECT doc_id, keep FROM ({{FASTTEXT}})
+    ), cells AS (
+        SELECT sum((passes_gopher AND NOT keep)::INT)::BIGINT AS b,
+               sum((NOT passes_gopher AND keep)::INT)::BIGINT AS c,
+               count(*)::BIGINT AS n_docs
+        FROM g JOIN f USING (doc_id)
+    )
+    SELECT n_docs, b AS gopher_only_keeps, c AS fasttext_only_keeps,
+           CASE WHEN b + c > 0 THEN
+             floor((abs(b - c)::DOUBLE - 1.0) * (abs(b - c)::DOUBLE - 1.0)
+                   / (b + c)::DOUBLE * 1000000.0 + 0.5)::BIGINT
+           END AS mcnemar_chi2_micro,
+           CASE WHEN b + c > 0 THEN
+             (abs(b - c)::DOUBLE - 1.0) * (abs(b - c)::DOUBLE - 1.0)
+             / (b + c)::DOUBLE > 3.841 END AS significant_05
+    FROM cells
+""".replace("{FASTTEXT}", ORACLES["quality_fasttext_gate"])

@@ -1060,3 +1060,133 @@ def test_simpson_diversity_matches_pure_python(spark):
         assert r.effective_vocab_milli == math.floor(1000.0 / lam + 0.5)
         # diversity bounds: 1/n_types <= lambda <= 1
         assert r.simpson_micro <= 1_000_000
+
+
+def test_open_interval_census_matches_pure_python(spark):
+    import datetime
+
+    from emr_flink_example_spark.operators.analytics import (
+        q_orders_open_interval_census,
+    )
+
+    orders = {
+        r.o_orderkey: r.o_orderdate
+        for r in load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    ship: dict[int, object] = {}
+    for r in (
+        load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    ):
+        if r.l_orderkey not in ship or r.l_shipdate > ship[r.l_orderkey]:
+            ship[r.l_orderkey] = r.l_shipdate
+
+    def midx(d) -> int:
+        return (d.year - 1970) * 12 + (d.month - 1)
+
+    # clamp close >= open: the fixture draws ship/order dates
+    # independently, and the operator defines such orders as open
+    # exactly their opening month
+    iv = [
+        (midx(orders[k]), max(midx(ship[k]), midx(orders[k])))
+        for k in orders
+        if k in ship
+    ]
+    lo = min(m for m, _ in iv)
+    hi = max(m for _, m in iv)
+    expect = {}
+    for m in range(lo, hi + 1):
+        opened = sum(1 for a, _ in iv if a == m)
+        closed = sum(1 for _, b in iv if b == m)
+        open_during = sum(1 for a, b in iv if a <= m <= b)
+        y, mo = divmod(m, 12)
+        expect[datetime.datetime(1970 + y, mo + 1, 1)] = (
+            opened,
+            closed,
+            open_during,
+        )
+    got = {
+        r.month: (r.n_opened, r.n_closed, r.open_during)
+        for r in q_orders_open_interval_census(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_cohort_ltv_matches_pure_python(spark):
+    import datetime
+
+    from emr_flink_example_spark.operators.analytics import q_events_cohort_ltv
+
+    rows = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .collect()
+    )
+    epoch = datetime.date(1970, 1, 1)
+    first = {}
+    for r in rows:
+        d = (r.ts.date() - epoch).days
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    sizes = Counter(first.values())
+    rev: dict[tuple, list[int]] = {}
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        c = first[r.user_id]
+        age = (r.ts.date() - epoch).days - c
+        cell = rev.setdefault((c, age), [0, 0])
+        cell[0] += math.floor(r.value * 1000 + 0.5)
+        cell[1] += 1
+    expect = {}
+    for (c, age) in rev:
+        cum = sum(v for (c2, a2), (v, _) in rev.items() if c2 == c and a2 <= age)
+        ltv = (2000000 * cum + sizes[c]) // (2 * sizes[c])
+        expect[
+            (datetime.datetime(1970, 1, 1) + datetime.timedelta(days=c), age)
+        ] = (sizes[c], rev[(c, age)][1], rev[(c, age)][0], cum, ltv)
+    got = {
+        (r.cohort_day, r.age): (
+            r.cohort_users,
+            r.n_purchases,
+            r.rev_milli,
+            r.cum_rev_milli,
+            r.ltv_per_user_micro_milli,
+        )
+        for r in q_events_cohort_ltv(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_mcnemar_matches_cells(spark):
+    from emr_flink_example_spark.operators.textstats import (
+        q_quality_fasttext_gate,
+        q_quality_gate_mcnemar,
+        q_quality_gopher_rules,
+    )
+
+    gop = {
+        r.doc_id: bool(r.passes_gopher)
+        for r in q_quality_gopher_rules(spark, SF_DIR)
+        .select("doc_id", "passes_gopher")
+        .collect()
+    }
+    ft = {
+        r.doc_id: bool(r.keep)
+        for r in q_quality_fasttext_gate(spark, SF_DIR)
+        .select("doc_id", "keep")
+        .collect()
+    }
+    b = sum(1 for d in gop if gop[d] and not ft[d])
+    c = sum(1 for d in gop if not gop[d] and ft[d])
+    chi2 = (abs(b - c) - 1.0) ** 2 / (b + c) if b + c > 0 else None
+    got = q_quality_gate_mcnemar(spark, SF_DIR).first()
+    assert got.n_docs == len(gop)
+    assert got.gopher_only_keeps == b
+    assert got.fasttext_only_keeps == c
+    if chi2 is None:
+        assert got.mcnemar_chi2_micro is None
+    else:
+        assert got.mcnemar_chi2_micro == math.floor(chi2 * 1000000.0 + 0.5)
+        assert got.significant_05 == (chi2 > 3.841)
