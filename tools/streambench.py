@@ -211,6 +211,41 @@ def bench_curation(spark, in_dir: str, work: str, n_rows: int) -> dict:
     return _drive(query, n_rows, t0)
 
 
+def bench_heavy_hitters(spark, in_dir: str, work: str, n_rows: int) -> dict:
+    """The streaming count-min heavy-hitters sink (r10) — per-batch cell +
+    candidate partitions over the ad-event type key, same multi-batch
+    file-stream method; the final read (merged cells -> top-k estimate)
+    is timed separately as `read_topk_ms` since a dashboard reads it at a
+    different cadence than the ingest writes."""
+    import time as _time
+
+    from emr_flink_example_spark.streaming.cms_stream import StreamingCountMin
+
+    keyed = (
+        _raw_stream(spark, in_dir)
+        .select(
+            F.from_json(
+                F.col("value"),
+                "uuid string, date string, timestamp bigint,"
+                " ad_type int, ad_type_name string",
+            ).alias("d")
+        )
+        .select(F.col("d.ad_type_name").alias("token"))
+    )
+    sink = StreamingCountMin(os.path.join(work, "state"))
+    t0 = time.time()
+    query = (
+        keyed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    out = _drive(query, n_rows, t0)
+    t1 = _time.time()
+    out["topk_rows"] = len(sink.heavy_hitters(spark).collect())
+    out["read_topk_ms"] = round((_time.time() - t1) * 1000.0, 1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -231,6 +266,7 @@ def main() -> None:
             ("parquet", bench_parquet, in_dir, n_rows),
             ("hive", bench_hive, hive_in_dir, n_rows),
             ("curation", bench_curation, docs_in_dir, n_docs),
+            ("heavy_hitters", bench_heavy_hitters, in_dir, n_rows),
         ):
             work = os.path.join(root, name)
             os.makedirs(work, exist_ok=True)
@@ -239,7 +275,11 @@ def main() -> None:
         # (comparable round-over-round); the curation extension pipeline
         # does real per-row LLM-gate + dedup-probe work and is reported
         # alongside, not averaged in
-        ref = {k: r for k, r in results.items() if k != "curation"}
+        ref = {
+            k: r
+            for k, r in results.items()
+            if k not in ("curation", "heavy_hitters")
+        }
         agg = round(
             sum(r["n_rows"] for r in ref.values())
             / sum(r["elapsed_sec"] for r in ref.values()),
