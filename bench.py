@@ -276,6 +276,9 @@ HEADLINE = [
     "orders_open_interval_census",
     "events_cohort_ltv",
     "quality_gate_mcnemar",
+    # r10 ninth wave: DAU/WAU stickiness / fill-rate SLA
+    "event_dau_wau_ratio",
+    "orders_fill_rate_sla",
 ]
 
 

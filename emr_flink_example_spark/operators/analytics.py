@@ -5383,3 +5383,159 @@ ORACLES["events_cohort_ltv"] = """
     WINDOW w AS (PARTITION BY r.cohort_m ORDER BY r.age
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+#: trailing window for the stickiness denominator (days)
+WAU_WINDOW_DAYS = 7
+
+
+def q_event_dau_wau_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily stickiness DAU/WAU: distinct active users each day over
+    distinct active users in the trailing WAU_WINDOW_DAYS — the
+    product-health ratio (a DAU/WAU near 1/7 means users touch the
+    product once a week; near 1 means daily habit) that cohort and
+    streak views don't collapse to one curve.
+
+    Exact distinct-over-sliding-window is not windowable (count
+    DISTINCT over a frame is inexpressible), so the census joins the
+    deduplicated (user, day) activity table to the day grid with a
+    range predicate — the shuffle carries at most |user-days| x
+    WAU_WINDOW_DAYS rows, bounded by the activity table times a
+    constant, never events x days. At 100 TB the swap is per-day HLL
+    registers max-merged over the trailing 7 (sketch_hll_merge shows
+    the machinery); exact is right while |user-days| fits a shuffle.
+
+    Determinism: days are exact integers; DAU/WAU are exact distinct
+    counts; the ratio is the exact integer micro division."""
+    ev = load(spark, sf, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("cast(datediff(to_date(ts), date'1970-01-01') as bigint)").alias(
+            "day"
+        ),
+    ).distinct().transform(pinned)
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    bounds = ud.groupBy().agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    wau = (
+        grid.join(
+            ud.select(F.col("user_id"), F.col("day").alias("aday")),
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") > F.col("day") - WAU_WINDOW_DAYS),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            F.expr(
+                "cast(date_add(date'1970-01-01', cast(day as int)) as timestamp)"
+            ).alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.expr(
+                "case when coalesce(wau, 0) > 0 then"
+                " (2000000 * coalesce(dau, 0) + wau) div (2 * wau)"
+                " else cast(0 as bigint) end"
+            ).alias("stickiness_micro"),
+        )
+    )
+
+
+QUERIES["event_dau_wau_ratio"] = q_event_dau_wau_ratio
+ORACLES["event_dau_wau_ratio"] = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day
+        FROM events
+    ), dau AS (
+        SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day
+    ), bounds AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM ud
+    ), grid AS (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds))) AS day
+    ), wau AS (
+        SELECT g.day, count(DISTINCT u.user_id)::BIGINT AS wau
+        FROM grid g JOIN ud u
+          ON u.day <= g.day AND u.day > g.day - {WAU_WINDOW_DAYS}
+        GROUP BY g.day
+    )
+    SELECT (DATE '1970-01-01' + to_days(g.day::INT))::TIMESTAMP AS day,
+           coalesce(d.dau, 0)::BIGINT AS dau,
+           coalesce(w.wau, 0)::BIGINT AS wau,
+           CASE WHEN coalesce(w.wau, 0) > 0 THEN
+             (2000000 * coalesce(d.dau, 0) + w.wau) // (2 * w.wau)
+           ELSE 0 END::BIGINT AS stickiness_micro
+    FROM grid g LEFT JOIN dau d ON d.day = g.day
+    LEFT JOIN wau w ON w.day = g.day
+"""
+
+
+#: fill-rate SLA horizons (days from order placement to final shipment)
+FILL_SLA_DAYS = (30, 60, 90)
+
+
+def q_orders_fill_rate_sla(spark: SparkSession, sf: str) -> DataFrame:
+    """Order fill-rate against shipment SLAs: the fraction of orders
+    fully shipped within 30/60/90 days of placement, by order priority
+    — the service-level readout next to the open-interval census (the
+    census counts WIP stock; fill rate grades the promise kept).
+
+    Fulfillment latency = max(l_shipdate) - o_orderdate in exact
+    integer days (negative latencies from the fixture's independent
+    date draws clamp to 0, the open-interval-census contract); each SLA
+    column is an exact integer conditional count and the rates are
+    exact integer micro divisions.
+
+    Scale shape: one orderkey join + per-order max (combine-friendly),
+    one priority-level fold."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.greatest(
+                F.max(F.expr("datediff(to_date(l_shipdate), to_date(o_orderdate))")),
+                F.lit(0),
+            ).alias("lat_days")
+        )
+    )
+    aggs = [F.count("*").alias("n_orders")] + [
+        F.sum(F.expr(f"if(lat_days <= {d}, 1, 0)")).alias(f"n_within_{d}d")
+        for d in FILL_SLA_DAYS
+    ]
+    g = lat.groupBy("o_orderpriority").agg(*aggs)
+    rate_cols = [
+        F.expr(
+            f"(2000000 * n_within_{d}d + n_orders) div (2 * n_orders)"
+        ).alias(f"rate_{d}d_micro")
+        for d in FILL_SLA_DAYS
+    ]
+    return g.select(
+        "o_orderpriority",
+        "n_orders",
+        *[F.col(f"n_within_{d}d") for d in FILL_SLA_DAYS],
+        *rate_cols,
+    )
+
+
+QUERIES["orders_fill_rate_sla"] = q_orders_fill_rate_sla
+ORACLES["orders_fill_rate_sla"] = f"""
+    WITH lat AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               greatest(max(datediff('day', o.o_orderdate::DATE,
+                                     l.l_shipdate::DATE)), 0)::BIGINT AS lat_days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority
+    )
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           {", ".join(f"sum((lat_days <= {d})::INT)::BIGINT AS n_within_{d}d" for d in FILL_SLA_DAYS)},
+           {", ".join(f"((2000000 * sum((lat_days <= {d})::INT) + count(*)) // (2 * count(*)))::BIGINT AS rate_{d}d_micro" for d in FILL_SLA_DAYS)}
+    FROM lat GROUP BY o_orderpriority
+"""

@@ -1190,3 +1190,84 @@ def test_mcnemar_matches_cells(spark):
     else:
         assert got.mcnemar_chi2_micro == math.floor(chi2 * 1000000.0 + 0.5)
         assert got.significant_05 == (chi2 > 3.841)
+
+
+def test_dau_wau_matches_pure_python(spark):
+    import datetime
+
+    from emr_flink_example_spark.operators.analytics import (
+        WAU_WINDOW_DAYS,
+        q_event_dau_wau_ratio,
+    )
+
+    rows = load(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    epoch = datetime.date(1970, 1, 1)
+    ud = {(r.user_id, (r.ts.date() - epoch).days) for r in rows}
+    days = {d for _, d in ud}
+    lo, hi = min(days), max(days)
+    expect = {}
+    for d in range(lo, hi + 1):
+        dau = sum(1 for _, ad in ud if ad == d)
+        wau = len({u for u, ad in ud if d - WAU_WINDOW_DAYS < ad <= d})
+        stick = (2000000 * dau + wau) // (2 * wau) if wau else 0
+        expect[datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d)] = (
+            dau,
+            wau,
+            stick,
+        )
+    got = {
+        r.day: (r.dau, r.wau, r.stickiness_micro)
+        for r in q_event_dau_wau_ratio(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # stickiness is a fraction of WAU: inside (0, 1]
+    assert all(0 < s <= 1_000_000 for _, _, s in got.values())
+
+
+def test_fill_rate_sla_matches_pure_python(spark):
+    from emr_flink_example_spark.operators.analytics import (
+        FILL_SLA_DAYS,
+        q_orders_fill_rate_sla,
+    )
+
+    orders = {
+        r.o_orderkey: (r.o_orderdate.date(), r.o_orderpriority)
+        for r in load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .collect()
+    }
+    ship: dict[int, object] = {}
+    for r in (
+        load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    ):
+        d = r.l_shipdate.date()
+        if r.l_orderkey not in ship or d > ship[r.l_orderkey]:
+            ship[r.l_orderkey] = d
+    per_prio: dict[str, list[int]] = {}
+    for k, (od, prio) in orders.items():
+        if k not in ship:
+            continue
+        per_prio.setdefault(prio, []).append(max((ship[k] - od).days, 0))
+    expect = {}
+    for prio, lats in per_prio.items():
+        n = len(lats)
+        row = [n]
+        for d in FILL_SLA_DAYS:
+            row.append(sum(1 for x in lats if x <= d))
+        for d in FILL_SLA_DAYS:
+            w = sum(1 for x in lats if x <= d)
+            row.append((2000000 * w + n) // (2 * n))
+        expect[prio] = tuple(row)
+    got = {
+        r.o_orderpriority: (
+            r.n_orders,
+            r.n_within_30d,
+            r.n_within_60d,
+            r.n_within_90d,
+            r.rate_30d_micro,
+            r.rate_60d_micro,
+            r.rate_90d_micro,
+        )
+        for r in q_orders_fill_rate_sla(spark, SF_DIR).collect()
+    }
+    assert got == expect
