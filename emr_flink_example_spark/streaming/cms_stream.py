@@ -108,11 +108,29 @@ class StreamingCountMin:
         """Sum-merge every partition OLDER than the current batch into the
         oldest one (cells: exact; candidates: exact union of the kept
         keys — NOT re-pruned, so compaction never loses a key that some
-        batch promoted). Crash ordering identical to the HLL/ES
-        compactions: publish into the visible target via per-file
-        renames BEFORE deleting any source; this run's own rename
-        destinations are excluded from the superseded sweep so a
-        same-batch_id replay cannot delete its own output."""
+        batch promoted).
+
+        Replay safety differs from the HLL/dedup compactions because SUM
+        is NOT duplicate-insensitive, so a same-batch_id replay after a
+        mid-compaction crash must neither re-read its own prior output
+        nor recompute from half-deleted sources:
+
+          * the merge read EXCLUDES this run's own ``compact-<id>-*``
+            files (a crashed prior attempt's output is stale state, not
+            a source — folding it in would double-count every cell);
+            older-generation compact files in the target ARE legitimate
+            sources and are included;
+          * publication is a single atomic rename (the merged output is
+            ``coalesce(1)``, so exactly one parquet file) into a
+            deterministic destination name, overwriting any stale
+            same-id output byte-for-byte;
+          * a ``_compact-<id>.committed`` marker is created only AFTER
+            publication and all source deletions happen only AFTER the
+            marker, so a replay either recomputes from fully-intact
+            sources (no marker → nothing was deleted) or, seeing the
+            marker, skips the merge and just finishes the idempotent
+            cleanup (the published sum already covers every superseded
+            file)."""
         for path, keycols in (
             (self.cells_path, ("cell",)),
             (self.cands_path, ("k",)),
@@ -123,36 +141,75 @@ class StreamingCountMin:
                 if d.startswith("batch_id=")
                 and int(d.split("=", 1)[1]) < current_batch_id
             )
+            if not old:
+                continue
+            target_id, target_dir = old[0]
+            own_prefix = f"compact-{current_batch_id}-"
+            marker = os.path.join(
+                target_dir, f"_compact-{current_batch_id}.committed"
+            )
+            if os.path.exists(marker):
+                self._finish_cleanup(old, target_dir, own_prefix, marker)
+                continue
             if len(old) <= 1:
                 continue
+            src_files = [
+                os.path.join(p, f)
+                for _, p in old
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+                and not f.startswith(".")
+                and not f.startswith(own_prefix)
+            ]
             merged = (
                 spark.read.option("basePath", path)
-                .parquet(*[p for _, p in old])
+                .parquet(*src_files)
                 .drop("batch_id")
                 .groupBy(*keycols)
                 .agg(F.sum("cnt").alias("cnt"))
             )
-            target_id, target_dir = old[0]
             tmp = os.path.join(path, f".compact-{current_batch_id}")
             merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-            own_prefix = f"compact-{current_batch_id}-"
-            superseded = [
-                os.path.join(target_dir, f)
-                for f in os.listdir(target_dir)
-                if not f.startswith(".") and not f.startswith(own_prefix)
-            ]
-            for i, fname in enumerate(sorted(os.listdir(tmp))):
-                if fname.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(tmp, fname),
-                        os.path.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
-                    )
+            parts = sorted(
+                f
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            for i, fname in enumerate(parts):
+                os.rename(
+                    os.path.join(tmp, fname),
+                    os.path.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
+                )
             shutil.rmtree(tmp)
-            for _, p in old[1:]:
-                shutil.rmtree(p)
-            for f in superseded:
-                if os.path.isfile(f):
-                    os.remove(f)
+            self._write_marker(marker)
+            self._finish_cleanup(old, target_dir, own_prefix, marker)
+
+    @staticmethod
+    def _write_marker(marker: str) -> None:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed\n")
+        os.rename(tmp, marker)
+
+    @staticmethod
+    def _finish_cleanup(
+        old: list[tuple[int, str]], target_dir: str, own_prefix: str, marker: str
+    ) -> None:
+        """Idempotent post-publication sweep: retire every source the
+        published compact generation already covers (older batch dirs,
+        superseded files in the target, stale older markers), then the
+        marker itself. Safe to re-run after a crash at any point."""
+        for _, p in old[1:]:
+            shutil.rmtree(p, ignore_errors=True)
+        for f in os.listdir(target_dir):
+            fp = os.path.join(target_dir, f)
+            if not os.path.isfile(fp) or f.startswith("."):
+                continue
+            if f.startswith(own_prefix) or fp == marker:
+                continue
+            os.remove(fp)
+        if os.path.exists(marker):
+            os.remove(marker)
 
     # ---------------------------------------------------------- read side
 

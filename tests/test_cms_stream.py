@@ -132,3 +132,78 @@ def test_candidate_cap_is_enforced(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     )
     assert n == CAND_M
+
+
+def _expected_estimates(union):
+    cells = _ref_cells(union)
+    return cells
+
+
+def _crash_compact(sink, spark, batch_id, crash_at):
+    """Run _compact but crash at a chosen point: 'pre_marker' crashes
+    after publication renames but before the commit marker; 'pre_cleanup'
+    crashes after the marker but before any source deletion."""
+
+    class Boom(RuntimeError):
+        pass
+
+    orig_marker = StreamingCountMin.__dict__["_write_marker"]
+    orig_cleanup = StreamingCountMin.__dict__["_finish_cleanup"]
+    try:
+        if crash_at == "pre_marker":
+            StreamingCountMin._write_marker = staticmethod(
+                lambda marker: (_ for _ in ()).throw(Boom())
+            )
+        else:
+            StreamingCountMin._finish_cleanup = staticmethod(
+                lambda old, target_dir, own_prefix, marker: (_ for _ in ()).throw(
+                    Boom()
+                )
+            )
+        try:
+            sink._compact(spark, batch_id)
+        except Boom:
+            pass
+    finally:
+        StreamingCountMin._write_marker = orig_marker
+        StreamingCountMin._finish_cleanup = orig_cleanup
+
+
+def test_replayed_compaction_does_not_double_count(spark, tmp_path):
+    """ADVICE r10: a crash between the publication renames and the source
+    deletions must not let the same-batch_id replay fold the stale merged
+    output back into the sum (SUM, unlike the HLL max-merge, is not
+    duplicate-insensitive)."""
+    for crash_at in ("pre_marker", "pre_cleanup"):
+        base = str(tmp_path / f"cms-{crash_at}")
+        sink = StreamingCountMin(base, compact_every=0)
+        b0, b1, b2 = _stream_keys()
+        union = b0 + b1 + b2
+        for i, b in enumerate((b0, b1, b2)):
+            sink(_batch(spark, b), i)
+        cells = _ref_cells(union)
+        # crash mid-compaction: stale compact-3-* files now sit next to
+        # the still-present originals
+        _crash_compact(sink, spark, 3, crash_at)
+        # checkpoint replay re-triggers the same compaction to completion
+        sink._compact(spark, 3)
+        got = {(r.cell, r.cnt) for r in sink.cells(spark).collect()}
+        assert got == set(cells.items()), crash_at
+        got_hh = [
+            (r.token, r.cms_estimate)
+            for r in sink.heavy_hitters(spark).collect()
+        ]
+        for token, est in got_hh:
+            assert est == _ref_estimate(cells, token), crash_at
+
+
+def test_double_full_compaction_is_idempotent(spark, tmp_path):
+    sink = StreamingCountMin(str(tmp_path / "cms"), compact_every=0)
+    b0, b1, b2 = _stream_keys()
+    for i, b in enumerate((b0, b1, b2)):
+        sink(_batch(spark, b), i)
+    sink._compact(spark, 3)
+    before = {(r.cell, r.cnt) for r in sink.cells(spark).collect()}
+    sink._compact(spark, 3)  # replayed compaction after a clean finish
+    after = {(r.cell, r.cnt) for r in sink.cells(spark).collect()}
+    assert after == before == set(_ref_cells(b0 + b1 + b2).items())
