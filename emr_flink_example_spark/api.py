@@ -1,0 +1,98 @@
+"""The DataFrame-in/DataFrame-out public API.
+
+Every function here takes user DataFrames plus column-name arguments and
+returns a DataFrame (or frames + stats) — none of them knows about the
+test fixtures. The catalog queries in ``operators/`` are thin fixture
+shims over these same implementations, so each function's semantics are
+oracle-checked against DuckDB by the 297-query selfcheck; the tests in
+``tests/test_api.py`` additionally exercise each one on non-fixture
+frames with renamed columns.
+
+Families:
+
+* **Dedup** — ``exact_duplicate_groups`` (fingerprint groups),
+  ``shingle_documents`` / ``minhash_signatures`` (content signatures),
+  ``near_duplicate_pairs`` (MinHash+LSH candidates, skew-guarded),
+  ``repeated_spans`` (ExactSubstr-style span diagnostic),
+  ``connected_components`` / ``dedup_survivors`` (cluster resolution).
+* **Similarity** — ``cosine_topk`` (exact brute-force top-k, the
+  baseline the ANN tiers are measured against).
+* **Text quality** — ``text_quality`` (feature map + composite score),
+  ``gopher_flags`` (the Gopher rule bundle), ``language_id``
+  (lexicon language ID), ``token_frequencies`` (corpus wordcount).
+* **Curation** — ``curation_gates`` (quality -> boilerplate -> exact
+  dedup -> near-dup, returning kept rows + per-gate counts).
+* **Sampling / splits** — ``hash_split`` (deterministic train/val/test,
+  leakproof when keyed by group), ``stratified_sample`` (per-stratum
+  keep rates), ``weighted_sample_es`` (exact-k weighted without
+  replacement via the Efraimidis-Spirakis race), ``with_es_key``.
+* **Event analytics** — ``sessionize`` (gap-based sessions),
+  ``funnel_step_times`` (strict-order N-step funnel), ``asof_join``
+  (backward as-of between two keyed event frames),
+  ``click_attribution`` (stream-stream interval join).
+
+Determinism contract: nothing here uses an RNG — every sampling/split
+decision is a salted portable hash of row content, so results are
+identical across runs, partitionings, and engines.
+
+Cache contract: ``curation_gates`` pins its flags frame via the
+``cache.pinned`` registry; call ``emr_flink_example_spark.cache.
+unpersist_all(spark)`` after consuming its outputs (the query catalog
+does this automatically at the next catalog boundary).
+"""
+
+from __future__ import annotations
+
+from .cache import unpersist_all
+from .operators.analytics import funnel_step_times, sessionize
+from .operators.curation import CurationStats, curation_gates
+from .operators.dedup import (
+    connected_components,
+    dedup_survivors,
+    exact_duplicate_groups,
+    minhash_signatures_for as minhash_signatures,
+    near_duplicate_pairs,
+    repeated_spans,
+    shingle_documents,
+)
+from .operators.event_time import asof_join
+from .operators.sampling import (
+    hash_split,
+    stratified_sample,
+    weighted_sample_es,
+    with_es_key,
+)
+from .operators.similarity import cosine_topk
+from .operators.textstats import (
+    gopher_flags,
+    language_id,
+    text_quality,
+    token_frequencies,
+)
+from .streaming.joins import click_attribution
+
+__all__ = [
+    "CurationStats",
+    "asof_join",
+    "click_attribution",
+    "connected_components",
+    "cosine_topk",
+    "curation_gates",
+    "dedup_survivors",
+    "exact_duplicate_groups",
+    "funnel_step_times",
+    "gopher_flags",
+    "hash_split",
+    "language_id",
+    "minhash_signatures",
+    "near_duplicate_pairs",
+    "repeated_spans",
+    "sessionize",
+    "shingle_documents",
+    "stratified_sample",
+    "text_quality",
+    "token_frequencies",
+    "unpersist_all",
+    "weighted_sample_es",
+    "with_es_key",
+]

@@ -26,6 +26,41 @@ UPSERT_INSERT_MOD = 97
 UPSERT_KEY_SHIFT = 10_000_000
 
 
+def funnel_step_times(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> list[DataFrame]:
+    """Strict-order funnel over ANY event frame: for each step i, the
+    per-user FIRST qualifying time t_<step> — an event counts only if it is
+    strictly after the user's previous step's first event. Returns one
+    (user_id, t_<step>) frame per step; aggregate counts/rates from them
+    (`q_funnel_conversion` is the 3-step fixture instance).
+
+    Every stage is keyed on user_id — one partitioning reused across all
+    joins and groupBys (Catalyst elides the re-shuffle of the
+    already-partitioned side), so an N-step funnel is N-1 co-partitioned
+    equi-joins, never a wide shuffle."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(event_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+    )
+    out: list[DataFrame] = []
+    prev_col = None
+    for step in steps:
+        stage = ev.where(F.col("event_type") == step)
+        if prev_col is not None:
+            stage = stage.join(out[-1], "user_id").where(F.col("ts") > F.col(prev_col))
+        t_col = f"t_{step}"
+        out.append(stage.groupBy("user_id").agg(F.min("ts").alias(t_col)))
+        prev_col = t_col
+    return out
+
+
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """Strict-order funnel view -> click -> purchase: a user converts a step
     only with an event strictly after their previous step's first event.
@@ -34,26 +69,9 @@ def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     reused across every stage (Catalyst elides the re-shuffle of the
     already-partitioned side). The final count combine is three single-row
     aggregates cross-joined: nothing wide ever reaches the driver."""
-    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
-    t_view = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    t_click = (
-        ev.where(F.col("event_type") == "click")
-        .join(t_view, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    t_purchase = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(t_click, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
+    ev = load(spark, sf, "events")
+    steps = funnel_step_times(ev, ["view", "click", "purchase"])
+    t_view, t_click, t_purchase = steps
     return (
         t_view.agg(F.count("*").alias("n_viewed"))
         .crossJoin(t_click.agg(F.count("*").alias("n_clicked")))
@@ -159,7 +177,28 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     off the same partitioning lineage. Gap arithmetic is integer
     microseconds (unix_micros / epoch_us) — exact and engine-portable,
     no interval types."""
-    ev = load(spark, sf, "events").select("user_id", "event_id", "ts")
+    ev = load(spark, sf, "events")
+    return sessionize(ev, gap_seconds=SESSION_GAP_SECONDS)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = SESSION_GAP_SECONDS,
+) -> DataFrame:
+    """Gap-based sessionization of ANY (user, event-id, timestamp) frame —
+    (user_id, session_id, session_start, session_end, n_events,
+    duration_secs); semantics and plan-shape notes in
+    `q_sessionize_events`. `id_col` breaks ordering ties among same-
+    timestamp events so sessions are deterministic."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
     # events.ts is TIMESTAMP_NTZ (io.load nanos conversion); unix_micros
@@ -170,7 +209,7 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
     flagged = ev.withColumn(
         "new_sess",
-        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0),
+        F.when(gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0),
     )
     sess = flagged.withColumn(
         "session_id",
@@ -4911,11 +4950,15 @@ def q_abtest_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_perms"),
         F.min("stat_obs_micro").alias("stat_obs_micro"),
         F.sum(
-            F.expr("if(stat_micro >= stat_obs_micro, 1, 0)")
+            F.expr(
+                "case when stat_obs_micro is null then cast(null as int)"
+                " else if(stat_micro >= stat_obs_micro, 1, 0) end"
+            )
         ).alias("n_ge"),
         F.expr(
-            "(2000000 * (1 + sum(if(stat_micro >= stat_obs_micro, 1, 0)))"
-            " + (count(*) + 1)) div (2 * (count(*) + 1))"
+            "case when min(stat_obs_micro) is null then cast(null as bigint)"
+            " else (2000000 * (1 + sum(if(stat_micro >= stat_obs_micro, 1, 0)))"
+            " + (count(*) + 1)) div (2 * (count(*) + 1)) end"
         ).alias("p_micro"),
     )
 
@@ -4953,9 +4996,12 @@ ORACLES["abtest_permutation_test"] = f"""
     )
     SELECT count(*)::BIGINT AS n_perms,
            min(stat_obs_micro)::BIGINT AS stat_obs_micro,
-           sum((stat_micro >= stat_obs_micro)::INT)::BIGINT AS n_ge,
-           ((2000000 * (1 + sum((stat_micro >= stat_obs_micro)::INT))
-             + (count(*) + 1)) // (2 * (count(*) + 1)))::BIGINT AS p_micro
+           sum(CASE WHEN stat_obs_micro IS NULL THEN NULL
+                    ELSE (stat_micro >= stat_obs_micro)::INT END)::BIGINT AS n_ge,
+           (CASE WHEN min(stat_obs_micro) IS NULL THEN NULL
+                 ELSE ((2000000 * (1 + sum((stat_micro >= stat_obs_micro)::INT))
+                        + (count(*) + 1)) // (2 * (count(*) + 1)))
+            END)::BIGINT AS p_micro
     FROM stats CROSS JOIN obs WHERE k > 0
 """
 
@@ -5402,8 +5448,9 @@ def q_event_dau_wau_ratio(spark: SparkSession, sf: str) -> DataFrame:
     range predicate — the shuffle carries at most |user-days| x
     WAU_WINDOW_DAYS rows, bounded by the activity table times a
     constant, never events x days. At 100 TB the swap is per-day HLL
-    registers max-merged over the trailing 7 (sketch_hll_merge shows
-    the machinery); exact is right while |user-days| fits a shuffle.
+    registers max-merged over the trailing 7 — IMPLEMENTED as
+    `event_dau_wau_hll` (oracle-checked, with per-day sketch error);
+    exact is right while |user-days| fits a shuffle.
 
     Determinism: days are exact integers; DAU/WAU are exact distinct
     counts; the ratio is the exact integer micro division."""
@@ -5539,3 +5586,199 @@ ORACLES["orders_fill_rate_sla"] = f"""
            {", ".join(f"((2000000 * sum((lat_days <= {d})::INT) + count(*)) // (2 * count(*)))::BIGINT AS rate_{d}d_micro" for d in FILL_SLA_DAYS)}
     FROM lat GROUP BY o_orderpriority
 """
+
+
+def q_event_dau_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch tier of `event_dau_wau_ratio` — the 100 TB path the
+    exact query's docstring names, now implemented: per-day HyperLogLog
+    registers (HLL_M = 64 tiny ints per day) are built in ONE pass over
+    the deduplicated activity table, DAU is estimated from each day's
+    own registers, and WAU from the trailing-WAU_WINDOW_DAYS MAX-merge —
+    the merge runs on the |days| x 64 register table, so raw events are
+    never re-touched per window (contrast the exact tier, whose range
+    join carries |user-days| x 7 rows). Max-merge is associative,
+    commutative, and idempotent (`sketch_hll_merge` proves the property
+    end-to-end), which is exactly what makes the register table a
+    maintainable daily-rollup artifact at any scale.
+
+    The exact census is computed alongside ONLY to report the sketch's
+    per-day relative error (the `sketch_kmv_distinct` measurement
+    pattern); a production rollup drops the exact branch and keeps the
+    registers.
+
+    Same register construction and estimator as `sketch_hll_distinct`
+    (trailing-zero rho over the portable 60-bit hash; exact-integer
+    harmonic sum, one double division; linear-counting small-range
+    branch) — fully reproduced in the DuckDB oracle, so the whole
+    windowed sketch is hash-checked, not rows-only."""
+    from ..functions.hashing import portable_hash
+    from .textstats import HLL_ALPHA, HLL_M, HLL_P, _HLL_RHO_CAP
+
+    ev = load(spark, sf, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "cast(datediff(to_date(ts), date'1970-01-01') as bigint)"
+            ).alias("day"),
+        )
+        .distinct()
+        .transform(pinned)
+    )
+    daily_regs = (
+        ud.select("day", portable_hash(F.col("user_id").cast("string")).alias("h"))
+        .select(
+            "day",
+            F.expr(f"h % {HLL_M}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN shiftright(h, {HLL_P}) = 0 THEN {_HLL_RHO_CAP} "
+                f"ELSE length(bin(shiftright(h, {HLL_P}) & -shiftright(h, {HLL_P}))) END"
+            ).alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .transform(pinned)  # two consumers: the DAU estimate + the WAU merge
+    )
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        agg = regs.groupBy("day").agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")
+            ).alias("s_nonempty"),
+            F.count("*").alias("v_nonempty"),
+        )
+        s = F.col("s_nonempty") + (F.lit(HLL_M) - F.col("v_nonempty")) * F.lit(
+            1 << _HLL_RHO_CAP
+        )
+        v0 = F.lit(HLL_M) - F.col("v_nonempty")
+        raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.lit(float(1 << _HLL_RHO_CAP)) / s
+        est = F.when(
+            (raw <= 2.5 * HLL_M) & (v0 > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v0),
+        ).otherwise(raw)
+        return agg.select("day", est.alias(out))
+
+    dau_hll = estimate(daily_regs, "dau_est")
+    bounds = ud.groupBy().agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    wau_regs = (
+        grid.join(
+            daily_regs.select(
+                F.col("day").alias("aday"), "bucket", "m_j"
+            ),
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") > F.col("day") - WAU_WINDOW_DAYS),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    wau_hll = estimate(wau_regs, "wau_est")
+    dau_exact = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    wau_exact = (
+        grid.join(
+            ud.select("user_id", F.col("day").alias("aday")),
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") > F.col("day") - WAU_WINDOW_DAYS),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    rel = lambda est, exact: F.when(  # noqa: E731
+        F.col(exact) > 0, F.round(F.abs(F.col(est) - F.col(exact)) / F.col(exact), 4)
+    )
+    return (
+        grid.join(dau_exact, "day", "left")
+        .join(wau_exact, "day", "left")
+        .join(dau_hll, "day", "left")
+        .join(wau_hll, "day", "left")
+        .select(
+            F.expr(
+                "cast(date_add(date'1970-01-01', cast(day as int)) as timestamp)"
+            ).alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.round("dau_est", 2).alias("dau_hll"),
+            F.round("wau_est", 2).alias("wau_hll"),
+            rel("dau_est", "dau").alias("dau_rel_err"),
+            rel("wau_est", "wau").alias("wau_rel_err"),
+        )
+    )
+
+
+QUERIES["event_dau_wau_hll"] = q_event_dau_wau_hll
+
+
+def _dau_wau_hll_oracle() -> str:
+    from .textstats import HLL_ALPHA, HLL_M, HLL_P, _HLL_RHO_CAP
+
+    est_cte = (
+        f"SELECT day, CASE WHEN {HLL_ALPHA} * {HLL_M} * {HLL_M}"
+        f" * {float(1 << _HLL_RHO_CAP)!r} / s <= 2.5 * {HLL_M} AND v0 > 0"
+        f" THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v0)"
+        f" ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M}"
+        f" * {float(1 << _HLL_RHO_CAP)!r} / s END AS e"
+    )
+    agg = (
+        f"sum((1::BIGINT << ({_HLL_RHO_CAP} - m_j)))::BIGINT"
+        f" + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_RHO_CAP}) AS s, "
+        f"{HLL_M} - count(*) AS v0"
+    )
+    return f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day
+        FROM events
+    ), hashed AS (
+        SELECT day,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+        FROM ud
+    ), daily_regs AS (
+        SELECT day, h % {HLL_M} AS bucket,
+               max(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RHO_CAP}
+                        ELSE length(bin((h >> {HLL_P}) & -(h >> {HLL_P})))
+                   END) AS m_j
+        FROM hashed GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM ud
+    ), grid AS (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds))) AS day
+    ), dau_agg AS (
+        SELECT day, {agg} FROM daily_regs GROUP BY day
+    ), dau_est AS (
+        {est_cte} FROM dau_agg
+    ), wau_regs AS (
+        SELECT g.day, r.bucket, max(r.m_j) AS m_j
+        FROM grid g JOIN daily_regs r
+          ON r.day <= g.day AND r.day > g.day - {WAU_WINDOW_DAYS}
+        GROUP BY g.day, r.bucket
+    ), wau_agg AS (
+        SELECT day, {agg} FROM wau_regs GROUP BY day
+    ), wau_est AS (
+        {est_cte} FROM wau_agg
+    ), dau_x AS (
+        SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day
+    ), wau_x AS (
+        SELECT g.day, count(DISTINCT u.user_id)::BIGINT AS wau
+        FROM grid g JOIN ud u
+          ON u.day <= g.day AND u.day > g.day - {WAU_WINDOW_DAYS}
+        GROUP BY g.day
+    )
+    SELECT (DATE '1970-01-01' + to_days(g.day::INT))::TIMESTAMP AS day,
+           coalesce(dx.dau, 0)::BIGINT AS dau,
+           coalesce(wx.wau, 0)::BIGINT AS wau,
+           round(de.e, 2) AS dau_hll,
+           round(we.e, 2) AS wau_hll,
+           CASE WHEN coalesce(dx.dau, 0) > 0
+                THEN round(abs(de.e - dx.dau) / dx.dau, 4) END AS dau_rel_err,
+           CASE WHEN coalesce(wx.wau, 0) > 0
+                THEN round(abs(we.e - wx.wau) / wx.wau, 4) END AS wau_rel_err
+    FROM grid g
+    LEFT JOIN dau_x dx ON dx.day = g.day
+    LEFT JOIN wau_x wx ON wx.day = g.day
+    LEFT JOIN dau_est de ON de.day = g.day
+    LEFT JOIN wau_est we ON we.day = g.day
+    """
+
+
+ORACLES["event_dau_wau_hll"] = _dau_wau_hll_oracle()

@@ -31,10 +31,13 @@ from pyspark.sql.window import Window
 
 from ..cache import pinned
 from ..io import load
-from .dedup import q_dedup_minhash_lsh, q_dedup_repeated_spans
-from .textstats import q_text_quality
+from .dedup import near_duplicate_pairs, repeated_spans
+from .textstats import text_quality
 
 NEAR_DUP_EST_JACCARD = 0.8
+#: gate thresholds shared by the pipelines and the oracle-checked stats query
+MIN_QUALITY = 0.5
+MIN_TOKENS = 10
 #: drop docs whose span-duplication fraction exceeds this (boilerplate /
 #: mostly-copied text); 0.8 keeps docs that merely QUOTE duplicated spans.
 MAX_DUP_FRAC = 0.8
@@ -49,17 +52,6 @@ class CurationStats:
     n_after_near_dedup: int
 
 
-def _boilerplate_drop(spark: SparkSession, sf_dir: str, max_dup_frac: float) -> DataFrame:
-    """doc_ids to drop: span-duplication fraction above the threshold.
-    Measured corpus-wide (before any filtering) so the signal is independent
-    of gate order; the drop list is tiny and anti-joins map-side."""
-    return (
-        q_dedup_repeated_spans(spark, sf_dir)
-        .where(F.col("dup_frac") > max_dup_frac)
-        .select("doc_id")
-    )
-
-
 def _curation_gates(
     spark: SparkSession,
     sf_dir: str,
@@ -67,7 +59,29 @@ def _curation_gates(
     min_tokens: int,
     max_dup_frac: float,
 ) -> tuple[DataFrame, tuple[int, int, int, int, int], list[DataFrame]]:
-    """Quality -> boilerplate -> exact-dedup -> near-dup gates.
+    """Fixture entry to `curation_gates` (the df-level pipeline)."""
+    return curation_gates(
+        load(spark, sf_dir, "documents"),
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+        max_dup_frac=max_dup_frac,
+    )
+
+
+def curation_gates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
+    max_dup_frac: float = MAX_DUP_FRAC,
+) -> tuple[DataFrame, tuple[int, int, int, int, int], list[DataFrame]]:
+    """Quality -> boilerplate -> exact-dedup -> near-dup gates over ANY
+    (id, text[, lang]) frame; returns (kept original rows, the five gate
+    counts, the pinned frames the caller must unpersist after its terminal
+    action — or via cache.unpersist_all()).
 
     All four gates are computed as one NARROW per-doc flags frame
     (doc_id, lang, alive-after-gate booleans) and cached once; every gate
@@ -88,22 +102,29 @@ def _curation_gates(
     Only the flags frame is persisted — never document rows; full rows are
     reconstructed ONCE by a semi-join at write time. The caller must
     unpersist the returned frames after its terminal action."""
-    docs = load(spark, sf_dir, "documents")
-
-    quality = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    quality = text_quality(
+        docs, id_col=id_col, text_col=text_col, lang_col=None
+    ).select("doc_id", "n_tokens", "quality_score")
     q_ok = (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
-    boiler = _boilerplate_drop(spark, sf_dir, max_dup_frac).withColumn(
-        "is_boiler", F.lit(True)
+    boiler = (
+        repeated_spans(docs, id_col=id_col, text_col=text_col)
+        .where(F.col("dup_frac") > max_dup_frac)
+        .select("doc_id")
+        .withColumn("is_boiler", F.lit(True))
     )
     near = (
-        q_dedup_minhash_lsh(spark, sf_dir)
+        near_duplicate_pairs(docs, id_col=id_col, text_col=text_col)
         .where(F.col("est_jaccard") >= NEAR_DUP_EST_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_near_dup", F.lit(True))
     )
+    lang_cols = [F.col(lang_col).alias("lang")] if lang_col is not None else []
+    lang_out = ["lang"] if lang_col is not None else []
     fp = docs.select(
-        "doc_id", "lang", F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+        F.col(id_col).alias("doc_id"),
+        *lang_cols,
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
     )
     w_fp = Window.partitionBy("fingerprint")
     flags = (
@@ -118,7 +139,7 @@ def _curation_gates(
         )
         .withColumn("alive3", F.col("alive2") & (F.col("doc_id") == F.col("keeper_id")))
         .withColumn("alive4", F.col("alive3") & F.col("is_near_dup").isNull())
-        .select("doc_id", "lang", "q_ok", "alive2", "alive3", "alive4")
+        .select("doc_id", *lang_out, "q_ok", "alive2", "alive3", "alive4")
         .transform(pinned)
     )
     c = flags.agg(
@@ -129,14 +150,10 @@ def _curation_gates(
         F.sum(F.col("alive4").cast("long")).alias("n_near"),
     ).first()
 
-    kept = docs.join(flags.where("alive4").select("doc_id"), "doc_id", "left_semi")
+    keep_ids = flags.where("alive4").select(F.col("doc_id").alias("_curation_keep_id"))
+    kept = docs.join(keep_ids, F.col(id_col) == F.col("_curation_keep_id"), "left_semi")
     stats = (c["n_input"], c["n_quality"], c["n_boiler"], c["n_exact"], c["n_near"])
     return kept, stats, [flags]
-
-
-#: gate thresholds shared by the pipelines and the oracle-checked stats query
-MIN_QUALITY = 0.5
-MIN_TOKENS = 10
 
 
 def q_curation_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,20 +60,30 @@ SHINGLES = """
 """
 
 
-def _shingled_docs(spark: SparkSession, sf: str) -> DataFrame:
-    # The repartition is a deliberate optimizer barrier: without it Catalyst
-    # collapses the shingle projection into the downstream Generate/explode,
-    # re-evaluating the whole tokenize+shingle lambda PER ARRAY ELEMENT
-    # (O(tokens^2) regex work — measured 10x slowdown). The exchange
-    # materializes shingles once; consumers that self-join additionally get
-    # ReusedExchange, sharing one computation across both sides. At 100 TB
-    # this shuffle also rebalances skewed document sizes across the cluster.
+def shingle_documents(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingles) — distinct word-3-gram shingle arrays for ANY
+    (id, text) frame; the shared front end of the exact set-similarity
+    operators (jaccard, containment, span diagnostics).
+
+    The repartition is a deliberate optimizer barrier: without it Catalyst
+    collapses the shingle projection into the downstream Generate/explode,
+    re-evaluating the whole tokenize+shingle lambda PER ARRAY ELEMENT
+    (O(tokens^2) regex work — measured 10x slowdown). The exchange
+    materializes shingles once; consumers that self-join additionally get
+    ReusedExchange, sharing one computation across both sides. At 100 TB
+    this shuffle also rebalances skewed document sizes across the cluster."""
+    std = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     return (
-        load(spark, sf, "documents")
-        .withColumn("tokens", F.expr(_TOKENS))
+        std.withColumn("tokens", F.expr(_TOKENS))
         .select("doc_id", F.expr(SHINGLES).alias("shingles"))
         .repartition("doc_id")
     )
+
+
+def _shingled_docs(spark: SparkSession, sf: str) -> DataFrame:
+    return shingle_documents(load(spark, sf, "documents"))
 SHINGLES_DUCK = """
     list_distinct(list_transform(
         generate_series(1, len(tokens) - 2),
@@ -113,9 +123,18 @@ def q_dedup_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     millions of docs skews its join key; AQE skew-join splits it, and the
     semi-join output is bounded by the span stream itself. Output is
     linear in total tokens throughout — never pairwise."""
+    return repeated_spans(load(spark, sf, "documents"))
+
+
+def repeated_spans(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document repeated-span diagnostic over ANY (id, text) frame —
+    (doc_id, n_spans, n_dup_spans, dup_frac); semantics and scale notes in
+    `q_dedup_repeated_spans`."""
+    std = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = (
-        load(spark, sf, "documents")
-        .withColumn("tokens", F.expr(_TOKENS))
+        std.withColumn("tokens", F.expr(_TOKENS))
         .select("doc_id", "tokens")
         .repartition("doc_id")
     )
@@ -238,16 +257,27 @@ def q_dedup_span_trim(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup: group by content fingerprint, keep the earliest doc_id.
+def exact_duplicate_groups(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup over ANY (id, text) frame: one row per content
+    fingerprint with the keeper (earliest id) and the copy count —
+    (fingerprint, keep_doc_id, n_copies).
 
     One hash-shuffle on a 128-bit key; at 100 TB, hash first so the shuffle
     carries 32-byte keys instead of document bodies."""
-    docs = load(spark, sf, "documents")
+    std = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     return (
-        docs.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
+        std.withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: copy-count histogram of `exact_duplicate_groups`."""
+    return (
+        exact_duplicate_groups(load(spark, sf, "documents"))
         .groupBy("n_copies")
         .agg(F.count("*").alias("n_groups"))
     )
@@ -466,10 +496,13 @@ def q_dedup_jaccard_pairs(
     )
 
 
-def minhash_signatures_for(docs: DataFrame) -> DataFrame:
+def minhash_signatures_for(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """doc_id -> array<bigint> of N_PERMS minhash values (ordered by perm),
-    for any (doc_id, text) frame — batch tables and micro-batches alike
-    (streaming/dedup_stream.py feeds foreachBatch frames through this).
+    for any (id, text) frame — batch tables and micro-batches alike
+    (streaming/dedup_stream.py feeds foreachBatch frames through this);
+    column names are parameters so user tables plug in directly.
 
     Positional shingling, NOT _shingled_docs: min() is insensitive to
     duplicate shingles, so the signature path skips building + dedup'ing
@@ -478,8 +511,9 @@ def minhash_signatures_for(docs: DataFrame) -> DataFrame:
     string per row from the materialized token array (measured 1.5x over
     the array-based form at sf0.1). Consumers that need exact distinct
     shingle SETS (jaccard, containment) keep using _shingled_docs."""
+    std = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = (
-        docs.withColumn("tokens", F.expr(_TOKENS))
+        std.withColumn("tokens", F.expr(_TOKENS))
         .select("doc_id", "tokens")
         .repartition("doc_id")  # barrier: tokenize once, not per element
     )
@@ -684,15 +718,22 @@ def _skew_guarded_cross_pairs(
     )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP) -> DataFrame:
-    """MinHash+LSH near-dup candidates: pairs agreeing on >= 1 full band,
-    with the signature-agreement estimate of Jaccard.
+def near_duplicate_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates over ANY (id, text) frame: pairs
+    agreeing on >= 1 full band, with the signature-agreement estimate of
+    Jaccard — (doc_a, doc_b, est_jaccard), doc_a < doc_b.
 
     The scalable near-dup path: each doc emits exactly N_BANDS bucket keys, so
     candidate generation is a groupBy-style equi-join on (band, bucket-hash) —
     no pairwise comparison outside shared buckets; oversized buckets (skewed
     boilerplate) expand through the chunked path of `_skew_guarded_pairs`."""
-    sigs = _minhash_signatures(spark, sf)
+    sigs = minhash_signatures_for(docs, id_col=id_col, text_col=text_col)
     bands = _band_buckets(sigs)
     # Pair generation by grouping, NOT a bands-self-join: a self-join re-runs
     # the whole tokenize->shingle->minhash chain for the second side (no
@@ -728,6 +769,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP)
         .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """MinHash+LSH near-dup candidates (see `near_duplicate_pairs`)."""
+    return near_duplicate_pairs(load(spark, sf, "documents"), cap=cap)
 
 
 # est-Jaccard cutoff for treating an LSH candidate pair as a dup edge.
@@ -844,9 +890,22 @@ def q_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("est_jaccard") >= CC_EST_JACCARD)
         .select("doc_a", "doc_b")
     )
+    return connected_components(pairs)
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = CC_MAX_ITERS,
+) -> DataFrame:
+    """Hash-to-min label propagation over ANY undirected edge list:
+    (doc_id, component_id) for every node on >= 1 edge, component_id = min
+    node id reachable. Scale notes in `q_dedup_connected_components`."""
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .localCheckpoint()
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
@@ -855,7 +914,7 @@ def q_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
 
     prev = labels.agg(F.sum("label")).first()[0]
     if prev is not None:  # empty graph -> nothing to iterate
-        for _ in range(CC_MAX_ITERS):
+        for _ in range(max_iters):
             nbr_min = (
                 edges.join(labels, edges["v"] == labels["node"])
                 .groupBy("u")
@@ -873,8 +932,8 @@ def q_dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
             if cur == prev:
                 break
             prev = cur
-        else:  # pragma: no cover - CC_MAX_ITERS bounds adversarial chains
-            raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS} rounds")
+        else:  # pragma: no cover - max_iters bounds adversarial chains
+            raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
 
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
@@ -891,14 +950,23 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf: str) -> DataFrame:
     left-joined once — unclustered docs (the overwhelming majority at any
     scale) never enter the component machinery at all."""
     comp = q_dedup_connected_components(spark, sf)
-    from pyspark.sql.window import Window
+    return dedup_survivors(load(spark, sf, "documents"), comp)
 
-    comp_sized = comp.withColumn(
+
+def dedup_survivors(
+    docs: DataFrame, components: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Map EVERY doc of ANY frame to its survivor given a (doc_id,
+    component_id) assignment from `connected_components`: survivor = the
+    component id (min reachable doc_id) when clustered, itself otherwise —
+    (doc_id, survivor_doc_id, cluster_size, is_survivor). Shape notes in
+    `q_dedup_cluster_survivors`."""
+    comp_sized = components.withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("component_id"))
     )
-    docs = load(spark, sf, "documents").select("doc_id")
+    ids = docs.select(F.col(id_col).alias("doc_id"))
     survivor = F.coalesce("component_id", "doc_id")
-    return docs.join(comp_sized, "doc_id", "left").select(
+    return ids.join(comp_sized, "doc_id", "left").select(
         "doc_id",
         survivor.alias("survivor_doc_id"),
         F.coalesce("cluster_size", F.lit(1).cast("bigint")).alias("cluster_size"),

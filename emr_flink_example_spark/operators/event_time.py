@@ -106,42 +106,76 @@ def q_window_session(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of join: for each purchase, the latest view at-or-before it per user.
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    left_ts_col: str = "ts",
+    right_ts_col: str = "ts",
+    left_id_col: str = "event_id",
+    right_id_col: str = "event_id",
+) -> DataFrame:
+    """Backward as-of join of ANY two keyed event frames: for each left
+    row, the latest right row at-or-before its timestamp within the same
+    key — (left_id, <key_col>, left_ts, right_ts, right_id); right_ts and
+    right_id are NULL when no right row precedes.
 
     Implemented as the union-window pattern: tag both sides, sort within
-    user_id (views before purchases at equal ts via the side tag), then
-    `last(view_struct, ignoreNulls)` over an unbounded-preceding frame.
-    One shuffle, no per-row range probing — the scalable as-of form.
-    """
-    events = load(spark, sf, "events")
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        F.col("event_id"), F.col("user_id"), F.col("ts"), F.lit(1).alias("is_left")
+    the key (right rows before left rows at equal ts via the side tag),
+    then `last(right_struct, ignoreNulls)` over an unbounded-preceding
+    frame. One shuffle, no per-row range probing — the scalable as-of
+    form."""
+    L = left.select(
+        F.col(left_id_col).alias("row_id"),
+        F.col(key_col).alias(key_col),
+        F.col(left_ts_col).alias("ts"),
+        F.lit(1).alias("is_left"),
     )
-    views = events.where(F.col("event_type") == "view").select(
-        F.col("event_id"), F.col("user_id"), F.col("ts"), F.lit(0).alias("is_left")
+    R = right.select(
+        F.col(right_id_col).alias("row_id"),
+        F.col(key_col).alias(key_col),
+        F.col(right_ts_col).alias("ts"),
+        F.lit(0).alias("is_left"),
     )
-    unioned = purchases.unionByName(views).withColumn(
-        "view_info",
+    unioned = L.unionByName(R).withColumn(
+        "right_info",
         F.when(
-            F.col("is_left") == 0, F.struct(F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id"))
+            F.col("is_left") == 0,
+            F.struct(F.col("ts").alias("v_ts"), F.col("row_id").alias("v_id")),
         ),
     )
     w = (
-        Window.partitionBy("user_id")
+        Window.partitionBy(key_col)
         .orderBy(F.col("ts").asc(), F.col("is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        unioned.withColumn("last_view", F.last("view_info", ignorenulls=True).over(w))
+        unioned.withColumn("last_right", F.last("right_info", ignorenulls=True).over(w))
         .where(F.col("is_left") == 1)
         .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            F.col("last_view.v_ts").alias("view_ts"),
-            F.col("last_view.v_id").alias("view_id"),
+            F.col("row_id").alias("left_id"),
+            key_col,
+            F.col("ts").alias("left_ts"),
+            F.col("last_right.v_ts").alias("right_ts"),
+            F.col("last_right.v_id").alias("right_id"),
         )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view at-or-before it per
+    user (the fixture instance of the generic `asof_join`)."""
+    events = load(spark, sf, "events")
+    return asof_join(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "view"),
+    ).select(
+        F.col("left_id").alias("purchase_id"),
+        "user_id",
+        F.col("left_ts").alias("purchase_ts"),
+        F.col("right_ts").alias("view_ts"),
+        F.col("right_id").alias("view_id"),
     )
 
 

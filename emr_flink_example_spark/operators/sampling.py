@@ -55,23 +55,35 @@ def _bucket_duck(expr: str) -> str:
     return f"({portable_hash_sql_duckdb(expr)} % 100)"
 
 
-def q_split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic 90/5/5 train/val/test assignment per document.
-
-    Hash-bucket assignment (not RNG) so that (a) re-running on re-partitioned
-    data yields the identical split, and (b) a doc added later cannot move an
-    existing doc between splits — both properties seed-based `randomSplit`
-    lacks. Pure map-side: no shuffle, no aggregate."""
-    docs = load(spark, sf, "documents")
-    b = _bucket(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT)))
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.when(b < TRAIN_PCT, "train")
-        .when(b < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
+def hash_split(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    train_pct: int = TRAIN_PCT,
+    val_pct: int = VAL_PCT,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Attach a deterministic train/val/test `split` column to ANY frame,
+    bucketed by a salted hash of `key_col`. Hash the GROUPING key (e.g. the
+    source/domain) instead of the row id for leakage-proof group-integrity
+    splits. Hash-bucket assignment (not RNG) so that (a) re-running on
+    re-partitioned data yields the identical split, and (b) a row added
+    later cannot move an existing row between splits — both properties
+    seed-based `randomSplit` lacks. Pure map-side: no shuffle."""
+    b = _bucket(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
     )
+
+
+def q_split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment per document (see
+    `hash_split`)."""
+    docs = load(spark, sf, "documents")
+    return hash_split(docs).select("doc_id", "lang", "split")
 
 
 def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
@@ -80,11 +92,30 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     salted hash-bucket comparison. Map-side only; the rate table is a literal
     CASE expression, not a join."""
     docs = load(spark, sf, "documents")
-    b = _bucket(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT)))
-    rate = F.lit(STRATA_DEFAULT_PCT)
-    for lang, pct in sorted(STRATA_PCT.items()):
-        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
-    return docs.where(b < rate).select("doc_id", "lang", "source")
+    return stratified_sample(docs).select("doc_id", "lang", "source")
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = STRATA_DEFAULT_PCT,
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Deterministic stratified FILTER of ANY frame: keep each row with its
+    stratum's pct-rate, decided by a salted hash of `key_col` — map-side
+    only, reproducible across runs/partitionings/engines; the rate table is
+    a literal CASE expression, not a join. Returns the input rows that
+    survive, all columns intact."""
+    if rates_pct is None:
+        rates_pct = STRATA_PCT
+    b = _bucket(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, pct).otherwise(rate)
+    return df.where(b < rate)
 
 
 def q_sample_fixed_k(spark: SparkSession, sf: str) -> DataFrame:
@@ -330,15 +361,7 @@ def q_split_leakproof_by_source(spark: SparkSession, sf: str) -> DataFrame:
     Same map-side hash-bucket mechanics as q_split_train_val_test; the only
     difference is the grouping key, and that difference is the point."""
     docs = load(spark, sf, "documents")
-    b = _bucket(F.concat(F.col("source"), F.lit(SPLIT_SALT)))
-    return docs.select(
-        "doc_id",
-        "source",
-        F.when(b < TRAIN_PCT, "train")
-        .when(b < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return hash_split(docs, key_col="source").select("doc_id", "source", "split")
 
 
 #: per-shard token budget for contiguous corpus packing.
@@ -584,14 +607,16 @@ def q_sample_weighted_es(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def with_es_key(docs: DataFrame, weight_col: str = "n_chars") -> DataFrame:
+def with_es_key(
+    docs: DataFrame, weight_col: str = "n_chars", *, id_col: str = "doc_id"
+) -> DataFrame:
     """Attach the deterministic Efraimidis-Spirakis arrival key (integer
     nanos) to any frame with doc_id + a positive weight column — shared by
     the batch query and the streaming sample sink so both race with
     BIT-IDENTICAL keys (the key is a pure function of (doc_id, weight),
     which is what makes the streaming merge idempotent)."""
     h_ppm = portable_hash(
-        F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))
+        F.concat(F.col(id_col).cast("string"), F.lit(SAMPLE_SALT))
     ) % 1_000_000
     key_nano = F.expr(
         "cast(floor(-ln((hp + 0.5d) / 1000000.0d)"
@@ -599,6 +624,27 @@ def with_es_key(docs: DataFrame, weight_col: str = "n_chars") -> DataFrame:
     )
     return docs.withColumn("hp", h_ppm.cast("double")).withColumn(
         "es_key_nano", key_nano
+    )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-size-k weighted sample WITHOUT replacement of ANY frame via
+    the deterministic Efraimidis-Spirakis exponential race (semantics and
+    scale notes in `q_sample_weighted_es`): the k earliest arrivals win,
+    ties broken by id. Rows with non-positive weight are excluded. Returns
+    the winning input rows with the race key attached; the corpus is never
+    sorted or shuffled (per-partition top-k heaps merged at the driver)."""
+    return (
+        with_es_key(df.where(F.col(weight_col) > 0), weight_col, id_col=id_col)
+        .orderBy(F.col("es_key_nano").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("hp")
     )
 
 

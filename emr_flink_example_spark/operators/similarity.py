@@ -89,22 +89,35 @@ def _plane_duck(j: int) -> str:
     return "[" + ", ".join(str(v) for v in PLANES[j]) + "]::DOUBLE[]"
 
 
-def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact cosine top-5 for query vectors (vec_id < 10) over the corpus."""
-    emb = (
-        load(spark, sf, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .withColumn("nrm", _norm("e"))
-        # all-zero vector: cosine undefined, exclude (exists short-circuits;
-        # `nrm > 0` would re-run the 64-term norm fold per row)
-        .where(F.expr("exists(e, x -> x <> 0.0d)"))
-    )
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-    )
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector over ANY corpus frame —
+    (query_id, neighbor_id, nn_rank, cosine); the brute-force baseline every
+    ANN tier in this module is measured against. The query side is
+    broadcast: correct whenever the query set is the small side (the ANN
+    tiers are the path when it is not). Self-matches (same id) are
+    excluded; all-zero vectors are dropped from both sides (cosine
+    undefined — exists() short-circuits, `nrm > 0` would re-run the
+    64-term norm fold per row)."""
+
+    def prep(df: DataFrame, out_id: str, out_e: str, out_n: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).cast("array<double>").alias(out_e),
+            )
+            .withColumn(out_n, _norm(out_e))
+            .where(F.expr(f"exists({out_e}, x -> x <> 0.0d)"))
+        )
+
+    q = prep(queries, "query_id", "qe", "qn")
+    c = prep(corpus, "neighbor_id", "ce", "cn")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -114,9 +127,15 @@ def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= 5)
+        .where(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "nn_rank", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 10) over the corpus."""
+    emb = load(spark, sf, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
 
 
 #: MMR diversified re-ranking: shortlist width, picks, relevance weight.

@@ -49,7 +49,25 @@ def q_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document quality features: token counts, avg token length,
     stopword ratio, type-token ratio, and a composite score."""
-    docs = load(spark, sf, "documents")
+    return text_quality(load(spark, sf, "documents"))
+
+
+def text_quality(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """The per-document quality-feature map over ANY (id, text[, lang])
+    frame — (doc_id, [lang,] n_tokens, n_uniq_tokens, avg_token_len,
+    stopword_ratio, type_token_ratio, quality_score). Pure map-side: one
+    tokenize per row, no shuffle; pass lang_col=None for frames without a
+    language column."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    if lang_col is not None:
+        cols.insert(1, F.col(lang_col).alias("lang"))
+    docs = docs.select(*cols)
     docs = docs.withColumn("tokens", F.expr(TOKENS))
     n_tokens = F.size("tokens")
     n_uniq = F.size(F.array_distinct("tokens"))
@@ -59,9 +77,9 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     # dirty lake) gets NULL ratios instead of crashing the job under ANSI
     stop_ratio = F.round(F.try_divide(n_stop, n_tokens), 4)
     ttr = F.round(F.try_divide(n_uniq, n_tokens), 4)
+    out_cols = ["doc_id"] + (["lang"] if lang_col is not None else [])
     return docs.select(
-        "doc_id",
-        "lang",
+        *out_cols,
         n_tokens.alias("n_tokens"),
         n_uniq.alias("n_uniq_tokens"),
         F.round(F.try_divide(sum_len, n_tokens), 4).alias("avg_token_len"),
@@ -76,16 +94,26 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Global token frequency (the classic wordcount) — top 50 tokens."""
-    docs = load(spark, sf, "documents")
+def token_frequencies(
+    docs: DataFrame, *, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Global token frequency over ANY text frame (the classic wordcount) —
+    top `top_k` (token, freq) with a deterministic tie-break. Map-side
+    partial aggregation collapses per-partition counts before the single
+    shuffle; the cut is TakeOrdered, never a full sort."""
+    std = docs.select(F.col(text_col).alias("text"))
     return (
-        docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+        std.select(F.explode(F.expr(TOKENS)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("token").asc())
-        .limit(50)
+        .limit(top_k)
     )
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Global token frequency (the classic wordcount) — top 50 tokens."""
+    return token_frequencies(load(spark, sf, "documents"))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -125,7 +153,24 @@ def q_doc_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
 def q_lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-lexicon language ID: score = |distinct lexicon hits|, argmax
     with a fixed tie-break order (en > es > fr, then 'und')."""
-    docs = load(spark, sf, "documents")
+    return language_id(load(spark, sf, "documents"))
+
+
+def language_id(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Stopword-lexicon language ID over ANY (id, text[, lang]) frame —
+    (doc_id, [labeled_lang,] per-lang hit counts, predicted_lang). Pure
+    map-side: lexicons are literal arrays (at scale: a broadcast lexicon
+    table); pass lang_col=None when there is no reference label."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    if lang_col is not None:
+        cols.append(F.col(lang_col).alias("lang"))
+    docs = docs.select(*cols)
     docs = docs.withColumn("tokens", F.expr(f"array_distinct({TOKENS})"))
     hits = {}
     for lang, words in LEXICONS.items():
@@ -137,9 +182,10 @@ def q_lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
         .when(hits["fr"] > 0, "fr")
         .otherwise("und")
     )
+    label = [F.col("lang").alias("labeled_lang")] if lang_col is not None else []
     return docs.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
+        *label,
         hits["en"].alias("en_hits"),
         hits["es"].alias("es_hits"),
         hits["fr"].alias("fr_hits"),
@@ -1441,7 +1487,13 @@ GOPHER_STOPS = STOPWORDS
 _GSTOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
 
 
-def gopher_flags(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+def gopher_flags(
+    docs: DataFrame,
+    keep: tuple[str, ...] = (),
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """The Gopher rule bundle over ANY (doc_id, text) frame — shared by the
     batch query and the streaming curation gate (a frame-level map so the
     stream applies bit-identical rules per micro-batch).
@@ -1449,7 +1501,12 @@ def gopher_flags(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     ``keep`` appends pass-through columns (e.g. the text itself) so a
     caller that needs flags NEXT TO the original columns gets them from
     this single projection instead of joining the flags frame back to its
-    own input on doc_id — the verdict stays a pure map, no shuffle."""
+    own input on doc_id — the verdict stays a pure map, no shuffle.
+    id_col/text_col rename a user frame's columns into the rule bundle."""
+    if id_col != "doc_id" or text_col != "text":
+        docs = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), *keep
+        )
     docs = docs.withColumn("tokens", F.expr(TOKENS))
     n_words = F.size("tokens")
     sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
