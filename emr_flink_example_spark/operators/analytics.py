@@ -4129,10 +4129,12 @@ def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
     fixed rounds the vector is bit-exact; the DuckDB oracle unrolls the
     same rounds as CTEs on the same distinct-edge CTE.
 
-    int64-headroom: every edge-sum is bounded by 1e6 * |edges| (each
-    node holds <= ~1e6 units after renormalization), so int64 holds to
-    ~9e12 edges — no realistic trip, asserted in the docstring rather
-    than guarded (the PageRank precedent).
+    int64-headroom guard (ENFORCED, the sibling stats-op pattern —
+    upgraded from the r10 docstring-only assertion): every edge-sum is
+    bounded by HITS_SCALE * |edges| (each node holds <= ~HITS_SCALE
+    units after renormalization), so the guard reads |edges| once and
+    checks HITS_SCALE * |edges| < 2^62; tripped -> auth_micro NULLs
+    LOUDLY with headroom_ok = false, mirrored in the oracle.
 
     Scale shape: per round ONE node-keyed equi-join (edges x scores) +
     ONE map-side-combinable integer groupBy per direction, exactly the
@@ -4141,6 +4143,7 @@ def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
     (output) is |event_type|-domain sized."""
     ev = load(spark, sf, "events")
     edges = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    headroom_ok = HITS_SCALE * edges.count() < (1 << 62)
     hubs = edges.select("user_id").distinct().select(
         "user_id", F.lit(HITS_SCALE).cast("bigint").alias("h")
     )
@@ -4179,8 +4182,12 @@ def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint()
         )
     deg = edges.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    ok = F.lit(headroom_ok)
     return auth.join(deg, "event_type").select(
-        "event_type", "n_users", F.col("a").alias("auth_micro")
+        "event_type",
+        "n_users",
+        F.when(ok, F.col("a")).alias("auth_micro"),
+        ok.alias("headroom_ok"),
     )
 
 
@@ -4225,7 +4232,10 @@ def _hits_oracle() -> str:
         SELECT a.event_type,
                (SELECT count(DISTINCT e.user_id) FROM edges e
                 WHERE e.event_type = a.event_type)::BIGINT AS n_users,
-               a.a AS auth_micro
+               CASE WHEN {HITS_SCALE} * (SELECT count(*) FROM edges)
+                         < {1 << 62} THEN a.a END::BIGINT AS auth_micro,
+               ({HITS_SCALE} * (SELECT count(*) FROM edges)
+                < {1 << 62}) AS headroom_ok
         FROM a{HITS_ITERS} a
     """
     )
