@@ -92,3 +92,82 @@ def compact_path(
     return [
         compact_partition(spark, d, target_file_bytes) for d in _leaf_parquet_dirs(root)
     ]
+
+
+def compact_partition_atomic(
+    spark: SparkSession,
+    partition_dir: str,
+    gen: int,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> CompactionStats:
+    """Crash-safe, replay-idempotent variant of `compact_partition` for use
+    INSIDE a streaming foreachBatch (PartitionCommitter auto-compaction),
+    where a checkpoint replay re-runs the same `gen` after any crash point.
+
+    Protocol (the cms_stream compaction discipline):
+      * sources are every data file NOT belonging to this generation —
+        a crashed attempt's own ``compacted-<gen>-*`` output is stale
+        state, never an input (older generations' compacted files ARE
+        legitimate sources);
+      * the coalesced rewrite publishes via deterministic
+        ``compacted-<gen>-<i>.parquet`` renames, overwriting stale
+        same-gen output byte-for-byte (sources unchanged -> same ideal
+        file count -> same names);
+      * a ``_compact-<gen>.committed`` marker (listing the kept names) is
+        written only AFTER publication, and source deletion happens only
+        AFTER the marker — so a replay either recomputes from intact
+        sources (no marker) or just finishes the recorded cleanup.
+    """
+    own_prefix = f"compacted-{gen}-"
+    marker = os.path.join(partition_dir, f"_compact-{gen}.committed")
+    if os.path.exists(marker):
+        keep = set(open(marker).read().split())
+        _finish_compact(partition_dir, keep, marker)
+        kept = _parquet_files(partition_dir)
+        total = sum(os.path.getsize(f) for f in kept)
+        return CompactionStats(partition_dir, len(keep), len(keep), total, True)
+
+    files = [
+        f for f in _parquet_files(partition_dir)
+        if not os.path.basename(f).startswith(own_prefix)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    ideal = max(1, math.ceil(total / target_file_bytes))
+    if len(files) <= ideal:
+        return CompactionStats(partition_dir, len(files), len(files), total, False)
+
+    tmp = os.path.join(
+        os.path.dirname(partition_dir.rstrip("/")), f".compact-{gen}"
+    )
+    (
+        spark.read.parquet(*files)
+        .coalesce(ideal)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    new_files = sorted(_parquet_files(tmp))
+    keep = set()
+    for i, f in enumerate(new_files):
+        name = f"{own_prefix}{i:05d}.parquet"
+        os.replace(f, os.path.join(partition_dir, name))
+        keep.add(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    mtmp = marker + ".tmp"
+    with open(mtmp, "w") as fh:
+        fh.write("\n".join(sorted(keep)))
+    os.replace(mtmp, marker)
+    _finish_compact(partition_dir, keep, marker)
+    return CompactionStats(partition_dir, len(files), len(keep), total, True)
+
+
+def _finish_compact(partition_dir: str, keep: set[str], marker: str) -> None:
+    """Idempotent post-publication sweep: remove every data file the
+    published generation superseded, then the marker."""
+    for f in os.listdir(partition_dir):
+        fp = os.path.join(partition_dir, f)
+        if not os.path.isfile(fp) or f.startswith(".") or f.startswith("_"):
+            continue
+        if f not in keep:
+            os.remove(fp)
+    if os.path.exists(marker):
+        os.remove(marker)

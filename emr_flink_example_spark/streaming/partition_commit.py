@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
 from datetime import datetime, timedelta
 
 from pyspark.sql import Column, DataFrame
@@ -50,6 +52,9 @@ class PartitionCommitter:
         commit_delay_seconds: int = 60,
         watermark_lag_seconds: int = 5,
         timestamp_pattern: str | None = None,
+        auto_compact_every: int = 0,
+        compact_target_bytes: int | None = None,
+        stage_ms: dict | None = None,
     ) -> None:
         """`timestamp_pattern` ≙ partition.time-extractor.timestamp-pattern
         (Kafka2S3Hive.scala:101): a strftime-style '%Y-%m-%d %H:%M:%S' string
@@ -64,6 +69,16 @@ class PartitionCommitter:
         self.watermark_lag = timedelta(seconds=watermark_lag_seconds)
         self.timestamp_pattern = timestamp_pattern or self._default_pattern(partition_cols)
         self.ledger_path = os.path.join(path, "_partition_commits.json")
+        #: every N batches, coalesce the small per-batch files of COMMITTED
+        #: partitions (≙ the reference's declared-but-inert auto-compaction,
+        #: Kafka2S3Hive.scala:87,107); 0 disables. Partitions the CURRENT
+        #: batch touched are excluded so a checkpoint replay of this batch
+        #: can never re-append rows a compaction already folded in.
+        self.auto_compact_every = auto_compact_every
+        self.compact_target_bytes = compact_target_bytes
+        #: per-stage wall-clock accumulator (write/stats/commit/compact) —
+        #: streambench reads it for the hive pipeline's cost decomposition
+        self.stage_ms = stage_ms if stage_ms is not None else {}
 
     @staticmethod
     def _default_pattern(cols: tuple[str, ...]) -> str:
@@ -150,26 +165,86 @@ class PartitionCommitter:
             for i in range(0, len(parts), self.ALTER_CHUNK)
         ]
 
+    def _tick(self, stage: str, t0: float) -> float:
+        now = time.time()
+        self.stage_ms[stage] = self.stage_ms.get(stage, 0.0) + (now - t0) * 1000.0
+        return now
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent staged append: the micro-batch writes to a dot-staging
+        dir, then each partition's files publish via deterministic
+        ``batch-<id>-<i>.parquet`` renames (os.replace), so a checkpoint
+        replay of the same batch OVERWRITES its own files instead of
+        appending duplicates — the foreachBatch hive path is exactly-once
+        end to end (the text/parquet sinks get this from the file-sink
+        manifest; this sink owns its layout, so it owns the idempotency).
+        On an object store the rename step becomes a manifest swap.
+
+        Repartition by the hive partition columns so each touched
+        partition is written by exactly ONE task -> one parquet file
+        per partition per micro-batch, instead of (tasks x partitions)
+        small files (the reference governs this with its rolling
+        policy; STREAMBENCH r7 showed the hive pipeline bottlenecked
+        on file count). Skew is bounded by the partition grain itself
+        (minute-level for the reference pipeline); if a single
+        partition's rows outgrow one task, add a salt column here and
+        accept salt-many files for that partition."""
+        tmp = os.path.join(self.path, f".batch-{batch_id}")
+        (
+            batch_df.repartition(*self.partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*self.partition_cols)
+            .parquet(tmp)
+        )
+        prefix = f"batch-{batch_id}-"
+        for dirpath, _dirnames, filenames in os.walk(tmp):
+            parquets = sorted(
+                f
+                for f in filenames
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            if not parquets:
+                continue
+            dest = os.path.join(self.path, os.path.relpath(dirpath, tmp))
+            os.makedirs(dest, exist_ok=True)
+            published = set()
+            for i, fname in enumerate(parquets):
+                name = f"{prefix}{i:05d}.parquet"
+                os.replace(os.path.join(dirpath, fname), os.path.join(dest, name))
+                published.add(name)
+            for f in os.listdir(dest):
+                # stale same-batch files from a crashed prior attempt
+                if f.startswith(prefix) and f.endswith(".parquet") and f not in published:
+                    os.remove(os.path.join(dest, f))
+        shutil.rmtree(tmp)
+
+    def _compact_committed(
+        self, spark, batch_id: int, ledger: dict, exclude: set
+    ) -> None:
+        """Coalesce the per-batch small files of every COMMITTED partition
+        not touched by the current batch (`compact_partition_atomic` is
+        crash-safe and replay-idempotent with gen = batch_id)."""
+        from .compaction import DEFAULT_TARGET_FILE_BYTES, compact_partition_atomic
+
+        target = self.compact_target_bytes or DEFAULT_TARGET_FILE_BYTES
+        for part in ledger["committed"]:
+            key = tuple(sorted(part.items()))
+            if key in exclude:
+                continue
+            d = os.path.join(
+                self.path, *[f"{c}={part[c]}" for c in self.partition_cols]
+            )
+            if os.path.isdir(d):
+                compact_partition_atomic(spark, d, batch_id, target)
+
     # -- foreachBatch entry point ------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        t0 = time.time()
         batch_df.persist()
         try:
-            # Repartition by the hive partition columns so each touched
-            # partition is written by exactly ONE task -> one parquet file
-            # per partition per micro-batch, instead of (tasks x partitions)
-            # small files (the reference governs this with its rolling
-            # policy; STREAMBENCH r7 showed the hive pipeline bottlenecked
-            # on file count). Skew is bounded by the partition grain itself
-            # (minute-level for the reference pipeline); if a single
-            # partition's rows outgrow one task, add a salt column here and
-            # accept salt-many files for that partition.
-            (
-                batch_df.repartition(*self.partition_cols)
-                .write.mode("append")
-                .partitionBy(*self.partition_cols)
-                .parquet(self.path)
-            )
+            self._write_batch(batch_df, batch_id)
+            t0 = self._tick("write", t0)
             # One driver job for both batch facts: the touched-partition set
             # (collect_set over the partition struct — bounded by day*hour*
             # minute, not rows) and the max event time for the watermark.
@@ -179,6 +254,7 @@ class PartitionCommitter:
             ).collect()[0]
             parts = [p.asDict() for p in stats["parts"]]
             max_ts = stats["max_ts"]
+            t0 = self._tick("stats", t0)
         finally:
             batch_df.unpersist()
 
@@ -208,3 +284,13 @@ class PartitionCommitter:
         ledger["pending"] = [dict(k) for k in sorted(pending)]
         ledger["committed"] = [dict(k) for k in sorted(committed)]
         self._save_ledger(ledger)
+        t0 = self._tick("commit", t0)
+
+        if (
+            self.auto_compact_every
+            and batch_id > 0
+            and batch_id % self.auto_compact_every == 0
+        ):
+            current = {tuple(sorted(p.items())) for p in parts}
+            self._compact_committed(spark, batch_id, ledger, exclude=current)
+            self._tick("compact", t0)

@@ -143,7 +143,12 @@ def hive_projection(parsed: DataFrame) -> DataFrame:
     )
 
 
-def hive_sink(parsed: DataFrame, cfg: PipelineConfig) -> StreamingQuery:
+def hive_sink(
+    parsed: DataFrame,
+    cfg: PipelineConfig,
+    auto_compact_every: int = 0,
+    stage_ms: dict | None = None,
+) -> StreamingQuery:
     """Continuous insert into a day/hour/minute-partitioned external parquet
     table with watermark-gated partition commit (≙ Kafka2S3Hive).
 
@@ -164,6 +169,8 @@ def hive_sink(parsed: DataFrame, cfg: PipelineConfig) -> StreamingQuery:
         path=cfg.hive_s3_path,
         partition_cols=("logday", "h", "m"),
         commit_delay_seconds=60,  # sink.partition-commit.delay='1 min' (:103)
+        auto_compact_every=auto_compact_every,
+        stage_ms=stage_ms,
     )
     return (
         projected.writeStream.foreachBatch(committer)

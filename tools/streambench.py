@@ -178,8 +178,26 @@ def bench_hive(spark, in_dir: str, work: str, n_rows: int) -> dict:
         hive_table_name=f"source_log_bench_{int(time.time() * 1000)}",
     )
     parsed = parse_ad_events(_raw_stream(spark, in_dir))
+    stage_ms: dict = {}
     t0 = time.time()
-    out = _drive(pipelines.hive_sink(parsed, cfg), n_rows, t0)
+    out = _drive(
+        pipelines.hive_sink(parsed, cfg, auto_compact_every=6, stage_ms=stage_ms),
+        n_rows,
+        t0,
+    )
+    # per-stage cost decomposition (the curation-pipeline precedent):
+    # write = staged repartition+publish, stats = touched-partition agg,
+    # commit = ledger + ALTER TABLE waves, compact = committed-partition
+    # small-file coalescing (the reference's declared-but-inert
+    # auto-compaction, Kafka2S3Hive.scala:87,107 — functional here)
+    out["stage_ms"] = {k: round(v, 1) for k, v in sorted(stage_ms.items())}
+    n_files = sum(
+        1
+        for _dir, _dn, files in os.walk(cfg.hive_s3_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    out["n_table_files"] = n_files
     spark.sql(f"DROP TABLE IF EXISTS {cfg.hive_table_name}")
     return out
 
