@@ -16,12 +16,16 @@ Families:
   ``repeated_spans`` (ExactSubstr-style span diagnostic),
   ``connected_components`` / ``dedup_survivors`` (cluster resolution).
 * **Similarity** — ``cosine_topk`` (exact brute-force top-k, the
-  baseline the ANN tiers are measured against).
+  baseline the ANN tiers are measured against), ``ann_lsh_topk``
+  (hyperplane-bucketed approximate top-k, the first scale tier).
 * **Text quality** — ``text_quality`` (feature map + composite score),
   ``gopher_flags`` (the Gopher rule bundle), ``language_id``
   (lexicon language ID), ``token_frequencies`` (corpus wordcount).
 * **Curation** — ``curation_gates`` (quality -> boilerplate -> exact
-  dedup -> near-dup, returning kept rows + per-gate counts).
+  dedup -> near-dup, returning kept rows + per-gate counts),
+  ``decontamination_overlap`` (eval-set n-gram contamination census),
+  ``chunk_documents`` / ``pack_token_shards`` (training-chunk
+  construction and token-budget sharding).
 * **Sampling / splits** — ``hash_split`` (deterministic train/val/test,
   leakproof when keyed by group), ``stratified_sample`` (per-stratum
   keep rates), ``weighted_sample_es`` (exact-k weighted without
@@ -48,6 +52,7 @@ from .operators.analytics import funnel_step_times, sessionize
 from .operators.curation import CurationStats, curation_gates
 from .operators.dedup import (
     connected_components,
+    decontamination_overlap,
     dedup_survivors,
     exact_duplicate_groups,
     minhash_signatures_for as minhash_signatures,
@@ -58,12 +63,14 @@ from .operators.dedup import (
 from .operators.event_time import asof_join
 from .operators.sampling import (
     hash_split,
+    pack_token_shards,
     stratified_sample,
     weighted_sample_es,
     with_es_key,
 )
-from .operators.similarity import cosine_topk
+from .operators.similarity import ann_lsh_topk, cosine_topk
 from .operators.textstats import (
+    chunk_documents,
     gopher_flags,
     language_id,
     text_quality,
@@ -73,11 +80,14 @@ from .streaming.joins import click_attribution
 
 __all__ = [
     "CurationStats",
+    "ann_lsh_topk",
     "asof_join",
+    "chunk_documents",
     "click_attribution",
     "connected_components",
     "cosine_topk",
     "curation_gates",
+    "decontamination_overlap",
     "dedup_survivors",
     "exact_duplicate_groups",
     "funnel_step_times",
@@ -86,6 +96,7 @@ __all__ = [
     "language_id",
     "minhash_signatures",
     "near_duplicate_pairs",
+    "pack_token_shards",
     "repeated_spans",
     "sessionize",
     "shingle_documents",

@@ -1083,6 +1083,33 @@ def q_decontamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
     probe = docs.where(F.col("source") == PROBE_SOURCE)
     corpus = docs.where(F.col("source") != PROBE_SOURCE)
+    return decontamination_overlap_shingled(probe, corpus)
+
+
+def decontamination_overlap(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination over ANY two (id, text) frames: per probe
+    doc (the eval set), how many corpus docs share its word-3-grams and how
+    many shingle hits — (probe_doc_id, n_contaminated_docs,
+    n_shared_shingles); semantics and scale shape in
+    `q_decontamination_overlap` (probe side broadcast, corpus streamed
+    once, zero-overlap probes kept)."""
+    return decontamination_overlap_shingled(
+        shingle_documents(probes, id_col=id_col, text_col=text_col),
+        shingle_documents(corpus, id_col=id_col, text_col=text_col),
+    )
+
+
+def decontamination_overlap_shingled(
+    probe: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """`decontamination_overlap` over pre-shingled (doc_id, shingles)
+    frames — the shared core of the fixture query and the df API."""
     probe_inv = probe.select(
         F.col("doc_id").alias("probe_doc_id"), F.explode_outer("shingles").alias("shingle")
     ).where(F.col("shingle").isNotNull())

@@ -381,12 +381,29 @@ def q_pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
     within buckets (same query with the bucket added to the partition key);
     the assignment stays deterministic because the ordering key travels
     with the rows."""
-    from pyspark.sql.window import Window
-
     from .textstats import TOKENS
 
     docs = load(spark, sf, "documents").select(
         "doc_id", "lang", F.expr(f"size({TOKENS})").alias("n_tokens")
+    )
+    return pack_token_shards(docs)
+
+
+def pack_token_shards(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    tokens_col: str = "n_tokens",
+    shard_token_budget: int = SHARD_TOKEN_BUDGET,
+) -> DataFrame:
+    """Contiguous token-budget sharding of ANY (id, group, token-count)
+    frame — (group, id, n_tokens, cum_tokens, shard_id); semantics and the
+    hot-partition pre-sharding note in `q_pack_token_shards`."""
+    docs = df.select(
+        F.col(group_col).alias("lang"),
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("lang")
@@ -398,7 +415,7 @@ def q_pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "cum_tokens",
-        F.expr(f"cast((cum_tokens - 1) div {SHARD_TOKEN_BUDGET} + 1 as int)").alias("shard_id"),
+        F.expr(f"cast((cum_tokens - 1) div {shard_token_budget} + 1 as int)").alias("shard_id"),
     )
 
 

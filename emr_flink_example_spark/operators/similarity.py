@@ -268,28 +268,43 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate top-3: cosine ranking restricted to same-bucket candidates."""
-    emb = _with_bucket(
-        load(spark, sf, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate cosine top-k of each query over ANY corpus frame:
+    ranking restricted to same-hyperplane-bucket candidates — the first
+    ANN tier above brute force. The query side is broadcast and the
+    corpus is touched via ONE equi-join on the bucket id; size `n_planes`
+    to the corpus with `n_planes_for(n_rows)` (in-bucket work is
+    O(sum bucket^2))."""
+
+    def prep(df, out_id, out_e, out_n, out_b):
+        d = _with_bucket(
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).cast("array<double>").alias("e"),
+            ),
+            n_planes,
         )
-    ).withColumn("nrm", _norm("e")).where(
-        F.expr("exists(e, x -> x <> 0.0d)")  # all-zero vector: cosine undefined, exclude
-        # (exists short-circuits; `nrm > 0` would re-run the 64-term norm fold per row)
-    )
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qb"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cn"),
-        F.col("bucket").alias("cb"),
-    )
+        return (
+            d.withColumn("nrm", _norm("e"))
+            .where(F.expr("exists(e, x -> x <> 0.0d)"))
+            .select(
+                out_id,
+                F.col("e").alias(out_e),
+                F.col("nrm").alias(out_n),
+                F.col("bucket").alias(out_b),
+            )
+        )
+
+    q = prep(queries, "query_id", "qe", "qn", "qb")
+    c = prep(corpus, "neighbor_id", "ce", "cn", "cb")
     scored = (
         F.broadcast(q)
         .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")))
@@ -298,9 +313,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= 3)
+        .where(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "nn_rank", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-3: cosine ranking restricted to same-bucket candidates."""
+    emb = load(spark, sf, "embeddings")
+    return ann_lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=3)
 
 
 def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -740,20 +740,34 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     map-side after it — output grows ~1/stride per token, linear in corpus
     size, and chunks of one doc stay in one partition for downstream
     packing."""
+    return chunk_documents(load(spark, sf, "documents"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping fixed-token training chunks of ANY (id, text) frame —
+    (doc_id, chunk_id, chunk_text, n_chunk_tokens); geometry and scale
+    shape in `q_chunk_documents`."""
+    std = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = (
-        load(spark, sf, "documents")
-        .select("doc_id", F.expr(TOKENS).alias("tokens"))
+        std.select("doc_id", F.expr(TOKENS).alias("tokens"))
         .repartition("doc_id")
     )
     starts = toks.where(F.size("tokens") > 0).select(
         "doc_id",
         "tokens",
-        F.explode(F.expr(f"sequence(1, size(tokens), {CHUNK_STRIDE})")).alias("start"),
+        F.explode(F.expr(f"sequence(1, size(tokens), {stride})")).alias("start"),
     )
-    chunk = F.expr(f"slice(tokens, start, {CHUNK_TOKENS})")
+    chunk = F.expr(f"slice(tokens, start, {chunk_tokens})")
     return starts.select(
         "doc_id",
-        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_id"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )

@@ -219,3 +219,63 @@ def test_curation_gates(docs, spark):
     assert 17 not in kept_ids and 16 in kept_ids
     assert kept.columns == docs.columns  # original user frame comes back
     assert n_quality >= n_boiler >= n_exact >= n_near == len(kept_ids)
+
+
+def test_chunk_and_pack(docs, spark):
+    chunks = api.chunk_documents(
+        docs, id_col="uid", text_col="body", chunk_tokens=10, stride=8
+    )
+    rows = chunks.where(F.col("doc_id") == 14).collect()
+    assert rows and all(r.n_chunk_tokens <= 10 for r in rows)
+    assert [r.chunk_id for r in sorted(rows, key=lambda r: r.chunk_id)] == list(
+        range(len(rows))
+    )
+
+    counted = docs.select(
+        F.col("uid"),
+        F.col("tongue"),
+        F.size(F.split("body", " ")).alias("ntok"),
+    )
+    shards = api.pack_token_shards(
+        counted, id_col="uid", group_col="tongue", tokens_col="ntok",
+        shard_token_budget=40,
+    ).collect()
+    by_id = {r.doc_id: r for r in shards}
+    assert len(by_id) == 8
+    # cumulative sums are per-group monotone and shard ids follow the budget
+    for r in shards:
+        assert r.shard_id == (r.cum_tokens - 1) // 40 + 1
+
+
+def test_decontamination_overlap(docs):
+    # probes = the near-dup docs 12/13; corpus = everything else
+    probes = docs.where(F.col("uid").isin(12, 13))
+    corpus = docs.where(~F.col("uid").isin(12, 13))
+    out = api.decontamination_overlap(
+        corpus, probes, id_col="uid", text_col="body"
+    ).collect()
+    by_id = {r.probe_doc_id: r for r in out}
+    assert len(by_id) == 2
+    # doc 12 contains the base text verbatim -> contaminated by 10 and 11
+    assert by_id[12].n_contaminated_docs == 2
+    assert by_id[12].n_shared_shingles > 0
+
+
+def test_ann_lsh_topk(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vid bigint, vec array<double>")
+    out = api.ann_lsh_topk(
+        emb.where(F.col("vid") < 3), emb, id_col="vid", vec_col="vec", k=2
+    ).collect()
+    assert out, "same-bucket candidates exist at this corpus size"
+    for r in out:
+        assert r.query_id != r.neighbor_id and r.nn_rank in (1, 2)
+    # ANN results are a subset of the exact ranking's candidate set
+    exact = api.cosine_topk(
+        emb.where(F.col("vid") < 3), emb, id_col="vid", vec_col="vec", k=39
+    )
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert {(r.query_id, r.neighbor_id) for r in out} <= exact_pairs
