@@ -5792,3 +5792,145 @@ def _dau_wau_hll_oracle() -> str:
 
 
 ORACLES["event_dau_wau_hll"] = _dau_wau_hll_oracle()
+
+
+def _daily_revenue_series(spark: SparkSession, sf: str) -> DataFrame:
+    """(day_idx, day, y) — exact integer-MILLI purchase revenue per day
+    over the complete calendar grid (zero-filled), day_idx = 1..n_days.
+    The shared input of the r11 trend-inference trio (Theil-Sen slope,
+    Mann-Kendall test, CUSUM changepoint): one combine-friendly day
+    aggregate + a |days|-row grid join — everything downstream is
+    calendar-grid-bounded, never event-bounded."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.expr(
+                "cast(datediff(to_date(ts), date'1970-01-01') as bigint)"
+            ).alias("day"),
+            F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("y"))
+    )
+    bounds = ev.groupBy().agg(
+        F.expr(
+            "min(cast(datediff(to_date(ts), date'1970-01-01') as bigint))"
+        ).alias("lo"),
+        F.expr(
+            "max(cast(datediff(to_date(ts), date'1970-01-01') as bigint))"
+        ).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"), "lo"
+    )
+    return grid.join(daily, "day", "left").select(
+        (F.col("day") - F.col("lo") + 1).alias("day_idx"),
+        "day",
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+
+
+_DAILY_REVENUE_DUCK = """
+    daily AS (
+        SELECT datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day,
+               sum(floor(value * 1000 + 0.5)::BIGINT)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY day
+    ), bounds AS (
+        SELECT min(datediff('day', DATE '1970-01-01', ts::DATE))::BIGINT AS lo,
+               max(datediff('day', DATE '1970-01-01', ts::DATE))::BIGINT AS hi
+        FROM events
+    ), series AS (
+        SELECT g.day - b.lo + 1 AS day_idx, g.day,
+               coalesce(d.y, 0)::BIGINT AS y
+        FROM bounds b,
+             LATERAL (SELECT unnest(generate_series(b.lo, b.hi)) AS day) g
+        LEFT JOIN daily d ON d.day = g.day
+    )
+"""
+
+
+def q_stats_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945; Kendall 1975) on daily purchase
+    revenue: S = sum over day pairs of sign(y_j - y_i), with the
+    tie-corrected variance Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]/18
+    and the continuity-corrected z — the nonparametric is-there-a-trend
+    test run BEFORE trusting a Theil-Sen slope (the same pairing as
+    stats_kruskal_wallis + stats_f_oneway: assumption-free twin first).
+
+    Determinism: S and the x18 variance numerator are exact integers
+    (pair census + tie census); z = (S -/+ 1)/sqrt(V18/18) evaluates in
+    one fixed double expression, micro-quantized once. Scale shape: the
+    pair expansion is |days|^2 grid-bounded; ties census is one groupBy
+    over the |days|-row series."""
+    s = _daily_revenue_series(spark, sf).transform(pinned)
+    a, b = s.alias("a"), s.alias("b")
+    s_stat = (
+        a.join(b, F.col("a.day_idx") < F.col("b.day_idx"))
+        .groupBy()
+        .agg(
+            F.sum(F.expr("sign(b.y - a.y)")).cast("bigint").alias("s_stat"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    ties = (
+        s.groupBy("y")
+        .agg(F.count("*").alias("t"))
+        .groupBy()
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie_term"),
+            F.sum(F.lit(1)).alias("n_vals"),
+        )
+    )
+    n = s.groupBy().agg(F.count("*").alias("n_days"))
+    return (
+        s_stat.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_days",
+            "s_stat",
+            F.expr(
+                "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+            ).alias("var18"),
+            F.expr(
+                "case when n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0"
+                " and s_stat <> 0 then cast(floor("
+                " (cast(s_stat as double) - cast(sign(s_stat) as double))"
+                " / sqrt((cast(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+                " as double)) / 18.0d) * 1000000 + 0.5) as bigint)"
+                " else cast(0 as bigint) end"
+            ).alias("z_micro"),
+            F.expr(
+                "case when s_stat > 0 then 'up' when s_stat < 0 then 'down'"
+                " else 'none' end"
+            ).alias("trend"),
+        )
+    )
+
+
+QUERIES["stats_mann_kendall"] = q_stats_mann_kendall
+ORACLES["stats_mann_kendall"] = f"""
+    WITH {_DAILY_REVENUE_DUCK.strip()},
+    sstat AS (
+        SELECT sum(sign(b.y - a.y))::BIGINT AS s_stat,
+               count(*)::BIGINT AS n_pairs
+        FROM series a JOIN series b ON a.day_idx < b.day_idx
+    ), ties AS (
+        SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+        FROM (SELECT count(*)::BIGINT AS t FROM series GROUP BY y)
+    ), n AS (
+        SELECT count(*)::BIGINT AS n_days FROM series
+    )
+    SELECT n_days, s_stat,
+           (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)::BIGINT
+           AS var18,
+           (CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0
+                 AND s_stat <> 0 THEN floor(
+             (s_stat::DOUBLE - sign(s_stat)::DOUBLE)
+             / sqrt((n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)::DOUBLE
+                    / 18.0) * 1000000 + 0.5)
+           ELSE 0 END)::BIGINT AS z_micro,
+           CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+                ELSE 'none' END AS trend
+    FROM sstat CROSS JOIN ties CROSS JOIN n
+"""
