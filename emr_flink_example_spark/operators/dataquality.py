@@ -1,0 +1,205 @@
+"""Data-quality operators (Deequ-style, r11): table profiling and
+constraint validation — the governance surface a production lake runs
+nightly next to its analytics (completeness, uniqueness, referential
+integrity, domain ranges). Both are single-pass / broadcast-join shapes
+that hold at 100 TB, and both are fully oracle-checked.
+
+Determinism discipline: numeric min/max/avg are exact integer
+milli/micro quantizations (the engine's floor(x*scale + 0.5) idiom),
+dates render through one shared '%Y-%m-%d' format — no raw doubles or
+engine-formatted values cross the oracle boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+#: (column, kind) profiled on lineitem — numeric columns are milli-exact
+PROFILE_COLS = (
+    ("l_orderkey", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "date"),
+)
+
+
+def q_dq_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass column profile of `lineitem` (the Deequ/Great-
+    Expectations analyzer shape): per column — null count, exact distinct
+    count, and typed min/max (numeric as exact milli integers, strings
+    and dates as strings) — one row per profiled column.
+
+    Shape: ONE aggregate pass computes every metric (the 5 exact
+    count_distincts expand via Spark's distinct-aggregate rewrite but
+    stay one shuffle), then a 5-row `stack` unpivots the metrics row;
+    nothing is scanned twice. At 100 TB swap the exact distincts for
+    approx_count_distinct and the shape is unchanged (documented trade:
+    the oracle can only hash-check the exact form)."""
+    li = load(spark, sf, "lineitem")
+    milli = lambda c: F.expr(f"cast(floor({c} * 1000 + 0.5) as bigint)")  # noqa: E731
+    aggs = [F.count("*").alias("n_rows")]
+    for col, kind in PROFILE_COLS:
+        aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(f"{col}_nulls"))
+        aggs.append(F.count_distinct(F.col(col)).alias(f"{col}_dist"))
+        if kind in ("int", "num"):
+            expr = milli(col) if kind == "num" else (F.col(col) * 1000)
+            aggs.append(F.min(expr).alias(f"{col}_min"))
+            aggs.append(F.max(expr).alias(f"{col}_max"))
+        elif kind == "date":
+            aggs.append(
+                F.date_format(F.min(col), "yyyy-MM-dd").alias(f"{col}_min")
+            )
+            aggs.append(
+                F.date_format(F.max(col), "yyyy-MM-dd").alias(f"{col}_max")
+            )
+        else:
+            aggs.append(F.min(F.col(col)).alias(f"{col}_min"))
+            aggs.append(F.max(F.col(col)).alias(f"{col}_max"))
+    row = li.agg(*aggs)
+    tuples = []
+    for col, kind in PROFILE_COLS:
+        if kind in ("int", "num"):
+            mn, mx = f"{col}_min", f"{col}_max"
+            smn = smx = "cast(null as string)"
+        else:
+            mn, mx = "cast(null as bigint)", "cast(null as bigint)"
+            smn, smx = f"cast({col}_min as string)", f"cast({col}_max as string)"
+        tuples.append(
+            f"'{col}', n_rows, {col}_nulls, {col}_dist, {mn}, {mx}, {smn}, {smx}"
+        )
+    return row.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {', '.join(tuples)}) as "
+        "(column, n_rows, n_nulls, n_distinct, min_milli, max_milli,"
+        " min_str, max_str)"
+    )
+
+
+QUERIES["dq_profile_columns"] = q_dq_profile_columns
+_PROFILE_DUCK_ROWS = []
+for _col, _kind in PROFILE_COLS:
+    if _kind == "int":
+        _mn, _mx = f"(min({_col}) * 1000)::BIGINT", f"(max({_col}) * 1000)::BIGINT"
+        _smn = _smx = "NULL::VARCHAR"
+    elif _kind == "num":
+        _mn = f"min(floor({_col} * 1000 + 0.5))::BIGINT"
+        _mx = f"max(floor({_col} * 1000 + 0.5))::BIGINT"
+        _smn = _smx = "NULL::VARCHAR"
+    elif _kind == "date":
+        _mn, _mx = "NULL::BIGINT", "NULL::BIGINT"
+        _smn = f"strftime(min({_col}), '%Y-%m-%d')"
+        _smx = f"strftime(max({_col}), '%Y-%m-%d')"
+    else:
+        _mn, _mx = "NULL::BIGINT", "NULL::BIGINT"
+        _smn, _smx = f"min({_col})::VARCHAR", f"max({_col})::VARCHAR"
+    _PROFILE_DUCK_ROWS.append(
+        f"""SELECT '{_col}' AS column, count(*)::BIGINT AS n_rows,
+               sum(({_col} IS NULL)::INT)::BIGINT AS n_nulls,
+               count(DISTINCT {_col})::BIGINT AS n_distinct,
+               {_mn} AS min_milli, {_mx} AS max_milli,
+               {_smn} AS min_str, {_smx} AS max_str
+        FROM lineitem"""
+    )
+ORACLES["dq_profile_columns"] = "\nUNION ALL\n".join(_PROFILE_DUCK_ROWS)
+
+
+def q_dq_constraint_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint validation suite over orders/lineitem (the Deequ
+    VerificationSuite shape): referential integrity both directions,
+    primary-key uniqueness, domain-range and null checks — one row per
+    check with (check_name, n_checked, n_violations, passes).
+
+    Shape: the two referential checks are LEFT-ANTI joins on the order
+    key (AQE picks broadcast when a side fits, skew-splits when not);
+    everything else is a conditional count inside one scan per table.
+    Violation counts are exact; the suite is a union of one-row
+    aggregates — nothing wide reaches the driver."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+
+    orphan = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(li.agg(F.count("*").alias("n")))
+        .selectExpr("'lineitem_orphan_orderkey' as check_name", "n as n_checked", "v as n_violations")
+    )
+    childless = (
+        orders.select("o_orderkey")
+        .join(li.select("l_orderkey"), orders["o_orderkey"] == li["l_orderkey"], "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(orders.agg(F.count("*").alias("n")))
+        .selectExpr("'orders_childless' as check_name", "n as n_checked", "v as n_violations")
+    )
+    li_scan = li.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("if(l_quantity <= 0, 1, 0)")).alias("bad_qty"),
+        F.sum(F.expr("if(l_discount < 0 or l_discount > 1, 1, 0)")).alias("bad_disc"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_key"),
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.expr("c - 1")).alias("v"),
+            F.sum("c").alias("n"),
+        )
+        .selectExpr("'orders_duplicate_pk' as check_name", "n as n_checked", "v as n_violations")
+    )
+    scans = [
+        li_scan.selectExpr("'lineitem_nonpositive_quantity' as check_name", "n as n_checked", "bad_qty as n_violations"),
+        li_scan.selectExpr("'lineitem_discount_range' as check_name", "n as n_checked", "bad_disc as n_violations"),
+        li_scan.selectExpr("'lineitem_null_orderkey' as check_name", "n as n_checked", "null_key as n_violations"),
+    ]
+    out = orphan
+    for piece in (childless, dup_pk, *scans):
+        out = out.unionByName(piece)
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passes"),
+    )
+
+
+QUERIES["dq_constraint_checks"] = q_dq_constraint_checks
+ORACLES["dq_constraint_checks"] = """
+    WITH orphan AS (
+        SELECT 'lineitem_orphan_orderkey' AS check_name,
+               (SELECT count(*) FROM lineitem)::BIGINT AS n_checked,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+               AS n_violations
+    ), childless AS (
+        SELECT 'orders_childless', (SELECT count(*) FROM orders)::BIGINT,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey))::BIGINT
+    ), dup_pk AS (
+        SELECT 'orders_duplicate_pk', sum(c)::BIGINT, sum(c - 1)::BIGINT
+        FROM (SELECT count(*)::BIGINT AS c FROM orders GROUP BY o_orderkey)
+    ), li_scan AS (
+        SELECT count(*)::BIGINT AS n,
+               sum((l_quantity <= 0)::INT)::BIGINT AS bad_qty,
+               sum((l_discount < 0 OR l_discount > 1)::INT)::BIGINT AS bad_disc,
+               sum((l_orderkey IS NULL)::INT)::BIGINT AS null_key
+        FROM lineitem
+    ), unioned AS (
+        SELECT * FROM orphan
+        UNION ALL SELECT * FROM childless
+        UNION ALL SELECT * FROM dup_pk
+        UNION ALL SELECT 'lineitem_nonpositive_quantity', n, bad_qty FROM li_scan
+        UNION ALL SELECT 'lineitem_discount_range', n, bad_disc FROM li_scan
+        UNION ALL SELECT 'lineitem_null_orderkey', n, null_key FROM li_scan
+    )
+    SELECT check_name, n_checked, n_violations,
+           n_violations = 0 AS passes
+    FROM unioned
+"""

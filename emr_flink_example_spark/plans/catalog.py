@@ -29,6 +29,7 @@ from .. import cache
 from ..operators import (
     analytics,
     curation,
+    dataquality,
     dedup,
     event_time,
     multimodal,
@@ -64,6 +65,9 @@ _MODULES = (
     # appended last (r5): the composed curation gate-stats query — new
     # surface goes at the tail so the driver-checked prefix is undisturbed
     curation,
+    # appended last (r11): the data-quality family (profiling + constraint
+    # validation) — tail placement keeps the checked prefix stable
+    dataquality,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
