@@ -279,6 +279,12 @@ HEADLINE = [
     # r10 ninth wave: DAU/WAU stickiness / fill-rate SLA
     "event_dau_wau_ratio",
     "orders_fill_rate_sla",
+    # r11: the HLL register tier (the 100 TB stickiness path), the
+    # Mann-Kendall grid-pair trend test, and the data-quality family
+    "event_dau_wau_hll",
+    "stats_mann_kendall",
+    "dq_profile_columns",
+    "dq_constraint_checks",
 ]
 
 
