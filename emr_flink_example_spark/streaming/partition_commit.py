@@ -190,12 +190,14 @@ class PartitionCommitter:
         partition's rows outgrow one task, add a salt column here and
         accept salt-many files for that partition."""
         tmp = os.path.join(self.path, f".batch-{batch_id}")
+        t0 = time.time()
         (
             batch_df.repartition(*self.partition_cols)
             .write.mode("overwrite")
             .partitionBy(*self.partition_cols)
             .parquet(tmp)
         )
+        t0 = self._tick("write_spark", t0)
         prefix = f"batch-{batch_id}-"
         for dirpath, _dirnames, filenames in os.walk(tmp):
             parquets = sorted(
@@ -217,6 +219,7 @@ class PartitionCommitter:
                 if f.startswith(prefix) and f.endswith(".parquet") and f not in published:
                     os.remove(os.path.join(dest, f))
         shutil.rmtree(tmp)
+        self._tick("publish_renames", t0)
 
     def _compact_committed(
         self, spark, batch_id: int, ledger: dict, exclude: set
