@@ -264,6 +264,31 @@ def bench_heavy_hitters(spark, in_dir: str, work: str, n_rows: int) -> dict:
     return out
 
 
+def bench_dq_monitor(spark, in_dir: str, work: str, n_rows: int) -> dict:
+    """The streaming data-quality monitor (r11) — per-batch mergeable
+    metrics over the parsed ad-event stream; read-side summary timed
+    separately (dashboard cadence, like heavy_hitters' top-k read)."""
+    import time as _time
+
+    from emr_flink_example_spark.streaming.dq_stream import (
+        StreamingDQMonitor,
+        dq_monitor_sink,
+    )
+
+    parsed = parse_ad_events(_raw_stream(spark, in_dir))
+    t0 = time.time()
+    query = dq_monitor_sink(
+        parsed, os.path.join(work, "metrics"), os.path.join(work, "ckpt")
+    )
+    out = _drive(query, n_rows, t0)
+    t1 = _time.time()
+    mon = StreamingDQMonitor(os.path.join(work, "metrics"))
+    srow = mon.summary(spark).collect()[0]
+    out["summary_n_rows"] = srow.n_rows
+    out["read_summary_ms"] = round((_time.time() - t1) * 1000.0, 1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -285,6 +310,7 @@ def main() -> None:
             ("hive", bench_hive, hive_in_dir, n_rows),
             ("curation", bench_curation, docs_in_dir, n_docs),
             ("heavy_hitters", bench_heavy_hitters, in_dir, n_rows),
+            ("dq_monitor", bench_dq_monitor, in_dir, n_rows),
         ):
             work = os.path.join(root, name)
             os.makedirs(work, exist_ok=True)
@@ -296,7 +322,7 @@ def main() -> None:
         ref = {
             k: r
             for k, r in results.items()
-            if k not in ("curation", "heavy_hitters")
+            if k not in ("curation", "heavy_hitters", "dq_monitor")
         }
         agg = round(
             sum(r["n_rows"] for r in ref.values())
