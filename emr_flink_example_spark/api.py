@@ -14,7 +14,8 @@ Families:
   ``shingle_documents`` / ``minhash_signatures`` (content signatures),
   ``near_duplicate_pairs`` (MinHash+LSH candidates, skew-guarded),
   ``repeated_spans`` (ExactSubstr-style span diagnostic),
-  ``connected_components`` / ``dedup_survivors`` (cluster resolution).
+  ``connected_components`` / ``dedup_survivors`` (cluster resolution),
+  ``dedup_corpus`` (the one-call pairs -> components -> survivors chain).
 * **Similarity** — ``cosine_topk`` (exact brute-force top-k, the
   baseline the ANN tiers are measured against), ``ann_lsh_topk``
   (hyperplane-bucketed approximate top-k, the first scale tier).
@@ -30,7 +31,10 @@ Families:
   leakproof when keyed by group), ``stratified_sample`` (per-stratum
   keep rates), ``weighted_sample_es`` (exact-k weighted without
   replacement via the Efraimidis-Spirakis race), ``with_es_key``.
+* **Retrieval** — ``bm25_topk`` (bag-of-terms BM25 over any corpus,
+  scalar-broadcast df/N/avgdl, no per-term partitioning).
 * **Event analytics** — ``sessionize`` (gap-based sessions),
+  ``cohort_retention`` (first-seen cohort triangle),
   ``funnel_step_times`` (strict-order N-step funnel), ``asof_join``
   (backward as-of between two keyed event frames),
   ``click_attribution`` (stream-stream interval join).
@@ -48,11 +52,12 @@ does this automatically at the next catalog boundary).
 from __future__ import annotations
 
 from .cache import unpersist_all
-from .operators.analytics import funnel_step_times, sessionize
+from .operators.analytics import cohort_retention, funnel_step_times, sessionize
 from .operators.curation import CurationStats, curation_gates
 from .operators.dedup import (
     connected_components,
     decontamination_overlap,
+    dedup_corpus,
     dedup_survivors,
     exact_duplicate_groups,
     minhash_signatures_for as minhash_signatures,
@@ -70,6 +75,7 @@ from .operators.sampling import (
 )
 from .operators.similarity import ann_lsh_topk, cosine_topk
 from .operators.textstats import (
+    bm25_topk,
     chunk_documents,
     gopher_flags,
     language_id,
@@ -82,12 +88,15 @@ __all__ = [
     "CurationStats",
     "ann_lsh_topk",
     "asof_join",
+    "bm25_topk",
     "chunk_documents",
     "click_attribution",
+    "cohort_retention",
     "connected_components",
     "cosine_topk",
     "curation_gates",
     "decontamination_overlap",
+    "dedup_corpus",
     "dedup_survivors",
     "exact_duplicate_groups",
     "funnel_step_times",

@@ -96,7 +96,18 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     Both phases shuffle on user_id only; the cohort join is a co-partitioned
     equi-join (first-seen is tiny relative to activity but still user-keyed,
     so no broadcast needed for correctness at any scale)."""
-    ev = load(spark, sf, "events").select("user_id", F.col("ts").cast("date").alias("day"))
+    return cohort_retention(load(spark, sf, "events"))
+
+
+def cohort_retention(
+    events: DataFrame, *, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Cohort retention triangle over ANY (user, timestamp) event frame —
+    (cohort_day, offset_days, n_active_users); shape notes in
+    `q_cohort_retention`."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).cast("date").alias("day")
+    )
     first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = ev.distinct()
     return (

@@ -974,6 +974,29 @@ def dedup_survivors(
     )
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_jaccard_min: float = CC_EST_JACCARD,
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """One-call near-dup dedup of ANY (id, text) corpus: MinHash+LSH
+    candidate pairs -> connected components -> survivor map. Returns
+    (doc_id, survivor_doc_id, cluster_size, is_survivor) for EVERY input
+    doc; `where("is_survivor")` semi-joined back on the id IS the
+    deduplicated corpus. Composition of `near_duplicate_pairs`,
+    `connected_components`, and `dedup_survivors` — each documented and
+    oracle-checked individually."""
+    pairs = (
+        near_duplicate_pairs(docs, id_col=id_col, text_col=text_col, cap=cap)
+        .where(F.col("est_jaccard") >= est_jaccard_min)
+        .select("doc_a", "doc_b")
+    )
+    return dedup_survivors(docs, connected_components(pairs), id_col=id_col)
+
+
 def q_dedup_cc_alternating_stars(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components via alternating large-star/small-star (Kiveris
     et al., "Connected Components in MapReduce and Beyond") — the

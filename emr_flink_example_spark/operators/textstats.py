@@ -850,13 +850,30 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     the doc-stats chain for the global aggregate re-scans the corpus
     (self-derived branches get no ReusedExchange) — for a real index,
     materialize doc_stats once and reuse."""
-    docs = load(spark, sf, "documents")
-    tok = docs.select("doc_id", F.explode_outer(F.expr(TOKENS)).alias("token"))
+    return bm25_topk(load(spark, sf, "documents"), list(BM25_TERMS), k=20)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k of ANY (id, text) corpus for a bag-of-terms query —
+    (doc_id, bm25, n_terms_hit); plan shape and scale notes in
+    `q_bm25_topk` (single wide aggregate, scalar df/N/avgdl broadcast,
+    no per-term partitioning anywhere)."""
+    std = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    tok = std.select("doc_id", F.explode_outer(F.expr(TOKENS)).alias("token"))
     doc_stats = tok.groupBy("doc_id").agg(
         F.count("token").alias("doclen"),
         *[
             F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
-            for i, t in enumerate(BM25_TERMS)
+            for i, t in enumerate(query_terms)
         ],
     )
     corpus = doc_stats.groupBy().agg(
@@ -864,19 +881,19 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("doclen").alias("total_len"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
-            for i in range(len(BM25_TERMS))
+            for i in range(len(query_terms))
         ],
     )
     stack_expr = "stack({n}, {args}) AS (term, tf)".format(
-        n=len(BM25_TERMS),
-        args=", ".join(f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS)),
+        n=len(query_terms),
+        args=", ".join(f"'{t}', tf_{i}" for i, t in enumerate(query_terms)),
     )
     postings = (
         doc_stats.selectExpr("doc_id", "doclen", stack_expr)
         .where(F.col("tf") > 0)
     )
     df_expr = F.lit(None).cast("bigint")
-    for i, t in enumerate(BM25_TERMS):
+    for i, t in enumerate(query_terms):
         df_expr = F.when(F.col("term") == t, F.col(f"df_{i}")).otherwise(df_expr)
     scored = (
         postings.crossJoin(F.broadcast(corpus))
@@ -888,8 +905,8 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn(
             "term_score",
             F.col("idf")
-            * (F.col("tf") * (BM25_K1 + 1))
-            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("doclen") / F.col("avgdl"))),
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl"))),
         )
     )
     return (
@@ -899,7 +916,7 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_terms_hit"),
         )
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(20)
+        .limit(k)
     )
 
 

@@ -279,3 +279,32 @@ def test_ann_lsh_topk(spark):
     )
     exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     assert {(r.query_id, r.neighbor_id) for r in out} <= exact_pairs
+
+
+def test_bm25_and_dedup_corpus_and_cohort(docs, spark):
+    hits = api.bm25_topk(
+        docs, ["forest", "river"], id_col="uid", text_col="body", k=5
+    ).collect()
+    assert hits and hits[0].doc_id in (10, 11, 12, 13)  # forest/river docs win
+    assert all(h.n_terms_hit >= 1 for h in hits)
+
+    surv = api.dedup_corpus(docs, id_col="uid", text_col="body").collect()
+    s = {r.doc_id: (r.survivor_doc_id, r.is_survivor) for r in surv}
+    assert len(s) == 8
+    assert s[11] == (10, False) and s[10] == (10, True)
+    assert s[17] == (16, False) and s[16] == (16, True)
+    assert s[14] == (14, True)
+
+    ev = spark.createDataFrame(
+        [
+            (7, dt.datetime(2024, 3, 1, 10)),
+            (7, dt.datetime(2024, 3, 3, 10)),
+            (8, dt.datetime(2024, 3, 2, 10)),
+        ],
+        "who bigint, at timestamp",
+    )
+    tri = api.cohort_retention(ev, user_col="who", ts_col="at").collect()
+    cells = {(str(r.cohort_day), r.offset_days): r.n_active_users for r in tri}
+    assert cells[("2024-03-01", 0)] == 1
+    assert cells[("2024-03-01", 2)] == 1
+    assert cells[("2024-03-02", 0)] == 1
