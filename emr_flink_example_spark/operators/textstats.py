@@ -5471,3 +5471,170 @@ ORACLES["quality_gate_mcnemar"] = f"""
              / (b + c)::DOUBLE > 3.841 END AS significant_05
     FROM cells
 """.replace("{FASTTEXT}", ORACLES["quality_fasttext_gate"])
+
+
+def q_text_readability_flesch(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948) with a deterministic
+    vowel-group syllable proxy — the classic document-difficulty gate (a
+    curation signal orthogonal to the Gopher rules: gibberish can PASS
+    length/stopword checks while scoring absurd readability).
+
+    Proxy definitions (both engines share every regex primitive):
+    words = the engine token definition; sentences = runs of [.!?]
+    (min 1); syllables = runs of [aeiouy] in the lowercased text,
+    clamped to >= n_words (a word has at least one syllable — the vowel
+    proxy undercounts all-consonant/digit tokens). FRE = 206.835
+    - 1.015*(words/sentences) - 84.6*(syllables/words), micro-quantized
+    once from exact integer counts; NULL (loudly) for zero-word docs.
+    Pure map-side: three regexp_extract_all per row, no shuffle."""
+    docs = load(spark, sf, "documents")
+    n_words = F.size(F.expr(TOKENS))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    vruns = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    n_syll = F.greatest(vruns, n_words)
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    fre_micro = F.expr(
+        "cast(floor(fre_d * 1000000 + 0.5) as bigint)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_words.alias("n_words"),
+            n_sents.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            F.when(n_words > 0, fre).alias("fre_d"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            fre_micro.alias("flesch_micro"),
+            F.expr(
+                "case when fre_d is null then null"
+                " when fre_d >= 70.0d then 'easy'"
+                " when fre_d >= 50.0d then 'standard'"
+                " else 'difficult' end"
+            ).alias("band"),
+        )
+    )
+
+
+QUERIES["text_readability_flesch"] = q_text_readability_flesch
+ORACLES["text_readability_flesch"] = f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               len({TOKENS_DUCK}) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vruns
+        FROM documents
+    ), syl AS (
+        SELECT doc_id, lang, n_words, n_sentences,
+               greatest(vruns, n_words) AS n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                         - 84.6 * (greatest(vruns, n_words)::DOUBLE / n_words::DOUBLE)
+               END AS fre_d
+        FROM feat
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+           floor(fre_d * 1000000 + 0.5)::BIGINT AS flesch_micro,
+           CASE WHEN fre_d IS NULL THEN NULL
+                WHEN fre_d >= 70.0 THEN 'easy'
+                WHEN fre_d >= 50.0 THEN 'standard'
+                ELSE 'difficult' END AS band
+    FROM syl
+"""
+
+
+#: code-detect thresholds: symbol density per kilochar and structural hits
+CODE_MIN_SYMBOL_PER_KILO = 20
+CODE_MIN_STRUCT_HITS = 3
+
+
+def q_text_code_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-vs-prose heuristic per document — the corpus-routing gate an
+    LLM data pipeline runs before language-specific processing (code goes
+    to the code tokenizer/dedup config, prose to the text one). Signals:
+    code-symbol density ({{}}();=<>[] per kilochar, exact integer micro),
+    structural hits (semicolons + camelCase transitions + underscores),
+    and digit-token share; is_code_like = density over
+    CODE_MIN_SYMBOL_PER_KILO OR structural hits over CODE_MIN_STRUCT_HITS.
+    Pure map-side char-class counting — runs at scan speed; thresholds
+    are constants, not learned (the deterministic stand-in for a fastText
+    code classifier, same plumbing)."""
+    docs = load(spark, sf, "documents")
+    n_chars = F.length("text")
+    n_sym = F.size(
+        F.regexp_extract_all("text", F.lit("[{}();=<>\\[\\]]"), F.lit(0))
+    )
+    n_semi = F.size(F.regexp_extract_all("text", F.lit(";"), F.lit(0)))
+    n_camel = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z][A-Z]"), F.lit(0))
+    )
+    n_under = F.size(F.regexp_extract_all("text", F.lit("_"), F.lit(0)))
+    n_digit_tok = F.size(
+        F.regexp_extract_all("text", F.lit("\\b[0-9]+\\b"), F.lit(0))
+    )
+    sym_per_kilo = F.expr(
+        "case when n_chars > 0 then (1000000 * cast(n_sym as bigint)"
+        " + n_chars) div (2 * n_chars) else cast(0 as bigint) end"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_chars.alias("n_chars"),
+            n_sym.alias("n_sym"),
+            (n_semi + n_camel + n_under).alias("n_struct_hits"),
+            n_digit_tok.alias("n_digit_tokens"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_sym",
+            "n_struct_hits",
+            "n_digit_tokens",
+            sym_per_kilo.alias("sym_per_kilo_micro"),
+            (
+                (sym_per_kilo >= F.lit(CODE_MIN_SYMBOL_PER_KILO) * 1000)
+                | (F.col("n_struct_hits") >= CODE_MIN_STRUCT_HITS)
+            ).alias("is_code_like"),
+        )
+    )
+
+
+QUERIES["text_code_detect"] = q_text_code_detect
+ORACLES["text_code_detect"] = f"""
+    WITH feat AS (
+        SELECT doc_id, lang, length(text) AS n_chars,
+               len(regexp_extract_all(text, '[{{}}();=<>\\[\\]]')) AS n_sym,
+               (len(regexp_extract_all(text, ';'))
+                + len(regexp_extract_all(text, '[a-z][A-Z]'))
+                + len(regexp_extract_all(text, '_')))::INT AS n_struct_hits,
+               len(regexp_extract_all(text, '\\b[0-9]+\\b')) AS n_digit_tokens
+        FROM documents
+    ), scored AS (
+        SELECT *,
+               CASE WHEN n_chars > 0 THEN
+                 (1000000 * n_sym::BIGINT + n_chars) // (2 * n_chars)
+               ELSE 0 END::BIGINT AS sym_per_kilo_micro
+        FROM feat
+    )
+    SELECT doc_id, lang, n_chars, n_sym, n_struct_hits, n_digit_tokens,
+           sym_per_kilo_micro,
+           (sym_per_kilo_micro >= {CODE_MIN_SYMBOL_PER_KILO} * 1000
+            OR n_struct_hits >= {CODE_MIN_STRUCT_HITS}) AS is_code_like
+    FROM scored
+"""
