@@ -21,7 +21,9 @@ Families:
   (hyperplane-bucketed approximate top-k, the first scale tier).
 * **Text quality** — ``text_quality`` (feature map + composite score),
   ``gopher_flags`` (the Gopher rule bundle), ``language_id``
-  (lexicon language ID), ``token_frequencies`` (corpus wordcount).
+  (lexicon language ID), ``token_frequencies`` (corpus wordcount),
+  ``readability_flesch`` (reading-ease gate), ``code_detect``
+  (code-vs-prose routing verdict).
 * **Curation** — ``curation_gates`` (quality -> boilerplate -> exact
   dedup -> near-dup, returning kept rows + per-gate counts),
   ``decontamination_overlap`` (eval-set n-gram contamination census),
@@ -77,8 +79,10 @@ from .operators.similarity import ann_lsh_topk, cosine_topk
 from .operators.textstats import (
     bm25_topk,
     chunk_documents,
+    code_detect,
     gopher_flags,
     language_id,
+    readability_flesch,
     text_quality,
     token_frequencies,
 )
@@ -91,6 +95,7 @@ __all__ = [
     "bm25_topk",
     "chunk_documents",
     "click_attribution",
+    "code_detect",
     "cohort_retention",
     "connected_components",
     "cosine_topk",
@@ -106,6 +111,7 @@ __all__ = [
     "minhash_signatures",
     "near_duplicate_pairs",
     "pack_token_shards",
+    "readability_flesch",
     "repeated_spans",
     "sessionize",
     "shingle_documents",

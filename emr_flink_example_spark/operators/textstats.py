@@ -5487,7 +5487,24 @@ def q_text_readability_flesch(spark: SparkSession, sf: str) -> DataFrame:
     - 1.015*(words/sentences) - 84.6*(syllables/words), micro-quantized
     once from exact integer counts; NULL (loudly) for zero-word docs.
     Pure map-side: three regexp_extract_all per row, no shuffle."""
-    docs = load(spark, sf, "documents")
+    return readability_flesch(load(spark, sf, "documents"))
+
+
+def readability_flesch(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Flesch reading ease over ANY (id, text[, lang]) frame — see
+    `q_text_readability_flesch` for the proxy definitions."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    lang_out = []
+    if lang_col is not None:
+        cols.append(F.col(lang_col).alias("lang"))
+        lang_out = ["lang"]
+    docs = docs.select(*cols)
     n_words = F.size(F.expr(TOKENS))
     n_sents = F.greatest(
         F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))), F.lit(1)
@@ -5507,7 +5524,7 @@ def q_text_readability_flesch(spark: SparkSession, sf: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            "lang",
+            *lang_out,
             n_words.alias("n_words"),
             n_sents.alias("n_sentences"),
             n_syll.alias("n_syllables"),
@@ -5515,7 +5532,7 @@ def q_text_readability_flesch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "lang",
+            *lang_out,
             "n_words",
             "n_sentences",
             "n_syllables",
@@ -5573,7 +5590,24 @@ def q_text_code_detect(spark: SparkSession, sf: str) -> DataFrame:
     Pure map-side char-class counting — runs at scan speed; thresholds
     are constants, not learned (the deterministic stand-in for a fastText
     code classifier, same plumbing)."""
-    docs = load(spark, sf, "documents")
+    return code_detect(load(spark, sf, "documents"))
+
+
+def code_detect(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Code-vs-prose routing verdict over ANY (id, text[, lang]) frame —
+    see `q_text_code_detect` for the signals and thresholds."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    lang_out = []
+    if lang_col is not None:
+        cols.append(F.col(lang_col).alias("lang"))
+        lang_out = ["lang"]
+    docs = docs.select(*cols)
     n_chars = F.length("text")
     n_sym = F.size(
         F.regexp_extract_all("text", F.lit("[{}();=<>\\[\\]]"), F.lit(0))
@@ -5593,7 +5627,7 @@ def q_text_code_detect(spark: SparkSession, sf: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            "lang",
+            *lang_out,
             n_chars.alias("n_chars"),
             n_sym.alias("n_sym"),
             (n_semi + n_camel + n_under).alias("n_struct_hits"),
@@ -5601,7 +5635,7 @@ def q_text_code_detect(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "lang",
+            *lang_out,
             "n_chars",
             "n_sym",
             "n_struct_hits",

@@ -308,3 +308,23 @@ def test_bm25_and_dedup_corpus_and_cohort(docs, spark):
     assert cells[("2024-03-01", 0)] == 1
     assert cells[("2024-03-01", 2)] == 1
     assert cells[("2024-03-02", 0)] == 1
+
+
+def test_readability_and_code_detect(docs, spark):
+    fre = api.readability_flesch(docs, id_col="uid", text_col="body", lang_col=None)
+    assert "lang" not in fre.columns
+    rows = {r.doc_id: r for r in fre.collect()}
+    assert rows[10].flesch_micro is not None and rows[10].n_sentences >= 1
+    assert rows[10].n_syllables >= rows[10].n_words
+
+    code = spark.createDataFrame(
+        [
+            (1, "def f(x): return g(x) + arr[i]; y = {k: v};"),
+            (2, "a calm sentence about gentle rivers and old trees."),
+        ],
+        "cid bigint, src string",
+    )
+    out = {r.doc_id: r.is_code_like for r in api.code_detect(
+        code, id_col="cid", text_col="src", lang_col=None
+    ).collect()}
+    assert out[1] is True and out[2] is False
