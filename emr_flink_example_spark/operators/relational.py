@@ -2095,7 +2095,8 @@ ORACLES = {
                list_contains(tokens, 'the') AS has_the,
                CASE WHEN len(tokens) > 0
                     THEN list_sort(list_distinct(tokens))[1] END AS first_token_sorted,
-               array_to_string(list_sort(tokens)[1:3], ',') AS top3_sorted,
+               coalesce(array_to_string(list_sort(tokens)[1:3], ','), '')
+                   AS top3_sorted,
                MAP(['chars', 'words'],
                    [length(text)::BIGINT, len(tokens)::BIGINT])['words'][1] AS map_words
         FROM tok

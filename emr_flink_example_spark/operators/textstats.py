@@ -3062,12 +3062,17 @@ ORACLES = {
     "bpe_segment_docs": _bpe_segment_oracle(N_BPE_MERGES),
     "sketch_kmv_distinct": _KMV_ORACLE,
     "sketch_countmin_heavy_hitters": _cms_oracle(),
+    # empty text: the Horner fold over zero characters is the seed 0 —
+    # special-cased because string_split('', '') is [''] in DuckDB (one
+    # empty element, ord -> -1) but the engines agree on every non-empty
+    # string; caught by the dirty-fixture parity sweep (r11)
     "doc_fingerprint_rolling": f"""
         SELECT doc_id, n_chars,
+               CASE WHEN length(text) = 0 THEN 0 ELSE
                list_reduce(
                    list_prepend(0::BIGINT,
                        list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
-                   (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD}) AS rolling_hash
+                   (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD}) END AS rolling_hash
         FROM documents
     """,
     "token_counts_bpe_ish": f"""

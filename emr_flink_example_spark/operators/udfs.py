@@ -106,13 +106,15 @@ ORACLES = {
         SELECT label, round(avg(embedding[1]), 6) AS mean_dim0
         FROM embeddings GROUP BY label
     """,
+    # empty text emits NO rows (the UDTF's `if text:` guard); DuckDB's
+    # str_split('', ' ') is [''] so the filter mirrors the guard
     "udtf_leading_tokens": """
         SELECT doc_id, (pos - 1)::INT AS pos, token
         FROM (
             SELECT doc_id,
                    unnest(str_split(text, ' ')[1:3]) AS token,
                    generate_subscripts(str_split(text, ' ')[1:3], 1) AS pos
-            FROM documents
+            FROM documents WHERE length(text) > 0
         )
     """,
 }

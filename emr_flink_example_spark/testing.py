@@ -14,9 +14,23 @@ from .io import TABLES
 
 
 def connect_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the fixture tables as DuckDB views, mirroring io.load's
+    ingestion contract: documents.text is NEVER NULL downstream (io.py
+    coalesces it to '' at the single load boundary), so the oracle views
+    the same normalized table the Spark engine queries — otherwise every
+    text operator would diverge on a dirty (null-text) fixture for a
+    reason that is contract, not computation. The driver's own oracle
+    registers raw views, which is equivalent on the clean fixtures it
+    runs (no null text exists there)."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        if t == "documents":
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE (coalesce(text, '') AS text)"
+                f" FROM '{sf_dir}/{t}.parquet'"
+            )
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
 
