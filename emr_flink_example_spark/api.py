@@ -4,7 +4,7 @@ Every function here takes user DataFrames plus column-name arguments and
 returns a DataFrame (or frames + stats) — none of them knows about the
 test fixtures. The catalog queries in ``operators/`` are thin fixture
 shims over these same implementations, so each function's semantics are
-oracle-checked against DuckDB by the 297-query selfcheck; the tests in
+oracle-checked against DuckDB by the full-catalog selfcheck; the tests in
 ``tests/test_api.py`` additionally exercise each one on non-fixture
 frames with renamed columns.
 

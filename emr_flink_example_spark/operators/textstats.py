@@ -884,9 +884,14 @@ def bm25_topk(
             for i in range(len(query_terms))
         ],
     )
+    # Terms are interpolated into a selectExpr literal — escape quotes so an
+    # arbitrary user term can't break or inject into the stack() expression.
     stack_expr = "stack({n}, {args}) AS (term, tf)".format(
         n=len(query_terms),
-        args=", ".join(f"'{t}', tf_{i}" for i, t in enumerate(query_terms)),
+        args=", ".join(
+            "'{t}', tf_{i}".format(t=t.replace("\\", "\\\\").replace("'", "\\'"), i=i)
+            for i, t in enumerate(query_terms)
+        ),
     )
     postings = (
         doc_stats.selectExpr("doc_id", "doclen", stack_expr)
@@ -5626,7 +5631,7 @@ def code_detect(
         F.regexp_extract_all("text", F.lit("\\b[0-9]+\\b"), F.lit(0))
     )
     sym_per_kilo = F.expr(
-        "case when n_chars > 0 then (1000000 * cast(n_sym as bigint)"
+        "case when n_chars > 0 then (2000000 * cast(n_sym as bigint)"
         " + n_chars) div (2 * n_chars) else cast(0 as bigint) end"
     )
     return (
@@ -5667,7 +5672,7 @@ ORACLES["text_code_detect"] = f"""
     ), scored AS (
         SELECT *,
                CASE WHEN n_chars > 0 THEN
-                 (1000000 * n_sym::BIGINT + n_chars) // (2 * n_chars)
+                 (2000000 * n_sym::BIGINT + n_chars) // (2 * n_chars)
                ELSE 0 END::BIGINT AS sym_per_kilo_micro
         FROM feat
     )

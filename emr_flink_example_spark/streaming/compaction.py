@@ -11,19 +11,23 @@ recently-committed partitions only (the commit ledger from
 partition_commit.py gives exactly that list), so cost tracks ingest rate,
 not table size. The rewrite itself is a single narrow `coalesce` (no
 shuffle): files are combined within the partition, never moved across
-partitions. On an object store, replace the directory swap with a
-manifest/metastore location flip.
+partitions. All file operations go through the `fsio.FSIO` seam, so the
+same protocol runs on local disk (`LocalFS`) or any Hadoop FileSystem
+(`HadoopFS` — HDFS/S3A/file://); on stores whose rename is
+delete+rename, the deterministic `compacted-<gen>-<i>` names plus the
+`_compact-<gen>.committed` marker keep the protocol replay-safe (see
+fsio module docstring).
 """
 
 from __future__ import annotations
 
 import math
-import os
-import shutil
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+
+from .fsio import FSIO, LocalFS
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # ≙ sink.rolling-policy.file-size
 
@@ -37,34 +41,37 @@ class CompactionStats:
     compacted: bool
 
 
-def _leaf_parquet_dirs(root: str) -> list[str]:
-    leaves = []
-    for dirpath, _dirnames, filenames in os.walk(root):
-        if any(f.endswith(".parquet") for f in filenames):
-            leaves.append(dirpath)
-    return sorted(leaves)
+def _leaf_parquet_dirs(fs: FSIO, root: str) -> list[str]:
+    return sorted(
+        d
+        for d, files in fs.walk_files(root)
+        if any(f.endswith(".parquet") for f in files)
+    )
 
 
-def _parquet_files(d: str) -> list[str]:
-    return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+def _parquet_files(fs: FSIO, d: str) -> list[str]:
+    return [
+        fs.join(d, f) for f in fs.list_files(d) if f.endswith(".parquet")
+    ]
 
 
 def compact_partition(
     spark: SparkSession,
     partition_dir: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    fs: FSIO | None = None,
 ) -> CompactionStats:
     """Rewrite one partition directory's parquet files coalesced to the
     target size. No-op when already at/below the ideal file count."""
-    files = _parquet_files(partition_dir)
-    total = sum(os.path.getsize(f) for f in files)
+    fs = fs or LocalFS()
+    files = _parquet_files(fs, partition_dir)
+    total = sum(fs.size(f) for f in files)
     ideal = max(1, math.ceil(total / target_file_bytes))
     if len(files) <= ideal:
         return CompactionStats(partition_dir, len(files), len(files), total, False)
 
-    tmp = os.path.join(
-        os.path.dirname(partition_dir.rstrip("/")),
-        f".compact-{uuid.uuid4().hex[:8]}",
+    tmp = fs.join(
+        fs.parent(partition_dir), f".compact-{uuid.uuid4().hex[:8]}"
     )
     (
         spark.read.parquet(partition_dir)
@@ -72,14 +79,14 @@ def compact_partition(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    new_files = _parquet_files(tmp)
+    new_files = _parquet_files(fs, tmp)
     # swap: old data files out, compacted files in (same directory path, so
     # catalog partition locations stay valid)
     for f in files:
-        os.remove(f)
+        fs.remove(f)
     for f in new_files:
-        shutil.move(f, os.path.join(partition_dir, os.path.basename(f)))
-    shutil.rmtree(tmp, ignore_errors=True)
+        fs.rename_overwrite(f, fs.join(partition_dir, fs.basename(f)))
+    fs.rmtree(tmp)
     return CompactionStats(partition_dir, len(files), len(new_files), total, True)
 
 
@@ -87,10 +94,13 @@ def compact_path(
     spark: SparkSession,
     root: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    fs: FSIO | None = None,
 ) -> list[CompactionStats]:
     """Compact every leaf partition directory under `root`."""
+    fs = fs or LocalFS()
     return [
-        compact_partition(spark, d, target_file_bytes) for d in _leaf_parquet_dirs(root)
+        compact_partition(spark, d, target_file_bytes, fs=fs)
+        for d in _leaf_parquet_dirs(fs, root)
     ]
 
 
@@ -99,6 +109,7 @@ def compact_partition_atomic(
     partition_dir: str,
     gen: int,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    fs: FSIO | None = None,
 ) -> CompactionStats:
     """Crash-safe, replay-idempotent variant of `compact_partition` for use
     INSIDE a streaming foreachBatch (PartitionCommitter auto-compaction),
@@ -118,56 +129,54 @@ def compact_partition_atomic(
         AFTER the marker — so a replay either recomputes from intact
         sources (no marker) or just finishes the recorded cleanup.
     """
+    fs = fs or LocalFS()
     own_prefix = f"compacted-{gen}-"
-    marker = os.path.join(partition_dir, f"_compact-{gen}.committed")
-    if os.path.exists(marker):
-        keep = set(open(marker).read().split())
-        _finish_compact(partition_dir, keep, marker)
-        kept = _parquet_files(partition_dir)
-        total = sum(os.path.getsize(f) for f in kept)
+    marker = fs.join(partition_dir, f"_compact-{gen}.committed")
+    if fs.exists(marker):
+        keep = set(fs.read_text(marker).split())
+        _finish_compact(fs, partition_dir, keep, marker)
+        kept = _parquet_files(fs, partition_dir)
+        total = sum(fs.size(f) for f in kept)
         return CompactionStats(partition_dir, len(keep), len(keep), total, True)
 
     files = [
-        f for f in _parquet_files(partition_dir)
-        if not os.path.basename(f).startswith(own_prefix)
+        f
+        for f in _parquet_files(fs, partition_dir)
+        if not fs.basename(f).startswith(own_prefix)
     ]
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(fs.size(f) for f in files)
     ideal = max(1, math.ceil(total / target_file_bytes))
     if len(files) <= ideal:
         return CompactionStats(partition_dir, len(files), len(files), total, False)
 
-    tmp = os.path.join(
-        os.path.dirname(partition_dir.rstrip("/")), f".compact-{gen}"
-    )
+    tmp = fs.join(fs.parent(partition_dir), f".compact-{gen}")
     (
         spark.read.parquet(*files)
         .coalesce(ideal)
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    new_files = sorted(_parquet_files(tmp))
+    new_files = sorted(_parquet_files(fs, tmp))
     keep = set()
     for i, f in enumerate(new_files):
         name = f"{own_prefix}{i:05d}.parquet"
-        os.replace(f, os.path.join(partition_dir, name))
+        fs.rename_overwrite(f, fs.join(partition_dir, name))
         keep.add(name)
-    shutil.rmtree(tmp, ignore_errors=True)
-    mtmp = marker + ".tmp"
-    with open(mtmp, "w") as fh:
-        fh.write("\n".join(sorted(keep)))
-    os.replace(mtmp, marker)
-    _finish_compact(partition_dir, keep, marker)
+    fs.rmtree(tmp)
+    fs.write_text_atomic(marker, "\n".join(sorted(keep)))
+    _finish_compact(fs, partition_dir, keep, marker)
     return CompactionStats(partition_dir, len(files), len(keep), total, True)
 
 
-def _finish_compact(partition_dir: str, keep: set[str], marker: str) -> None:
+def _finish_compact(
+    fs: FSIO, partition_dir: str, keep: set[str], marker: str
+) -> None:
     """Idempotent post-publication sweep: remove every data file the
     published generation superseded, then the marker."""
-    for f in os.listdir(partition_dir):
-        fp = os.path.join(partition_dir, f)
-        if not os.path.isfile(fp) or f.startswith(".") or f.startswith("_"):
+    for f in fs.list_files(partition_dir):
+        if f.startswith(".") or f.startswith("_"):
             continue
         if f not in keep:
-            os.remove(fp)
-    if os.path.exists(marker):
-        os.remove(marker)
+            fs.remove(fs.join(partition_dir, f))
+    if fs.exists(marker):
+        fs.remove(marker)

@@ -34,13 +34,14 @@ bounded by time, not data volume.
 from __future__ import annotations
 
 import json
-import os
-import shutil
+import posixpath
 import time
 from datetime import datetime, timedelta
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .fsio import FSIO, LocalFS, fs_for_path
 
 
 class PartitionCommitter:
@@ -55,6 +56,7 @@ class PartitionCommitter:
         auto_compact_every: int = 0,
         compact_target_bytes: int | None = None,
         stage_ms: dict | None = None,
+        fs: FSIO | None = None,
     ) -> None:
         """`timestamp_pattern` ≙ partition.time-extractor.timestamp-pattern
         (Kafka2S3Hive.scala:101): a strftime-style '%Y-%m-%d %H:%M:%S' string
@@ -68,7 +70,14 @@ class PartitionCommitter:
         self.commit_delay = timedelta(seconds=commit_delay_seconds)
         self.watermark_lag = timedelta(seconds=watermark_lag_seconds)
         self.timestamp_pattern = timestamp_pattern or self._default_pattern(partition_cols)
-        self.ledger_path = os.path.join(path, "_partition_commits.json")
+        #: filesystem seam (fsio.py): LocalFS for plain paths; resolved to
+        #: HadoopFS on first batch when `path` carries a URI scheme (the
+        #: SparkSession is needed for the JVM gateway, so resolution is
+        #: deferred to __call__). Tests may inject either implementation.
+        self.fs = fs if fs is not None else (
+            LocalFS() if "://" not in path else None
+        )
+        self.ledger_path = posixpath.join(path, "_partition_commits.json")
         #: every N batches, coalesce the small per-batch files of COMMITTED
         #: partitions (≙ the reference's declared-but-inert auto-compaction,
         #: Kafka2S3Hive.scala:87,107); 0 disables. Partitions the CURRENT
@@ -94,16 +103,14 @@ class PartitionCommitter:
 
     # -- ledger ------------------------------------------------------------
     def _load_ledger(self) -> dict:
-        if os.path.exists(self.ledger_path):
-            with open(self.ledger_path) as f:
-                return json.load(f)
+        if self.fs.exists(self.ledger_path):
+            return json.loads(self.fs.read_text(self.ledger_path))
         return {"pending": [], "committed": [], "watermark": None}
 
     def _save_ledger(self, ledger: dict) -> None:
-        tmp = self.ledger_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(ledger, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.ledger_path)
+        self.fs.write_text_atomic(
+            self.ledger_path, json.dumps(ledger, indent=1, sort_keys=True)
+        )
 
     # -- partition-time extraction ----------------------------------------
     def _pattern_segments(self) -> list[tuple[bool, str]]:
@@ -154,7 +161,9 @@ class PartitionCommitter:
 
     def _partition_clause(self, part: dict) -> str:
         spec = ", ".join(f"{c}='{part[c]}'" for c in self.partition_cols)
-        loc = os.path.join(self.path, *[f"{c}={part[c]}" for c in self.partition_cols])
+        loc = posixpath.join(
+            self.path, *[f"{c}={part[c]}" for c in self.partition_cols]
+        )
         return f"PARTITION ({spec}) LOCATION '{loc}'"
 
     def _add_partitions_sql(self, parts: list[dict]) -> list[str]:
@@ -188,8 +197,14 @@ class PartitionCommitter:
         on file count). Skew is bounded by the partition grain itself
         (minute-level for the reference pipeline); if a single
         partition's rows outgrow one task, add a salt column here and
-        accept salt-many files for that partition."""
-        tmp = os.path.join(self.path, f".batch-{batch_id}")
+        accept salt-many files for that partition.
+
+        All driver-side file steps go through the ``fsio.FSIO`` seam, so
+        the identical staged-publish protocol runs on local disk or any
+        Hadoop FileSystem (HDFS/S3A) — see the fsio module docstring for
+        the non-atomic-rename recovery argument."""
+        fs = self.fs
+        tmp = fs.join(self.path, f".batch-{batch_id}")
         t0 = time.time()
         (
             batch_df.repartition(*self.partition_cols)
@@ -199,26 +214,26 @@ class PartitionCommitter:
         )
         t0 = self._tick("write_spark", t0)
         prefix = f"batch-{batch_id}-"
-        for dirpath, _dirnames, filenames in os.walk(tmp):
-            parquets = sorted(
+        for dirpath, filenames in fs.walk_files(tmp):
+            parquets = [
                 f
                 for f in filenames
                 if f.endswith(".parquet") and not f.startswith(".")
-            )
+            ]
             if not parquets:
                 continue
-            dest = os.path.join(self.path, os.path.relpath(dirpath, tmp))
-            os.makedirs(dest, exist_ok=True)
+            dest = fs.join(self.path, fs.relpath(dirpath, tmp))
+            fs.makedirs(dest)
             published = set()
             for i, fname in enumerate(parquets):
                 name = f"{prefix}{i:05d}.parquet"
-                os.replace(os.path.join(dirpath, fname), os.path.join(dest, name))
+                fs.rename_overwrite(fs.join(dirpath, fname), fs.join(dest, name))
                 published.add(name)
-            for f in os.listdir(dest):
+            for f in fs.list_files(dest):
                 # stale same-batch files from a crashed prior attempt
                 if f.startswith(prefix) and f.endswith(".parquet") and f not in published:
-                    os.remove(os.path.join(dest, f))
-        shutil.rmtree(tmp)
+                    fs.remove(fs.join(dest, f))
+        fs.rmtree(tmp)
         self._tick("publish_renames", t0)
 
     def _compact_committed(
@@ -234,32 +249,48 @@ class PartitionCommitter:
             key = tuple(sorted(part.items()))
             if key in exclude:
                 continue
-            d = os.path.join(
+            d = self.fs.join(
                 self.path, *[f"{c}={part[c]}" for c in self.partition_cols]
             )
-            if os.path.isdir(d):
-                compact_partition_atomic(spark, d, batch_id, target)
+            if self.fs.is_dir(d):
+                compact_partition_atomic(spark, d, batch_id, target, fs=self.fs)
+
+    def _batch_stats_exprs(self):
+        """Both per-batch facts as aggregate expressions: the touched-
+        partition set (collect_set over the partition struct — bounded by
+        day*hour*minute, not rows) and the max event time for the
+        watermark."""
+        return [
+            F.collect_set(F.struct(*self.partition_cols)).alias("parts"),
+            F.max(self._partition_ts_col()).alias("max_ts"),
+        ]
 
     # -- foreachBatch entry point ------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         spark = batch_df.sparkSession
+        if self.fs is None:  # URI-scheme path: resolve HadoopFS lazily
+            self.fs = fs_for_path(spark, self.path)
+        # The batch stats ride the write job via observe() — zero extra
+        # scans per micro-batch. This is safe here (unlike the curation
+        # sink, test_observe_metrics_spark_behavior.py) because the write
+        # is one clean action over the observed frame with no persisted
+        # derived frames racing the metric delivery; if delivery does
+        # drop the row, fall back to one explicit scan.
+        obs = Observation()
+        observed = batch_df.observe(obs, *self._batch_stats_exprs())
+        self._write_batch(observed, batch_id)
         t0 = time.time()
-        batch_df.persist()
         try:
-            self._write_batch(batch_df, batch_id)
-            t0 = self._tick("write", t0)
-            # One driver job for both batch facts: the touched-partition set
-            # (collect_set over the partition struct — bounded by day*hour*
-            # minute, not rows) and the max event time for the watermark.
-            stats = batch_df.agg(
-                F.collect_set(F.struct(*self.partition_cols)).alias("parts"),
-                F.max(self._partition_ts_col()).alias("max_ts"),
-            ).collect()[0]
-            parts = [p.asDict() for p in stats["parts"]]
-            max_ts = stats["max_ts"]
-            t0 = self._tick("stats", t0)
-        finally:
-            batch_df.unpersist()
+            stats = obs.get
+        except Exception:
+            stats = None
+        if not stats or "parts" not in stats:
+            stats = batch_df.agg(*self._batch_stats_exprs()).collect()[0].asDict()
+        parts = [p.asDict() for p in (stats["parts"] or [])]
+        max_ts = stats["max_ts"]
+        t0 = self._tick("stats", t0)
 
         ledger = self._load_ledger()
         pending = {tuple(sorted(p.items())) for p in ledger["pending"]}

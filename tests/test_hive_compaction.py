@@ -70,7 +70,15 @@ def test_auto_compaction_folds_committed_partitions(spark, tmp_path):
     # the current batch's own partition was excluded from compaction
     late_dir = os.path.join(pc.path, "day=2021-03-31", "hh=23")
     assert all(f.startswith("batch-4-") for f in os.listdir(late_dir) if f.endswith(".parquet"))
-    assert set(stage_ms) >= {"write", "stats", "commit", "compact"}
+    # "write" split into its two real sub-stages (observe() fold removed
+    # the outer bucket that double-counted them, ADVICE r11)
+    assert set(stage_ms) >= {
+        "write_spark",
+        "publish_renames",
+        "stats",
+        "commit",
+        "compact",
+    }
 
 
 def test_compaction_then_replay_of_current_batch_is_safe(spark, tmp_path):
