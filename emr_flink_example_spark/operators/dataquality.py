@@ -12,13 +12,179 @@ engine-formatted values cross the oracle boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..io import load
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+
+def infer_profile_kinds(df: DataFrame) -> list[tuple[str, str]]:
+    """(column, kind) for every column of `df`, kind in int/num/str/date —
+    the automatic input to `profile_columns` when the caller doesn't pick
+    columns."""
+    kinds = []
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            kinds.append((f.name, "int"))
+        elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            kinds.append((f.name, "num"))
+        elif isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            kinds.append((f.name, "date"))
+        else:
+            kinds.append((f.name, "str"))
+    return kinds
+
+
+def profile_columns(
+    df: DataFrame, cols: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """Single-pass column profile of ANY frame (the Deequ/Great-
+    Expectations analyzer shape): one row per profiled column with
+    (column, n_rows, n_nulls, n_distinct, min_milli, max_milli, min_str,
+    max_str). `cols` = [(name, kind)] with kind in int/num/str/date;
+    None profiles every column with kinds inferred from the schema.
+
+    Plan shape (see `q_dq_profile_columns` for the measured rationale):
+    one SINGLE-COLUMN aggregate per profiled column, unioned — each scan
+    reads exactly one column (pruned) and the exact distinct stays a
+    combine-friendly two-phase groupBy; at 100 TB swap the exact
+    distincts for approx_count_distinct, same shape."""
+    if cols is None:
+        cols = infer_profile_kinds(df)
+    milli = lambda c: F.expr(f"cast(floor({c} * 1000 + 0.5) as bigint)")  # noqa: E731
+    pieces = []
+    for col, kind in cols:
+        if kind in ("int", "num"):
+            expr = milli(col) if kind == "num" else (F.col(col) * 1000)
+            mn = F.min(expr).alias("min_milli")
+            mx = F.max(expr).alias("max_milli")
+            smn = F.lit(None).cast("string").alias("min_str")
+            smx = F.lit(None).cast("string").alias("max_str")
+        elif kind == "date":
+            mn = F.lit(None).cast("bigint").alias("min_milli")
+            mx = F.lit(None).cast("bigint").alias("max_milli")
+            smn = F.date_format(F.min(col), "yyyy-MM-dd").alias("min_str")
+            smx = F.date_format(F.max(col), "yyyy-MM-dd").alias("max_str")
+        else:
+            mn = F.lit(None).cast("bigint").alias("min_milli")
+            mx = F.lit(None).cast("bigint").alias("max_milli")
+            smn = F.min(F.col(col)).cast("string").alias("min_str")
+            smx = F.max(F.col(col)).cast("string").alias("max_str")
+        pieces.append(
+            df.select(col)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+                F.count_distinct(F.col(col)).alias("n_distinct"),
+                mn,
+                mx,
+                smn,
+                smx,
+            )
+            .select(F.lit(col).alias("column"), "*")
+        )
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out
+
+
+# -- constraint checks (Deequ VerificationSuite shape) ----------------------
+# Each check_* builder returns a ONE-ROW frame (check_name, n_checked,
+# n_violations); `constraint_checks(*frames)` unions them and adds the
+# `passes` verdict. Compose them over any frames — the fixture query
+# below is exactly such a composition.
+
+
+def check_foreign_key(
+    df: DataFrame,
+    col: str,
+    ref: DataFrame,
+    ref_col: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Referential integrity: rows of `df` whose `col` has no match in
+    `ref.ref_col` are violations (LEFT-ANTI join — AQE broadcasts a small
+    ref side, skew-splits a large one)."""
+    name = name or f"fk_{col}_in_{ref_col}"
+    return (
+        df.select(col)
+        .join(ref.select(ref_col), df[col] == ref[ref_col], "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(df.agg(F.count("*").alias("n")))
+        .selectExpr(
+            f"'{name}' as check_name", "n as n_checked", "v as n_violations"
+        )
+    )
+
+
+def check_unique(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    """Primary-key uniqueness: violations = extra copies beyond the first
+    per key (two-phase groupBy, map-side combinable)."""
+    name = name or f"unique_{col}"
+    return (
+        df.groupBy(col)
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c - 1")).alias("v"), F.sum("c").alias("n"))
+        .selectExpr(
+            f"'{name}' as check_name", "n as n_checked", "v as n_violations"
+        )
+    )
+
+
+def check_predicates(
+    df: DataFrame, predicates: dict[str, str | Column]
+) -> DataFrame:
+    """Named violation predicates evaluated in ONE scan of `df` — a
+    conditional count per predicate inside a single aggregate, then one
+    output row per predicate. A row violates check `name` when its
+    predicate is TRUE."""
+    conds = {
+        name: F.expr(p) if isinstance(p, str) else p
+        for name, p in predicates.items()
+    }
+    agg = df.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"v_{i}")
+            for i, cond in enumerate(conds.values())
+        ],
+    )
+    pieces = [
+        agg.selectExpr(
+            f"'{name}' as check_name", "n as n_checked", f"v_{i} as n_violations"
+        )
+        for i, name in enumerate(conds)
+    ]
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out
+
+
+def check_not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    """Completeness: NULLs in `col` are violations."""
+    return check_predicates(df, {name or f"not_null_{col}": F.col(col).isNull()})
+
+
+def constraint_checks(*check_frames: DataFrame) -> DataFrame:
+    """Union the check_* one-row frames into the suite verdict table:
+    (check_name, n_checked, n_violations, passes). Nothing wide reaches
+    the driver — every input is a one-row aggregate."""
+    out = check_frames[0]
+    for piece in check_frames[1:]:
+        out = out.unionByName(piece)
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passes"),
+    )
 
 #: (column, kind) profiled on lineitem — numeric columns are milli-exact
 PROFILE_COLS = (
@@ -46,43 +212,7 @@ def q_dq_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     scan and keep every aggregate map-side). At 100 TB swap the exact
     distincts for approx_count_distinct and the shape is unchanged
     (documented trade: the oracle can only hash-check the exact form)."""
-    li = load(spark, sf, "lineitem")
-    milli = lambda c: F.expr(f"cast(floor({c} * 1000 + 0.5) as bigint)")  # noqa: E731
-    pieces = []
-    for col, kind in PROFILE_COLS:
-        if kind in ("int", "num"):
-            expr = milli(col) if kind == "num" else (F.col(col) * 1000)
-            mn = F.min(expr).alias("min_milli")
-            mx = F.max(expr).alias("max_milli")
-            smn = F.lit(None).cast("string").alias("min_str")
-            smx = F.lit(None).cast("string").alias("max_str")
-        elif kind == "date":
-            mn = F.lit(None).cast("bigint").alias("min_milli")
-            mx = F.lit(None).cast("bigint").alias("max_milli")
-            smn = F.date_format(F.min(col), "yyyy-MM-dd").alias("min_str")
-            smx = F.date_format(F.max(col), "yyyy-MM-dd").alias("max_str")
-        else:
-            mn = F.lit(None).cast("bigint").alias("min_milli")
-            mx = F.lit(None).cast("bigint").alias("max_milli")
-            smn = F.min(F.col(col)).cast("string").alias("min_str")
-            smx = F.max(F.col(col)).cast("string").alias("max_str")
-        pieces.append(
-            li.select(col)
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
-                F.count_distinct(F.col(col)).alias("n_distinct"),
-                mn,
-                mx,
-                smn,
-                smx,
-            )
-            .select(F.lit(col).alias("column"), "*")
-        )
-    out = pieces[0]
-    for piece in pieces[1:]:
-        out = out.unionByName(piece)
-    return out
+    return profile_columns(load(spark, sf, "lineitem"), list(PROFILE_COLS))
 
 
 QUERIES["dq_profile_columns"] = q_dq_profile_columns
@@ -123,52 +253,26 @@ def q_dq_constraint_checks(spark: SparkSession, sf: str) -> DataFrame:
     key (AQE picks broadcast when a side fits, skew-splits when not);
     everything else is a conditional count inside one scan per table.
     Violation counts are exact; the suite is a union of one-row
-    aggregates — nothing wide reaches the driver."""
+    aggregates — nothing wide reaches the driver. (A composition of the
+    public check_* builders — the API and the catalog run the same code.)"""
     li = load(spark, sf, "lineitem")
     orders = load(spark, sf, "orders")
-
-    orphan = (
-        li.select("l_orderkey")
-        .join(orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti")
-        .agg(F.count("*").alias("v"))
-        .crossJoin(li.agg(F.count("*").alias("n")))
-        .selectExpr("'lineitem_orphan_orderkey' as check_name", "n as n_checked", "v as n_violations")
-    )
-    childless = (
-        orders.select("o_orderkey")
-        .join(li.select("l_orderkey"), orders["o_orderkey"] == li["l_orderkey"], "left_anti")
-        .agg(F.count("*").alias("v"))
-        .crossJoin(orders.agg(F.count("*").alias("n")))
-        .selectExpr("'orders_childless' as check_name", "n as n_checked", "v as n_violations")
-    )
-    li_scan = li.agg(
-        F.count("*").alias("n"),
-        F.sum(F.expr("if(l_quantity <= 0, 1, 0)")).alias("bad_qty"),
-        F.sum(F.expr("if(l_discount < 0 or l_discount > 1, 1, 0)")).alias("bad_disc"),
-        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_key"),
-    )
-    dup_pk = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.sum(F.expr("c - 1")).alias("v"),
-            F.sum("c").alias("n"),
-        )
-        .selectExpr("'orders_duplicate_pk' as check_name", "n as n_checked", "v as n_violations")
-    )
-    scans = [
-        li_scan.selectExpr("'lineitem_nonpositive_quantity' as check_name", "n as n_checked", "bad_qty as n_violations"),
-        li_scan.selectExpr("'lineitem_discount_range' as check_name", "n as n_checked", "bad_disc as n_violations"),
-        li_scan.selectExpr("'lineitem_null_orderkey' as check_name", "n as n_checked", "null_key as n_violations"),
-    ]
-    out = orphan
-    for piece in (childless, dup_pk, *scans):
-        out = out.unionByName(piece)
-    return out.select(
-        "check_name",
-        "n_checked",
-        "n_violations",
-        (F.col("n_violations") == 0).alias("passes"),
+    return constraint_checks(
+        check_foreign_key(
+            li, "l_orderkey", orders, "o_orderkey", name="lineitem_orphan_orderkey"
+        ),
+        check_foreign_key(
+            orders, "o_orderkey", li, "l_orderkey", name="orders_childless"
+        ),
+        check_unique(orders, "o_orderkey", name="orders_duplicate_pk"),
+        check_predicates(
+            li,
+            {
+                "lineitem_nonpositive_quantity": "l_quantity <= 0",
+                "lineitem_discount_range": "l_discount < 0 or l_discount > 1",
+                "lineitem_null_orderkey": "l_orderkey is null",
+            },
+        ),
     )
 
 

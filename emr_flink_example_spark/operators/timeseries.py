@@ -224,28 +224,65 @@ def q_timeseries_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     construction is O(types * hours) regardless of corpus size, and the
     LOCF window runs per event_type over the hour axis (bounded, sorted,
     never an unpartitioned window over the fact table)."""
-    events = load(spark, sf, "events")
-    hourly = events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    return resample_gapfill(
+        load(spark, sf, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
     )
-    bounds = hourly.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = (
-        hourly.select("event_type")
+
+
+def _bucketed_rollup(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str | None, unit: str
+) -> DataFrame:
+    """(key, bucket `h`, n_events[, sum_value]) — the shared first shuffle
+    of the resample family."""
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    return df.groupBy(key_col, F.date_trunc(unit, ts_col).alias("h")).agg(*aggs)
+
+
+def _dense_grid(bucketed: DataFrame, key_col: str, unit: str) -> DataFrame:
+    """Dense (key x bucket) grid synthesized from the SMALL rollup —
+    never from raw rows."""
+    bounds = bucketed.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    return (
+        bucketed.select(key_col)
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
-            "event_type",
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+            key_col,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval 1 {unit}"))
+            ).alias("h"),
         )
     )
-    filled = grid.join(hourly, ["event_type", "h"], "left")
+
+
+def resample_gapfill(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Hypertable-style resample of ANY (key, ts, value) frame onto a
+    dense per-`unit` grid, empty buckets zero-counted and value gap-filled
+    by LOCF — (key, bucket, n_events, sum_value, locf_value, is_gap).
+    Plan shape and scale notes in `q_timeseries_resample_gapfill`."""
+    bucketed = _bucketed_rollup(df, ts_col, key_col, value_col, unit)
+    filled = _dense_grid(bucketed, key_col, unit).join(
+        bucketed, [key_col, "h"], "left"
+    )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(key_col)
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return filled.select(
-        "event_type",
+        key_col,
         F.col("h").alias("bucket"),
         F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
         "sum_value",
@@ -280,28 +317,38 @@ def q_timeseries_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
     synthesized from the small aggregate, per-type bounded windows. The
     forward-looking window is the only addition (same exchange, second sort
     is reused)."""
-    events = load(spark, sf, "events")
-    hourly = events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    return interpolate_linear(
+        load(spark, sf, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
     )
-    bounds = hourly.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = (
-        hourly.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-        )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Dense-grid resample of ANY (key, ts, value) frame with LINEAR
+    interpolation over gaps (exact integer arithmetic — see
+    `q_timeseries_interpolate_linear` for the rounding identity and the
+    NON-NEGATIVE value contract) — (key, bucket, n_events, sum_value,
+    interp_value, is_gap)."""
+    bucketed = _bucketed_rollup(df, ts_col, key_col, value_col, unit)
+    filled = _dense_grid(bucketed, key_col, unit).join(
+        bucketed, [key_col, "h"], "left"
     )
-    filled = grid.join(hourly, ["event_type", "h"], "left")
-    w_idx = Window.partitionBy("event_type").orderBy("h")
+    w_idx = Window.partitionBy(key_col).orderBy("h")
     back = w_idx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fwd = w_idx.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     obs_rn = F.when(F.col("sum_value").isNotNull(), F.col("rn"))
     indexed = filled.withColumn("rn", F.row_number().over(w_idx))
     anchored = indexed.select(
-        "event_type",
+        key_col,
         "h",
         "n_events",
         "sum_value",
@@ -330,7 +377,7 @@ def q_timeseries_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.coalesce("prev_val", "next_val"))
     )
     return anchored.select(
-        "event_type",
+        key_col,
         F.col("h").alias("bucket"),
         F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
         "sum_value",
@@ -349,15 +396,32 @@ def q_timeseries_cascade_rollup(spark: SparkSession, sf: str) -> DataFrame:
     applied per level (the stored pre-aggregate IS the rounded value), and
     the oracle mirrors the cascade exactly. One shuffle per level, each on
     successively tinier data."""
-    events = load(spark, sf, "events")
-    minute = events.groupBy(
-        "event_type", F.date_trunc("minute", "ts").alias("m")
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    return cascade_rollup(
+        load(spark, sf, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+    )
+
+
+def cascade_rollup(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cascading minute -> hour -> day rollup of ANY (key, ts, value)
+    frame, each level re-aggregated from the previous pre-aggregate —
+    (key, day, n_events, sum_value); see `q_timeseries_cascade_rollup`."""
+    minute = df.groupBy(
+        key_col, F.date_trunc("minute", ts_col).alias("m")
+    ).agg(F.count("*").alias("n"), F.round(F.sum(value_col), 2).alias("s"))
     hour = minute.groupBy(
-        "event_type", F.date_trunc("hour", "m").alias("h")
+        key_col, F.date_trunc("hour", "m").alias("h")
     ).agg(F.sum("n").alias("n"), F.round(F.sum("s"), 2).alias("s"))
     return (
-        hour.groupBy("event_type", F.date_trunc("day", "h").alias("day"))
+        hour.groupBy(key_col, F.date_trunc("day", "h").alias("day"))
         .agg(F.sum("n").alias("n_events"), F.round(F.sum("s"), 2).alias("sum_value"))
     )
 
@@ -382,30 +446,36 @@ def q_timeseries_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     construction as the gapfill query) so "trailing 24 ROWS" means trailing
     24 HOURS even across gaps. One shuffle to the hourly rollup; the window
     runs per event_type over the bounded hour axis."""
-    events = load(spark, sf, "events")
-    hourly = events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.count("*").alias("n_events")
-    )
-    bounds = hourly.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = (
-        hourly.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-        )
-    )
-    dense = grid.join(hourly, ["event_type", "h"], "left").select(
-        "event_type", "h", F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n")
+    return anomaly_zscore(load(spark, sf, "events"), ts_col="ts", key_col="event_type")
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+    lookback: int = ANOMALY_LOOKBACK_HOURS,
+    min_history: int = ANOMALY_MIN_HISTORY,
+    z_threshold: float = ANOMALY_Z,
+) -> DataFrame:
+    """Rolling z-score anomaly detection on per-key per-`unit` counts of
+    ANY (key, ts) frame — (key, bucket, n_events, trailing_mean, zscore,
+    is_anomaly); determinism and plan shape in
+    `q_timeseries_anomaly_zscore`."""
+    bucketed = _bucketed_rollup(df, ts_col, key_col, None, unit)
+    dense = _dense_grid(bucketed, key_col, unit).join(
+        bucketed, [key_col, "h"], "left"
+    ).select(
+        key_col, "h", F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n")
     )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(key_col)
         .orderBy("h")
-        .rowsBetween(-ANOMALY_LOOKBACK_HOURS, -1)
+        .rowsBetween(-lookback, -1)
     )
     scored = dense.select(
-        "event_type",
+        key_col,
         F.col("h").alias("bucket"),
         F.col("n").alias("n_events"),
         F.count("n").over(w).alias("hist"),
@@ -417,14 +487,14 @@ def q_timeseries_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         F.col("hist") - 1
     )
     z = F.round((F.col("n_events") - mean) / F.sqrt(var), 4)
-    ok = (F.col("hist") >= ANOMALY_MIN_HISTORY) & (var > 0)
+    ok = (F.col("hist") >= min_history) & (var > 0)
     return scored.select(
-        "event_type",
+        key_col,
         "bucket",
         "n_events",
         F.round(mean, 4).alias("trailing_mean"),
         F.when(ok, z).alias("zscore"),
-        F.when(ok, F.abs(z) >= ANOMALY_Z).otherwise(F.lit(False)).alias("is_anomaly"),
+        F.when(ok, F.abs(z) >= z_threshold).otherwise(F.lit(False)).alias("is_anomaly"),
     )
 
 

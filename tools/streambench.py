@@ -24,6 +24,17 @@ pipeline gets fresh checkpoint/output dirs; rows/sec = input rows /
 wall-clock from start() to processAllAvailable() having drained every
 file, and per-batch latency comes from the query's own progress metrics
 (triggerExecution duration).
+
+Adjudication (r12): every pipeline runs STREAMBENCH_PASSES times (default
+2) with fresh dirs; the reported entry is the BEST pass (max rows/sec) and
+`band` = best/worst ratio — the mechanical ambient-load indicator that
+keeps a loaded-host pass from masquerading as a regression (the batch
+bench's best-of-artifacts discipline, applied here).
+
+The hive entry additionally carries a compaction effectiveness A/B
+(VERDICT r11 #6): table file count and full-scan read latency before and
+after a post-run `compact_path` sweep — measured benefit for the feature
+the reference declares but never runs (Kafka2S3Hive.scala:87,107).
 """
 
 from __future__ import annotations
@@ -50,6 +61,9 @@ from emr_flink_example_spark.streaming import pipelines  # noqa: E402
 #: keeping each batch large enough to measure work, not scheduling.
 N_FILES = 24
 FILES_PER_TRIGGER = 2
+
+#: best-of-N passes per pipeline (min 2 for a band figure)
+N_PASSES = int(os.environ.get("STREAMBENCH_PASSES", "2"))
 
 #: The hive pipeline partitions at MINUTE granularity (day/hour/minute ≙
 #: Kafka2S3Hive.scala:97), and the events fixture replays a MONTH of event
@@ -198,8 +212,44 @@ def bench_hive(spark, in_dir: str, work: str, n_rows: int) -> dict:
         if f.endswith(".parquet")
     )
     out["n_table_files"] = n_files
+    out["compaction"] = _compaction_ab(spark, cfg.hive_s3_path, n_files)
     spark.sql(f"DROP TABLE IF EXISTS {cfg.hive_table_name}")
     return out
+
+
+def _compaction_ab(spark, table_path: str, files_before: int) -> dict:
+    """Read-side A/B for the post-run compaction sweep: full-scan latency
+    (min of 2, forcing data pages via a column aggregate) and file count
+    before vs after `compact_path` coalesces every partition to the
+    128 MB-target ideal."""
+    from emr_flink_example_spark.streaming.compaction import compact_path
+
+    def read_ms() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spark.read.parquet(table_path).agg(F.sum("ad_type")).collect()
+            best = min(best, (time.time() - t0) * 1000.0)
+        return round(best, 1)
+
+    before_ms = read_ms()
+    t0 = time.time()
+    stats = compact_path(spark, table_path)
+    sweep_ms = round((time.time() - t0) * 1000.0, 1)
+    files_after = sum(
+        1
+        for _dir, _dn, files in os.walk(table_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "partitions_compacted": sum(1 for s in stats if s.compacted),
+        "sweep_ms": sweep_ms,
+        "read_ms_before": before_ms,
+        "read_ms_after": read_ms(),
+    }
 
 
 def bench_curation(spark, in_dir: str, work: str, n_rows: int) -> dict:
@@ -312,9 +362,17 @@ def main() -> None:
             ("heavy_hitters", bench_heavy_hitters, in_dir, n_rows),
             ("dq_monitor", bench_dq_monitor, in_dir, n_rows),
         ):
-            work = os.path.join(root, name)
-            os.makedirs(work, exist_ok=True)
-            results[name] = fn(spark, src, work, rows)
+            passes = []
+            for p in range(N_PASSES):
+                work = os.path.join(root, f"{name}-p{p}")
+                os.makedirs(work, exist_ok=True)
+                passes.append(fn(spark, src, work, rows))
+            rps = [r["rows_per_sec"] for r in passes]
+            best = max(passes, key=lambda r: r["rows_per_sec"])
+            best["passes"] = N_PASSES
+            best["band"] = round(max(rps) / max(min(rps), 0.1), 3)
+            best["all_rows_per_sec"] = rps
+            results[name] = best
         # the headline aggregate covers the three REFERENCE pipelines only
         # (comparable round-over-round); the curation extension pipeline
         # does real per-row LLM-gate + dedup-probe work and is reported
