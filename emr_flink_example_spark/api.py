@@ -40,6 +40,24 @@ Families:
   ``funnel_step_times`` (strict-order N-step funnel), ``asof_join``
   (backward as-of between two keyed event frames),
   ``click_attribution`` (stream-stream interval join).
+* **Data quality** (wave 4) — ``profile_columns`` /
+  ``infer_profile_kinds`` (single-pass column profiler),
+  ``constraint_checks`` + the ``check_foreign_key`` / ``check_unique``
+  / ``check_predicates`` / ``check_not_null`` builders (Deequ-style
+  verification suite over any frames).
+* **A/B & stats battery** (wave 4) — ``proportion_ztest``,
+  ``wilson_ci``, ``cohens_d``, ``cuped``, ``mann_whitney``,
+  ``permutation_test`` over unit-level (arm, metric) frames;
+  ``roc_auc`` (rank-identity AUC of any scored 0/1 frame);
+  ``mann_kendall`` (trend test over any bounded series).
+* **Timeseries** (wave 4) — ``resample_gapfill`` (dense grid + LOCF),
+  ``interpolate_linear`` (exact-integer linear gap repair),
+  ``anomaly_zscore`` (trailing-window z-score flags),
+  ``cascade_rollup`` (minute -> hour -> day mergeable rollup).
+* **ANN tiers** (wave 4) — ``ann_ivf_topk`` (trained coarse quantizer
+  + probed inverted lists), ``ann_pq_topk`` (PQ-ADC lookup-table
+  search over packed codes) — the scale ladder above ``cosine_topk``
+  / ``ann_lsh_topk``.
 
 Determinism contract: nothing here uses an RNG — every sampling/split
 decision is a salted portable hash of row content, so results are
@@ -54,7 +72,28 @@ does this automatically at the next catalog boundary).
 from __future__ import annotations
 
 from .cache import unpersist_all
-from .operators.analytics import cohort_retention, funnel_step_times, sessionize
+from .operators.analytics import (
+    cohens_d,
+    cohort_retention,
+    cuped,
+    funnel_step_times,
+    mann_kendall,
+    mann_whitney,
+    permutation_test,
+    proportion_ztest,
+    roc_auc,
+    sessionize,
+    wilson_ci,
+)
+from .operators.dataquality import (
+    check_foreign_key,
+    check_not_null,
+    check_predicates,
+    check_unique,
+    constraint_checks,
+    infer_profile_kinds,
+    profile_columns,
+)
 from .operators.curation import CurationStats, curation_gates
 from .operators.dedup import (
     connected_components,
@@ -75,7 +114,18 @@ from .operators.sampling import (
     weighted_sample_es,
     with_es_key,
 )
-from .operators.similarity import ann_lsh_topk, cosine_topk
+from .operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_pq_topk,
+    cosine_topk,
+)
+from .operators.timeseries import (
+    anomaly_zscore,
+    cascade_rollup,
+    interpolate_linear,
+    resample_gapfill,
+)
 from .operators.textstats import (
     bm25_topk,
     chunk_documents,
@@ -90,15 +140,26 @@ from .streaming.joins import click_attribution
 
 __all__ = [
     "CurationStats",
+    "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
+    "anomaly_zscore",
     "asof_join",
     "bm25_topk",
+    "cascade_rollup",
+    "check_foreign_key",
+    "check_not_null",
+    "check_predicates",
+    "check_unique",
     "chunk_documents",
     "click_attribution",
     "code_detect",
+    "cohens_d",
     "cohort_retention",
     "connected_components",
+    "constraint_checks",
     "cosine_topk",
+    "cuped",
     "curation_gates",
     "decontamination_overlap",
     "dedup_corpus",
@@ -107,12 +168,21 @@ __all__ = [
     "funnel_step_times",
     "gopher_flags",
     "hash_split",
+    "infer_profile_kinds",
+    "interpolate_linear",
     "language_id",
+    "mann_kendall",
+    "mann_whitney",
     "minhash_signatures",
     "near_duplicate_pairs",
     "pack_token_shards",
+    "permutation_test",
+    "profile_columns",
+    "proportion_ztest",
     "readability_flesch",
     "repeated_spans",
+    "resample_gapfill",
+    "roc_auc",
     "sessionize",
     "shingle_documents",
     "stratified_sample",
@@ -120,5 +190,6 @@ __all__ = [
     "token_frequencies",
     "unpersist_all",
     "weighted_sample_es",
+    "wilson_ci",
     "with_es_key",
 ]

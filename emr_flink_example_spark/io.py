@@ -28,6 +28,10 @@ TABLES = (
 # rows, nation: 25 rows — fixed-size in TPC-H-style schemas regardless of SF).
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
+#: the embeddings corpus dimension (TESTDATA.md) — the load-time contract
+#: excludes rows that don't match it (see `load`)
+EMB_DIM = 64
+
 
 def _ensure_utc(spark: SparkSession) -> None:
     # Defensive: the driver may hand us a session we didn't build. Only set
@@ -67,12 +71,19 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):
-        return df.withColumn(
+        df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
-    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
-        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    raise TypeError(f"events.ts: unsupported parquet type {ts_type}")
+    elif isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    else:
+        raise TypeError(f"events.ts: unsupported parquet type {ts_type}")
+    # Ingestion contract: an event-time engine cannot place a timeless
+    # event — NULL ts rows are excluded at the single load point (windows,
+    # watermarks, and the two engines' opposite NULL sort orders would
+    # otherwise diverge operator-by-operator). Mirrored by the oracle
+    # (`testing.connect_oracle`); no-op on the clean fixtures.
+    return df.where(F.col("ts").isNotNull())
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -93,12 +104,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         df = df.withColumn("text", F.coalesce("text", F.lit("")))
     if table == "embeddings":
         # Ingestion contract: a NULL vector has no meaningful coalesce (the
-        # dim is gone) — such rows are excluded at the load point, the same
-        # way the cosine family excludes all-zero vectors. No-op on the
-        # fixtures, so oracle parity is unaffected.
+        # dim is gone) and a WRONG-DIM vector cannot be scored by a
+        # fixed-dim index (ANSI element_at would throw mid-fold) — both are
+        # excluded at the load point, the same way the cosine family
+        # excludes all-zero vectors. No-op on the fixtures (uniformly
+        # EMB_DIM), so oracle parity is unaffected; the oracle mirrors the
+        # same predicate.
         from pyspark.sql import functions as F
 
-        df = df.where(F.col("embedding").isNotNull())
+        df = df.where(
+            F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM)
+        )
     return df
 
 

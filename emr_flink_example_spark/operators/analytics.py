@@ -511,15 +511,28 @@ def q_abtest_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "converted"
         )
-    )
-    g = users.groupBy().agg(
-        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    return proportion_ztest(users)
+
+
+def proportion_ztest(
+    assignments: DataFrame,
+    *,
+    variant_col: str = "arm",
+    converted_col: str = "converted",
+) -> DataFrame:
+    """Two-proportion z-test over ANY unit-level frame with a 0/1 arm
+    column and a 0/1 conversion column — one row (n_a, conv_a, n_b,
+    conv_b, z_micro, significant), arm 0 = A. Determinism and plan notes
+    in `q_abtest_proportion_ztest`."""
+    g = assignments.groupBy().agg(
+        F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0)).alias("n_a"),
         F.sum(
-            F.when(F.col("user_id") % 2 == 0, F.col("converted")).otherwise(0)
+            F.when(F.col(variant_col) == 0, F.col(converted_col)).otherwise(0)
         ).alias("conv_a"),
-        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col(variant_col) == 1, 1).otherwise(0)).alias("n_b"),
         F.sum(
-            F.when(F.col("user_id") % 2 == 1, F.col("converted")).otherwise(0)
+            F.when(F.col(variant_col) == 1, F.col(converted_col)).otherwise(0)
         ).alias("conv_b"),
     )
     # degenerate arms (empty, or 0%/100% pooled conversion) have no
@@ -698,11 +711,26 @@ def q_abtest_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     sorted-aggregate discipline as vocab_coverage), one final 1-row fold.
     Nothing event-sized is sorted."""
     events = load(spark, sf, "events")
+    obs = events.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("arm"), "value"
+    )
+    return mann_whitney(obs)
+
+
+def mann_whitney(
+    values: DataFrame,
+    *,
+    variant_col: str = "arm",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U rank-sum z-test between arms 0/1 of ANY (arm,
+    value) observation frame — one row (n_a, n_b, u2_a, tie_t, z_micro,
+    significant, headroom_ok), arm 0 = A. Exact tie handling, headroom
+    guard, and plan notes in `q_abtest_mann_whitney`."""
     vals = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("value").alias("v"),
-            (F.col("user_id") % 2 == 0).cast("int").alias("is_a"),
+        values.select(
+            F.col(value_col).alias("v"),
+            (F.col(variant_col) == 0).cast("int").alias("is_a"),
         )
         .groupBy("v")
         .agg(F.count("*").alias("t"), F.sum("is_a").alias("ta"))
@@ -955,9 +983,25 @@ def q_abtest_wilson_ci(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "converted"
         )
-    )
-    arms = users.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
-        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    return wilson_ci(users)
+
+
+def wilson_ci(
+    assignments: DataFrame,
+    *,
+    variant_col: str = "arm",
+    converted_col: str = "converted",
+) -> DataFrame:
+    """Per-arm Wilson 95% score interval over ANY unit-level frame with an
+    arm column and a 0/1 conversion column — one row per arm (arm,
+    n_users, n_converted, wilson_lo_micro, wilson_hi_micro); see
+    `q_abtest_wilson_ci` for the formula and determinism notes."""
+    arms = assignments.groupBy(
+        F.col(variant_col).cast("int").alias("arm")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum(converted_col).alias("n_converted"),
     )
     z = "1.959964"
     expr_tpl = (
@@ -3906,8 +3950,20 @@ def q_stats_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
     cardinality, not corpus size), one hash join back, a 1-row fold."""
     docs = load(spark, sf, "documents")
     scored = docs.select(
-        F.col("n_chars").alias("s"),
+        F.col("n_chars").alias("score"),
         F.expr("if(lang = 'en', 1, 0)").alias("pos"),
+    )
+    return roc_auc(scored)
+
+
+def roc_auc(
+    scored: DataFrame, *, score_col: str = "score", label_col: str = "pos"
+) -> DataFrame:
+    """ROC AUC of ANY (score, 0/1 label) frame via the Mann-Whitney rank
+    identity — one row (n_pos, n_neg, s2_pos, auc_micro, headroom_ok);
+    determinism, guard, and plan notes in `q_stats_roc_auc`."""
+    scored = scored.select(
+        F.col(score_col).alias("s"), F.col(label_col).alias("pos")
     )
     gs = scored.groupBy("s").agg(
         F.count("*").alias("t"), F.sum("pos").alias("t_pos")
@@ -4301,6 +4357,29 @@ def q_abtest_cuped(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("y"),
     )
+    return cuped(users, quantize_milli=False)
+
+
+def cuped(
+    user_periods: DataFrame,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    quantize_milli: bool = True,
+) -> DataFrame:
+    """CUPED theta and variance reduction over ANY unit-level frame with a
+    pre-period covariate `x_col` and an experiment metric `y_col` — one
+    row (n_users, sxy, theta_micro, var_reduction_micro, headroom_ok).
+    With quantize_milli (the default for raw metric columns) both columns
+    quantize to exact millis first; pass False when they are already
+    exact integers (the fixture shim's conditional milli sums). Formula,
+    guard, and plan notes in `q_abtest_cuped`."""
+    if quantize_milli:
+        x = F.expr(f"cast(floor({x_col} * 1000 + 0.5) as bigint)")
+        y = F.expr(f"cast(floor({y_col} * 1000 + 0.5) as bigint)")
+    else:
+        x, y = F.col(x_col), F.col(y_col)
+    users = user_periods.select(x.alias("x"), y.alias("y"))
     g = users.agg(
         F.count("*").alias("n_users"),
         F.sum("x").alias("sx"),
@@ -4422,8 +4501,24 @@ def q_abtest_cohens_d(spark: SparkSession, sf: str) -> DataFrame:
     cheapest possible effect-size readout."""
     ev = load(spark, sf, "events")
     vals = ev.where(F.col("event_type") == "purchase").select(
-        F.expr("cast(user_id % 2 as int)").alias("arm"),
-        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
+        F.expr("cast(user_id % 2 as int)").alias("arm"), "value"
+    )
+    return cohens_d(vals)
+
+
+def cohens_d(
+    values: DataFrame,
+    *,
+    variant_col: str = "arm",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohen's d between arms 0/1 of ANY (arm, value) observation frame —
+    one row (n0, n1, sum0_milli, sum1_milli, cohens_d_micro, headroom_ok);
+    values quantize to exact millis inside (the house floor(v*1000+0.5)
+    idiom). Formula, guard, and plan notes in `q_abtest_cohens_d`."""
+    vals = values.select(
+        F.col(variant_col).cast("int").alias("arm"),
+        F.expr(f"cast(floor({value_col} * 1000 + 0.5) as bigint)").alias("v"),
     )
     arms = vals.groupBy("arm").agg(
         F.count("*").alias("n_j"),
@@ -4927,17 +5022,35 @@ def q_abtest_permutation_test(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     users = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
         F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias("y")
-    )
-    reps = users.select(
-        "user_id",
-        "y",
-        F.explode(F.sequence(F.lit(0), F.lit(PERM_K))).alias("k"),
+    ).select("user_id", (F.col("user_id") % 2).cast("int").alias("arm"), "y")
+    return permutation_test(users)
+
+
+def permutation_test(
+    user_metrics: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    variant_col: str = "arm",
+    metric_col: str = "y",
+    n_perms: int = PERM_K,
+) -> DataFrame:
+    """Permutation test for the arm mean difference over ANY unit-level
+    frame (unit id, observed 0/1 arm, integer-milli metric) — one row
+    (n_perms, stat_obs_micro, n_ge, p_micro). Replicate k reassigns unit
+    u to arm portable-hash(u ':' k) % 2 (no RNG — deterministic across
+    runs and engines); replicate 0 is the OBSERVED assignment. Resampling
+    discipline and plan notes in `q_abtest_permutation_test`."""
+    reps = user_metrics.select(
+        F.col(unit_col).alias("__unit"),
+        F.col(variant_col).alias("__arm0"),
+        F.col(metric_col).alias("y"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_perms))).alias("k"),
     ).select(
         "k",
         "y",
         F.expr(
-            "case when k = 0 then cast(user_id % 2 as int) else"
-            " cast(conv(substring(md5(concat(cast(user_id as string), ':',"
+            "case when k = 0 then cast(__arm0 as int) else"
+            " cast(conv(substring(md5(concat(cast(__unit as string), ':',"
             " cast(k as string))), 1, 15), 16, 10) as bigint) % 2 end"
         )
         .cast("int")
@@ -5874,7 +5987,20 @@ def q_stats_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
     one fixed double expression, micro-quantized once. Scale shape: the
     pair expansion is |days|^2 grid-bounded; ties census is one groupBy
     over the |days|-row series."""
-    s = _daily_revenue_series(spark, sf).transform(pinned)
+    return mann_kendall(_daily_revenue_series(spark, sf).transform(pinned))
+
+
+def mann_kendall(
+    series: DataFrame, *, idx_col: str = "day_idx", value_col: str = "y"
+) -> DataFrame:
+    """Mann-Kendall trend test over ANY ordered (index, value) series
+    frame — one row (n_days, s_stat, var18, z_micro, trend). The pair
+    expansion is |series|^2: bound the series (a daily/hourly rollup, as
+    the fixture shim does), never raw events. Determinism notes in
+    `q_stats_mann_kendall`."""
+    s = series.select(
+        F.col(idx_col).alias("day_idx"), F.col(value_col).alias("y")
+    )
     a, b = s.alias("a"), s.alias("b")
     s_stat = (
         a.join(b, F.col("a.day_idx") < F.col("b.day_idx"))

@@ -557,15 +557,60 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     — trained centroids spread the corpus across all 8 lists instead of
     clumping it, so the probed lists carry more (better) candidates, buying
     recall@3 0.83 -> 0.90. Accepted trade; do not re-open on bench diffs."""
-    emb = (
-        load(spark, sf, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .withColumn("nrm", _norm("e"))
-        # all-zero vector: cosine undefined, exclude (exists short-circuits;
-        # `nrm > 0` would re-run the 64-term norm fold per row)
-        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    emb = load(spark, sf, "embeddings")
+    return ann_ivf_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        k=3,
+        codebook=trained_codebook(spark, sf, 1, DIM, N_CENTROIDS),
     )
-    cent = _ivf_centroids(spark, sf)
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = N_PROBE,
+    n_centroids: int = N_CENTROIDS,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k of each query over ANY corpus frame: a trained
+    coarse quantizer (Lloyd k-means over the full vectors) buckets the
+    corpus into inverted lists via a map-side broadcast-fold argmax (zero
+    corpus shuffle), each query probes its `n_probe` nearest lists, and
+    only those candidates are ranked by exact cosine — (query_id,
+    neighbor_id, nn_rank, cosine). Pass a pre-trained `codebook` to skip
+    training (the fixture shim reuses the memoized one); otherwise
+    `n_centroids` centroids train on a deterministic <=100k-vector hash
+    sample. 100 TB posture in `q_ann_ivf_topk`."""
+    spark = corpus.sparkSession
+
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("e"),
+            )
+            .withColumn("nrm", _norm("e"))
+            # all-zero vector: cosine undefined, exclude (exists
+            # short-circuits; `nrm > 0` would re-run the norm fold per row)
+            .where(F.expr("exists(e, x -> x <> 0.0d)"))
+        )
+
+    emb = prep(corpus)
+    q = prep(queries)
+    if codebook is None:
+        first = emb.select(F.size("e").alias("d")).first()
+        dim = first.d if first else 0
+        codebook = (
+            subspace_kmeans_fit(emb.select("vec_id", "e"), 1, dim, n_centroids)
+            if dim
+            else []
+        )
+    cent = _centroids_df(spark, codebook)
     cos_c = _dot("e", "cv") / (F.col("nrm") * F.col("cvn"))
     wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id").asc())
     # One-row broadcast side: sort_array orders the struct array by its first
@@ -596,11 +641,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", "e", "nrm", "centroid_id")
     )
     probes = (
-        emb.where(F.col("vec_id") < 10)
-        .join(F.broadcast(cent))
+        q.join(F.broadcast(cent))
         .withColumn("c_cos", cos_c)
         .withColumn("c_rank", F.row_number().over(wa))
-        .where(F.col("c_rank") <= N_PROBE)
+        .where(F.col("c_rank") <= n_probe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
@@ -625,7 +669,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= 3)
+        .where(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "nn_rank", F.round("cosine", 4).alias("cosine"))
     )
 
@@ -875,11 +919,9 @@ def _adc_codebook(spark: SparkSession, sf: str) -> DataFrame:
     return _codebook_df(spark, trained_codebook(spark, sf, ADC_M, ADC_SUB, ADC_K))
 
 
-def _ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
-    """Trained coarse-quantizer centroids (centroid_id, cv, cvn) — k-means
-    over the full vectors (n_sub=1), replacing the r1-r5 smallest-vec_id
-    stand-in the IVF docstrings promised to retire."""
-    cw = trained_codebook(spark, sf, 1, DIM, N_CENTROIDS)
+def _centroids_df(spark: SparkSession, cw: list[list[float]]) -> DataFrame:
+    """Codebook rows as a (centroid_id, cv, cvn) frame (typed-empty when
+    the codebook is empty — the empty-corpus contract)."""
     if not cw:
         return spark.createDataFrame(
             [], "centroid_id bigint, cv array<double>"
@@ -890,6 +932,13 @@ def _ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return cent.withColumn("cvn", F.sqrt(F.expr(
         "aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
     )))
+
+
+def _ivf_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained coarse-quantizer centroids (centroid_id, cv, cvn) — k-means
+    over the full vectors (n_sub=1), replacing the r1-r5 smallest-vec_id
+    stand-in the IVF docstrings promised to retire."""
+    return _centroids_df(spark, trained_codebook(spark, sf, 1, DIM, N_CENTROIDS))
 
 
 def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
@@ -970,12 +1019,13 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     sf0.001/sf0.01 (tests/test_ann_recall.py, floor 0.6); the
     `ann_pq_adc_rerank_topk` tier re-ranks the ADC shortlist with exact
     distances and measures ~1.0 (the production IVF-PQ pattern)."""
-    scored = _adc_scored(spark, sf)
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .where(F.col("nn_rank") <= 3)
-        .select("query_id", "neighbor_id", "nn_rank", "adc_dist")
+    emb = load(spark, sf, "embeddings")
+    return ann_pq_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        k=3,
+        n_sub=ADC_M,
+        codebook=trained_codebook(spark, sf, ADC_M, ADC_SUB, ADC_K),
     )
 
 
@@ -1047,7 +1097,12 @@ def _adc_codes_with_e(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _codes_kernel(cw: list[list[float]], passthrough: list[str]):
+def _codes_kernel(
+    cw: list[list[float]],
+    passthrough: list[str],
+    n_sub: int = ADC_M,
+    sub_dim: int = ADC_SUB,
+):
     """The shared vectorized encode kernel: batches of (…, e) in, the
     passthrough columns plus per-subspace argmin `codes` out. d2 terms
     accumulate in subvector-element order and argmin keeps the first
@@ -1064,11 +1119,11 @@ def _codes_kernel(cw: list[list[float]], passthrough: list[str]):
             if not len(pdf):
                 continue
             X = np.stack(pdf["e"].to_numpy())
-            codes = np.empty((len(pdf), ADC_M), dtype=np.int32)
-            for m in range(ADC_M):
-                lo = m * ADC_SUB
+            codes = np.empty((len(pdf), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                lo = m * sub_dim
                 d2 = (X[:, None, lo] - C[None, :, lo]) ** 2
-                for i in range(1, ADC_SUB):
+                for i in range(1, sub_dim):
                     d2 = d2 + (X[:, None, lo + i] - C[None, :, lo + i]) ** 2
                 codes[:, m] = d2.argmin(1)  # first minimum, like the fold
             out = {c: pdf[c] for c in passthrough}
@@ -1118,6 +1173,94 @@ def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.round(F.expr(_adc_dist_sql(ADC_M)), 4).alias("adc_dist"),
         )
+    )
+
+
+def _pq_codes(
+    c: DataFrame, codebook: list[list[float]], n_sub: int, sub_dim: int
+) -> DataFrame:
+    """(vec_id, e, codes) for ANY standardized (vec_id, e) frame — the
+    vectorized Arrow encode (`_codes_kernel`); the empty-codebook branch
+    keeps the contract schema with a NON-FOLDABLE empty codes column
+    (the `_adc_codes_with_e` constant-folding note)."""
+    if not codebook:
+        return c.select(
+            "vec_id",
+            "e",
+            F.expr("transform(slice(e, 1, 0), x -> cast(x as int))").alias("codes"),
+        )
+    id_t = c.schema["vec_id"].dataType.simpleString()
+    return c.mapInPandas(
+        _codes_kernel(codebook, ["vec_id", "e"], n_sub, sub_dim),
+        f"vec_id {id_t}, e array<double>, codes array<int>",
+    )
+
+
+def ann_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_sub: int | None = None,
+    n_codewords: int = ADC_K,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN top-k of each query over ANY corpus frame — the search
+    half of IVF-PQ: the corpus is scanned as packed subspace codes (an
+    Arrow-vectorized encode), each query precomputes its n_sub x
+    n_codewords distance LUT against the broadcast codebook, and a
+    candidate's distance is n_sub table lookups — (query_id, neighbor_id,
+    nn_rank, adc_dist; squared-L2 semantics, ascending). Defaults to the
+    2-dims-per-subspace ADC geometry; pass a pre-trained `codebook` to
+    skip training (the fixture shim reuses the memoized one). Float
+    discipline and 100 TB posture in `q_ann_pq_adc_topk`."""
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+    )
+    dim = 0
+    if n_sub is None or not codebook:
+        first = c.select(F.size("e").alias("d")).first()
+        dim = first.d if first else 0
+    if n_sub is None:
+        n_sub = max(1, (dim // ADC_SUB) if dim else 1)
+    if codebook:
+        sub_dim = len(codebook[0]) // n_sub
+    elif dim:
+        if dim % n_sub:
+            raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+        sub_dim = dim // n_sub
+        codebook = subspace_kmeans_fit(c, n_sub, sub_dim, n_codewords)
+    else:
+        sub_dim, codebook = 1, []
+    cb = _codebook_df(spark, codebook)
+    codes = _pq_codes(c, codebook, n_sub, sub_dim).select("vec_id", "codes")
+    q_lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", F.expr(_adc_lut_sql(n_sub, sub_dim)).alias("lut")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q_lut))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(_adc_dist_sql(n_sub)), 4).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "nn_rank", "adc_dist")
     )
 
 

@@ -34,8 +34,7 @@ tests/test_cms_stream.py.
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +42,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.hashing import portable_hash
 from ..operators.textstats import CMS_D, CMS_TOP, CMS_W
+from .fsio import FSIO, LocalFS, fs_for_path
 
 #: per-batch exact top-M candidate keys kept (recall knob: larger M
 #: catches keys that are heavy overall but diluted within single batches)
@@ -65,12 +65,21 @@ class StreamingCountMin:
     partitions under two sibling directories."""
 
     def __init__(
-        self, state_path: str, key_col: str = "token", compact_every: int = 16
+        self,
+        state_path: str,
+        key_col: str = "token",
+        compact_every: int = 16,
+        fs: FSIO | None = None,
     ) -> None:
-        self.cells_path = os.path.join(state_path, "cells")
-        self.cands_path = os.path.join(state_path, "cands")
+        self.cells_path = posixpath.join(state_path, "cells")
+        self.cands_path = posixpath.join(state_path, "cands")
         self.key_col = key_col
         self.compact_every = compact_every
+        #: fsio seam — LocalFS for plain paths, HadoopFS resolved lazily
+        #: for URI-scheme paths (needs the SparkSession's JVM gateway)
+        self.fs = fs if fs is not None else (
+            LocalFS() if "://" not in state_path else None
+        )
 
     # ---------------------------------------------------------- per batch
 
@@ -93,11 +102,13 @@ class StreamingCountMin:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if self.fs is None:
+            self.fs = fs_for_path(spark, self.cells_path)
         self._batch_cells(batch_df).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.cells_path, f"batch_id={batch_id}")
+            posixpath.join(self.cells_path, f"batch_id={batch_id}")
         )
         self._batch_cands(batch_df).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.cands_path, f"batch_id={batch_id}")
+            posixpath.join(self.cands_path, f"batch_id={batch_id}")
         )
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             self._compact(spark, batch_id)
@@ -131,13 +142,14 @@ class StreamingCountMin:
             marker, skips the merge and just finishes the idempotent
             cleanup (the published sum already covers every superseded
             file)."""
+        fs = self.fs
         for path, keycols in (
             (self.cells_path, ("cell",)),
             (self.cands_path, ("k",)),
         ):
             old = sorted(
-                (int(d.split("=", 1)[1]), os.path.join(path, d))
-                for d in os.listdir(path)
+                (int(d.split("=", 1)[1]), fs.join(path, d))
+                for d in fs.list_dirs(path)
                 if d.startswith("batch_id=")
                 and int(d.split("=", 1)[1]) < current_batch_id
             )
@@ -145,18 +157,18 @@ class StreamingCountMin:
                 continue
             target_id, target_dir = old[0]
             own_prefix = f"compact-{current_batch_id}-"
-            marker = os.path.join(
+            marker = fs.join(
                 target_dir, f"_compact-{current_batch_id}.committed"
             )
-            if os.path.exists(marker):
+            if fs.exists(marker):
                 self._finish_cleanup(old, target_dir, own_prefix, marker)
                 continue
             if len(old) <= 1:
                 continue
             src_files = [
-                os.path.join(p, f)
+                fs.join(p, f)
                 for _, p in old
-                for f in os.listdir(p)
+                for f in fs.list_files(p)
                 if f.endswith(".parquet")
                 and not f.startswith(".")
                 and not f.startswith(own_prefix)
@@ -168,48 +180,41 @@ class StreamingCountMin:
                 .groupBy(*keycols)
                 .agg(F.sum("cnt").alias("cnt"))
             )
-            tmp = os.path.join(path, f".compact-{current_batch_id}")
+            tmp = fs.join(path, f".compact-{current_batch_id}")
             merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-            parts = sorted(
+            parts = [
                 f
-                for f in os.listdir(tmp)
+                for f in fs.list_files(tmp)
                 if f.endswith(".parquet") and not f.startswith(".")
-            )
+            ]
             for i, fname in enumerate(parts):
-                os.rename(
-                    os.path.join(tmp, fname),
-                    os.path.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
+                fs.rename_overwrite(
+                    fs.join(tmp, fname),
+                    fs.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
                 )
-            shutil.rmtree(tmp)
-            self._write_marker(marker)
+            fs.rmtree(tmp)
+            fs.write_text_atomic(marker, "committed\n")
             self._finish_cleanup(old, target_dir, own_prefix, marker)
 
-    @staticmethod
-    def _write_marker(marker: str) -> None:
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write("committed\n")
-        os.rename(tmp, marker)
-
-    @staticmethod
     def _finish_cleanup(
-        old: list[tuple[int, str]], target_dir: str, own_prefix: str, marker: str
+        self, old: list[tuple[int, str]], target_dir: str, own_prefix: str, marker: str
     ) -> None:
         """Idempotent post-publication sweep: retire every source the
         published compact generation already covers (older batch dirs,
         superseded files in the target, stale older markers), then the
         marker itself. Safe to re-run after a crash at any point."""
+        fs = self.fs
+        marker_name = fs.basename(marker)
         for _, p in old[1:]:
-            shutil.rmtree(p, ignore_errors=True)
-        for f in os.listdir(target_dir):
-            fp = os.path.join(target_dir, f)
-            if not os.path.isfile(fp) or f.startswith("."):
+            fs.rmtree(p)
+        for f in fs.list_files(target_dir):
+            if f.startswith("."):
                 continue
-            if f.startswith(own_prefix) or fp == marker:
+            if f.startswith(own_prefix) or f == marker_name:
                 continue
-            os.remove(fp)
-        if os.path.exists(marker):
-            os.remove(marker)
+            fs.remove(fs.join(target_dir, f))
+        if fs.exists(marker):
+            fs.remove(marker)
 
     # ---------------------------------------------------------- read side
 

@@ -26,8 +26,7 @@ part plain Spark cannot express without this component.
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +39,7 @@ from ..operators.dedup import (
     _band_buckets,
     minhash_signatures_for,
 )
+from .fsio import FSIO, LocalFS, fs_for_path
 
 
 class _IndexedDedupStreamFilter:
@@ -58,9 +58,14 @@ class _IndexedDedupStreamFilter:
         index_path: str,
         compact_every: int = 16,
         write_partitions: int = 1,
+        fs: FSIO | None = None,
     ) -> None:
         self.out_path = out_path
         self.index_path = index_path
+        #: fsio seam — LocalFS for plain paths, HadoopFS resolved lazily
+        self.fs = fs if fs is not None else (
+            LocalFS() if "://" not in index_path else None
+        )
         #: every N batches, merge the accumulated one-dir-per-batch index
         #: partitions into one — unbounded small-file accretion otherwise
         #: (a 100 TB stream is millions of micro-batches). 0 disables.
@@ -84,13 +89,15 @@ class _IndexedDedupStreamFilter:
         Any other read failure (corrupt footer, transient IO) re-raises so
         the micro-batch FAILS and the checkpoint retries: silently treating
         a broken index as empty would admit near-dups — the one failure
-        mode this component exists to prevent. (Local-FS walk matches the
-        sandbox; a real lake would ask the Hadoop FileSystem API instead.)"""
-        if not os.path.isdir(self.index_path):
+        mode this component exists to prevent. (The fsio seam answers the
+        listing on local disk or via the Hadoop FileSystem API alike.)"""
+        if self.fs is None:
+            self.fs = fs_for_path(spark, self.index_path)
+        if not self.fs.is_dir(self.index_path):
             return None
         has_data = any(
             f.endswith(".parquet")
-            for _, _, files in os.walk(self.index_path)
+            for _, files in self.fs.walk_files(self.index_path)
             for f in files
         )
         if not has_data:
@@ -122,11 +129,11 @@ class _IndexedDedupStreamFilter:
             else:
                 survivors, surviving_feats = batch_df, feats
             survivors.coalesce(self.write_partitions).write.mode("overwrite").parquet(
-                os.path.join(self.out_path, f"batch_id={batch_id}")
+                posixpath.join(self.out_path, f"batch_id={batch_id}")
             )
             surviving_feats.coalesce(self.write_partitions).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(self.index_path, f"batch_id={batch_id}"))
+            ).parquet(posixpath.join(self.index_path, f"batch_id={batch_id}"))
         finally:
             for df in pinned:
                 df.unpersist()
@@ -153,12 +160,13 @@ class _IndexedDedupStreamFilter:
         destinations are excluded from the superseded list (they are this
         run's targets — deleting them in cleanup would empty the
         partition), while still being read into the merge."""
+        fs = self.fs
         old = sorted(
             (
                 int(d.split("=", 1)[1]),
-                os.path.join(self.index_path, d),
+                fs.join(self.index_path, d),
             )
-            for d in os.listdir(self.index_path)
+            for d in fs.list_dirs(self.index_path)
             if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < current_batch_id
         )
         if len(old) <= 1:
@@ -173,26 +181,26 @@ class _IndexedDedupStreamFilter:
             .drop("batch_id")
         )
         target_id, target_dir = old[0]
-        tmp = os.path.join(self.index_path, f".compact-{current_batch_id}")
+        tmp = fs.join(self.index_path, f".compact-{current_batch_id}")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         own_prefix = f"compact-{current_batch_id}-"
         superseded = [
-            os.path.join(target_dir, f)
-            for f in os.listdir(target_dir)
+            fs.join(target_dir, f)
+            for f in fs.list_files(target_dir)
             if not f.startswith(".") and not f.startswith(own_prefix)
         ]
-        for i, fname in enumerate(sorted(os.listdir(tmp))):
+        for i, fname in enumerate(fs.list_files(tmp)):
             if fname.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, fname),
-                    os.path.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
+                fs.rename_overwrite(
+                    fs.join(tmp, fname),
+                    fs.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
                 )
-        shutil.rmtree(tmp)
+        fs.rmtree(tmp)
         for _, p in old[1:]:
-            shutil.rmtree(p)
+            fs.rmtree(p)
         for f in superseded:
-            if os.path.isfile(f):
-                os.remove(f)
+            if fs.exists(f):
+                fs.remove(f)
 
 
 class NearDupStreamFilter(_IndexedDedupStreamFilter):

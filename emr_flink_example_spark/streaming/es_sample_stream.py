@@ -27,14 +27,14 @@ lossless.
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.sampling import SAMPLE_ES_K, with_es_key
+from .fsio import FSIO, LocalFS, fs_for_path
 
 
 class StreamingEsSample:
@@ -46,11 +46,16 @@ class StreamingEsSample:
         k: int = SAMPLE_ES_K,
         weight_col: str = "n_chars",
         compact_every: int = 16,
+        fs: FSIO | None = None,
     ) -> None:
         self.cands_path = cands_path
         self.k = k
         self.weight_col = weight_col
         self.compact_every = compact_every
+        #: fsio seam — LocalFS for plain paths, HadoopFS resolved lazily
+        self.fs = fs if fs is not None else (
+            LocalFS() if "://" not in cands_path else None
+        )
 
     def _batch_candidates(self, batch_df: DataFrame) -> DataFrame:
         return (
@@ -63,9 +68,11 @@ class StreamingEsSample:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.fs is None:
+            self.fs = fs_for_path(batch_df.sparkSession, self.cands_path)
         self._batch_candidates(batch_df).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(self.cands_path, f"batch_id={batch_id}"))
+        ).parquet(posixpath.join(self.cands_path, f"batch_id={batch_id}"))
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             self._compact(batch_df.sparkSession, batch_id)
 
@@ -87,9 +94,10 @@ class StreamingEsSample:
         per-file renames BEFORE deleting any source; this run's own
         rename destinations are excluded from the superseded sweep so a
         same-batch_id replay cannot delete its own output."""
+        fs = self.fs
         old = sorted(
-            (int(d.split("=", 1)[1]), os.path.join(self.cands_path, d))
-            for d in os.listdir(self.cands_path)
+            (int(d.split("=", 1)[1]), fs.join(self.cands_path, d))
+            for d in fs.list_dirs(self.cands_path)
             if d.startswith("batch_id=")
             and int(d.split("=", 1)[1]) < current_batch_id
         )
@@ -101,26 +109,26 @@ class StreamingEsSample:
             .drop("batch_id")
         )
         target_id, target_dir = old[0]
-        tmp = os.path.join(self.cands_path, f".compact-{current_batch_id}")
+        tmp = fs.join(self.cands_path, f".compact-{current_batch_id}")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         own_prefix = f"compact-{current_batch_id}-"
         superseded = [
-            os.path.join(target_dir, f)
-            for f in os.listdir(target_dir)
+            fs.join(target_dir, f)
+            for f in fs.list_files(target_dir)
             if not f.startswith(".") and not f.startswith(own_prefix)
         ]
-        for i, fname in enumerate(sorted(os.listdir(tmp))):
+        for i, fname in enumerate(fs.list_files(tmp)):
             if fname.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, fname),
-                    os.path.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
+                fs.rename_overwrite(
+                    fs.join(tmp, fname),
+                    fs.join(target_dir, f"{own_prefix}{i:05d}.parquet"),
                 )
-        shutil.rmtree(tmp)
+        fs.rmtree(tmp)
         for _, p in old[1:]:
-            shutil.rmtree(p)
+            fs.rmtree(p)
         for f in superseded:
-            if os.path.isfile(f):
-                os.remove(f)
+            if fs.exists(f):
+                fs.remove(f)
 
     def sample(self, spark: SparkSession) -> DataFrame:
         """The current exact-k weighted sample over everything streamed."""

@@ -26,8 +26,7 @@ hash, exact-integer harmonic sum, linear-counting branch below 2.5m.
 from __future__ import annotations
 
 import math
-import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,17 +34,26 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.hashing import portable_hash
 from ..operators.textstats import HLL_ALPHA, HLL_M, HLL_P, _HLL_RHO_CAP
+from .fsio import FSIO, LocalFS, fs_for_path
 
 
 class StreamingHllSketch:
     """foreachBatch sink maintaining per-batch HLL register partitions."""
 
     def __init__(
-        self, registers_path: str, key_col: str = "user_id", compact_every: int = 16
+        self,
+        registers_path: str,
+        key_col: str = "user_id",
+        compact_every: int = 16,
+        fs: FSIO | None = None,
     ) -> None:
         self.registers_path = registers_path
         self.key_col = key_col
         self.compact_every = compact_every
+        #: fsio seam — LocalFS for plain paths, HadoopFS resolved lazily
+        self.fs = fs if fs is not None else (
+            LocalFS() if "://" not in registers_path else None
+        )
 
     def _batch_registers(self, batch_df: DataFrame) -> DataFrame:
         h = portable_hash(F.col(self.key_col).cast("string"))
@@ -64,8 +72,10 @@ class StreamingHllSketch:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if self.fs is None:
+            self.fs = fs_for_path(spark, self.registers_path)
         self._batch_registers(batch_df).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.registers_path, f"batch_id={batch_id}")
+            posixpath.join(self.registers_path, f"batch_id={batch_id}")
         )
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             self._compact(spark, batch_id)
@@ -82,9 +92,10 @@ class StreamingHllSketch:
         duplicate register rows, which max-merge absorbs on read — never
         a state where the merged registers exist only in a dot-prefixed
         tmp dir that readers ignore."""
+        fs = self.fs
         old = sorted(
-            (int(d.split("=", 1)[1]), os.path.join(self.registers_path, d))
-            for d in os.listdir(self.registers_path)
+            (int(d.split("=", 1)[1]), fs.join(self.registers_path, d))
+            for d in fs.list_dirs(self.registers_path)
             if d.startswith("batch_id=")
             and int(d.split("=", 1)[1]) < current_batch_id
         )
@@ -97,7 +108,7 @@ class StreamingHllSketch:
             .agg(F.max("m_j").alias("m_j"))
         )
         target_id, target_dir = old[0]
-        tmp = os.path.join(self.registers_path, f".compact-{current_batch_id}")
+        tmp = fs.join(self.registers_path, f".compact-{current_batch_id}")
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         # Files the merged output supersedes inside the target partition
         # (prior part-/compact- files); they become redundant duplicates
@@ -112,24 +123,24 @@ class StreamingHllSketch:
         # of old[0]) and then atomically overwritten by the rename.
         own_prefix = f"compact-{current_batch_id}-"
         superseded = [
-            os.path.join(target_dir, f)
-            for f in os.listdir(target_dir)
+            fs.join(target_dir, f)
+            for f in fs.list_files(target_dir)
             if not f.startswith(".") and not f.startswith(own_prefix)
         ]
-        for i, fname in enumerate(sorted(os.listdir(tmp))):
+        for i, fname in enumerate(fs.list_files(tmp)):
             if fname.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, fname),
-                    os.path.join(
+                fs.rename_overwrite(
+                    fs.join(tmp, fname),
+                    fs.join(
                         target_dir, f"compact-{current_batch_id}-{i:05d}.parquet"
                     ),
                 )
-        shutil.rmtree(tmp)
+        fs.rmtree(tmp)
         for _, p in old[1:]:
-            shutil.rmtree(p)
+            fs.rmtree(p)
         for f in superseded:
-            if os.path.isfile(f):
-                os.remove(f)
+            if fs.exists(f):
+                fs.remove(f)
 
     def registers(self, spark: SparkSession) -> DataFrame:
         """The merged (bucket, m_j) register table — 64 rows max."""

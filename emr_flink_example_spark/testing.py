@@ -10,24 +10,39 @@ import math
 
 import duckdb
 
-from .io import TABLES
+from .io import EMB_DIM, TABLES
 
 
 def connect_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Register the fixture tables as DuckDB views, mirroring io.load's
-    ingestion contract: documents.text is NEVER NULL downstream (io.py
-    coalesces it to '' at the single load boundary), so the oracle views
-    the same normalized table the Spark engine queries — otherwise every
-    text operator would diverge on a dirty (null-text) fixture for a
-    reason that is contract, not computation. The driver's own oracle
-    registers raw views, which is equivalent on the clean fixtures it
-    runs (no null text exists there)."""
+    ingestion contracts so the oracle views the same normalized tables
+    the Spark engine queries — otherwise operators would diverge on a
+    dirty fixture for reasons that are contract, not computation:
+
+    * documents.text is NEVER NULL downstream (coalesced to '');
+    * events rows with NULL ts are excluded (an event-time engine cannot
+      place a timeless event);
+    * embeddings rows with NULL or wrong-dimension vectors are excluded
+      (unscorable by a fixed-dim index).
+
+    The driver's own oracle registers raw views, which is equivalent on
+    the clean fixtures it runs (no nulls/short vectors exist there)."""
     con = duckdb.connect()
     for t in TABLES:
         if t == "documents":
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * REPLACE (coalesce(text, '') AS text)"
                 f" FROM '{sf_dir}/{t}.parquet'"
+            )
+        elif t == "events":
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                " WHERE ts IS NOT NULL"
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                f" WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
             )
         else:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

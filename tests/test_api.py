@@ -328,3 +328,192 @@ def test_readability_and_code_detect(docs, spark):
         code, id_col="cid", text_col="src", lang_col=None
     ).collect()}
     assert out[1] is True and out[2] is False
+
+
+# ---------------------------------------------------------------------------
+# wave 4 (VERDICT r11 #2): DQ, abtest/stats battery, timeseries, ANN tiers
+# ---------------------------------------------------------------------------
+def test_profile_columns_and_kinds(spark):
+    rows = [
+        (1, 1.25, "x", dt.date(2024, 1, 2)),
+        (2, None, "y", dt.date(2024, 1, 5)),
+        (2, 3.75, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, amt double, name string, d date")
+    assert api.infer_profile_kinds(df) == [
+        ("k", "int"), ("amt", "num"), ("name", "str"), ("d", "date"),
+    ]
+    prof = {r.column: r for r in api.profile_columns(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_distinct == 2
+    assert prof["k"].min_milli == 1000 and prof["k"].max_milli == 2000
+    assert prof["amt"].n_nulls == 1 and prof["amt"].min_milli == 1250
+    assert prof["amt"].max_milli == 3750
+    assert prof["name"].min_str == "x" and prof["name"].max_str == "y"
+    assert prof["d"].min_str == "2024-01-02" and prof["d"].max_str == "2024-01-05"
+    # explicit column subset
+    only = api.profile_columns(df, [("k", "int")]).collect()
+    assert len(only) == 1 and only[0].column == "k"
+
+
+def test_constraint_checks_suite(spark):
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, -2.0), (12, 99, 3.0), (13, None, 1.0)],
+        "cid bigint, fk bigint, amt double",
+    )
+    out = api.constraint_checks(
+        api.check_foreign_key(child, "fk", parent, "pk", name="orphans"),
+        api.check_unique(parent, "pk", name="pk_unique"),
+        api.check_not_null(child, "fk", name="fk_present"),
+        api.check_predicates(child, {"amt_positive": "amt <= 0"}),
+    )
+    rows = {r.check_name: r for r in out.collect()}
+    # null fk does not match pk -> left_anti keeps it AND the 99 orphan
+    assert rows["orphans"].n_violations == 2 and rows["orphans"].n_checked == 4
+    assert rows["pk_unique"].n_violations == 1 and not rows["pk_unique"].passes
+    assert rows["fk_present"].n_violations == 1
+    assert rows["amt_positive"].n_violations == 1
+    assert set(out.columns) == {"check_name", "n_checked", "n_violations", "passes"}
+
+
+def test_abtest_battery(spark):
+    # proportion z-test: 9/10 vs 1/10 conversion -> clearly significant
+    conv = spark.createDataFrame(
+        [(0, 1 if i < 9 else 0) for i in range(10)]
+        + [(1, 1 if i < 1 else 0) for i in range(10)],
+        "arm int, converted int",
+    )
+    zt = api.proportion_ztest(conv).collect()[0]
+    assert (zt.n_a, zt.conv_a, zt.n_b, zt.conv_b) == (10, 9, 10, 1)
+    assert zt.significant is True
+
+    ci = {r.arm: r for r in api.wilson_ci(conv).collect()}
+    assert ci[0].n_converted == 9 and ci[1].n_converted == 1
+    for r in ci.values():
+        assert 0 <= r.wilson_lo_micro < r.wilson_hi_micro <= 1_000_000
+
+    # Cohen's d: exact-milli arms -> d = 5 exactly
+    vals = spark.createDataFrame(
+        [(0, 1.0), (0, 1.2), (0, 0.8), (1, 2.0), (1, 2.2), (1, 1.8)],
+        "arm int, value double",
+    )
+    d = api.cohens_d(vals).collect()[0]
+    assert d.cohens_d_micro == 5_000_000 and d.headroom_ok
+
+    # CUPED: y = 2x exactly -> theta 2, variance reduction 1
+    cu = api.cuped(
+        spark.createDataFrame(
+            [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
+        )
+    ).collect()[0]
+    assert cu.theta_micro == 2_000_000 and cu.var_reduction_micro == 1_000_000
+
+    # Mann-Whitney: full separation of 3 vs 3 -> U_A = 0, |z| just over crit
+    mw = api.mann_whitney(
+        spark.createDataFrame(
+            [(0, 1.0), (0, 2.0), (0, 3.0), (1, 4.0), (1, 5.0), (1, 6.0)],
+            "arm int, value double",
+        )
+    ).collect()[0]
+    assert (mw.n_a, mw.n_b, mw.u2_a) == (3, 3, 0)
+    assert mw.significant is True
+
+    # permutation test: observed |mean diff| = 2000 milli -> 2_000_000
+    pt = api.permutation_test(
+        spark.createDataFrame(
+            [(1, 0, 1000), (2, 0, 1000), (3, 1, 3000), (4, 1, 3000)],
+            "user_id bigint, arm int, y bigint",
+        ),
+        n_perms=19,
+    ).collect()[0]
+    assert pt.n_perms == 19 and pt.stat_obs_micro == 2_000_000
+    assert 0 < pt.p_micro <= 1_000_000
+
+
+def test_roc_auc_and_mann_kendall(spark):
+    perfect = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "score double, pos int"
+    )
+    auc = api.roc_auc(perfect).collect()[0]
+    assert auc.auc_micro == 1_000_000 and auc.n_pos == 2 and auc.n_neg == 2
+
+    mk = api.mann_kendall(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 6)], "day_idx int, y double"
+        )
+    ).collect()[0]
+    assert mk.s_stat == 10 and mk.trend == "up" and mk.n_days == 5
+
+
+def test_timeseries_wave4(spark):
+    ev = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 3, 1, 10, 5), 1.0),
+            ("a", dt.datetime(2024, 3, 1, 13, 5), 2.0),
+            ("b", dt.datetime(2024, 3, 1, 10, 30), 4.0),
+        ],
+        "sensor string, at timestamp, reading double",
+    )
+    gf = api.resample_gapfill(ev, ts_col="at", key_col="sensor", value_col="reading")
+    a_rows = sorted(
+        (r for r in gf.collect() if r.sensor == "a"), key=lambda r: r.bucket
+    )
+    assert [r.n_events for r in a_rows] == [1, 0, 0, 1]
+    assert [r.is_gap for r in a_rows] == [False, True, True, False]
+    assert a_rows[1].locf_value == 1.0 and a_rows[2].locf_value == 1.0
+
+    il = api.interpolate_linear(ev, ts_col="at", key_col="sensor", value_col="reading")
+    a_rows = sorted(
+        (r for r in il.collect() if r.sensor == "a"), key=lambda r: r.bucket
+    )
+    assert a_rows[1].interp_value == pytest.approx(1.3333)
+    assert a_rows[2].interp_value == pytest.approx(1.6667)
+
+    counts = [1, 2, 1, 2, 1, 2]
+    spike = [
+        ("a", dt.datetime(2024, 3, 1, h, m), 1.0)
+        for h, n in enumerate(counts)
+        for m in range(n)
+    ] + [("a", dt.datetime(2024, 3, 1, 6, m), 1.0) for m in range(30)]
+    az = api.anomaly_zscore(
+        spark.createDataFrame(spike, "sensor string, at timestamp, reading double"),
+        ts_col="at",
+        key_col="sensor",
+        lookback=3,
+        min_history=2,
+    )
+    last = max(az.collect(), key=lambda r: r.bucket)
+    assert last.n_events == 30 and last.is_anomaly is True
+
+    cr = api.cascade_rollup(ev, ts_col="at", key_col="sensor", value_col="reading")
+    by_key = {r.sensor: r for r in cr.collect()}
+    assert by_key["a"].n_events == 2 and by_key["a"].sum_value == 3.0
+    assert by_key["b"].sum_value == 4.0
+
+
+def test_ann_ivf_and_pq_topk(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vid bigint, vec array<double>")
+    q = emb.where(F.col("vid") < 3)
+
+    exact = api.cosine_topk(q, emb, id_col="vid", vec_col="vec", k=39)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    ivf = api.ann_ivf_topk(q, emb, id_col="vid", vec_col="vec", k=2).collect()
+    assert ivf, "probed lists produce candidates at this corpus size"
+    for r in ivf:
+        assert r.query_id != r.neighbor_id and r.nn_rank in (1, 2)
+    assert {(r.query_id, r.neighbor_id) for r in ivf} <= exact_pairs
+
+    pq = api.ann_pq_topk(q, emb, id_col="vid", vec_col="vec", k=2).collect()
+    per_q = {}
+    for r in pq:
+        assert r.query_id != r.neighbor_id
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for rs in per_q.values():  # ADC full scan: exactly k rows, ascending dist
+        rs.sort(key=lambda r: r.nn_rank)
+        assert len(rs) == 2 and rs[0].adc_dist <= rs[1].adc_dist

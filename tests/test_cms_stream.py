@@ -147,25 +147,28 @@ def _crash_compact(sink, spark, batch_id, crash_at):
     class Boom(RuntimeError):
         pass
 
-    orig_marker = StreamingCountMin.__dict__["_write_marker"]
+    # the marker now publishes through the fsio seam (write_text_atomic on
+    # the sink's fs); crash by shadowing the seam method / the cleanup hook
+    fs_cls = type(sink.fs)
     orig_cleanup = StreamingCountMin.__dict__["_finish_cleanup"]
     try:
         if crash_at == "pre_marker":
-            StreamingCountMin._write_marker = staticmethod(
-                lambda marker: (_ for _ in ()).throw(Boom())
+            fs_cls.write_text_atomic = (
+                lambda self, path, text: (_ for _ in ()).throw(Boom())
             )
         else:
-            StreamingCountMin._finish_cleanup = staticmethod(
-                lambda old, target_dir, own_prefix, marker: (_ for _ in ()).throw(
-                    Boom()
-                )
+            StreamingCountMin._finish_cleanup = (
+                lambda self, old, target_dir, own_prefix, marker: (
+                    _ for _ in ()
+                ).throw(Boom())
             )
         try:
             sink._compact(spark, batch_id)
         except Boom:
             pass
     finally:
-        StreamingCountMin._write_marker = orig_marker
+        if "write_text_atomic" in fs_cls.__dict__:
+            del fs_cls.write_text_atomic  # base FSIO impl shows through again
         StreamingCountMin._finish_cleanup = orig_cleanup
 
 
