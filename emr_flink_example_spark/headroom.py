@@ -46,6 +46,7 @@ GUARDED_COLUMN = frozenset(
         "timeseries_crosscorr",
         "timeseries_ewma_crossover",
         "timeseries_sax_words",
+        "timeseries_theil_sen",
         "vocab_heaps_law",
     }
 )
@@ -60,10 +61,15 @@ ENFORCED_INLINE = {
     " applied before the surprisal fold",
     "timeseries_seasonal_decompose": "log2(sy_t + 1) + log2(n_t) < 40 checked"
     " on exact pre-scaling counts; tripped -> decomposition NULL",
+    "events_cohort_ltv": "ltv micro scaling guarded inline: NULL when"
+    " |cum_rev_milli| > (2^63-1-users)/2e6 ~ 4.6e12 (mirrored in the"
+    " oracle; r12 dirty-events sweep)",
 }
 
 #: closed-form bounds under which int64 cannot overflow (no runtime guard)
 BOUNDED = {
+    "window_sliding": "avg micro identity 2e4 * window cents sum"
+    " overflows only past a ~4.6e14-cent ($4.6e12) hourly window sum",
     "abtest_chi_square": "cell expectation rearranged as (row_tot * col_tot)"
     " div n BEFORE squaring; intermediates bounded by n^2 * 1e6, int64 to"
     " ~3e6 users",

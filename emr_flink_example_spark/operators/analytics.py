@@ -728,7 +728,12 @@ def mann_whitney(
     significant, headroom_ok), arm 0 = A. Exact tie handling, headroom
     guard, and plan notes in `q_abtest_mann_whitney`."""
     vals = (
-        values.select(
+        values
+        # complete-case: an observation with unknown value or unknown arm
+        # cannot be ranked or assigned (also keeps the rank window's cum
+        # base engine-identical — Spark sorts NULLs first, DuckDB last)
+        .where(F.col(value_col).isNotNull() & F.col(variant_col).isNotNull())
+        .select(
             F.col(value_col).alias("v"),
             (F.col(variant_col) == 0).cast("int").alias("is_a"),
         )
@@ -737,15 +742,25 @@ def mann_whitney(
     )
     w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     ranked = vals.withColumn("cum", F.coalesce(F.sum("t").over(w_cum), F.lit(0)))
+    # try_* keeps the guard's NULL-LOUDLY contract under ANSI: past the
+    # headroom bound the raw product/sum would THROW before the guard CASE
+    # ever evaluates (the oracle's HUGEINT+gated-cast is the mirror);
+    # inside the bound try_* is bit-identical to the exact ops
     g = ranked.agg(
         F.sum("ta").alias("n_a"),
         F.sum(F.col("t") - F.col("ta")).alias("n_b"),
-        F.sum(F.col("ta") * (2 * F.col("cum") + F.col("t") + 1)).alias("r2_a"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_t"),
+        F.expr(
+            "try_sum(try_multiply(ta, 2 * cum + t + 1))"
+        ).alias("r2_a"),
+        F.expr(
+            "try_sum(try_subtract(try_multiply(try_multiply(t, t), t), t))"
+        ).alias("tie_t"),
         F.max("t").alias("t_max"),
     )
     # 2*U_A = (doubled rank sum of arm A) - n_a*(n_a+1); mean(2U) = n_a*n_b
-    g = g.withColumn("u2_a", F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+    g = g.withColumn(
+        "u2_a", F.expr("try_subtract(r2_a, try_multiply(n_a, n_a + 1))")
+    )
     # headroom guard on pre-aggregation bounds (see docstring): overflow
     # CANNOT be detected after the fact (Spark wraps silently), so the
     # decision reads only t_max and n, which are exact at any scale
@@ -851,7 +866,9 @@ def q_attribution_markov_removal(spark: SparkSession, sf: str) -> DataFrame:
     the executors."""
     events = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    seqd = events.select(
+    # a channel-less (NULL event_type) touch cannot be credited — it is
+    # excluded BEFORE sequencing so journeys skip it (oracle mirrored)
+    seqd = events.where(F.col("event_type").isNotNull()).select(
         "user_id",
         F.col("event_type").alias("et"),
         F.row_number().over(w).alias("seq"),
@@ -1119,7 +1136,7 @@ def _markov_oracle() -> str:
             SELECT user_id, event_type AS et,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS seq
-            FROM events
+            FROM events WHERE event_type IS NOT NULL
         ), marked AS (
             SELECT *,
                    min(CASE WHEN et = 'purchase' THEN seq END)
@@ -2020,7 +2037,8 @@ ORACLES = {
         WITH vals AS (
             SELECT value AS v, count(*)::BIGINT AS t,
                    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ta
-            FROM events WHERE event_type = 'purchase' GROUP BY 1
+            FROM events WHERE event_type = 'purchase'
+              AND value IS NOT NULL AND user_id IS NOT NULL GROUP BY 1
         ), ranked AS (
             SELECT v, t, ta,
                    coalesce(sum(t) OVER (ORDER BY v
@@ -2317,7 +2335,7 @@ ORACLES["stats_spearman_corr"] = """
         FROM g
     )
     SELECT n_users,
-           CASE WHEN headroom_ok THEN sxy END AS sxy,
+           CASE WHEN headroom_ok THEN sxy::BIGINT END AS sxy,
            CASE WHEN headroom_ok THEN
              CASE WHEN n_users > 1
                    AND n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
@@ -3668,7 +3686,13 @@ def q_abtest_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
     broadcast back, then one (arm)-level and one 1-row fold. Nothing
     event-sized is sorted."""
     events = load(spark, sf, "events")
-    vals = events.where(F.col("event_type") == "purchase").select(
+    # complete-case (value AND arm): NULL values would land in the median
+    # windows where the engines sort NULLs on opposite ends
+    vals = events.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
         (F.col("user_id") % 2).cast("int").alias("arm"),
         F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
     )
@@ -3690,7 +3714,8 @@ def q_abtest_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
     arm_stats = z.groupBy("arm").agg(
         F.count("*").alias("n_j"),
         F.sum("z").alias("sz_j"),
-        F.sum(F.col("z") * F.col("z")).alias("szz_j"),
+        # try_* keeps the guard NULL-LOUDLY under ANSI (see cuped)
+        F.expr("try_sum(try_multiply(z, z))").alias("szz_j"),
         F.max("z").alias("max_z_j"),
     )
     g = arm_stats.agg(
@@ -3743,6 +3768,7 @@ ORACLES["abtest_brown_forsythe"] = """
         SELECT (user_id % 2)::INT AS arm,
                floor(value * 1000 + 0.5)::BIGINT AS v
         FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND user_id IS NOT NULL
     ), by_val AS (
         SELECT arm, v, count(*)::BIGINT AS w FROM vals GROUP BY arm, v
     ), med AS (
@@ -3758,7 +3784,7 @@ ORACLES["abtest_brown_forsythe"] = """
         FROM vals JOIN med USING (arm)
     ), arm_stats AS (
         SELECT arm, count(*)::BIGINT AS n_j, sum(z)::BIGINT AS sz_j,
-               sum(z * z)::BIGINT AS szz_j, max(z)::BIGINT AS max_z_j
+               sum(z::HUGEINT * z) AS szz_j, max(z)::BIGINT AS max_z_j
         FROM z GROUP BY arm
     ), g AS (
         SELECT count(*)::BIGINT AS k, sum(n_j)::BIGINT AS n_total,
@@ -3818,7 +3844,9 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
     aggregate discipline), one hash join back on v, a k-row group fold
     and a 1-row final fold. Nothing event-sized is sorted."""
     ev = load(spark, sf, "events")
-    vals = ev.select(
+    # complete-case: NULL values cannot be ranked (and sit at opposite
+    # ends of the two engines' rank windows)
+    vals = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
     )
@@ -3835,11 +3863,14 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("w").alias("n_j"),
-            F.sum(F.col("w") * F.col("r2")).alias("s2_j"),
+            # try_* keeps the guard NULL-LOUDLY under ANSI (see cuped)
+            F.expr("try_sum(try_multiply(w, r2))").alias("s2_j"),
         )
     )
     ties = ranked_vals.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+        F.expr(
+            "try_sum(try_subtract(try_multiply(try_multiply(t, t), t), t))"
+        ).alias("tie3")
     )
     g = per_group.agg(
         F.count("*").alias("k_groups"),
@@ -3880,6 +3911,7 @@ QUERIES["stats_kruskal_wallis"] = q_stats_kruskal_wallis
 ORACLES["stats_kruskal_wallis"] = """
     WITH vals AS (
         SELECT event_type, floor(value * 1000 + 0.5)::BIGINT AS v FROM events
+        WHERE value IS NOT NULL
     ), gv AS (
         SELECT event_type, v, count(*)::BIGINT AS w FROM vals
         GROUP BY event_type, v
@@ -3893,10 +3925,10 @@ ORACLES["stats_kruskal_wallis"] = """
         FROM by_val
     ), per_group AS (
         SELECT event_type, sum(w)::BIGINT AS n_j,
-               sum(w * r2)::BIGINT AS s2_j
+               sum(w::HUGEINT * r2) AS s2_j
         FROM gv JOIN ranked_vals USING (v) GROUP BY event_type
     ), ties AS (
-        SELECT sum(t * t * t - t)::BIGINT AS tie3 FROM ranked_vals
+        SELECT sum(t::HUGEINT * t * t - t) AS tie3 FROM ranked_vals
     ), g AS (
         SELECT count(*)::BIGINT AS k_groups, sum(n_j)::BIGINT AS n_total,
                sum(s2_j::DOUBLE * s2_j::DOUBLE / n_j::DOUBLE) AS sum_s2sq_over_n
@@ -4065,7 +4097,11 @@ def q_events_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").asc(), F.col("event_id").asc()
     )
     tri = (
-        ev.select(
+        # unnamed (NULL event_type) steps carry no path information and are
+        # excluded BEFORE sequencing (Spark's concat_ws would silently skip
+        # them mid-path where DuckDB's || nulls the whole path)
+        ev.where(F.col("event_type").isNotNull())
+        .select(
             "user_id",
             "event_type",
             F.lead("event_type", 1).over(w).alias("e2"),
@@ -4091,7 +4127,7 @@ ORACLES["events_path_trigrams"] = f"""
         SELECT user_id, event_type,
                lead(event_type, 1) OVER w AS e2,
                lead(event_type, 2) OVER w AS e3
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), tri AS (
         SELECT event_type || '>' || e2 || '>' || e3 AS path
@@ -4209,7 +4245,15 @@ def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
     `localCheckpoint` truncates per-round lineage. The authority side
     (output) is |event_type|-domain sized."""
     ev = load(spark, sf, "events")
-    edges = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    # an edge needs BOTH endpoints: NULL user/type rows are not edges
+    # (equi-joins would drop the user side while groupBy kept the type
+    # side, splitting the engines) — oracle mirrored
+    edges = (
+        ev.where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
     headroom_ok = HITS_SCALE * edges.count() < (1 << 62)
     hubs = edges.select("user_id").distinct().select(
         "user_id", F.lit(HITS_SCALE).cast("bigint").alias("h")
@@ -4266,6 +4310,7 @@ def _hits_oracle() -> str:
         """
         WITH edges AS (
             SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         ), h0 AS (
             SELECT DISTINCT user_id, 1000000::BIGINT AS h FROM edges
         )"""
@@ -4380,13 +4425,17 @@ def cuped(
     else:
         x, y = F.col(x_col), F.col(y_col)
     users = user_periods.select(x.alias("x"), y.alias("y"))
+    # try_* keeps the guard's NULL-LOUDLY contract under ANSI: past the
+    # headroom bound the raw x*x would THROW before the guard CASE runs
+    # (oracle mirror: HUGEINT products, casts gated by the guard);
+    # inside the bound try_* equals the exact ops bit-for-bit
     g = users.agg(
         F.count("*").alias("n_users"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.expr("try_sum(try_multiply(x, x))").alias("sxx"),
+        F.expr("try_sum(try_multiply(y, y))").alias("syy"),
+        F.expr("try_sum(try_multiply(x, y))").alias("sxy"),
         F.max(F.abs("x")).alias("max_ax"),
         F.max(F.abs("y")).alias("max_ay"),
     )
@@ -4444,8 +4493,8 @@ ORACLES["abtest_cuped"] = f"""
     ), g AS (
         SELECT count(*)::BIGINT AS n_users,
                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
-               sum(x * y)::BIGINT AS sxy,
+               sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+               sum(x::HUGEINT * y) AS sxy,
                max(abs(x))::BIGINT AS max_ax, max(abs(y))::BIGINT AS max_ay
         FROM users
     ), ok_t AS (
@@ -4516,14 +4565,19 @@ def cohens_d(
     one row (n0, n1, sum0_milli, sum1_milli, cohens_d_micro, headroom_ok);
     values quantize to exact millis inside (the house floor(v*1000+0.5)
     idiom). Formula, guard, and plan notes in `q_abtest_cohens_d`."""
-    vals = values.select(
+    # complete-case: a row with unknown value or arm carries no effect
+    # information (and would dilute n_j while sum() skipped it)
+    vals = values.where(
+        F.col(value_col).isNotNull() & F.col(variant_col).isNotNull()
+    ).select(
         F.col(variant_col).cast("int").alias("arm"),
         F.expr(f"cast(floor({value_col} * 1000 + 0.5) as bigint)").alias("v"),
     )
+    # try_* keeps the guard's NULL-LOUDLY contract under ANSI (see cuped)
     arms = vals.groupBy("arm").agg(
         F.count("*").alias("n_j"),
         F.sum("v").alias("s_j"),
-        F.sum(F.col("v") * F.col("v")).alias("ss_j"),
+        F.expr("try_sum(try_multiply(v, v))").alias("ss_j"),
         F.max(F.abs("v")).alias("max_v_j"),
     )
     g = arms.agg(
@@ -4578,18 +4632,19 @@ ORACLES["abtest_cohens_d"] = """
         SELECT (user_id % 2)::INT AS arm,
                floor(value * 1000 + 0.5)::BIGINT AS v
         FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND user_id IS NOT NULL
     ), arms AS (
         SELECT arm, count(*)::BIGINT AS n_j, sum(v)::BIGINT AS s_j,
-               sum(v * v)::BIGINT AS ss_j, max(abs(v))::BIGINT AS max_v_j
+               sum(v::HUGEINT * v) AS ss_j, max(abs(v))::BIGINT AS max_v_j
         FROM vals GROUP BY arm
     ), g AS (
         SELECT sum(n_j)::BIGINT AS n_total,
                min(CASE WHEN arm = 0 THEN n_j END)::BIGINT AS n0,
                min(CASE WHEN arm = 0 THEN s_j END)::BIGINT AS s0,
-               min(CASE WHEN arm = 0 THEN ss_j END)::BIGINT AS ss0,
+               min(CASE WHEN arm = 0 THEN ss_j END) AS ss0,
                min(CASE WHEN arm = 1 THEN n_j END)::BIGINT AS n1,
                min(CASE WHEN arm = 1 THEN s_j END)::BIGINT AS s1,
-               min(CASE WHEN arm = 1 THEN ss_j END)::BIGINT AS ss1,
+               min(CASE WHEN arm = 1 THEN ss_j END) AS ss1,
                max(max_v_j)::BIGINT AS max_v
         FROM arms
     ), ok_t AS (
@@ -4805,14 +4860,17 @@ def q_stats_f_oneway(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: one scan, one k-row aggregate, one 1-row fold."""
     ev = load(spark, sf, "events")
-    vals = ev.select(
+    # complete-case: NULL values carry no variance information and would
+    # dilute n_j; try_* keeps the guard's NULL-LOUDLY contract under ANSI
+    # (oracle mirror: HUGEINT products, matching WHERE)
+    vals = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v"),
     )
     groups = vals.groupBy("event_type").agg(
         F.count("*").alias("n_j"),
         F.sum("v").alias("s_j"),
-        F.sum(F.col("v") * F.col("v")).alias("ss_j"),
+        F.expr("try_sum(try_multiply(v, v))").alias("ss_j"),
         F.max(F.abs("v")).alias("max_v_j"),
     )
     g = groups.agg(
@@ -4864,13 +4922,14 @@ QUERIES["stats_f_oneway"] = q_stats_f_oneway
 ORACLES["stats_f_oneway"] = """
     WITH vals AS (
         SELECT event_type, floor(value * 1000 + 0.5)::BIGINT AS v FROM events
+        WHERE value IS NOT NULL
     ), groups AS (
         SELECT event_type, count(*)::BIGINT AS n_j, sum(v)::BIGINT AS s_j,
-               sum(v * v)::BIGINT AS ss_j, max(abs(v))::BIGINT AS max_v_j
+               sum(v::HUGEINT * v) AS ss_j, max(abs(v))::BIGINT AS max_v_j
         FROM vals GROUP BY event_type
     ), g AS (
         SELECT count(*)::BIGINT AS k_groups, sum(n_j)::BIGINT AS n_total,
-               sum(s_j)::BIGINT AS s_tot, sum(ss_j)::BIGINT AS ss_tot,
+               sum(s_j)::BIGINT AS s_tot, sum(ss_j) AS ss_tot,
                sum(s_j::DOUBLE * s_j::DOUBLE / n_j::DOUBLE) AS sum_sq_over_n,
                max(max_v_j)::BIGINT AS max_v
         FROM groups
@@ -5524,10 +5583,18 @@ def q_events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
             "n_purchases",
             "rev_milli",
             F.sum("rev_milli").over(w).alias("cum_rev_milli"),
+            # int64-headroom guard (ENFORCED INLINE): the 2e6x micro
+            # scaling of the cumulative revenue overflows once
+            # |cum_rev_milli| > (2^63-1-users)/2e6 ~ 4.6e12; both engines
+            # NULL the ltv LOUDLY past it (Spark would otherwise throw
+            # under ANSI, DuckDB would keep computing in HUGEINT)
             F.expr(
-                "(2000000 * sum(rev_milli) over (partition by cohort_m"
+                "case when abs(sum(rev_milli) over (partition by cohort_m"
+                " order by age rows between unbounded preceding and current row))"
+                " <= (9223372036854775807 - cohort_users) div 2000000 then"
+                " (2000000 * sum(rev_milli) over (partition by cohort_m"
                 " order by age rows between unbounded preceding and current row)"
-                " + cohort_users) div (2 * cohort_users)"
+                " + cohort_users) div (2 * cohort_users) end"
             ).alias("ltv_per_user_micro_milli"),
         )
     )
@@ -5557,8 +5624,11 @@ ORACLES["events_cohort_ltv"] = """
                AS cohort_day,
            r.age, s.cohort_users, r.n_purchases, r.rev_milli,
            sum(r.rev_milli) OVER w::BIGINT AS cum_rev_milli,
-           ((2000000 * sum(r.rev_milli) OVER w + s.cohort_users)
-            // (2 * s.cohort_users))::BIGINT AS ltv_per_user_micro_milli
+           (CASE WHEN abs(sum(r.rev_milli) OVER w)
+                      <= (9223372036854775807 - s.cohort_users) // 2000000
+             THEN (2000000 * sum(r.rev_milli) OVER w + s.cohort_users)
+                  // (2 * s.cohort_users) END)::BIGINT
+               AS ltv_per_user_micro_milli
     FROM rev r JOIN sizes s USING (cohort_m)
     WINDOW w AS (PARTITION BY r.cohort_m ORDER BY r.age
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -70,12 +70,22 @@ def q_window_sliding(spark: SparkSession, sf: str) -> DataFrame:
     events = load(spark, sf, "events")
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        # avg as snapped-sum/count: round(sum, 2) makes both engines agree on
-        # an identical double before the division, so the final rounding can't
-        # flip on summation-order noise (values have 2-decimal precision).
+        # avg via exact integer micros: values are 2-decimal, so the window
+        # sum is an exact bigint cents sum and avg_micro = half-up of
+        # 1e4*cents/n — the float round(x, 6) form fluttered at 1e9+
+        # magnitudes where 1e-6 is below the double ulp (dirty-events
+        # sweep, r12). Bounded: 2e4 * cents overflows only past a $4.6e14
+        # window sum. The /1e6 double conversion is the same operation in
+        # both engines, so the printed value is bit-identical.
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.round(F.sum("value"), 2) / F.count("*"), 6).alias("avg_value"),
+            (
+                F.expr(
+                    "(2 * 10000 * sum(cast(floor(value * 100 + 0.5) as bigint))"
+                    " + count(*)) div (2 * count(*))"
+                ).cast("double")
+                / 1000000.0
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -132,7 +142,11 @@ def asof_join(
         F.col(left_ts_col).alias("ts"),
         F.lit(1).alias("is_left"),
     )
-    R = right.select(
+    # SQL join-key semantics: a NULL-key right row can never match (the
+    # window's NULL partition would otherwise pair NULL-key sides, where
+    # an equality-keyed ASOF JOIN never does); NULL-key LEFT rows are
+    # preserved with a NULL match, exactly like a left join
+    R = right.where(F.col(key_col).isNotNull()).select(
         F.col(right_id_col).alias("row_id"),
         F.col(key_col).alias(key_col),
         F.col(right_ts_col).alias("ts"),
@@ -192,9 +206,10 @@ def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
     purchases = events.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.lit(0).alias("is_err")
     )
-    errors = events.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_err")
-    )
+    # NULL-user errors never match (SQL join-key semantics, see asof_join)
+    errors = events.where(
+        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts", F.lit(1).alias("is_err"))
     unioned = purchases.unionByName(errors).withColumn(
         "err_info",
         F.when(
@@ -289,9 +304,10 @@ def q_asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
     purchases = events.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.lit(1).alias("is_left")
     )
-    views = events.where(F.col("event_type") == "view").select(
-        "event_id", "user_id", "ts", F.lit(0).alias("is_left")
-    )
+    # NULL-user views never match (SQL join-key semantics, see asof_join)
+    views = events.where(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts", F.lit(0).alias("is_left"))
     unioned = purchases.unionByName(views).withColumn(
         "view_info",
         F.when(
@@ -460,7 +476,9 @@ ORACLES = {
         SELECT window_start,
                window_start + INTERVAL 1 HOUR AS window_end,
                count(*) AS n_events,
-               round(round(sum(value), 2) / count(*), 6) AS avg_value
+               ((2 * 10000 * sum(floor(value * 100 + 0.5)::BIGINT)
+                 + count(*)) // (2 * count(*)))::DOUBLE / 1000000.0
+                   AS avg_value
         FROM assigned
         GROUP BY 1, 2
     """,

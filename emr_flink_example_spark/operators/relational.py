@@ -1237,7 +1237,13 @@ def q_scalar_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
     element_at: Spark 4 runs ANSI mode, where element_at on a missing key
     throws instead of returning NULL."""
     events = load(spark, sf, "events")
-    per_type = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # a NULL event_type cannot be a map key (ANSI NULL_MAP_KEY) — such
+    # rows are excluded in both engines
+    per_type = (
+        events.where(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
     m = F.map_from_entries(F.sort_array(F.collect_list(F.struct("event_type", "cnt"))))
     per_user = per_type.groupBy("user_id").agg(m.alias("m"))
     return per_user.select(
@@ -2112,7 +2118,7 @@ ORACLES = {
     "scalar_map_funcs": """
         WITH per_type AS (
             SELECT user_id, event_type, count(*)::BIGINT AS cnt
-            FROM events GROUP BY 1, 2
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
         )
         SELECT user_id,
                count(*)::INT AS n_types,
@@ -2900,7 +2906,10 @@ def q_window_moving_median(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(-(MOVING_MEDIAN_WINDOW - 1), 0)
     )
-    vals = ev.select(
+    # complete-case: a NULL value has no median contribution, and an
+    # all-NULL frame would make the median rank index 0 (ANSI error);
+    # DuckDB's median() skips NULLs asymmetrically — excluded in both
+    vals = ev.where(F.col("value").isNotNull()).select(
         "user_id",
         "event_id",
         F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v_milli"),
@@ -2925,7 +2934,7 @@ ORACLES["window_moving_median"] = f"""
     WITH vals AS (
         SELECT user_id, event_id, ts,
                floor(value * 1000 + 0.5)::BIGINT AS v_milli
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT user_id, event_id, v_milli,
            count(*) OVER w AS frame_len,

@@ -243,7 +243,9 @@ def q_outlier_robust_mad(spark: SparkSession, sf: str) -> DataFrame:
     path); at 100 TB swap the row_number selections for approx
     percentile_approx fences per the outlier_filter_quantile pattern —
     the flag test and outputs stay identical."""
-    ev = load(spark, sf, "events").select(
+    # complete-case: a NULL value has no rank position (the engines sort
+    # NULLs on opposite ends, shifting the median row) — excluded in both
+    ev = load(spark, sf, "events").where(F.col("value").isNotNull()).select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
@@ -875,7 +877,7 @@ ORACLES = {
         WITH ev AS (
             SELECT event_id, event_type,
                    CAST(round(value * 100, 0) AS BIGINT) AS cents
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ), counts AS (
             SELECT event_type, count(*) AS n FROM ev GROUP BY 1
         ), med AS (

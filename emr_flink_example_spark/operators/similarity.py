@@ -2738,9 +2738,11 @@ def _ivfpq_oracle() -> str:
         {_adc_codes_ctes()}
         , assigned AS (
             SELECT vec_id, centroid_id FROM ranked_c WHERE c_rank = 1
+              AND len(list_filter(v, x -> x <> 0)) > 0
         ), probes AS (
             SELECT vec_id AS query_id, v AS qe, centroid_id
             FROM ranked_c WHERE vec_id < 10 AND c_rank <= {N_PROBE}
+              AND len(list_filter(v, x -> x <> 0)) > 0
         ), probes_lut AS (
             SELECT query_id, centroid_id, {_adc_lut_duck(ADC_M, ADC_SUB)} AS lut
             FROM probes CROSS JOIN acb
@@ -2796,6 +2798,7 @@ def _mmr_oracle() -> str:
     parts = [f"""
         WITH base AS (
             SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
         ), q AS (
             SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10
         ), cscored AS (
@@ -2860,6 +2863,7 @@ def _ivfpq_residual_oracle() -> str:
             SELECT b.vec_id,
                    list_transform(generate_series(1, {DIM}), i -> b.e[i] - c.cv[i]) AS e
             FROM base b JOIN assigned a USING (vec_id) JOIN cent c USING (centroid_id)
+            WHERE len(list_filter(b.e, x -> x <> 0)) > 0
         ),
         {_train_ctes(ADC_M, ADC_SUB, ADC_K, prefix="ra_", base="resid")},
         racb AS (SELECT cw FROM ra_cb),
@@ -2869,6 +2873,7 @@ def _ivfpq_residual_oracle() -> str:
         ), probes AS (
             SELECT vec_id AS query_id, v, centroid_id
             FROM ranked_c WHERE vec_id < 10 AND c_rank <= {N_PROBE}
+              AND len(list_filter(v, x -> x <> 0)) > 0
         ), probes_r AS (
             SELECT query_id, p.centroid_id,
                    list_transform(generate_series(1, {DIM}), i -> p.v[i] - c.cv[i]) AS qe
@@ -3115,11 +3120,15 @@ ORACLES = {
         GROUP BY label, dim - 1
     """,
     "knn_bruteforce": f"""
+        -- zero vectors excluded on BOTH sides (cosine undefined) — the
+        -- engine's documented exclusion, mirrored (r12 dirty sweep)
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
             FROM embeddings WHERE vec_id < 10
+              AND len(list_filter(embedding, x -> x <> 0)) > 0
         ), c AS (
             SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
         ), scored AS (
             SELECT query_id, neighbor_id, {_COS_DUCK} AS cosine
             FROM q CROSS JOIN c WHERE query_id != neighbor_id
@@ -3146,6 +3155,7 @@ ORACLES = {
             {" UNION ALL ".join(
                 f"SELECT vec_id, embedding::DOUBLE[] AS e, {t} AS tbl, "
                 f"{_mt_bucket_duck(t, 'embedding::DOUBLE[]')} AS bucket FROM embeddings"
+                " WHERE len(list_filter(embedding, x -> x <> 0)) > 0"
                 for t in range(N_TABLES)
             )}
         ), q AS (
@@ -3180,6 +3190,7 @@ ORACLES = {
             SELECT vec_id, embedding::DOUBLE[] AS e,
                    {_bucket_duck('embedding::DOUBLE[]')} AS bucket
             FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
         ), q AS (
             SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b WHERE vec_id < 10
         ), c AS (
@@ -3201,6 +3212,7 @@ ORACLES = {
             SELECT vec_id, embedding::DOUBLE[] AS e,
                    {_bucket_duck('embedding::DOUBLE[]')} AS bucket
             FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
         ), probes AS (
             SELECT vec_id AS query_id, e AS qe, probe_bucket AS qb
             FROM b, unnest([bucket{"".join(f", xor(bucket, {1 << j})" for j in range(N_PLANES))}])
@@ -3227,9 +3239,11 @@ ORACLES = {
         assigned AS (
             SELECT vec_id AS neighbor_id, v AS ce, centroid_id
             FROM ranked_c WHERE c_rank = 1
+              AND len(list_filter(v, x -> x <> 0)) > 0
         ), probes AS (
             SELECT vec_id AS query_id, v AS qe, centroid_id
             FROM ranked_c WHERE vec_id < 10 AND c_rank <= {N_PROBE}
+              AND len(list_filter(v, x -> x <> 0)) > 0
         ), scored AS (
             SELECT query_id, neighbor_id, {_COS_DUCK} AS cosine
             FROM probes p JOIN assigned a USING (centroid_id)
@@ -3246,6 +3260,7 @@ ORACLES = {
     "embedding_hard_negatives": f"""
         WITH b AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0
         ), q AS (
             SELECT vec_id AS query_id, label AS q_label, e AS qe
             FROM b WHERE vec_id < 10

@@ -157,7 +157,13 @@ def q_timeseries_dtw(spark: SparkSession, sf: str) -> DataFrame:
         z = np.floor(z * 1e6 + 0.5) / 1e6  # 6-dp snap, mirrored in the CTE
         return pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
+                # nullable bigint group keys arrive as float64 (NaN for a
+                # NULL user) — preserve the NULL instead of int(NaN)
+                "user_id": [
+                    int(pdf["user_id"].iloc[0])
+                    if pd.notna(pdf["user_id"].iloc[0])
+                    else None
+                ],
                 "dtw_dist": [round(_dtw(list(z), REF_PATTERN), 4)],
             }
         )
@@ -201,7 +207,13 @@ def q_timeseries_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
             lv = l_new
         return pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
+                # nullable bigint group keys arrive as float64 (NaN for a
+                # NULL user) — preserve the NULL instead of int(NaN)
+                "user_id": [
+                    int(pdf["user_id"].iloc[0])
+                    if pd.notna(pdf["user_id"].iloc[0])
+                    else None
+                ],
                 "level": [round(lv, 4)],
                 "trend": [round(b, 4)],
                 "forecast_h": [round(lv + HOLT_H * b, 4)],
@@ -695,15 +707,28 @@ def q_timeseries_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the pairwise expansion is PER USER over the fixed 30-day
     grid — 435 rows per user, linear in users, shuffled once on user_id;
-    the median is a keyed window, not a global sort."""
+    the median is a keyed window, not a global sort.
+
+    int64-headroom guard (GUARDED, r12): |key| <= 2*max|c| * LCM, so a
+    user whose daily cents exceed (2^63-1)/(2*LCM) ~ 1.98e6 (≈ $19.8k/day
+    — reachable on real spend data) would overflow the exact ranking key;
+    such users ship (n_pairs, slope NULL, headroom_ok=false) LOUDLY, the
+    oracle mirrors the same per-user guard, and the key is never computed
+    for them (under ANSI it would throw, not wrap)."""
     dense = _dense_daily(spark, sf)
     cents = dense.select(
         "user_id",
         "day",
         F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
     )
-    a = cents.select("user_id", F.col("day").alias("d1"), F.col("c").alias("c1"))
-    b = cents.select(
+    key_cap = ((1 << 63) - 1) // (2 * THEILSEN_LCM)
+    guard = cents.groupBy("user_id").agg(
+        (F.max(F.abs("c")) <= F.lit(key_cap)).alias("headroom_ok")
+    )
+    cents = cents.join(guard, "user_id")
+    ok = cents.where(F.col("headroom_ok"))
+    a = ok.select("user_id", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = ok.select(
         F.col("user_id").alias("u2"), F.col("day").alias("d2"), F.col("c").alias("c2")
     )
     pairs = a.join(
@@ -723,7 +748,7 @@ def q_timeseries_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
         "np", F.count("*").over(Window.partitionBy("user_id"))
     )
-    return ranked.where(F.col("rn") == F.expr("(np + 1) div 2")).select(
+    good = ranked.where(F.col("rn") == F.expr("(np + 1) div 2")).select(
         "user_id",
         F.col("np").alias("n_pairs"),
         F.floor(
@@ -731,7 +756,16 @@ def q_timeseries_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("slope_micro"),
+        F.lit(True).alias("headroom_ok"),
     )
+    n_grid_pairs = N_DAYS * (N_DAYS - 1) // 2
+    bad = guard.where(~F.col("headroom_ok")).select(
+        "user_id",
+        F.lit(n_grid_pairs).cast("bigint").alias("n_pairs"),
+        F.lit(None).cast("bigint").alias("slope_micro"),
+        F.lit(False).alias("headroom_ok"),
+    )
+    return good.unionByName(bad)
 
 
 
@@ -1240,12 +1274,19 @@ ORACLES = {
             FROM grid g LEFT JOIN daily USING (user_id, day)
         ), cents AS MATERIALIZED (
             SELECT user_id, day, floor(v * 100 + 0.5)::BIGINT AS c FROM dense
+        ), guard AS (
+            SELECT user_id,
+                   max(abs(c)) <= (9223372036854775807 // (2 * {THEILSEN_LCM}))
+                       AS headroom_ok
+            FROM cents GROUP BY user_id
         ), pairs AS (
             SELECT a.user_id, a.day AS d1, b.day AS d2,
                    b.c - a.c AS cdiff, b.day - a.day AS ddiff,
-                   (b.c - a.c) * ({THEILSEN_LCM} // (b.day - a.day)) AS key
+                   (b.c::HUGEINT - a.c) * ({THEILSEN_LCM} // (b.day - a.day))
+                       AS key
             FROM cents a JOIN cents b
               ON a.user_id = b.user_id AND a.day < b.day
+            JOIN guard g ON g.user_id = a.user_id AND g.headroom_ok
         ), ranked AS (
             SELECT *,
                    row_number() OVER (PARTITION BY user_id
@@ -1254,8 +1295,13 @@ ORACLES = {
             FROM pairs
         )
         SELECT user_id, np::BIGINT AS n_pairs,
-               floor(cdiff::DOUBLE * 10000.0 / ddiff + 0.5)::BIGINT AS slope_micro
+               floor(cdiff::DOUBLE * 10000.0 / ddiff + 0.5)::BIGINT AS slope_micro,
+               true AS headroom_ok
         FROM ranked WHERE rn = (np + 1) // 2
+        UNION ALL
+        SELECT user_id, {N_DAYS} * ({N_DAYS} - 1) // 2,
+               NULL::BIGINT, false
+        FROM guard WHERE NOT headroom_ok
     """,
 }
 
@@ -1376,7 +1422,9 @@ def q_timeseries_sax_words(spark: SparkSession, sf: str) -> DataFrame:
     # no dense grid is materialized — only the divisor is fixed at N_DAYS
     moments = daily.groupBy("user_id").agg(
         F.sum("v").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        # try_* keeps the guard NULL-LOUDLY under ANSI: past the headroom
+        # bound v*v would THROW before the guard gates the symbols
+        F.expr("try_sum(try_multiply(v, v))").alias("s2"),
         F.max(F.abs(F.col("v"))).alias("max_v"),
     )
     segs = (
@@ -1441,7 +1489,7 @@ ORACLES["timeseries_sax_words"] = f"""
                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v
         FROM events WHERE extract(day FROM ts) <= {N_DAYS} GROUP BY 1, 2
     ), moments AS (
-        SELECT user_id, sum(v)::BIGINT AS s1, sum(v * v)::BIGINT AS s2,
+        SELECT user_id, sum(v)::BIGINT AS s1, sum(v::HUGEINT * v) AS s2,
                max(abs(v))::BIGINT AS max_v
         FROM daily GROUP BY user_id
     ), segs AS (

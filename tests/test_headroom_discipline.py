@@ -22,23 +22,43 @@ from conftest import SF_DIR
 OPERATOR_GLOB = "/root/repo/emr_flink_example_spark/operators/*.py"
 
 
+def _emits_guard(seg: str) -> bool:
+    return (
+        'alias("headroom_ok")' in seg
+        or "AS headroom_ok" in seg
+        or re.search(r'withColumn\(\s*"headroom_ok"', seg) is not None
+    )
+
+
 def _discover_guarded() -> set[str]:
-    """Every q_* builder whose source aliases a headroom_ok column."""
+    """Every q_* builder whose source aliases a headroom_ok column —
+    directly, or via a same-module extracted API core it calls (the r12
+    wave-4 shims delegate to cohens_d/cuped/mann_whitney/roc_auc, which
+    carry the guard for both the catalog and API callers)."""
     found = set()
     for path in glob.glob(OPERATOR_GLOB):
         src = open(path).read()
         if "headroom_ok" not in src:
             continue
         tree = ast.parse(src)
+        emitters = set()
+        q_nodes = []
         for node in ast.walk(tree):
-            if isinstance(node, ast.FunctionDef) and node.name.startswith("q_"):
-                seg = ast.get_source_segment(src, node) or ""
-                if (
-                    'alias("headroom_ok")' in seg
-                    or "AS headroom_ok" in seg
-                    or re.search(r'withColumn\(\s*"headroom_ok"', seg)
-                ):
-                    found.add(node.name[2:])
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            seg = ast.get_source_segment(src, node) or ""
+            if node.name.startswith("q_"):
+                q_nodes.append((node, seg))
+            elif _emits_guard(seg):
+                emitters.add(node.name)
+        for node, seg in q_nodes:
+            calls = {
+                n.func.id
+                for n in ast.walk(node)
+                if isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
+            }
+            if _emits_guard(seg) or (calls & emitters):
+                found.add(node.name[2:])
     return found
 
 
