@@ -47,7 +47,8 @@ Families:
   verification suite over any frames).
 * **A/B & stats battery** (wave 4) — ``proportion_ztest``,
   ``wilson_ci``, ``cohens_d``, ``cuped``, ``mann_whitney``,
-  ``permutation_test`` over unit-level (arm, metric) frames;
+  ``permutation_test``, ``welch_ttest``, ``srm_check`` over
+  unit-level (arm, metric) frames;
   ``roc_auc`` (rank-identity AUC of any scored 0/1 frame);
   ``mann_kendall`` (trend test over any bounded series).
 * **Timeseries** (wave 4) — ``resample_gapfill`` (dense grid + LOCF),
@@ -83,6 +84,8 @@ from .operators.analytics import (
     proportion_ztest,
     roc_auc,
     sessionize,
+    srm_check,
+    welch_ttest,
     wilson_ci,
 )
 from .operators.dataquality import (
@@ -185,11 +188,13 @@ __all__ = [
     "roc_auc",
     "sessionize",
     "shingle_documents",
+    "srm_check",
     "stratified_sample",
     "text_quality",
     "token_frequencies",
     "unpersist_all",
     "weighted_sample_es",
+    "welch_ttest",
     "wilson_ci",
     "with_es_key",
 ]

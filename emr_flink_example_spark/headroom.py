@@ -29,6 +29,7 @@ GUARDED_COLUMN = frozenset(
     {
         "abtest_brown_forsythe",
         "abtest_cohens_d",
+        "abtest_welch_ttest",
         "abtest_cuped",
         "abtest_mann_whitney",
         "corpus_divergence_js",
@@ -46,6 +47,7 @@ GUARDED_COLUMN = frozenset(
         "timeseries_crosscorr",
         "timeseries_ewma_crossover",
         "timeseries_sax_words",
+        "timeseries_seasonal_strength",
         "timeseries_theil_sen",
         "vocab_heaps_law",
     }
@@ -70,6 +72,9 @@ ENFORCED_INLINE = {
 BOUNDED = {
     "window_sliding": "avg micro identity 2e4 * window cents sum"
     " overflows only past a ~4.6e14-cent ($4.6e12) hourly window sum",
+    "abtest_srm": "(n0-n1)^2 evaluates in doubles (exact to 2^26"
+    " imbalance, far past any alarm-worthy delta); nothing else can"
+    " overflow",
     "abtest_chi_square": "cell expectation rearranged as (row_tot * col_tot)"
     " div n BEFORE squaring; intermediates bounded by n^2 * 1e6, int64 to"
     " ~3e6 users",

@@ -6141,3 +6141,254 @@ ORACLES["stats_mann_kendall"] = f"""
                 ELSE 'none' END AS trend
     FROM sstat CROSS JOIN ties CROSS JOIN n
 """
+
+
+def q_abtest_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947) on purchase values
+    between the deterministic arms — the two-sample mean test that drops
+    Student's equal-variance assumption (the default recommendation since
+    Ruxton 2006), completing the battery: proportion z (conversion),
+    Mann-Whitney (distribution shift), Cohen's d (effect size), CUPED
+    (variance reduction), permutation (assumption-free) — and now the
+    parametric mean contrast with the Welch-Satterthwaite df.
+
+    Determinism discipline (the cohens_d template): complete-case milli
+    values, exact per-arm moments from one 2-row aggregate with try_*
+    squares (the guard NULLs LOUDLY under ANSI instead of throwing), the
+    t statistic and df evaluated in one fixed double expression each,
+    floored once to micros; significance compares |t_micro| against the
+    integer 1.96 critical value (normal approximation — exact at the
+    corpus-scale df this engine targets, documented).
+
+    Scale shape: one scan, one 2-row aggregate, one 1-row fold."""
+    ev = load(spark, sf, "events")
+    vals = ev.where(F.col("event_type") == "purchase").select(
+        F.expr("cast(user_id % 2 as int)").alias("arm"), "value"
+    )
+    return welch_ttest(vals)
+
+
+def welch_ttest(
+    values: DataFrame,
+    *,
+    variant_col: str = "arm",
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's t between arms 0/1 of ANY (arm, value) observation frame —
+    one row (n0, n1, t_micro, df_micro, significant, headroom_ok);
+    formula, guard, and determinism notes in `q_abtest_welch_ttest`."""
+    vals = values.where(
+        F.col(value_col).isNotNull() & F.col(variant_col).isNotNull()
+    ).select(
+        F.col(variant_col).cast("int").alias("arm"),
+        F.expr(f"cast(floor({value_col} * 1000 + 0.5) as bigint)").alias("v"),
+    )
+    arms = vals.groupBy("arm").agg(
+        F.count("*").alias("n_j"),
+        F.sum("v").alias("s_j"),
+        F.expr("try_sum(try_multiply(v, v))").alias("ss_j"),
+        F.max(F.abs("v")).alias("max_v_j"),
+    )
+    g = arms.agg(
+        F.sum("n_j").alias("n_total"),
+        F.min(F.when(F.col("arm") == 0, F.col("n_j"))).alias("n0"),
+        F.min(F.when(F.col("arm") == 0, F.col("s_j"))).alias("s0"),
+        F.min(F.when(F.col("arm") == 0, F.col("ss_j"))).alias("ss0"),
+        F.min(F.when(F.col("arm") == 1, F.col("n_j"))).alias("n1"),
+        F.min(F.when(F.col("arm") == 1, F.col("s_j"))).alias("s1"),
+        F.min(F.when(F.col("arm") == 1, F.col("ss_j"))).alias("ss1"),
+        F.max("max_v_j").alias("max_v"),
+    )
+    ok = F.expr(
+        "case when n_total is null or n_total = 0 then true else"
+        " log2(cast(n_total as double))"
+        " + 2.0 * log2(cast(greatest(max_v, 2) as double)) < 62.0 end"
+    )
+    # per-arm sample variance and the standard error, shared sub-exprs
+    # written IDENTICALLY in the oracle
+    v0 = (
+        "((cast(ss0 as double) - cast(s0 as double) * cast(s0 as double)"
+        " / cast(n0 as double)) / (cast(n0 as double) - 1.0))"
+    )
+    v1 = (
+        "((cast(ss1 as double) - cast(s1 as double) * cast(s1 as double)"
+        " / cast(n1 as double)) / (cast(n1 as double) - 1.0))"
+    )
+    se2 = f"({v0} / cast(n0 as double) + {v1} / cast(n1 as double))"
+    t = F.expr(
+        f"case when n0 > 1 and n1 > 1 and {se2} > 0.0 then"
+        f" (cast(s1 as double) / cast(n1 as double)"
+        f"  - cast(s0 as double) / cast(n0 as double)) / sqrt({se2}) end"
+    )
+    df = F.expr(
+        f"case when n0 > 1 and n1 > 1 and {se2} > 0.0 then"
+        f" ({se2} * {se2})"
+        f" / (({v0} / cast(n0 as double)) * ({v0} / cast(n0 as double))"
+        f"    / (cast(n0 as double) - 1.0)"
+        f"    + ({v1} / cast(n1 as double)) * ({v1} / cast(n1 as double))"
+        f"    / (cast(n1 as double) - 1.0)) end"
+    )
+    tm = F.when(ok, F.floor(t * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return g.select(
+        "n0",
+        "n1",
+        tm.alias("t_micro"),
+        F.when(ok, F.floor(df * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "df_micro"
+        ),
+        F.coalesce(F.abs(tm) >= ABTEST_Z_CRIT_MICRO, F.lit(False)).alias(
+            "significant"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["abtest_welch_ttest"] = q_abtest_welch_ttest
+ORACLES["abtest_welch_ttest"] = f"""
+    WITH vals AS (
+        SELECT (user_id % 2)::INT AS arm,
+               floor(value * 1000 + 0.5)::BIGINT AS v
+        FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND user_id IS NOT NULL
+    ), arms AS (
+        SELECT arm, count(*)::BIGINT AS n_j, sum(v)::BIGINT AS s_j,
+               sum(v::HUGEINT * v) AS ss_j, max(abs(v))::BIGINT AS max_v_j
+        FROM vals GROUP BY arm
+    ), g AS (
+        SELECT sum(n_j)::BIGINT AS n_total,
+               min(CASE WHEN arm = 0 THEN n_j END)::BIGINT AS n0,
+               min(CASE WHEN arm = 0 THEN s_j END)::BIGINT AS s0,
+               min(CASE WHEN arm = 0 THEN ss_j END) AS ss0,
+               min(CASE WHEN arm = 1 THEN n_j END)::BIGINT AS n1,
+               min(CASE WHEN arm = 1 THEN s_j END)::BIGINT AS s1,
+               min(CASE WHEN arm = 1 THEN ss_j END) AS ss1,
+               max(max_v_j)::BIGINT AS max_v
+        FROM arms
+    ), ok_t AS (
+        SELECT *, CASE WHEN n_total IS NULL OR n_total = 0 THEN true ELSE
+                  log2(n_total::DOUBLE)
+                  + 2.0 * log2(greatest(max_v, 2)::DOUBLE) < 62.0
+                  END AS headroom_ok
+        FROM g
+    ), stat AS (
+        SELECT *,
+           CASE WHEN n0 > 1 AND n1 > 1 AND
+                (((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                  / (n0::DOUBLE - 1.0)) / n0::DOUBLE
+                 + ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                    / (n1::DOUBLE - 1.0)) / n1::DOUBLE) > 0.0 THEN
+             (s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE)
+             / sqrt(((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                     / (n0::DOUBLE - 1.0)) / n0::DOUBLE
+                    + ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                       / (n1::DOUBLE - 1.0)) / n1::DOUBLE) END AS tv,
+           CASE WHEN n0 > 1 AND n1 > 1 AND
+                (((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                  / (n0::DOUBLE - 1.0)) / n0::DOUBLE
+                 + ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                    / (n1::DOUBLE - 1.0)) / n1::DOUBLE) > 0.0 THEN
+             ((((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                / (n0::DOUBLE - 1.0)) / n0::DOUBLE
+               + ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                  / (n1::DOUBLE - 1.0)) / n1::DOUBLE)
+              * (((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                  / (n0::DOUBLE - 1.0)) / n0::DOUBLE
+                 + ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                    / (n1::DOUBLE - 1.0)) / n1::DOUBLE))
+             / ((((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                  / (n0::DOUBLE - 1.0)) / n0::DOUBLE)
+                * (((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                    / (n0::DOUBLE - 1.0)) / n0::DOUBLE)
+                / (n0::DOUBLE - 1.0)
+                + (((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                    / (n1::DOUBLE - 1.0)) / n1::DOUBLE)
+                * (((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                    / (n1::DOUBLE - 1.0)) / n1::DOUBLE)
+                / (n1::DOUBLE - 1.0)) END AS dfv
+        FROM ok_t
+    )
+    SELECT n0, n1,
+           CASE WHEN headroom_ok THEN
+             floor(tv * 1000000.0 + 0.5)::BIGINT END AS t_micro,
+           CASE WHEN headroom_ok THEN
+             floor(dfv * 1000000.0 + 0.5)::BIGINT END AS df_micro,
+           coalesce(abs(CASE WHEN headroom_ok THEN
+                          floor(tv * 1000000.0 + 0.5)::BIGINT END)
+                    >= {ABTEST_Z_CRIT_MICRO}, FALSE) AS significant,
+           headroom_ok
+    FROM stat
+"""
+
+
+#: chi-square(1 df) 95th percentile in integer micros — the SRM alarm bar
+SRM_CHI_CRIT_MICRO = 3_841_459
+
+
+def q_abtest_srm(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al. 2019's most-cited
+    experiment-quality guardrail): chi-square goodness-of-fit of the
+    observed arm sizes against the designed 50/50 split. An experiment
+    with SRM is invalid BEFORE any metric is read — randomization or
+    logging is broken — so this runs ahead of every other readout in the
+    battery.
+
+    With equal expected sizes the 1-df statistic collapses to
+    (n0 - n1)^2 / (n0 + n1) — exact integers into one fixed double
+    expression, floored to micros; the alarm compares against the
+    integer chi-square(1) 95% critical value. Closed-form int64 bound:
+    (n0-n1)^2 evaluates in doubles (exact to 2^26 imbalance, far past
+    any alarm-worthy delta), nothing else can overflow.
+
+    Scale shape: one user-level aggregate, one 2-row fold."""
+    ev = load(spark, sf, "events")
+    users = ev.where(F.col("user_id").isNotNull()).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "user_id"
+    ).distinct()
+    return srm_check(users)
+
+
+def srm_check(
+    assignments: DataFrame, *, variant_col: str = "arm"
+) -> DataFrame:
+    """SRM chi-square for ANY unit-level frame with a 0/1 arm column —
+    one row (n0, n1, chi2_micro, srm_detected); see `q_abtest_srm`."""
+    g = assignments.groupBy().agg(
+        F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col(variant_col) == 1, 1).otherwise(0)).alias("n1"),
+    )
+    chi = F.expr(
+        "case when n0 + n1 > 0 then"
+        " (cast(n0 as double) - cast(n1 as double))"
+        " * (cast(n0 as double) - cast(n1 as double))"
+        " / cast(n0 + n1 as double) end"
+    )
+    cm = F.floor(chi * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return g.select(
+        "n0",
+        "n1",
+        cm.alias("chi2_micro"),
+        F.coalesce(cm >= SRM_CHI_CRIT_MICRO, F.lit(False)).alias("srm_detected"),
+    )
+
+
+QUERIES["abtest_srm"] = q_abtest_srm
+ORACLES["abtest_srm"] = f"""
+    WITH users AS (
+        SELECT DISTINCT (user_id % 2)::INT AS arm, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ), g AS (
+        SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+        FROM users
+    )
+    SELECT n0, n1,
+           floor(CASE WHEN n0 + n1 > 0 THEN
+                 (n0::DOUBLE - n1::DOUBLE) * (n0::DOUBLE - n1::DOUBLE)
+                 / (n0 + n1)::DOUBLE END * 1000000.0 + 0.5)::BIGINT
+               AS chi2_micro,
+           coalesce(floor(CASE WHEN n0 + n1 > 0 THEN
+                 (n0::DOUBLE - n1::DOUBLE) * (n0::DOUBLE - n1::DOUBLE)
+                 / (n0 + n1)::DOUBLE END * 1000000.0 + 0.5)::BIGINT
+               >= {SRM_CHI_CRIT_MICRO}, FALSE) AS srm_detected
+    FROM g
+"""

@@ -1893,3 +1893,131 @@ def _xcorr_oracle() -> str:
 
 
 ORACLES["timeseries_crosscorr"] = _xcorr_oracle()
+
+
+def q_timeseries_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-strength score (Wang, Smith & Hyndman 2006; the STL
+    diagnostic Hyndman's `feasts` popularized): per event_type,
+    F_s = max(0, 1 - Var(deseasonalized) / Var(series)) over the hourly
+    count series with the hour-of-day profile as the seasonal component —
+    THE forecastability gate run before trusting any seasonal model
+    (seasonal_decompose describes the components; this scores how much
+    of the variance they explain, in [0, 1] micro units).
+
+    Determinism discipline: y is an exact hourly count; the hour-of-day
+    means and the series mean quantize to integer micros ONCE (the
+    non-negative half-up idiom), so the residual r = 1e6*y - hod_mean
+    and deviation d = 1e6*y - series_mean are exact integers; variances
+    come from exact (try_) integer sums via n*S2 - S1^2 evaluated in
+    doubles written identically in both engines; the score floors once.
+    int64-headroom guard (GUARDED): |r|, |d| <= 2e6 * max_y, so
+    log2(n) + 2*log2(2e6 * max_y) < 62, read from the exact per-type
+    max; tripped -> strength NULL LOUDLY (oracle mirrored).
+
+    Scale shape: one shuffle to the (type, hour) rollup; the hod profile
+    and series moments are |types|x24- and |types|-row aggregates joined
+    back BROADCAST; nothing event-sized moves twice."""
+    events = load(spark, sf, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("y"))
+    hod = hourly.groupBy(
+        "event_type", F.hour("h").alias("hod")
+    ).agg(F.expr("(2000000 * sum(y) + count(*)) div (2 * count(*))").alias("hm"))
+    tot = hourly.groupBy("event_type").agg(
+        F.expr("(2000000 * sum(y) + count(*)) div (2 * count(*))").alias("my"),
+        F.max("y").alias("max_y"),
+    )
+    j = (
+        hourly.withColumn("hod", F.hour("h"))
+        .join(F.broadcast(hod), ["event_type", "hod"])
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "max_y",
+            F.expr("1000000 * y - hm").alias("r"),
+            F.expr("1000000 * y - my").alias("d"),
+        )
+    )
+    g = j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("try_sum(r)").alias("sr"),
+        F.expr("try_sum(try_multiply(r, r))").alias("srr"),
+        F.expr("try_sum(d)").alias("sd"),
+        F.expr("try_sum(try_multiply(d, d))").alias("sdd"),
+        F.max("max_y").alias("max_y"),
+    )
+    ok = F.expr(
+        "case when n = 0 then true else"
+        " log2(cast(n as double))"
+        " + 2.0 * log2(2000000.0 * cast(greatest(max_y, 1) as double)) < 62.0 end"
+    )
+    var_r = (
+        "(cast(n as double) * cast(srr as double)"
+        " - cast(sr as double) * cast(sr as double))"
+    )
+    var_d = (
+        "(cast(n as double) * cast(sdd as double)"
+        " - cast(sd as double) * cast(sd as double))"
+    )
+    strength = F.expr(
+        f"case when n > 1 and {var_d} > 0.0 then"
+        f" greatest(0.0d, 1.0 - {var_r} / {var_d}) end"
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.when(ok, F.floor(strength * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias(
+            "seasonal_strength_micro"
+        ),
+        ok.alias("headroom_ok"),
+    ).orderBy("event_type")
+
+
+QUERIES["timeseries_seasonal_strength"] = q_timeseries_seasonal_strength
+ORACLES["timeseries_seasonal_strength"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ), hod AS (
+        SELECT event_type, extract(hour FROM h)::INT AS hod,
+               ((2000000 * sum(y) + count(*)) // (2 * count(*)))::BIGINT AS hm
+        FROM hourly GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type,
+               ((2000000 * sum(y) + count(*)) // (2 * count(*)))::BIGINT AS my,
+               max(y)::BIGINT AS max_y
+        FROM hourly GROUP BY 1
+    ), j AS (
+        SELECT h.event_type, t.max_y,
+               1000000 * y - hm AS r, 1000000 * y - my AS d
+        FROM hourly h
+        JOIN hod ON hod.event_type = h.event_type
+               AND hod.hod = extract(hour FROM h.h)::INT
+        JOIN tot t ON t.event_type = h.event_type
+    ), g AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(r)::BIGINT AS sr, sum(r::HUGEINT * r) AS srr,
+               sum(d)::BIGINT AS sd, sum(d::HUGEINT * d) AS sdd,
+               max(max_y)::BIGINT AS max_y
+        FROM j GROUP BY event_type
+    ), ok_t AS (
+        SELECT *, CASE WHEN n = 0 THEN true ELSE
+                  log2(n::DOUBLE)
+                  + 2.0 * log2(2000000.0 * greatest(max_y, 1)::DOUBLE) < 62.0
+                  END AS headroom_ok
+        FROM g
+    )
+    SELECT event_type, n,
+           CASE WHEN headroom_ok THEN
+             CASE WHEN n > 1 AND
+                  (n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE) > 0.0
+             THEN floor(greatest(0.0,
+                    1.0 - (n::DOUBLE * srr::DOUBLE - sr::DOUBLE * sr::DOUBLE)
+                        / (n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE))
+                    * 1000000.0 + 0.5)::BIGINT END
+           END AS seasonal_strength_micro,
+           headroom_ok
+    FROM ok_t
+    ORDER BY event_type
+"""

@@ -517,3 +517,30 @@ def test_ann_ivf_and_pq_topk(spark):
     for rs in per_q.values():  # ADC full scan: exactly k rows, ascending dist
         rs.sort(key=lambda r: r.nn_rank)
         assert len(rs) == 2 and rs[0].adc_dist <= rs[1].adc_dist
+
+
+def test_welch_and_srm(spark):
+    # Welch: exact-milli arms with equal variances -> t = 5 * sqrt(3/2)
+    vals = spark.createDataFrame(
+        [(0, 1.0), (0, 1.2), (0, 0.8), (1, 2.0), (1, 2.2), (1, 1.8)],
+        "arm int, value double",
+    )
+    w = api.welch_ttest(vals).collect()[0]
+    # se^2 = 0.04/3 + 0.04/3 (milli^2 scale: 40000/3 * 2); t = 1000/sqrt(80000/3)
+    import math
+    expect_t = 1000.0 / math.sqrt(2 * 40000.0 / 3.0)
+    assert w.t_micro == math.floor(expect_t * 1e6 + 0.5)
+    assert w.df_micro == 4_000_000  # equal n, equal var -> df = n0+n1-2 = 4
+    assert w.significant is True and w.headroom_ok
+
+    # SRM: a 60/40 split of 1000 users alarms (chi = 400/... = 40)
+    users = spark.createDataFrame(
+        [(i, 0 if i < 600 else 1) for i in range(1000)], "uid bigint, arm int"
+    )
+    s = api.srm_check(users).collect()[0]
+    assert (s.n0, s.n1) == (600, 400)
+    assert s.chi2_micro == 40_000_000 and s.srm_detected is True
+    balanced = api.srm_check(
+        spark.createDataFrame([(i, i % 2) for i in range(1000)], "uid bigint, arm int")
+    ).collect()[0]
+    assert balanced.srm_detected is False and balanced.chi2_micro == 0
