@@ -285,6 +285,10 @@ HEADLINE = [
     "stats_mann_kendall",
     "dq_profile_columns",
     "dq_constraint_checks",
+    # r12 additions (appended at tail, keeping prior positions stable)
+    "abtest_welch_ttest",
+    "abtest_srm",
+    "timeseries_seasonal_strength",
 ]
 
 

@@ -3939,7 +3939,7 @@ ORACLES["stats_kruskal_wallis"] = """
         FROM g CROSS JOIN ties
     )
     SELECT n_total, k_groups,
-           CASE WHEN headroom_ok THEN tie3 END AS tie3,
+           CASE WHEN headroom_ok THEN tie3::BIGINT END AS tie3,
            CASE WHEN headroom_ok THEN
              CASE WHEN n_total > 1 AND k_groups > 1
                    AND n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
@@ -4505,7 +4505,7 @@ ORACLES["abtest_cuped"] = f"""
         FROM g
     )
     SELECT n_users,
-           CASE WHEN headroom_ok THEN sxy END AS sxy,
+           CASE WHEN headroom_ok THEN sxy::BIGINT END AS sxy,
            CASE WHEN headroom_ok THEN
              CASE WHEN n_users > 1
                    AND n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
