@@ -56,7 +56,7 @@ per-batch jobs, of which the two writes are the irreducible pair.
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -164,7 +164,7 @@ class CurationStreamSink:
                 # no gate recompute.
                 rejected.coalesce(self._dedup.write_partitions).write.mode(
                     "overwrite"
-                ).parquet(os.path.join(self.reject_path, f"batch_id={batch_id}"))
+                ).parquet(posixpath.join(self.reject_path, f"batch_id={batch_id}"))
         finally:
             gated.unpersist()
 

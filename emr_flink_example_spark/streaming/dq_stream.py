@@ -18,7 +18,7 @@ Discipline (the hll/cms sink contract):
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,7 +65,7 @@ class StreamingDQMonitor:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self._batch_metrics(batch_df, batch_id).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(self.metrics_path, f"batch_id={batch_id}"))
+        ).parquet(posixpath.join(self.metrics_path, f"batch_id={batch_id}"))
 
     # ---------------------------------------------------------- read side
 
