@@ -1446,7 +1446,10 @@ def q_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
     within each value partition (keyed window — scales), so no global
     row-level sort ever happens. bucket = ((pos-1)*K) div N is pure integer
     arithmetic — bit-equal on both engines, NTILE-style near-equal depths."""
-    orders = load(spark, sf, "orders")
+    # complete-case: a NULL price has no depth position (the engines sort
+    # NULLs on opposite ends, shifting every bucket boundary) — dirty-
+    # orders sweep, r12; oracle mirrored
+    orders = load(spark, sf, "orders").where(F.col("o_totalprice").isNotNull())
     per_v = orders.groupBy("o_totalprice").agg(F.count("*").alias("c"))
     wcum = Window.orderBy("o_totalprice").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -2586,7 +2589,7 @@ ORACLES = {
     "histogram_equidepth": """
         WITH per_v AS (
             SELECT o_totalprice, count(*)::BIGINT AS c
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
         ), cum AS (
             SELECT o_totalprice, c,
                    (sum(c) OVER (ORDER BY o_totalprice
@@ -2595,6 +2598,7 @@ ORACLES = {
             FROM per_v
         ), n AS (
             SELECT count(*)::BIGINT AS n FROM orders
+            WHERE o_totalprice IS NOT NULL
         ), pos AS (
             SELECT o.o_totalprice,
                    cum.below

@@ -20,6 +20,13 @@ discipline to the other two fixture axes:
   documented exclusion handles it per-operator), every 11th SHORT
   (wrong dimension; excluded by the ingestion contract — a fixed-dim
   index cannot score it and ANSI element_at would throw).
+* **orders** (the r12 fourth axis, run together with lineitem) — every
+  13th o_orderstatus NULL, 17th o_orderpriority NULL, 19th o_totalprice
+  NULL; **lineitem** — every 11th l_shipdate NULL, 13th l_discount
+  NULL, 7th l_quantity NULL, 23rd l_returnflag NULL. First sweep read
+  305/306 — the relational surface's SQL-null semantics already agreed
+  everywhere except histogram_equidepth's depth ranking (fixed with the
+  complete-case price filter, both engines).
 
 Base is the sf0.001 fixture; all other tables copy through unchanged.
 """
@@ -76,7 +83,35 @@ def make_dirty_embeddings(src_dir: str, out_dir: str) -> None:
         pq.write_table(table, f"{out_dir}/{t}.parquet")
 
 
+def make_dirty_orders(src_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        table = pq.read_table(f"{src_dir}/{t}.parquet")
+        if t == "orders":
+            pdf = table.to_pandas()
+            pdf.loc[pdf.index % 13 == 0, "o_orderstatus"] = None
+            pdf.loc[pdf.index % 17 == 0, "o_orderpriority"] = None
+            pdf.loc[pdf.index % 19 == 0, "o_totalprice"] = None
+            table = pa.Table.from_pandas(
+                pdf, preserve_index=False, schema=table.schema
+            )
+        if t == "lineitem":
+            pdf = table.to_pandas()
+            pdf.loc[pdf.index % 11 == 0, "l_shipdate"] = None
+            pdf.loc[pdf.index % 13 == 0, "l_discount"] = None
+            pdf.loc[pdf.index % 7 == 0, "l_quantity"] = None
+            pdf.loc[pdf.index % 23 == 0, "l_returnflag"] = None
+            table = pa.Table.from_pandas(
+                pdf, preserve_index=False, schema=table.schema
+            )
+        pq.write_table(table, f"{out_dir}/{t}.parquet")
+
+
 if __name__ == "__main__":
     kind, out = sys.argv[1], sys.argv[2]
-    {"events": make_dirty_events, "embeddings": make_dirty_embeddings}[kind](SRC, out)
+    {
+        "events": make_dirty_events,
+        "embeddings": make_dirty_embeddings,
+        "orders": make_dirty_orders,
+    }[kind](SRC, out)
     print(f"wrote dirty {kind} fixture to {out} (base {SRC})")
