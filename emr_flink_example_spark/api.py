@@ -55,6 +55,11 @@ Families:
   ``interpolate_linear`` (exact-integer linear gap repair),
   ``anomaly_zscore`` (trailing-window z-score flags),
   ``cascade_rollup`` (minute -> hour -> day mergeable rollup).
+* **Drift / survival / graph** (wave 5) — ``psi_drift`` / ``ks_drift``
+  (distribution drift between any two frames, exact-integer forms),
+  ``kaplan_meier`` (survival table over unit lifetimes, log-space
+  micro-nats), ``pagerank`` / ``kcore`` (integer-exact centrality and
+  core peeling over any edge-pair frame).
 * **ANN tiers** (wave 4) — ``ann_ivf_topk`` (trained coarse quantizer
   + probed inverted lists), ``ann_pq_topk`` (PQ-ADC lookup-table
   search over packed codes) — the scale ladder above ``cosine_topk``
@@ -78,6 +83,7 @@ from .operators.analytics import (
     cohort_retention,
     cuped,
     funnel_step_times,
+    kaplan_meier,
     mann_kendall,
     mann_whitney,
     permutation_test,
@@ -104,15 +110,19 @@ from .operators.dedup import (
     dedup_corpus,
     dedup_survivors,
     exact_duplicate_groups,
+    kcore,
     minhash_signatures_for as minhash_signatures,
     near_duplicate_pairs,
+    pagerank,
     repeated_spans,
     shingle_documents,
 )
 from .operators.event_time import asof_join
 from .operators.sampling import (
     hash_split,
+    ks_drift,
     pack_token_shards,
+    psi_drift,
     stratified_sample,
     weighted_sample_es,
     with_es_key,
@@ -173,15 +183,20 @@ __all__ = [
     "hash_split",
     "infer_profile_kinds",
     "interpolate_linear",
+    "kaplan_meier",
+    "kcore",
+    "ks_drift",
     "language_id",
     "mann_kendall",
     "mann_whitney",
     "minhash_signatures",
     "near_duplicate_pairs",
     "pack_token_shards",
+    "pagerank",
     "permutation_test",
     "profile_columns",
     "proportion_ztest",
+    "psi_drift",
     "readability_flesch",
     "repeated_spans",
     "resample_gapfill",

@@ -2477,6 +2477,24 @@ def q_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("observed"),
         )
     )
+    return kaplan_meier(users)
+
+
+def kaplan_meier(
+    lifetimes: DataFrame,
+    *,
+    duration_col: str = "duration_days",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Kaplan-Meier survival table for ANY unit-level (duration, 0/1
+    observed-event) frame — (duration_days, n_at_risk, d_events,
+    n_censored, cum_neg_log_micro, survival_zero); the estimate ships in
+    exact integer micro-nat LOG space (exponentiate client-side — see
+    `q_survival_kaplan_meier` for the 1-ulp exp() rationale)."""
+    users = lifetimes.select(
+        F.col(duration_col).alias("duration_days"),
+        F.col(observed_col).alias("observed"),
+    )
     dur = users.groupBy("duration_days").agg(
         F.count("*").alias("n_total"), F.sum("observed").alias("d_events")
     )

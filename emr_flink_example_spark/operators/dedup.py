@@ -2076,15 +2076,31 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    edges = pairs
-    for _ in range(KCORE_ROUNDS):
+    return kcore(pairs)
+
+
+def kcore(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core peeling of ANY undirected edge-pair frame — (doc_id,
+    core_degree) for the nodes surviving `rounds` removal rounds at
+    threshold `k`; scale shape in `q_graph_kcore`."""
+    edges = pairs.select(
+        F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
+    )
+    for _ in range(rounds):
         ends = edges.select(F.col("doc_a").alias("node")).unionAll(
             edges.select(F.col("doc_b").alias("node"))
         )
         keep = (
             ends.groupBy("node")
             .agg(F.count("*").alias("d"))
-            .where(F.col("d") >= KCORE_K)
+            .where(F.col("d") >= k)
             .select("node")
         )
         edges = (
@@ -2127,9 +2143,26 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("est_jaccard") >= CC_EST_JACCARD)
         .select("doc_a", "doc_b")
     )
+    return pagerank(pairs)
+
+
+def pagerank(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """Integer-exact PageRank over ANY undirected edge-pair frame —
+    (doc_id, pagerank_e12), rank mass in e-12 units so results are
+    partition-order independent; determinism and scale notes in
+    `q_graph_pagerank`."""
+    std = pairs.select(
+        F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
+    )
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        std.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(std.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .localCheckpoint()
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
@@ -2149,7 +2182,7 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ranks = base.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"cast({PAGERANK_SCALE} as bigint) div n").alias("r"), "d"
     )
-    for _ in range(PAGERANK_ITERS):
+    for _ in range(iters):
         contrib = edges.join(ranks, edges["u"] == ranks["node"]).select(
             "v", F.expr("r div d").alias("c")
         )

@@ -593,6 +593,124 @@ def q_quality_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int = PSI_N_BINS,
+    bin_width: int = PSI_BIN_WIDTH,
+) -> DataFrame:
+    """Population-stability-index drift between ANY two frames' numeric
+    column — one row per bin (bin, n_ref, n_cur, ref_rate, cur_rate,
+    psi_micro), Laplace-smoothed, PSI contributions in integer micro-nats
+    PER BIN (no cross-bin float sum — the engine-exact ln discipline of
+    `q_quality_drift_psi`, whose math this reuses over a two-frame
+    union). Sum psi_micro client-side; >> 100000 micro flags drift.
+
+    Scale shape: one union scan, one <= n_bins-row aggregate, totals via
+    an unpartitioned window over those bins."""
+
+    def lab(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.least(
+                F.lit(n_bins - 1), F.floor(F.col(value_col) / bin_width)
+            ).cast("int").alias("bin"),
+            F.lit(tag).alias("split"),
+        )
+
+    counts = (
+        lab(ref, "ref")
+        .unionByName(lab(cur, "cur"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("split") == "ref", 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("split") == "cur", 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    w_all = Window.partitionBy()
+    counts = counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_all).alias("tot_ref"),
+        F.sum("n_cur").over(w_all).alias("tot_cur"),
+    )
+    p = (F.col("n_ref") + 1) / (F.col("tot_ref") + n_bins)
+    q = (F.col("n_cur") + 1) / (F.col("tot_cur") + n_bins)
+    return counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("ref_rate"),
+        F.round(q, 6).alias("cur_rate"),
+        F.floor((p - q) * F.log(p / q) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("psi_micro"),
+    )
+
+
+def ks_drift(ref: DataFrame, cur: DataFrame, *, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between ANY two frames' numeric
+    column — one row (n_ref, n_cur, ks_at_value, ks_scaled, ks_micro).
+    D is computed in EXACT integers (d(v) = |cumRef(v)*n_cur -
+    cumCur(v)*n_ref|), argmax ties toward the smallest value — the
+    `q_quality_drift_ks` math over a two-frame union.
+
+    Scale shape: one union scan to per-value counts (bounded by value
+    cardinality), one ordered window over that aggregate, two one-row
+    broadcasts."""
+    labeled = ref.select(
+        F.col(value_col).alias("v"), F.lit("a").alias("split")
+    ).unionByName(
+        cur.select(F.col(value_col).alias("v"), F.lit("b").alias("split"))
+    )
+    per_v = labeled.groupBy("v").agg(
+        F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_v.groupBy().agg(F.sum("ca").alias("n_ref"), F.sum("cb").alias("n_cur"))
+    scored = (
+        per_v.select(
+            "v",
+            F.sum("ca").over(wcum).alias("cuma"),
+            F.sum("cb").over(wcum).alias("cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "n_ref",
+            "n_cur",
+            F.abs(
+                F.col("cuma") * F.col("n_cur") - F.col("cumb") * F.col("n_ref")
+            ).alias("d"),
+        )
+    )
+    kmax = scored.groupBy().agg(F.max("d").alias("ks_scaled"))
+    return (
+        scored.join(F.broadcast(kmax), scored["d"] == kmax["ks_scaled"])
+        .groupBy("ks_scaled", "n_ref", "n_cur")
+        .agg(F.min("v").alias("ks_at_value"))
+        .select(
+            "n_ref",
+            "n_cur",
+            "ks_at_value",
+            "ks_scaled",
+            F.floor(
+                F.col("ks_scaled").cast("double")
+                / (F.col("n_ref") * F.col("n_cur"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ks_micro"),
+        )
+    )
+
+
 #: Efraimidis-Spirakis weighted sample-without-replacement size
 SAMPLE_ES_K = 100
 

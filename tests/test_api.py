@@ -544,3 +544,49 @@ def test_welch_and_srm(spark):
         spark.createDataFrame([(i, i % 2) for i in range(1000)], "uid bigint, arm int")
     ).collect()[0]
     assert balanced.srm_detected is False and balanced.chi2_micro == 0
+
+
+def test_drift_survival_graph_wave5(spark):
+    # PSI: identical distributions -> every bin's contribution ~ 0
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(200)], "x double")
+    same = api.psi_drift(ref, ref, value_col="x", n_bins=5, bin_width=10)
+    assert all(r.psi_micro == 0 for r in same.collect())
+    # shifted distribution -> positive total PSI
+    cur = spark.createDataFrame([(float(i % 50) + 25,) for i in range(200)], "x double")
+    drift = api.psi_drift(ref, cur, value_col="x", n_bins=5, bin_width=10)
+    assert sum(r.psi_micro for r in drift.collect()) > 100_000
+
+    # KS: disjoint supports -> D = 1
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    b = spark.createDataFrame([(float(i) + 100,) for i in range(10)], "x double")
+    ks = api.ks_drift(a, b, value_col="x").collect()[0]
+    assert ks.ks_micro == 1_000_000 and (ks.n_ref, ks.n_cur) == (10, 10)
+    assert ks.ks_at_value == 9.0  # ECDF gap first maximal at ref's top value
+    same_ks = api.ks_drift(a, a, value_col="x").collect()[0]
+    assert same_ks.ks_micro == 0
+
+    # Kaplan-Meier: 2 units at d=1 (1 churn), 1 censored at d=2
+    km = api.kaplan_meier(
+        spark.createDataFrame(
+            [(1, 1), (1, 0), (2, 0)], "duration_days bigint, observed int"
+        )
+    ).collect()
+    by_d = {r.duration_days: r for r in km}
+    assert by_d[1].n_at_risk == 3 and by_d[1].d_events == 1
+    import math
+    assert by_d[1].cum_neg_log_micro == math.floor(-math.log(1 - 1 / 3) * 1e6 + 0.5)
+    assert by_d[2].cum_neg_log_micro == by_d[1].cum_neg_log_micro  # censoring adds 0
+
+    # graph: a triangle plus a pendant edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a bigint, b bigint"
+    )
+    core = {r.doc_id: r.core_degree for r in api.kcore(
+        edges, src_col="a", dst_col="b", k=2, rounds=3
+    ).collect()}
+    assert set(core) == {1, 2, 3} and all(v == 2 for v in core.values())
+    pr = {r.doc_id: r.pagerank_e12 for r in api.pagerank(
+        edges, src_col="a", dst_col="b"
+    ).collect()}
+    assert pr[3] == max(pr.values())  # the hub node ranks highest
+    assert pr[1] == pr[2]             # symmetric nodes rank equally

@@ -1549,3 +1549,23 @@ def test_knn_loo_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_welch_and_srm_are_single_folds(spark):
+    """The r12 experiment additions collapse to aggregate-only plans: no
+    join, no window — nothing data-sized past the first exchange."""
+    for name in ("abtest_welch_ttest", "abtest_srm"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_seasonal_strength_broadcasts_profiles(spark):
+    """The hod profile and series moments attach BROADCAST to the hourly
+    rollup — no sort-merge join, no cartesian; the only wide exchanges
+    are the (type, hour) rollup and the |types|-sized final groupBy."""
+    plan = _plan(spark, "timeseries_seasonal_strength")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
