@@ -34,7 +34,11 @@ Families:
   keep rates), ``weighted_sample_es`` (exact-k weighted without
   replacement via the Efraimidis-Spirakis race), ``with_es_key``.
 * **Retrieval** — ``bm25_topk`` (bag-of-terms BM25 over any corpus,
-  scalar-broadcast df/N/avgdl, no per-term partitioning).
+  scalar-broadcast df/N/avgdl, no per-term partitioning); evaluation
+  (wave 6): ``mrr_at_k`` / ``precision_recall_at_k`` /
+  ``average_precision_at_k`` / ``ndcg_at_k`` over ANY (results, qrels)
+  frame pair — the offline-eval loop of a retrieval/RAG pipeline, exact
+  integer micros.
 * **Event analytics** — ``sessionize`` (gap-based sessions),
   ``cohort_retention`` (first-seen cohort triangle),
   ``funnel_step_times`` (strict-order N-step funnel), ``asof_join``
@@ -140,11 +144,15 @@ from .operators.timeseries import (
     resample_gapfill,
 )
 from .operators.textstats import (
+    average_precision_at_k,
     bm25_topk,
     chunk_documents,
     code_detect,
     gopher_flags,
     language_id,
+    mrr_at_k,
+    ndcg_at_k,
+    precision_recall_at_k,
     readability_flesch,
     text_quality,
     token_frequencies,
@@ -158,6 +166,7 @@ __all__ = [
     "ann_pq_topk",
     "anomaly_zscore",
     "asof_join",
+    "average_precision_at_k",
     "bm25_topk",
     "cascade_rollup",
     "check_foreign_key",
@@ -190,10 +199,13 @@ __all__ = [
     "mann_kendall",
     "mann_whitney",
     "minhash_signatures",
+    "mrr_at_k",
+    "ndcg_at_k",
     "near_duplicate_pairs",
     "pack_token_shards",
     "pagerank",
     "permutation_test",
+    "precision_recall_at_k",
     "profile_columns",
     "proportion_ztest",
     "psi_drift",

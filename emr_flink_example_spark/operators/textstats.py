@@ -5682,3 +5682,236 @@ ORACLES["text_code_detect"] = f"""
             OR n_struct_hits >= {CODE_MIN_STRUCT_HITS}) AS is_code_like
     FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation cores (API wave 6): metrics over ANY (results, qrels)
+# frame pair — the offline-eval loop of a retrieval/RAG pipeline. The catalog
+# twins (`retrieval_mrr`/`_map`/`_ndcg`/`_precision_recall`) derive their
+# rankings from the fixture corpus and stay oracle-checked; these cores grade
+# rankings the CALLER brings, with the same integer-micro discipline.
+# ---------------------------------------------------------------------------
+def _std_results(
+    results: DataFrame, query_col: str, doc_col: str, rank_col: str
+) -> DataFrame:
+    return results.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("rank"),
+    )
+
+
+def _std_qrels(qrels: DataFrame, query_col: str, doc_col: str) -> DataFrame:
+    return qrels.select(
+        F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
+    ).distinct()
+
+
+def mrr_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Mean reciprocal rank at k over ANY ranked-results frame vs a
+    binary qrels frame — (query_id, first_rel_rank, rr_micro, mrr_micro);
+    queries in qrels with no relevant doc in the top k report rr = 0.
+    Exact integer micros throughout (the `q_retrieval_mrr` idiom)."""
+    r = _std_results(results, query_col, doc_col, rank_col).where(
+        F.col("rank") <= k
+    )
+    q = _std_qrels(qrels, query_col, doc_col)
+    per_q = (
+        r.join(q, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rel_rank"))
+    )
+    scored = (
+        q.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.expr(
+                "case when first_rel_rank is not null then"
+                " (2000000 + first_rel_rank) div (2 * first_rel_rank)"
+                " else cast(0 as bigint) end"
+            ).alias("rr_micro"),
+        )
+    )
+    mrr = scored.agg(
+        F.expr("(2 * sum(rr_micro) + count(*)) div (2 * count(*))").alias(
+            "mrr_micro"
+        )
+    )
+    return scored.crossJoin(F.broadcast(mrr)).select(
+        "query_id", "first_rel_rank", "rr_micro", "mrr_micro"
+    )
+
+
+def precision_recall_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Precision@k and recall@k per query — (query_id, n_rel, n_hits,
+    precision_micro, recall_micro); half-up integer micros. Queries with
+    zero relevant docs report NULL recall (undefined) and 0 hits."""
+    r = _std_results(results, query_col, doc_col, rank_col).where(
+        F.col("rank") <= k
+    )
+    q = _std_qrels(qrels, query_col, doc_col)
+    nrel = q.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    hits = (
+        r.join(q, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        nrel.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_rel",
+            "n_hits",
+            F.expr(
+                f"(2000000 * n_hits + {k}) div (2 * {k})"
+            ).alias("precision_micro"),
+            F.expr(
+                "case when n_rel > 0 then"
+                " (2000000 * n_hits + n_rel) div (2 * n_rel) end"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+def average_precision_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query average precision at k plus the mean over queries —
+    (query_id, n_rel, ap_micro, map_micro). AP = (1/min(n_rel, k)) *
+    sum over relevant ranks r of precision@r; each precision@r floors to
+    micro once, the AP mean floors once (the exact-integer MAP form)."""
+    r = _std_results(results, query_col, doc_col, rank_col).where(
+        F.col("rank") <= k
+    )
+    q = _std_qrels(qrels, query_col, doc_col)
+    nrel = q.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    rel_hits = r.join(q, ["query_id", "doc_id"])
+    w = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prec = rel_hits.select(
+        "query_id",
+        F.expr(
+            "(2000000 * (count(*) over (partition by query_id order by rank"
+            " rows between unbounded preceding and current row)) + rank)"
+            " div (2 * rank)"
+        ).alias("p_micro"),
+    )
+    ap = prec.groupBy("query_id").agg(F.sum("p_micro").alias("sum_p"))
+    scored = (
+        nrel.join(ap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.expr(
+                f"case when n_rel > 0 then"
+                f" (2 * coalesce(sum_p, 0) + least(n_rel, {k}))"
+                f" div (2 * least(n_rel, {k})) end"
+            ).alias("ap_micro"),
+        )
+    )
+    m = scored.agg(
+        F.expr(
+            "(2 * sum(coalesce(ap_micro, 0)) + count(*)) div (2 * count(*))"
+        ).alias("map_micro")
+    )
+    return scored.crossJoin(F.broadcast(m)).select(
+        "query_id", "n_rel", "ap_micro", "map_micro"
+    )
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str | None = None,
+) -> DataFrame:
+    """nDCG@k per query — (query_id, dcg_micro, idcg_micro, ndcg_micro).
+    Graded relevance via `rel_col` on the qrels frame (binary when None);
+    gain = rel / log2(1 + rank), the ideal ordering sorts by relevance
+    descending. Micros floor once per query."""
+    r = _std_results(results, query_col, doc_col, rank_col).where(
+        F.col("rank") <= k
+    )
+    rel = (
+        qrels.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            (F.col(rel_col) if rel_col else F.lit(1.0))
+            .cast("double")
+            .alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+        .distinct()
+    )
+    dcg = (
+        r.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.floor(
+                F.sum(F.col("rel") / F.log2(F.col("rank") + 1)) * 1000000.0
+                + 0.5
+            ).cast("bigint").alias("dcg_micro")
+        )
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        rel.withColumn("irank", F.row_number().over(wi))
+        .where(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.floor(
+                F.sum(F.col("rel") / F.log2(F.col("irank") + 1)) * 1000000.0
+                + 0.5
+            ).cast("bigint").alias("idcg_micro")
+        )
+    )
+    return (
+        ideal.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("dcg_micro", F.lit(0)).alias("dcg_micro"),
+            "idcg_micro",
+            F.expr(
+                "case when idcg_micro > 0 then"
+                " (2000000 * coalesce(dcg_micro, 0) + idcg_micro)"
+                " div (2 * idcg_micro) end"
+            ).alias("ndcg_micro"),
+        )
+    )

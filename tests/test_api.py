@@ -590,3 +590,85 @@ def test_drift_survival_graph_wave5(spark):
     ).collect()}
     assert pr[3] == max(pr.values())  # the hub node ranks highest
     assert pr[1] == pr[2]             # symmetric nodes rank equally
+
+
+def test_api_empty_inputs(spark):
+    """Wave-4/5 functions must survive EMPTY user frames (the catalog's
+    empty-corpus discipline, applied at the API boundary)."""
+    edocs = spark.createDataFrame([], "uid bigint, body string")
+    evals = spark.createDataFrame([], "arm int, value double")
+    eev = spark.createDataFrame([], "sensor string, at timestamp, reading double")
+
+    prof = {r.column: r for r in api.profile_columns(edocs).collect()}
+    assert prof["uid"].n_rows == 0 and prof["uid"].n_distinct == 0
+
+    zt = api.proportion_ztest(
+        spark.createDataFrame([], "arm int, converted int")
+    ).collect()[0]
+    assert zt.z_micro is None and zt.significant is False
+
+    d = api.cohens_d(evals).collect()[0]
+    assert d.cohens_d_micro is None and d.headroom_ok
+
+    w = api.welch_ttest(evals).collect()[0]
+    assert w.t_micro is None and w.significant is False
+
+    assert api.resample_gapfill(
+        eev, ts_col="at", key_col="sensor", value_col="reading"
+    ).count() == 0
+    assert api.anomaly_zscore(eev, ts_col="at", key_col="sensor").count() == 0
+
+    emb = spark.createDataFrame([], "vid bigint, vec array<double>")
+    assert api.ann_pq_topk(emb, emb, id_col="vid", vec_col="vec").count() == 0
+    assert api.ann_ivf_topk(emb, emb, id_col="vid", vec_col="vec").count() == 0
+
+    e2 = spark.createDataFrame([], "x double")
+    assert api.ks_drift(e2, e2, value_col="x").count() == 0
+    assert api.kaplan_meier(
+        spark.createDataFrame([], "duration_days bigint, observed int")
+    ).count() == 0
+    epairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert api.pagerank(epairs).count() == 0
+    assert api.kcore(epairs).count() == 0
+
+
+def test_retrieval_eval_wave6(spark):
+    """Hand-computed metrics on a 2-query eval set."""
+    results = spark.createDataFrame(
+        # q1 ranking: d1, d2, d3 ; q2 ranking: d9, d8
+        [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3), (2, "d9", 1), (2, "d8", 2)],
+        "qid int, did string, pos int",
+    )
+    qrels = spark.createDataFrame(
+        # q1 relevant: d2, d3, dX(missed) ; q2 relevant: d8
+        [(1, "d2"), (1, "d3"), (1, "dX"), (2, "d8")],
+        "qid int, did string",
+    )
+    kw = dict(query_col="qid", doc_col="did", rank_col="pos", k=3)
+
+    mrr = {r.query_id: r for r in api.mrr_at_k(results, qrels, **kw).collect()}
+    assert mrr[1].first_rel_rank == 2 and mrr[1].rr_micro == 500_000
+    assert mrr[2].rr_micro == 500_000
+    assert mrr[1].mrr_micro == 500_000
+
+    pr = {r.query_id: r for r in api.precision_recall_at_k(results, qrels, **kw).collect()}
+    assert pr[1].n_hits == 2 and pr[1].precision_micro == 666_667
+    assert pr[1].recall_micro == 666_667  # 2 of 3 relevant found
+    assert pr[2].recall_micro == 1_000_000
+
+    ap = {r.query_id: r for r in api.average_precision_at_k(results, qrels, **kw).collect()}
+    # q1: hits at ranks 2 (p=1/2) and 3 (p=2/3); AP over min(3,3)=3 :
+    # (500000 + 666667) / 3 = 388889
+    assert ap[1].ap_micro == 388_889
+    # q2: hit at rank 2 (p=1/2); AP over min(1,3)=1 -> 500000
+    assert ap[2].ap_micro == 500_000
+    assert ap[1].map_micro == (388_889 + 500_000 + 1) // 2  # half-up micro mean
+
+    nd = {r.query_id: r for r in api.ndcg_at_k(results, qrels, **kw).collect()}
+    import math
+    dcg1 = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg1 = 1 + 1 / math.log2(3) + 1 / math.log2(4)
+    assert nd[1].dcg_micro == math.floor(dcg1 * 1e6 + 0.5)
+    assert nd[1].idcg_micro == math.floor(idcg1 * 1e6 + 0.5)
+    exp = (2_000_000 * nd[1].dcg_micro + nd[1].idcg_micro) // (2 * nd[1].idcg_micro)
+    assert nd[1].ndcg_micro == exp
