@@ -23,7 +23,9 @@ Families:
   ``gopher_flags`` (the Gopher rule bundle), ``language_id``
   (lexicon language ID), ``token_frequencies`` (corpus wordcount),
   ``readability_flesch`` (reading-ease gate), ``code_detect``
-  (code-vs-prose routing verdict).
+  (code-vs-prose routing verdict), ``repetition_ngram`` (Gopher-style
+  bigram repetition — the boilerplate/degenerate-text gate),
+  ``pii_scrub`` (email/phone count + mask).
 * **Curation** — ``curation_gates`` (quality -> boilerplate -> exact
   dedup -> near-dup, returning kept rows + per-gate counts),
   ``decontamination_overlap`` (eval-set n-gram contamination census),
@@ -152,8 +154,10 @@ from .operators.textstats import (
     language_id,
     mrr_at_k,
     ndcg_at_k,
+    pii_scrub,
     precision_recall_at_k,
     readability_flesch,
+    repetition_ngram,
     text_quality,
     token_frequencies,
 )
@@ -205,12 +209,14 @@ __all__ = [
     "pack_token_shards",
     "pagerank",
     "permutation_test",
+    "pii_scrub",
     "precision_recall_at_k",
     "profile_columns",
     "proportion_ztest",
     "psi_drift",
     "readability_flesch",
     "repeated_spans",
+    "repetition_ngram",
     "resample_gapfill",
     "roc_auc",
     "sessionize",

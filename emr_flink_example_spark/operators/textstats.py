@@ -285,8 +285,20 @@ def q_repetition_ngram(spark: SparkSession, sf: str) -> DataFrame:
     self-joins; see dedup.py). The repartition after tokenization is the
     documented optimizer barrier keeping the per-element bigram lambda from
     inlining the regex (O(tokens^2) otherwise)."""
+    return repetition_ngram(load(spark, sf, "documents"))
+
+
+def repetition_ngram(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document bigram repetition over ANY (id, text)
+    frame — (doc_id, n_bigrams, n_distinct_bigrams, top_bigram_count,
+    rep_ratio); high rep_ratio flags boilerplate and degenerate generated
+    text. Plan notes in `q_repetition_ngram`."""
     toks = (
-        load(spark, sf, "documents")
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
         .select("doc_id", F.expr(TOKENS).alias("tokens"))
         .repartition("doc_id")
     )
@@ -358,14 +370,33 @@ def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    return pii_scrub(with_pii).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+def pii_scrub(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub of ANY (id, text) frame — (doc_id, n_emails, n_phones,
+    redacted_text) with email/phone patterns counted and masked to
+    <EMAIL>/<PHONE>. Pure map over the scan, JVM-side regex (no
+    lookaround/backreferences — the portable-regex discipline of
+    `q_pii_redaction`, whose fixture query is a shim over this)."""
+    std = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
     masked = F.regexp_replace(
         F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
-    return with_pii.select(
+    return std.select(
         "doc_id",
         F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
-        F.md5(masked).alias("redacted_md5"),
+        masked.alias("redacted_text"),
     )
 
 

@@ -672,3 +672,24 @@ def test_retrieval_eval_wave6(spark):
     assert nd[1].idcg_micro == math.floor(idcg1 * 1e6 + 0.5)
     exp = (2_000_000 * nd[1].dcg_micro + nd[1].idcg_micro) // (2 * nd[1].idcg_micro)
     assert nd[1].ndcg_micro == exp
+
+
+def test_pii_and_repetition(docs, spark):
+    pii = spark.createDataFrame(
+        [(1, "write to a.b@site.org or call 555-1234 now"),
+         (2, "clean text with nothing sensitive")],
+        "uid bigint, body string",
+    )
+    out = {r.doc_id: r for r in api.pii_scrub(pii, id_col="uid", text_col="body").collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].redacted_text and "<PHONE>" in out[1].redacted_text
+    assert out[2].redacted_text == "clean text with nothing sensitive"
+
+    rep = {r.doc_id: r for r in api.repetition_ngram(
+        docs, id_col="uid", text_col="body"
+    ).collect()}
+    # exact-dup docs share identical bigram stats; the boilerplate-free
+    # unique doc has rep_ratio ~ 0
+    assert rep[10].rep_ratio == rep[11].rep_ratio
+    assert rep[14].rep_ratio == 0.0
+    assert rep[15].n_bigrams == 0 and rep[15].rep_ratio == 0.0
