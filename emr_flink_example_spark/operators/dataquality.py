@@ -59,8 +59,20 @@ def profile_columns(
     milli = lambda c: F.expr(f"cast(floor({c} * 1000 + 0.5) as bigint)")  # noqa: E731
     pieces = []
     for col, kind in cols:
-        if kind in ("int", "num"):
-            expr = milli(col) if kind == "num" else (F.col(col) * 1000)
+        if kind == "int":
+            # Scale AFTER aggregating and via try_multiply: a bigint
+            # min/max above ~9.2e15 yields a NULL milli (loud) instead of
+            # ANSI-throwing — the profiler must survive any data.
+            mn = F.try_multiply(
+                F.min(F.col(col)).cast("bigint"), F.lit(1000).cast("bigint")
+            ).alias("min_milli")
+            mx = F.try_multiply(
+                F.max(F.col(col)).cast("bigint"), F.lit(1000).cast("bigint")
+            ).alias("max_milli")
+            smn = F.lit(None).cast("string").alias("min_str")
+            smx = F.lit(None).cast("string").alias("max_str")
+        elif kind == "num":
+            expr = milli(col)
             mn = F.min(expr).alias("min_milli")
             mx = F.max(expr).alias("max_milli")
             smn = F.lit(None).cast("string").alias("min_str")
@@ -110,13 +122,20 @@ def check_foreign_key(
 ) -> DataFrame:
     """Referential integrity: rows of `df` whose `col` has no match in
     `ref.ref_col` are violations (LEFT-ANTI join — AQE broadcasts a small
-    ref side, skew-splits a large one)."""
+    ref side, skew-splits a large one). Both sides are aliased to fresh
+    names so self-referential FKs (df IS ref, e.g. manager_id -> id)
+    resolve unambiguously. NULL keys count as violations (stricter than
+    SQL FK semantics, which skip NULLs) — a governance check wants NULL
+    keys surfaced, not silently passed."""
     name = name or f"fk_{col}_in_{ref_col}"
+    keys = df.select(F.col(col).alias("__fk_key"))
+    ref_keys = ref.select(F.col(ref_col).alias("__fk_ref_key"))
     return (
-        df.select(col)
-        .join(ref.select(ref_col), df[col] == ref[ref_col], "left_anti")
+        keys.join(
+            ref_keys, F.col("__fk_key") == F.col("__fk_ref_key"), "left_anti"
+        )
         .agg(F.count("*").alias("v"))
-        .crossJoin(df.agg(F.count("*").alias("n")))
+        .crossJoin(keys.agg(F.count("*").alias("n")))
         .selectExpr(
             f"'{name}' as check_name", "n as n_checked", "v as n_violations"
         )

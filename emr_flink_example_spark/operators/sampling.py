@@ -609,12 +609,20 @@ def psi_drift(
     union). Sum psi_micro client-side; >> 100000 micro flags drift.
 
     Scale shape: one union scan, one <= n_bins-row aggregate, totals via
-    an unpartitioned window over those bins."""
+    an unpartitioned window over those bins.
+
+    Dirty-input contract: bins clamp BOTH ways (negative values land in
+    bin 0, large ones in bin n_bins-1) and NULL values are excluded
+    (complete-case, the repo-wide discipline) — the n_bins contract holds
+    on any input."""
 
     def lab(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            F.least(
-                F.lit(n_bins - 1), F.floor(F.col(value_col) / bin_width)
+        return df.where(F.col(value_col).isNotNull()).select(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_bins - 1), F.floor(F.col(value_col) / bin_width)
+                ),
             ).cast("int").alias("bin"),
             F.lit(tag).alias("split"),
         )

@@ -5725,10 +5725,19 @@ ORACLES["text_code_detect"] = f"""
 def _std_results(
     results: DataFrame, query_col: str, doc_col: str, rank_col: str
 ) -> DataFrame:
-    return results.select(
-        F.col(query_col).alias("query_id"),
-        F.col(doc_col).alias("doc_id"),
-        F.col(rank_col).alias("rank"),
+    # Dedupe per (query, doc) keeping the best (min) rank: a caller
+    # ranking that repeats a doc must not double-count hits/DCG (which
+    # would let precision_micro exceed 1_000_000). Map-side-combinable
+    # groupBy; a no-op shuffle-wise for the common distinct-doc input
+    # since every metric re-shuffles on query_id anyway.
+    return (
+        results.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).alias("rank"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank").alias("rank"))
     )
 
 

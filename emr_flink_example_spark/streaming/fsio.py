@@ -109,52 +109,69 @@ class FSIO:
         raise NotImplementedError
 
 
+_LOCAL_SCHEME = "local://"
+
+
 class LocalFS(FSIO):
     """`os`/`shutil` implementation — byte-identical to the pre-seam code
-    (atomic `os.replace` overwrites on POSIX)."""
+    (atomic `os.replace` overwrites on POSIX). Accepts the `local://`
+    URI alias (`fs_for_path` routes it here): the scheme is stripped
+    before every `os.*` call, and `walk_files` yields dirpaths back in
+    the caller's namespace (prefix re-attached) so `relpath(dir, root)`
+    path math stays consistent."""
+
+    @staticmethod
+    def _p(path: str) -> str:
+        if path.startswith(_LOCAL_SCHEME):
+            return path[len(_LOCAL_SCHEME):]
+        return path
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(self._p(path))
 
     def is_dir(self, path: str) -> bool:
-        return os.path.isdir(path)
+        return os.path.isdir(self._p(path))
 
     def size(self, path: str) -> int:
-        return os.path.getsize(path)
+        return os.path.getsize(self._p(path))
 
     def list_files(self, d: str) -> list[str]:
+        d = self._p(d)
         return sorted(
             f for f in os.listdir(d) if os.path.isfile(os.path.join(d, f))
         )
 
     def list_dirs(self, d: str) -> list[str]:
+        d = self._p(d)
         return sorted(
             f for f in os.listdir(d) if os.path.isdir(os.path.join(d, f))
         )
 
     def walk_files(self, root: str) -> Iterator[tuple[str, list[str]]]:
-        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        bare = self._p(root)
+        for dirpath, _dirnames, filenames in sorted(os.walk(bare)):
             if filenames:
-                yield dirpath, sorted(filenames)
+                out = root + dirpath[len(bare):] if root != bare else dirpath
+                yield out, sorted(filenames)
 
     def makedirs(self, d: str) -> None:
-        os.makedirs(d, exist_ok=True)
+        os.makedirs(self._p(d), exist_ok=True)
 
     def rename_overwrite(self, src: str, dst: str) -> None:
-        os.replace(src, dst)
+        os.replace(self._p(src), self._p(dst))
 
     def remove(self, path: str) -> None:
-        os.remove(path)
+        os.remove(self._p(path))
 
     def rmtree(self, path: str) -> None:
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(self._p(path), ignore_errors=True)
 
     def read_text(self, path: str) -> str:
-        with open(path) as f:
+        with open(self._p(path)) as f:
             return f.read()
 
     def _write_text(self, path: str, text: str) -> None:
-        with open(path, "w") as f:
+        with open(self._p(path), "w") as f:
             f.write(text)
 
 
@@ -290,9 +307,10 @@ class HadoopFS(FSIO):
 
 
 def fs_for_path(spark, path: str) -> FSIO:
-    """LocalFS for plain local paths, HadoopFS for anything with a URI
-    scheme — the default wiring for PartitionCommitter and the
-    compactors."""
+    """LocalFS for plain local paths and the `local://` alias (LocalFS
+    strips the scheme before touching `os.*`), HadoopFS for anything
+    with another URI scheme — the default wiring for PartitionCommitter
+    and the compactors."""
     scheme = path.split("://", 1)[0] if "://" in path else ""
     if scheme in ("", "local"):
         return LocalFS()
