@@ -289,6 +289,11 @@ HEADLINE = [
     "abtest_welch_ttest",
     "abtest_srm",
     "timeseries_seasonal_strength",
+    # r13 additions
+    "dedup_minhash_oph",
+    "abtest_bayes_beta",
+    "stats_wilcoxon_signed_rank",
+    "timeseries_holt_winters",
 ]
 
 

@@ -70,6 +70,17 @@ Families:
   + probed inverted lists), ``ann_pq_topk`` (PQ-ADC lookup-table
   search over packed codes) — the scale ladder above ``cosine_topk``
   / ``ann_lsh_topk``.
+* **Sketches** (wave 7) — ``hll_distinct`` (explicit-register HLL per
+  key, max-mergeable), ``kmv_distinct`` (k-minimum-values distinct
+  estimate per key), ``countmin_heavy_hitters`` (count-min frequency
+  table with exact-top comparison) — each bit-reproducible in DuckDB.
+* **Forecasting** (wave 7) — ``holt_daily`` (level+trend smoothing)
+  and ``holt_winters_daily`` (additive weekly-seasonal smoothing) over
+  dense (user, day, v) frames; ``oph`` dedup tier
+  ``near_duplicate_pairs_oph`` / ``oph_signatures`` (single-hash
+  densified signatures, N_PERMS-fold cheaper scans); Bayesian A/B
+  ``bayes_beta`` (posterior means + P(B beats A)) and the paired
+  ``wilcoxon_signed_rank`` completing the stats battery.
 
 Determinism contract: nothing here uses an RNG — every sampling/split
 decision is a salted portable hash of row content, so results are
@@ -85,6 +96,7 @@ from __future__ import annotations
 
 from .cache import unpersist_all
 from .operators.analytics import (
+    bayes_beta,
     cohens_d,
     cohort_retention,
     cuped,
@@ -98,6 +110,7 @@ from .operators.analytics import (
     sessionize,
     srm_check,
     welch_ttest,
+    wilcoxon_signed_rank,
     wilson_ci,
 )
 from .operators.dataquality import (
@@ -119,6 +132,8 @@ from .operators.dedup import (
     kcore,
     minhash_signatures_for as minhash_signatures,
     near_duplicate_pairs,
+    near_duplicate_pairs_oph,
+    oph_signatures_for as oph_signatures,
     pagerank,
     repeated_spans,
     shingle_documents,
@@ -142,6 +157,8 @@ from .operators.similarity import (
 from .operators.timeseries import (
     anomaly_zscore,
     cascade_rollup,
+    holt_daily,
+    holt_winters_daily,
     interpolate_linear,
     resample_gapfill,
 )
@@ -150,6 +167,9 @@ from .operators.textstats import (
     bm25_topk,
     chunk_documents,
     code_detect,
+    countmin_heavy_hitters,
+    hll_distinct,
+    kmv_distinct,
     gopher_flags,
     language_id,
     mrr_at_k,
@@ -171,6 +191,7 @@ __all__ = [
     "anomaly_zscore",
     "asof_join",
     "average_precision_at_k",
+    "bayes_beta",
     "bm25_topk",
     "cascade_rollup",
     "check_foreign_key",
@@ -185,6 +206,7 @@ __all__ = [
     "connected_components",
     "constraint_checks",
     "cosine_topk",
+    "countmin_heavy_hitters",
     "cuped",
     "curation_gates",
     "decontamination_overlap",
@@ -194,10 +216,14 @@ __all__ = [
     "funnel_step_times",
     "gopher_flags",
     "hash_split",
+    "hll_distinct",
+    "holt_daily",
+    "holt_winters_daily",
     "infer_profile_kinds",
     "interpolate_linear",
     "kaplan_meier",
     "kcore",
+    "kmv_distinct",
     "ks_drift",
     "language_id",
     "mann_kendall",
@@ -206,6 +232,8 @@ __all__ = [
     "mrr_at_k",
     "ndcg_at_k",
     "near_duplicate_pairs",
+    "near_duplicate_pairs_oph",
+    "oph_signatures",
     "pack_token_shards",
     "pagerank",
     "permutation_test",
@@ -228,6 +256,7 @@ __all__ = [
     "unpersist_all",
     "weighted_sample_es",
     "welch_ttest",
+    "wilcoxon_signed_rank",
     "wilson_ci",
     "with_es_key",
 ]

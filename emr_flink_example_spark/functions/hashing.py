@@ -35,16 +35,48 @@ def portable_hash_sql_duckdb(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
-def minhash_perm(h: Column, a: int, b: int) -> Column:
-    """One universal-hash permutation h_i(x) = (a*h(x) + b) mod (2^61-1).
+_MASK30 = (1 << 30) - 1
+_MASK31 = (1 << 31) - 1
 
-    `a`/`b` must be < 2^31 so a*h (60-bit h) stays within signed-64 range ...
-    it does not: 31+60 > 63. So we first fold h into 31 bits (h % 2^31-1),
-    keeping the multiplication inside BIGINT for both Spark and DuckDB.
+
+def minhash_perm(h31: Column, a: int, b: int) -> Column:
+    """One FULL-RANGE universal-hash permutation h_i(x) = (a*x + b) mod
+    (2^61 - 1) over a 31-bit input column, a in [1, 2^61-1), b in
+    [0, 2^61-1), evaluated entirely in signed-64 arithmetic via the
+    Mersenne split-modmul identity:
+
+        a*x = (a_hi*2^31 + a_lo)*x = (a_hi*x)*2^31 + a_lo*x
+        y*2^31 mod (2^61-1) = (y >> 30) + ((y & (2^30-1)) << 31)
+
+    (2^61 ≡ 1 mod M). Worst intermediate is a_lo*x + 2^31 + 2^61 < 2^63.
+
+    WHY full-range matters (r13): the previous a, b < 2^31 family never
+    wraps the modulus more than once, so every "permutation" is
+    piecewise-monotone in x with two pieces — across K perms the argmins
+    collapse to (nearly) the single global argmin(x), degenerating a
+    K-perm MinHash signature into one correlated estimator: disjoint
+    shingle sets sharing ONE small-hash shingle measured est_jaccard
+    ~1.0 (true J 0.02). Full-range `a` wraps ~a/2^30 times, restoring
+    cross-perm argmin independence (pinned in tests/test_minhash_perms.py).
     """
-    h31 = h % F.lit((1 << 31) - 1)
-    return (F.lit(a) * h31 + F.lit(b)) % F.lit(MERSENNE_61)
+    a_hi, a_lo = a >> 31, a & _MASK31
+    t2 = F.lit(a_hi) * h31
+    folded = (
+        F.lit(a_lo) * h31
+        + F.shiftright(t2, 30)
+        + F.shiftleft(t2.bitwiseAND(F.lit(_MASK30)), 31)
+    ) % F.lit(MERSENNE_61)
+    return (folded + F.lit(b)) % F.lit(MERSENNE_61)
 
 
-def minhash_perm_sql_duckdb(h_expr: str, a: int, b: int) -> str:
-    return f"(({a}::BIGINT * ({h_expr} % 2147483647) + {b}) % {MERSENNE_61})"
+def minhash_perm_sql_duckdb(h31_expr: str, a: int, b: int) -> str:
+    """The DuckDB expression computing exactly `minhash_perm` (same
+    split-modmul ops in BIGINT — no HUGEINT, so the arithmetic parity is
+    op-for-op, not merely value-level)."""
+    a_hi, a_lo = a >> 31, a & _MASK31
+    t2 = f"({a_hi}::BIGINT * {h31_expr})"
+    folded = (
+        f"(({a_lo}::BIGINT * {h31_expr} + ({t2} >> 30)"
+        f" + (({t2} & {_MASK30}) << 31)) % {MERSENNE_61})"
+    )
+    return f"(({folded} + {b}) % {MERSENNE_61})"

@@ -41,6 +41,7 @@ GUARDED_COLUMN = frozenset(
         "stats_kruskal_wallis",
         "stats_roc_auc",
         "stats_spearman_corr",
+        "stats_wilcoxon_signed_rank",
         "text_keyphrase_rake",
         "text_simpson_diversity",
         "text_term_burstiness",

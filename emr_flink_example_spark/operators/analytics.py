@@ -6410,3 +6410,334 @@ ORACLES["abtest_srm"] = f"""
                >= {SRM_CHI_CRIT_MICRO}, FALSE) AS srm_detected
     FROM g
 """
+
+
+# --- r13: Bayesian A/B conversion comparison ---------------------------------
+
+
+def q_abtest_bayes_beta(spark: SparkSession, sf: str) -> DataFrame:
+    """Bayesian two-arm conversion comparison with Beta(1,1) priors
+    (Thompson-sampling's posterior, reported instead of sampled): per-arm
+    posterior mean conversion and P(B beats A) — the decision-facing
+    companion to the frequentist battery (z/chi-square report evidence
+    AGAINST the null; this reports the probability a stakeholder actually
+    asks for). Completes the experiment battery's fourth face:
+    frequentist mean/rank/proportion tests + Bayesian posterior.
+
+    Math: posterior_j = Beta(1 + conv_j, 1 + n_j - conv_j). P(B>A) uses
+    the moment-matched normal approximation of each posterior and the
+    logistic approximation of the normal CDF (Phi(x) ~ 1/(1+exp(-1.702x)),
+    |err| < 0.0095 — documented; exact at the corpus-scale n where the
+    posteriors are near-normal anyway). Everything is a fixed IEEE double
+    expression over four exact integers (the proportion_ztest discipline),
+    floored once to micros; the single transcendental (exp) follows the
+    psi/ln house precedent. Priors make every denominator >= 2, so there
+    is NO degenerate case: empty arms report the prior (mean 0.5).
+
+    Scale shape: one shuffle to per-user conversion flags, one 1-row fold
+    (identical to q_abtest_proportion_ztest)."""
+    events = load(spark, sf, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    return bayes_beta(users)
+
+
+def bayes_beta(
+    assignments: DataFrame,
+    *,
+    variant_col: str = "arm",
+    converted_col: str = "converted",
+) -> DataFrame:
+    """Beta(1,1)-posterior comparison over ANY unit-level frame with a 0/1
+    arm column and a 0/1 conversion column — one row (n_a, conv_a, n_b,
+    conv_b, post_mean_a_micro, post_mean_b_micro, prob_b_beats_a_micro),
+    arm 0 = A. Math and determinism notes in `q_abtest_bayes_beta`."""
+    g = assignments.where(
+        F.col(variant_col).isNotNull() & F.col(converted_col).isNotNull()
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col(variant_col) == 0, F.col(converted_col)).otherwise(0)),
+            F.lit(0),
+        ).alias("conv_a"),
+        F.coalesce(
+            F.sum(F.when(F.col(variant_col) == 1, 1).otherwise(0)), F.lit(0)
+        ).alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col(variant_col) == 1, F.col(converted_col)).otherwise(0)),
+            F.lit(0),
+        ).alias("conv_b"),
+    )
+    # shared sub-expressions, written IDENTICALLY in the oracle
+    mu = lambda c, n: (  # noqa: E731
+        f"((1.0 + cast({c} as double)) / (2.0 + cast({n} as double)))"
+    )
+    var = lambda c, n: (  # noqa: E731
+        f"(((1.0 + cast({c} as double))"
+        f" * (1.0 + cast({n} as double) - cast({c} as double)))"
+        f" / (((2.0 + cast({n} as double)) * (2.0 + cast({n} as double)))"
+        f" * (3.0 + cast({n} as double))))"
+    )
+    zexpr = (
+        f"(({mu('conv_b', 'n_b')} - {mu('conv_a', 'n_a')})"
+        f" / sqrt({var('conv_a', 'n_a')} + {var('conv_b', 'n_b')}))"
+    )
+    return g.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr(
+            f"cast(floor({mu('conv_a', 'n_a')} * 1000000.0 + 0.5) as bigint)"
+        ).alias("post_mean_a_micro"),
+        F.expr(
+            f"cast(floor({mu('conv_b', 'n_b')} * 1000000.0 + 0.5) as bigint)"
+        ).alias("post_mean_b_micro"),
+        F.expr(
+            f"cast(floor(1.0 / (1.0 + exp(-1.702 * {zexpr}))"
+            f" * 1000000.0 + 0.5) as bigint)"
+        ).alias("prob_b_beats_a_micro"),
+    )
+
+
+QUERIES["abtest_bayes_beta"] = q_abtest_bayes_beta
+
+
+def _bayes_beta_oracle() -> str:
+    mu = lambda c, n: (  # noqa: E731
+        f"((1.0 + cast({c} as double)) / (2.0 + cast({n} as double)))"
+    )
+    var = lambda c, n: (  # noqa: E731
+        f"(((1.0 + cast({c} as double))"
+        f" * (1.0 + cast({n} as double) - cast({c} as double)))"
+        f" / (((2.0 + cast({n} as double)) * (2.0 + cast({n} as double)))"
+        f" * (3.0 + cast({n} as double))))"
+    )
+    zexpr = (
+        f"(({mu('conv_b', 'n_b')} - {mu('conv_a', 'n_a')})"
+        f" / sqrt({var('conv_a', 'n_a')} + {var('conv_b', 'n_b')}))"
+    )
+    return f"""
+        WITH users AS (
+            SELECT user_id % 2 AS arm,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        ), g AS (
+            SELECT coalesce(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_a,
+                   coalesce(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END), 0)::BIGINT AS conv_a,
+                   coalesce(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_b,
+                   coalesce(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END), 0)::BIGINT AS conv_b
+            FROM users
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               floor({mu('conv_a', 'n_a')} * 1000000.0 + 0.5)::BIGINT
+                   AS post_mean_a_micro,
+               floor({mu('conv_b', 'n_b')} * 1000000.0 + 0.5)::BIGINT
+                   AS post_mean_b_micro,
+               floor(1.0 / (1.0 + exp(-1.702 * {zexpr}))
+                     * 1000000.0 + 0.5)::BIGINT AS prob_b_beats_a_micro
+        FROM g
+    """
+
+
+ORACLES["abtest_bayes_beta"] = _bayes_beta_oracle()
+
+
+# --- r13: Wilcoxon signed-rank paired test -----------------------------------
+
+
+def q_stats_wilcoxon_signed_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on each user's paired
+    purchase-spend change between the month's first half (day <= 15) and
+    second half (day >= 16) — the PAIRED companion to abtest_mann_whitney
+    (which compares two independent arms): did the same population's
+    spend distribution shift, each user serving as their own control?
+
+    Determinism discipline (the mann_whitney template): per-user half
+    sums in exact milli cents, complete-case pairs (a user must purchase
+    in BOTH halves), zero diffs dropped per the classic procedure;
+    |diff| ranks come from the DISTINCT-value table with doubled average
+    ranks ((2*cum + t + 1) per tied block) so W+ stays integer; the tie
+    term and all counts are exact integers under the SAME pre-aggregation
+    headroom guard as mann_whitney (2*log2(t_max) + log2(n) < 62 and
+    1 + 2*log2(n) < 62, tripped -> NULL LOUDLY); only the final z is a
+    fixed IEEE expression — z = (2W+ - n(n+1)/2) / sqrt(n(n+1)(2n+1)/6
+    - tie/12), the doubled-rank form of the normal approximation with
+    tie correction — floored once to micros with the integer
+    critical-value compare.
+
+    Scale shape: one shuffle to per-user half sums, one combine-friendly
+    aggregate to the distinct-|diff| table, one running-sum window over
+    that aggregate, one 1-row fold. Nothing event-sized is sorted."""
+    events = load(spark, sf, "events")
+    per_user = (
+        events.where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") <= 15,
+                    F.expr("cast(floor(value * 1000 + 0.5) as bigint)"),
+                )
+            ).alias("s1"),
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") >= 16,
+                    F.expr("cast(floor(value * 1000 + 0.5) as bigint)"),
+                )
+            ).alias("s2"),
+        )
+        .where(F.col("s1").isNotNull() & F.col("s2").isNotNull())
+    )
+    return wilcoxon_signed_rank(
+        per_user.select("user_id", "s1", "s2"),
+        before_col="s1",
+        after_col="s2",
+    )
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    *,
+    before_col: str = "before",
+    after_col: str = "after",
+) -> DataFrame:
+    """Wilcoxon signed-rank z over ANY paired-observation frame with
+    integer-scaled before/after columns — one row (n_pairs, n_eff,
+    w2_pos, tie_t, z_micro, significant, headroom_ok). Math, tie
+    handling, guard, and plan notes in `q_stats_wilcoxon_signed_rank`."""
+    diffs = pairs.where(
+        F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
+    ).select((F.col(after_col) - F.col(before_col)).alias("d"))
+    n_pairs_df = diffs.agg(F.count("*").alias("n_pairs"))
+    vals = (
+        diffs.where(F.col("d") != 0)
+        .select(F.abs("d").alias("v"), (F.col("d") > 0).cast("int").alias("is_pos"))
+        .groupBy("v")
+        .agg(F.count("*").alias("t"), F.sum("is_pos").alias("ta"))
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn("cum", F.coalesce(F.sum("t").over(w_cum), F.lit(0)))
+    g = ranked.agg(
+        F.sum("t").alias("n_eff"),
+        F.expr("try_sum(try_multiply(ta, 2 * cum + t + 1))").alias("w2_pos"),
+        F.expr(
+            "try_sum(try_subtract(try_multiply(try_multiply(t, t), t), t))"
+        ).alias("tie_t"),
+        F.max("t").alias("t_max"),
+    ).crossJoin(F.broadcast(n_pairs_df))
+    ok = F.expr(
+        "case when n_eff is null or n_eff = 0 then true else"
+        " 2.0 * log2(cast(t_max as double)) + log2(cast(n_eff as double)) < 62.0"
+        " and 1.0 + 2.0 * log2(cast(n_eff as double)) < 62.0 end"
+    )
+    # variance of 2W+ computed in doubles from exact integers (n^3 would
+    # overflow int64 at n ~ 2e6 ranked pairs); identical text in the oracle
+    var4 = (
+        "((cast(n_eff as double) * (cast(n_eff as double) + 1.0)"
+        " * (2.0 * cast(n_eff as double) + 1.0)) / 6.0"
+        " - cast(tie_t as double) / 12.0)"
+    )
+    z = F.expr(
+        f"case when n_eff > 0 and {var4} > 0.0 then"
+        f" (cast(w2_pos as double)"
+        f"  - cast(n_eff as double) * (cast(n_eff as double) + 1.0) / 2.0)"
+        f" / sqrt({var4}) end"
+    )
+    zm = F.when(ok, F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    return g.select(
+        "n_pairs",
+        "n_eff",
+        F.when(ok, F.col("w2_pos")).alias("w2_pos"),
+        F.when(ok, F.col("tie_t")).alias("tie_t"),
+        zm.alias("z_micro"),
+        F.coalesce(F.abs(zm) >= ABTEST_Z_CRIT_MICRO, F.lit(False)).alias(
+            "significant"
+        ),
+        ok.alias("headroom_ok"),
+    )
+
+
+QUERIES["stats_wilcoxon_signed_rank"] = q_stats_wilcoxon_signed_rank
+ORACLES["stats_wilcoxon_signed_rank"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN date_part('day', ts) <= 15
+                   THEN floor(value * 1000 + 0.5)::BIGINT END) AS s1,
+               sum(CASE WHEN date_part('day', ts) >= 16
+                   THEN floor(value * 1000 + 0.5)::BIGINT END) AS s2
+        FROM events
+        WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), pairs AS (
+        SELECT s2 - s1 AS d FROM per_user
+        WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+    ), np AS (
+        SELECT count(*)::BIGINT AS n_pairs FROM pairs
+    ), vals AS (
+        SELECT abs(d) AS v, count(*)::BIGINT AS t,
+               sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS ta
+        FROM pairs WHERE d <> 0 GROUP BY 1
+    ), ranked AS (
+        SELECT v, t, ta,
+               coalesce(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+        FROM vals
+    ), g AS (
+        -- raw sums stay HUGEINT; ::BIGINT casts only under the guard
+        SELECT sum(t) AS n_eff_h,
+               sum(ta * (2 * cum + t + 1)) AS w2_h,
+               sum(t * t * t - t) AS tie_h,
+               max(t)::BIGINT AS t_max
+        FROM ranked
+    ), u AS (
+        SELECT (SELECT n_pairs FROM np) AS n_pairs,
+               n_eff_h::BIGINT AS n_eff,
+               case when n_eff_h is null or n_eff_h = 0 then true else
+                    2.0 * log2(cast(t_max as double))
+                      + log2(cast(n_eff_h as double)) < 62.0
+                    and 1.0 + 2.0 * log2(cast(n_eff_h as double)) < 62.0
+               end AS headroom_ok,
+               case when (n_eff_h is null or n_eff_h = 0) or (
+                    2.0 * log2(cast(t_max as double))
+                      + log2(cast(n_eff_h as double)) < 62.0
+                    and 1.0 + 2.0 * log2(cast(n_eff_h as double)) < 62.0)
+               then w2_h::BIGINT end AS w2_pos,
+               case when (n_eff_h is null or n_eff_h = 0) or (
+                    2.0 * log2(cast(t_max as double))
+                      + log2(cast(n_eff_h as double)) < 62.0
+                    and 1.0 + 2.0 * log2(cast(n_eff_h as double)) < 62.0)
+               then tie_h::BIGINT end AS tie_t
+        FROM g
+    ), z AS (
+        SELECT *,
+               case when n_eff > 0 and
+                    ((cast(n_eff as double) * (cast(n_eff as double) + 1.0)
+                      * (2.0 * cast(n_eff as double) + 1.0)) / 6.0
+                     - cast(tie_t as double) / 12.0) > 0.0 then
+                    (cast(w2_pos as double)
+                     - cast(n_eff as double) * (cast(n_eff as double) + 1.0) / 2.0)
+                    / sqrt((cast(n_eff as double) * (cast(n_eff as double) + 1.0)
+                            * (2.0 * cast(n_eff as double) + 1.0)) / 6.0
+                           - cast(tie_t as double) / 12.0) end AS zv
+        FROM u
+    )
+    SELECT n_pairs, n_eff, w2_pos, tie_t,
+           floor(zv * 1000000.0 + 0.5)::BIGINT AS z_micro,
+           coalesce(abs(floor(zv * 1000000.0 + 0.5)::BIGINT)
+                    >= {ABTEST_Z_CRIT_MICRO}, FALSE) AS significant,
+           headroom_ok
+    FROM z
+"""

@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import MERSENNE_61
+from ..functions.hashing import (
+    MERSENNE_61,
+    minhash_perm,
+    minhash_perm_sql_duckdb,
+)
 from ..cache import pinned
 from ..io import load
 from .textstats import TOKEN_RE
@@ -96,7 +100,16 @@ N_PERMS = 16
 BAND_ROWS = 4
 N_BANDS = N_PERMS // BAND_ROWS
 _rng = random.Random(42)
-PERMS = [(_rng.randrange(1, 1 << 31), _rng.randrange(0, 1 << 31)) for _ in range(N_PERMS)]
+# FULL-RANGE universal-hash coefficients (r13): a, b < 2^31 made every
+# permutation piecewise-monotone in the shingle hash (at most one modulus
+# wrap), collapsing all K argmins onto the global argmin(h31) — disjoint
+# docs sharing one small-hash shingle scored est_jaccard ~1.0. Full-range
+# a wraps ~a/2^30 times; the signature builder evaluates (a*x + b) mod M
+# in int64 via functions.hashing.minhash_perm's split-modmul.
+PERMS = [
+    (_rng.randrange(1, MERSENNE_61), _rng.randrange(0, MERSENNE_61))
+    for _ in range(N_PERMS)
+]
 
 
 #: token length of the exact-substring spans; 8 words ≈ the scale at which a
@@ -496,6 +509,35 @@ def q_dedup_jaccard_pairs(
     )
 
 
+def _positional_shingle_stream(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle) row stream of word-3-grams WITH duplicates — the
+    shared front end of the min-based signature builders (classic K-perm
+    MinHash and OPH), whose mins are insensitive to duplicate shingles.
+    See minhash_signatures_for's docstring for why this positional form
+    beats the array-based _shingled_docs here."""
+    std = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = (
+        std.withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", "tokens")
+        .repartition("doc_id")  # barrier: tokenize once, not per element
+    )
+    return toks.where(F.size("tokens") >= 3).select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(tokens) - 2)")).alias("i"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.expr("element_at(tokens, i)"),
+            F.expr("element_at(tokens, i + 1)"),
+            F.expr("element_at(tokens, i + 2)"),
+        ).alias("shingle"),
+    )
+
+
 def minhash_signatures_for(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -511,25 +553,7 @@ def minhash_signatures_for(
     string per row from the materialized token array (measured 1.5x over
     the array-based form at sf0.1). Consumers that need exact distinct
     shingle SETS (jaccard, containment) keep using _shingled_docs."""
-    std = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    toks = (
-        std.withColumn("tokens", F.expr(_TOKENS))
-        .select("doc_id", "tokens")
-        .repartition("doc_id")  # barrier: tokenize once, not per element
-    )
-    shingle = toks.where(F.size("tokens") >= 3).select(
-        "doc_id",
-        F.explode(F.expr("sequence(1, size(tokens) - 2)")).alias("i"),
-        "tokens",
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.expr("element_at(tokens, i)"),
-            F.expr("element_at(tokens, i + 1)"),
-            F.expr("element_at(tokens, i + 2)"),
-        ).alias("shingle"),
-    )
+    shingle = _positional_shingle_stream(docs, id_col=id_col, text_col=text_col)
     h31 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit((1 << 31) - 1)
     # One permuted-hash column per permutation instead of a 16x perm-explode:
     # the groupBy then computes 16 mins with map-side partial aggregation, so
@@ -540,7 +564,7 @@ def minhash_signatures_for(
     permed = hashed.select(
         "doc_id",
         *[
-            ((F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"p{i}")
+            minhash_perm(F.col("h31"), a, b).alias(f"p{i}")
             for i, (a, b) in enumerate(PERMS)
         ],
     )
@@ -549,7 +573,7 @@ def minhash_signatures_for(
     )
 
 
-def _band_buckets(sigs: DataFrame) -> DataFrame:
+def _band_buckets(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
     """(doc_id, sig, band, bucket) — one row per band per doc.
 
     Bucket = xxhash64 over the band's 4 sig values: an 8-byte shuffle key
@@ -557,7 +581,14 @@ def _band_buckets(sigs: DataFrame) -> DataFrame:
     md5-of-the-string measured 1.3x SLOWER — the win is skipping the
     string, not the hashing). A hash collision can only ADD candidate
     pairs, and every consumer applies an exact band-slice equality filter
-    downstream, so results are hash-independent."""
+    downstream, so results are hash-independent.
+
+    `band_rows` parameterizes the geometry (bands = N_PERMS // band_rows):
+    the classic tier keeps 4x4; the OPH tier uses 8 bands x 2 rows to
+    recover the candidate recall its densified estimator's extra variance
+    would otherwise cost (measured: 4-row bands catch only ~30% of the
+    classic tier's est>=0.75 pairs on the fixture; 2-row bands >= 80%)."""
+    n_bands = N_PERMS // band_rows
     return sigs.select(
         "doc_id",
         "sig",
@@ -567,10 +598,10 @@ def _band_buckets(sigs: DataFrame) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)]
+                            *[F.element_at("sig", b * band_rows + r + 1) for r in range(band_rows)]
                         ).alias("bucket"),
                     )
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -734,7 +765,17 @@ def near_duplicate_pairs(
     no pairwise comparison outside shared buckets; oversized buckets (skewed
     boilerplate) expand through the chunked path of `_skew_guarded_pairs`."""
     sigs = minhash_signatures_for(docs, id_col=id_col, text_col=text_col)
-    bands = _band_buckets(sigs)
+    return _pairs_from_sigs(sigs, cap=cap)
+
+
+def _pairs_from_sigs(
+    sigs: DataFrame, *, cap: int = LSH_BUCKET_CAP, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Banded candidate generation over ANY (doc_id, sig array<bigint>)
+    signature frame — the shared back end of the classic-MinHash and OPH
+    tiers (geometry via `band_rows`, see `_band_buckets`); plan rationale
+    in `near_duplicate_pairs`."""
+    bands = _band_buckets(sigs, band_rows)
     # Pair generation by grouping, NOT a bands-self-join: a self-join re-runs
     # the whole tokenize->shingle->minhash chain for the second side (no
     # ReusedExchange across join aliases; measured 2 full scans), and at
@@ -752,8 +793,8 @@ def near_duplicate_pairs(
     # then dropDuplicates over them, measured 1.17x slower at sf0.1).
     pair_sql = (
         f"struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-        f"slice(x.sig, band * {BAND_ROWS} + 1, {BAND_ROWS})"
-        f" = slice(y.sig, band * {BAND_ROWS} + 1, {BAND_ROWS}) AS band_eq, "
+        f"slice(x.sig, band * {band_rows} + 1, {band_rows})"
+        f" = slice(y.sig, band * {band_rows} + 1, {band_rows}) AS band_eq, "
         f"round(size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), z -> z))"
         f" / {N_PERMS}, 6) AS est_jaccard)"
     )
@@ -774,6 +815,162 @@ def near_duplicate_pairs(
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """MinHash+LSH near-dup candidates (see `near_duplicate_pairs`)."""
     return near_duplicate_pairs(load(spark, sf, "documents"), cap=cap)
+
+
+# --- One-Permutation Hashing (Li, Owen & Zhang 2012; densification per -------
+# Shrivastava & Li 2014): the single-hash signature tier. Classic K-perm
+# MinHash evaluates N_PERMS universal hashes per shingle; OPH evaluates ONE,
+# splits its range into N_PERMS bins (bin = hv mod K), and takes the min
+# bin-local offset (hv div K) per bin. Empty bins densify by circular
+# rotation — borrow the next non-empty bin to the right, offset by
+# d * OPH_C per borrow step so borrowed values collide across documents
+# only when the SOURCE bins collide. At 100 TB the hash work per shingle
+# drops K-fold, which is the dominant map-side cost of the signature scan.
+_oph_rng = random.Random(614)
+OPH_A = _oph_rng.randrange(1, MERSENNE_61)
+OPH_B = _oph_rng.randrange(0, MERSENNE_61)
+#: rotation-densification offset per borrow step. int64 headroom is
+#: closed-form (BOUNDED, headroom.py): bin-local offsets are < M61/K
+#: ~ 1.44e17 and the worst borrow adds (K-1)*OPH_C ~ 1.5e10 — the
+#: densified value stays 6 orders below 2^63; the permuted hash itself
+#: peaks at OPH_A * h31 + OPH_B < 2^62.
+OPH_C = 982451653
+#: OPH banding geometry: 8 bands x 2 rows (recall compensation, see
+#: q_dedup_minhash_oph)
+OPH_BAND_ROWS = 2
+
+
+def oph_signatures_for(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doc_id -> array<bigint> densified OPH signature of N_PERMS bins for
+    ANY (id, text) frame — drop-in compatible with `_pairs_from_sigs` /
+    `_band_buckets` (same length, same banding geometry as the classic
+    signatures, so the LSH back end is shared verbatim).
+
+    Plan shape: the same single positional-shingle scan as classic
+    MinHash, but the per-shingle map work is ONE mod-mul permutation
+    instead of N_PERMS; one combine-friendly groupBy(doc_id) computes the
+    K conditional bin-mins, and densification is a pure map-side coalesce
+    ladder over the K aggregated columns — no second shuffle, no
+    per-doc spine join."""
+    shingle = _positional_shingle_stream(docs, id_col=id_col, text_col=text_col)
+    h31 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % F.lit((1 << 31) - 1)
+    hashed = shingle.select(
+        "doc_id",
+        minhash_perm(h31, OPH_A, OPH_B).alias("hv"),
+    )
+    binned = hashed.select(
+        "doc_id",
+        (F.col("hv") % F.lit(N_PERMS)).alias("bin"),
+        F.expr(f"hv div {N_PERMS}").alias("bval"),
+    )
+    sparse = binned.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("bin") == i, F.col("bval"))).alias(f"s{i}")
+            for i in range(N_PERMS)
+        ]
+    )
+    # densify: filled[i] = first non-empty bin at distance d >= 0 going
+    # right (circular), value + d * OPH_C. A doc with >= 1 shingle has
+    # >= 1 non-empty bin, so the coalesce always resolves.
+    sig = F.array(
+        *[
+            F.coalesce(
+                *[
+                    F.col(f"s{(i + d) % N_PERMS}") + F.lit(d * OPH_C)
+                    for d in range(N_PERMS)
+                ]
+            )
+            for i in range(N_PERMS)
+        ]
+    )
+    return sparse.select("doc_id", sig.alias("sig"))
+
+
+def near_duplicate_pairs_oph(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """OPH-tier near-dup candidates over ANY (id, text) frame — the
+    N_PERMS-fold-cheaper signature scan with 8x2 banding; same output
+    contract as `near_duplicate_pairs` (doc_a, doc_b, est_jaccard)."""
+    sigs = oph_signatures_for(docs, id_col=id_col, text_col=text_col)
+    return _pairs_from_sigs(sigs, cap=cap, band_rows=OPH_BAND_ROWS)
+
+
+def q_dedup_minhash_oph(
+    spark: SparkSession, sf: str, cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Near-dup candidate pairs from DENSIFIED OPH signatures, banded with
+    the exact same 4x4 LSH geometry and skew-guarded pair generation as
+    `dedup_minhash_lsh` — the scale tier that cuts per-shingle hash work
+    N_PERMS-fold (one permutation evaluated instead of sixteen) at the
+    cost of the densification estimator's slightly higher variance.
+    Output contract matches the classic tier: (doc_a, doc_b, est_jaccard),
+    doc_a < doc_b, est = signature-agreement fraction. Banding is 8 bands
+    x OPH_BAND_ROWS=2 (vs the classic 4x4): the densified estimator's
+    extra variance on short documents costs full-4-row band agreement
+    dearly (measured ~30% recall of the classic tier's est>=0.75 pairs);
+    2-row bands recover >= 80% at 2x the bucket rows per doc.
+
+    Honest local measurement (sf0.1, min-of-3): 1.99 s vs the classic
+    tier's 1.49 s — at this scale the shared md5(shingle) dominates, and
+    the wider banding emits ~3x the candidate pairs, outweighing the
+    permutation saving. The K-fold saving is real where permutation work
+    dominates the signature scan: higher N_PERMS geometries, pre-hashed
+    shingle columns, or hash functions costlier than one mod-mul chain."""
+    return near_duplicate_pairs_oph(load(spark, sf, "documents"), cap=cap)
+
+
+def _oph_oracle() -> str:
+    """DuckDB replay of the OPH tier: same single permutation, same
+    bin-min/densification math (integer div/mod on the identical md5-based
+    h31), then the shared banding CTEs."""
+    k = N_PERMS
+    sparse_cols = ", ".join(
+        f"min(CASE WHEN hv % {k} = {i} THEN hv // {k} END) AS s{i}"
+        for i in range(k)
+    )
+    sig_elems = ", ".join(
+        "coalesce("
+        + ", ".join(
+            f"s{(i + d) % k} + {d * OPH_C}" if d else f"s{i}"
+            for d in range(k)
+        )
+        + ")"
+        for i in range(k)
+    )
+    return f"""
+    WITH {_TOK_CTE}, shingled AS (
+        SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM tok
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h31
+        FROM shingled
+    ), oph AS (
+        SELECT doc_id,
+               {minhash_perm_sql_duckdb("h31", OPH_A, OPH_B)} AS hv
+        FROM hashed
+    ), sparse AS (
+        SELECT doc_id, {sparse_cols} FROM oph GROUP BY doc_id
+    ), sigs AS (
+        SELECT doc_id, [{sig_elems}] AS sig FROM sparse
+    ),
+    bands AS ({_bands_cte_duck(OPH_BAND_ROWS)}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.sig AS sig_a, y.sig AS sig_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard FROM cand
+    """
 
 
 # est-Jaccard cutoff for treating an LSH candidate pair as a dup edge.
@@ -1575,7 +1772,12 @@ def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _perm_values_duck() -> str:
-    return ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(PERMS))
+    """(perm, a_hi, a_lo, b) rows — the split coefficients of the
+    full-range permutations (see functions.hashing.minhash_perm)."""
+    return ", ".join(
+        f"({i}, {a >> 31}::BIGINT, {a & ((1 << 31) - 1)}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(PERMS)
+    )
 
 
 _SIG_DUCK = f"""
@@ -1586,8 +1788,11 @@ _SIG_DUCK = f"""
                ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h31
         FROM shingled
     ), permed AS (
-        SELECT doc_id, p.perm, (p.a * h31 + p.b) % {MERSENNE_61} AS hv
-        FROM hashed CROSS JOIN (VALUES {{perms}}) AS p(perm, a, b)
+        SELECT doc_id, p.perm,
+               (((p.a_lo * h31 + ((p.a_hi * h31) >> 30)
+                  + (((p.a_hi * h31) & {(1 << 30) - 1}) << 31))
+                 % {MERSENNE_61}) + p.b) % {MERSENNE_61} AS hv
+        FROM hashed CROSS JOIN (VALUES {{perms}}) AS p(perm, a_hi, a_lo, b)
     ), mins AS (
         SELECT doc_id, perm, min(hv) AS minh FROM permed GROUP BY doc_id, perm
     ), sigs AS (
@@ -1600,13 +1805,14 @@ _EST_JACCARD_DUCK = f"""round(len(list_filter(generate_series(1, {N_PERMS}),
                                      i -> sig_a[i] = sig_b[i]))::DOUBLE / {N_PERMS}, 6)"""
 
 
-def _bands_cte_duck() -> str:
-    """The per-band bucket rows (doc_id, sig, band, bucket) over `sigs`."""
+def _bands_cte_duck(band_rows: int = BAND_ROWS) -> str:
+    """The per-band bucket rows (doc_id, sig, band, bucket) over `sigs`;
+    geometry parameterized like the engine's `_band_buckets`."""
     return " UNION ALL ".join(
         f"""SELECT doc_id, sig, {b} AS band,
-                   concat_ws(',', {', '.join(f'sig[{b * BAND_ROWS + r + 1}]::VARCHAR' for r in range(BAND_ROWS))})
+                   concat_ws(',', {', '.join(f'sig[{b * band_rows + r + 1}]::VARCHAR' for r in range(band_rows))})
                    AS bucket FROM sigs"""
-        for b in range(N_BANDS)
+        for b in range(N_PERMS // band_rows)
     )
 
 

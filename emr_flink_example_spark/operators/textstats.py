@@ -440,13 +440,26 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     partition keeps its k smallest hashes, merges are union+truncate —
     the same shape Spark's partial aggregation already gives the min-based
     ranking below."""
+    docs = load(spark, sf, "documents")
+    tok = docs.select("lang", F.explode(F.expr(TOKENS)).alias("token"))
+    return kmv_distinct(tok, key_col="lang", value_col="token")
+
+
+def kmv_distinct(
+    df: DataFrame, *, key_col: str, value_col: str
+) -> DataFrame:
+    """KMV distinct-count estimate of `value_col` per `key_col` over ANY
+    frame — (key, k, est_distinct, n_distinct_exact, rel_error); the
+    extracted core of `q_sketch_kmv_distinct` (estimator, exactness, and
+    mergeability notes there)."""
     from pyspark.sql.window import Window
 
     from ..functions.hashing import portable_hash
 
-    docs = load(spark, sf, "documents")
-    tok = docs.select("lang", F.explode(F.expr(TOKENS)).alias("token"))
-    hashed = tok.select("lang", portable_hash(F.col("token")).alias("h")).distinct()
+    hashed = df.select(
+        F.col(key_col).alias("lang"),
+        portable_hash(F.col(value_col).cast("string")).alias("h"),
+    ).distinct()
     w = Window.partitionBy("lang").orderBy("h")
     ranked = hashed.withColumn("r", F.row_number().over(w))
     stats = ranked.groupBy("lang").agg(
@@ -457,7 +470,7 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_distinct_exact") < KMV_K, F.col("n_distinct_exact").cast("double")
     ).otherwise(F.round((KMV_K - 1) / (F.col("h_k") / F.lit(_POW2_60)), 2))
     return stats.select(
-        "lang",
+        F.col("lang").alias(key_col),
         F.lit(KMV_K).alias("k"),
         est.alias("est_distinct"),
         "n_distinct_exact",
@@ -498,9 +511,24 @@ def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     so the estimate involves exactly one double division; the small-range
     linear-counting branch (raw <= 2.5m with empty buckets) is
     ln-of-integer-ratio — both bit-stable, rounded at 2/4 decimals."""
+    return hll_distinct(
+        load(spark, sf, "events"), key_col="event_type", value_col="user_id"
+    )
+
+
+def hll_distinct(
+    df: DataFrame, *, key_col: str, value_col: str
+) -> DataFrame:
+    """Explicit-register HLL distinct estimate of `value_col` per
+    `key_col` over ANY frame, with the exact answer and relative error —
+    (key, n_exact, hll_estimate, rel_error); the extracted core of
+    `q_sketch_hll_distinct` (register math, mergeability, and float
+    discipline there)."""
     from ..functions.hashing import portable_hash
 
-    events = load(spark, sf, "events")
+    events = df.select(
+        F.col(key_col).alias("event_type"), F.col(value_col).alias("user_id")
+    )
     hashed = events.select(
         "event_type", portable_hash(F.col("user_id").cast("string")).alias("h")
     )
@@ -541,13 +569,13 @@ def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v0")),
     ).otherwise(raw)
     return joined.select(
-        "event_type",
+        F.col("event_type").alias(key_col),
         "n_exact",
         F.round(est, 2).alias("hll_estimate"),
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
             "rel_error"
         ),
-    ).orderBy("event_type")
+    ).orderBy(key_col)
 
 
 def q_sketch_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
@@ -977,10 +1005,22 @@ def q_sketch_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     (min over the D row cells each token hashes to), and the overestimate
     (always >= 0 — count-min never undercounts). The D x W cell table is
     one broadcastable row; per-token lookup is a map probe."""
-    from ..functions.hashing import portable_hash
-
     docs = load(spark, sf, "documents")
     tok = docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+    return countmin_heavy_hitters(tok, token_col="token")
+
+
+def countmin_heavy_hitters(
+    df: DataFrame, *, token_col: str, top: int | None = None
+) -> DataFrame:
+    """Count-min heavy hitters over ANY single-token-per-row frame —
+    (token, exact_cnt, cms_est, overestimate) for the `top` exact-top
+    tokens; the extracted core of `q_sketch_countmin_heavy_hitters`
+    (sketch geometry and mergeability notes there)."""
+    from ..functions.hashing import portable_hash
+
+    top = CMS_TOP if top is None else top
+    tok = df.select(F.col(token_col).alias("token"))
     cell_keys = [
         (F.lit(d * CMS_W) + portable_hash(F.concat(F.lit(f"cms{d}:"), F.col("token"))) % CMS_W)
         for d in range(CMS_D)
@@ -995,7 +1035,7 @@ def q_sketch_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         tok.groupBy("token")
         .agg(F.count("*").alias("exact_cnt"))
         .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
-        .limit(CMS_TOP)
+        .limit(top)
     )
     est = F.least(
         *[

@@ -195,7 +195,13 @@ def q_timeseries_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     b' = β(l'−l) + (1−β)b is written with the identical association in
     the Python kernel and the SQL, over dyadic α/β — the float sequences
     are IEEE-identical, rounded once at the end."""
-    dense = _dense_daily(spark, sf)
+    return holt_daily(_dense_daily(spark, sf))
+
+
+def holt_daily(dense: DataFrame) -> DataFrame:
+    """Holt double-exponential smoothing over ANY dense (user_id, day, v)
+    daily frame — the extracted core of `q_timeseries_holt_forecast`
+    (recurrence and determinism notes there)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day")
@@ -2021,3 +2027,140 @@ ORACLES["timeseries_seasonal_strength"] = """
     FROM ok_t
     ORDER BY event_type
 """
+
+
+# --- r13: Holt-Winters additive seasonal smoothing ----------------------------
+
+HW_ALPHA = 0.5  # level;    dyadic -> bit-identical IEEE sequences
+HW_BETA = 0.25  # trend
+HW_GAMMA = 0.25  # seasonal
+HW_M = 7  # weekly season over the 30-day window (4+ full cycles)
+HW_H = 7  # forecast horizon: one season ahead
+
+
+def q_timeseries_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (Winters 1960) of each
+    user's 30-day dense daily series with a weekly (m=7) season — the
+    seasonal completion of `timeseries_holt_forecast` (level+trend only):
+    final level, trend, the seasonal component the H-step forecast will
+    consume, and the H=7-step-ahead forecast l + H*b + s_{t+H-m}.
+
+    Initialization is the classic two-season form: level = mean of days
+    1..7, trend = (mean(days 8..14) - mean(days 1..7)) / 7, seasonal_i =
+    v_i - level for i = 1..7; then for t = 8..30 (pos = (t-1) mod 7):
+
+        l' = alpha*(v_t - s_pos) + (1-alpha)*(l + b)
+        b' = beta*(l' - l) + (1-beta)*b
+        s_pos' = gamma*(v_t - l') + (1-gamma)*s_pos
+
+    The per-series recurrence runs as an `applyInPandas` kernel (per-group
+    state never leaves the executor — scales with #users, the
+    holt_forecast pattern); the DuckDB oracle replays the SAME recurrence
+    as a recursive CTE carrying (level, trend, seasonal LIST) per user,
+    stepping t = 8..30 with the identical operand association over dyadic
+    alpha/beta/gamma (sums left-folded identically in both engines, so
+    the float sequences are IEEE-identical, rounded once at the end)."""
+    return holt_winters_daily(_dense_daily(spark, sf))
+
+
+def holt_winters_daily(dense: DataFrame) -> DataFrame:
+    """Holt-Winters additive smoothing over ANY dense (user_id, day, v)
+    daily frame whose per-user day range covers >= 2*HW_M days — the
+    extracted core of `q_timeseries_holt_winters` (math and determinism
+    notes there)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import functools
+        import operator
+
+        pdf = pdf.sort_values("day")
+        v = [float(x) for x in pdf["v"]]
+        m1 = functools.reduce(operator.add, v[0:HW_M]) / 7.0
+        m2 = functools.reduce(operator.add, v[HW_M : 2 * HW_M]) / 7.0
+        lv = m1
+        b = (m2 - m1) / 7.0
+        s = [v[i] - m1 for i in range(HW_M)]
+        for t in range(HW_M + 1, len(v) + 1):  # 1-based day 8..30
+            pos = (t - 1) % HW_M
+            sp = s[pos]
+            l_new = HW_ALPHA * (v[t - 1] - sp) + (1.0 - HW_ALPHA) * (lv + b)
+            b = HW_BETA * (l_new - lv) + (1.0 - HW_BETA) * b
+            s[pos] = HW_GAMMA * (v[t - 1] - l_new) + (1.0 - HW_GAMMA) * sp
+            lv = l_new
+        next_pos = (len(v) + HW_H - 1) % HW_M  # day 37 -> pos 1
+        return pd.DataFrame(
+            {
+                "user_id": [
+                    int(pdf["user_id"].iloc[0])
+                    if pd.notna(pdf["user_id"].iloc[0])
+                    else None
+                ],
+                "level": [round(lv, 4)],
+                "trend": [round(b, 4)],
+                "season_next": [round(s[next_pos], 4)],
+                "forecast_h": [round(lv + 7.0 * b + s[next_pos], 4)],
+            }
+        )
+
+    return dense.groupBy("user_id").applyInPandas(
+        kernel,
+        schema=(
+            "user_id bigint, level double, trend double,"
+            " season_next double, forecast_h double"
+        ),
+    )
+
+
+QUERIES["timeseries_holt_winters"] = q_timeseries_holt_winters
+
+
+def _hw_oracle() -> str:
+    m1 = "(" + "+".join(f"v[{i}]" for i in range(1, HW_M + 1)) + ") / 7.0"
+    m2 = "(" + "+".join(f"v[{i}]" for i in range(HW_M + 1, 2 * HW_M + 1)) + ") / 7.0"
+    sp = f"s[(t % {HW_M}) + 1]"
+    lnew = (
+        f"({HW_ALPHA} * (v[t + 1] - {sp})"
+        f" + {1.0 - HW_ALPHA} * (l + b))"
+    )
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT user_id, date_part('day', ts)::INT AS day,
+                   round(sum(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT u.user_id, g.day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(generate_series(1, {N_DAYS})) AS day) g
+        ), dense AS (
+            SELECT g.user_id, g.day, coalesce(daily.v, 0.0) AS v
+            FROM grid g LEFT JOIN daily USING (user_id, day)
+        ), vser AS (
+            SELECT user_id, list(v ORDER BY day) AS v
+            FROM dense GROUP BY user_id
+        ), hw AS (
+            SELECT user_id, v, {HW_M} AS t,
+                   {m1} AS l,
+                   ({m2} - {m1}) / 7.0 AS b,
+                   list_transform(generate_series(1, {HW_M}),
+                                  i -> v[i] - {m1}) AS s
+            FROM vser
+            UNION ALL
+            SELECT user_id, v, t + 1,
+                   {lnew},
+                   {HW_BETA} * ({lnew} - l) + {1.0 - HW_BETA} * b,
+                   list_transform(generate_series(1, {HW_M}), i ->
+                       CASE WHEN i = (t % {HW_M}) + 1
+                            THEN {HW_GAMMA} * (v[t + 1] - {lnew})
+                                 + {1.0 - HW_GAMMA} * {sp}
+                            ELSE s[i] END) AS s
+            FROM hw WHERE t < {N_DAYS}
+        )
+        SELECT user_id, round(l, 4) AS level, round(b, 4) AS trend,
+               round(s[{((N_DAYS + HW_H - 1) % HW_M) + 1}], 4) AS season_next,
+               round(l + 7.0 * b + s[{((N_DAYS + HW_H - 1) % HW_M) + 1}], 4)
+                   AS forecast_h
+        FROM hw WHERE t = {N_DAYS}
+    """
+
+
+ORACLES["timeseries_holt_winters"] = _hw_oracle()

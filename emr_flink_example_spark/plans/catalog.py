@@ -32,6 +32,7 @@ from ..operators import (
     dataquality,
     dedup,
     event_time,
+    extensions,
     multimodal,
     relational,
     sampling,
@@ -68,6 +69,9 @@ _MODULES = (
     # appended last (r11): the data-quality family (profiling + constraint
     # validation) — tail placement keeps the checked prefix stable
     dataquality,
+    # appended last (r13): tail registrations for queries whose thematic
+    # home module sits INSIDE the driver-checked prefix (see its docstring)
+    extensions,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -693,3 +693,87 @@ def test_pii_and_repetition(docs, spark):
     assert rep[10].rep_ratio == rep[11].rep_ratio
     assert rep[14].rep_ratio == 0.0
     assert rep[15].n_bigrams == 0 and rep[15].rep_ratio == 0.0
+
+
+# -- wave 7 (r13): sketches, forecasting, OPH tier, Bayesian/paired stats ------
+
+
+def test_hll_distinct_renamed_columns(spark):
+    rows = [(f"g{i % 2}", f"u{i % 37}") for i in range(500)]
+    out = api.hll_distinct(
+        spark.createDataFrame(rows, "grp string, visitor string"),
+        key_col="grp",
+        value_col="visitor",
+    ).collect()
+    assert {r.grp for r in out} == {"g0", "g1"}
+    for r in out:
+        # 2 and 37 are coprime, so every visitor appears in both groups
+        assert r.n_exact == 37
+        assert r.rel_error < 0.5  # 64 registers on tiny n: loose but sane
+
+
+def test_kmv_distinct_renamed_columns(spark):
+    rows = [("a", f"w{i}") for i in range(300)] + [("b", "only")]
+    out = {
+        r.grp: r
+        for r in api.kmv_distinct(
+            spark.createDataFrame(rows, "grp string, word string"),
+            key_col="grp",
+            value_col="word",
+        ).collect()
+    }
+    assert out["b"].n_distinct_exact == 1
+    assert out["b"].est_distinct == 1.0  # below k -> exact
+    assert out["a"].n_distinct_exact == 300
+    assert abs(out["a"].est_distinct - 300) / 300 < 0.6
+
+
+def test_countmin_heavy_hitters_renamed(spark):
+    rows = [("the",)] * 50 + [("rare",)] * 2 + [(f"x{i}",) for i in range(30)]
+    out = api.countmin_heavy_hitters(
+        spark.createDataFrame(rows, "w string"), token_col="w", top=3
+    ).collect()
+    by_tok = {r.token: r for r in out}
+    assert by_tok["the"].exact_cnt == 50
+    for r in out:
+        assert r.cms_est >= r.exact_cnt  # count-min never undercounts
+        assert r.overestimate >= 0
+
+
+def test_near_duplicate_pairs_oph_renamed(docs):
+    pairs = api.near_duplicate_pairs_oph(docs, id_col="uid", text_col="body")
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    assert got[(10, 11)] == 1.0  # exact dups agree on every densified bin
+    assert got[(16, 17)] == 1.0
+    sigs = api.oph_signatures(docs, id_col="uid", text_col="body").collect()
+    assert all(len(r.sig) == 16 and None not in r.sig for r in sigs)
+
+
+def test_bayes_beta_renamed_columns(spark):
+    rows = [(0, 1)] * 3 + [(0, 0)] * 7 + [(1, 1)] * 6 + [(1, 0)] * 4
+    r = api.bayes_beta(
+        spark.createDataFrame(rows, "bucket int, won int"),
+        variant_col="bucket",
+        converted_col="won",
+    ).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (10, 3, 10, 6)
+    assert r.prob_b_beats_a_micro > 500000  # B converts better
+
+
+def test_wilcoxon_renamed_columns(spark):
+    rows = [(100, 140), (90, 130), (80, 120), (70, 60), (50, 90), (40, 80)]
+    r = api.wilcoxon_signed_rank(
+        spark.createDataFrame(rows, "pre bigint, post bigint"),
+        before_col="pre",
+        after_col="post",
+    ).collect()[0]
+    assert (r.n_pairs, r.n_eff) == (6, 6)
+    assert r.z_micro > 0  # predominantly positive shifts
+
+
+def test_holt_winters_daily_renamed_frame(spark):
+    rows = [(9, d + 1, 5.0) for d in range(30)]
+    r = api.holt_winters_daily(
+        spark.createDataFrame(rows, "user_id bigint, day int, v double")
+    ).collect()[0]
+    assert (r.level, r.trend, r.forecast_h) == (5.0, 0.0, 5.0)

@@ -13,9 +13,15 @@ from emr_flink_example_spark.streaming.dedup_stream import (
     near_dup_filter_sink,
 )
 
+# ~46 tokens so the one-token change keeps true Jaccard ~0.93: with the
+# r13 full-range permutations the 4x4 banding is an HONEST J^4-per-band
+# coin — the old 25-token text (J ~ 0.77) only band-collided because the
+# degenerate perms shared an argmin (see tests/test_minhash_perms.py)
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat sleeps "
-    "by the warm fire and the rain falls softly outside the window"
+    "by the warm fire and the rain falls softly outside the window and "
+    "the clock on the wall ticks slowly through the quiet evening as "
+    "shadows stretch across the wooden floor toward the open door"
 )
 NEAR = BASE.replace("softly", "gently")  # one-token change: near-dup
 DISTINCT = (

@@ -160,9 +160,16 @@ def test_ngram_novelty_bounds_and_coverage(spark):
     assert min(ratios) < 0.5 and max(ratios) > 0.5
 
 
-def test_pagerank_favors_hubs(spark):
-    # within a component, rank must correlate with degree: the max-rank
-    # node of the whole graph must be one of the max-degree nodes' cluster
+def test_pagerank_degree_monotone(spark):
+    # Degree-monotonicity on the dup graph: a max-degree node's rank is
+    # >= every degree-1 leaf's. Equality is correct when components are
+    # d-regular (cliques/pairs — uniform teleport makes rank uniform
+    # inside a regular component); strict > binds only where a hub has a
+    # degree-1 NEIGHBOR (star shape). The r13 full-range-permutation fix
+    # removed the false-positive star hubs the pre-fix graph had, so the
+    # fixture graph is now all regular components — the >= form is the
+    # sound invariant, with the strict check kept for any star that
+    # appears in future fixtures.
     pr = {r.doc_id: r.pagerank_e12 for r in q_graph_pagerank(spark, SF_DIR).collect()}
     from emr_flink_example_spark.operators.dedup import (
         CC_EST_JACCARD,
@@ -175,15 +182,24 @@ def test_pagerank_favors_hubs(spark):
         .collect()
     )
     deg: dict[int, int] = {}
+    adj: dict[int, list[int]] = {}
     for p in pairs:
         deg[p.doc_a] = deg.get(p.doc_a, 0) + 1
         deg[p.doc_b] = deg.get(p.doc_b, 0) + 1
+        adj.setdefault(p.doc_a, []).append(p.doc_b)
+        adj.setdefault(p.doc_b, []).append(p.doc_a)
     max_deg = max(deg.values())
-    # a maximal-degree node must outrank every degree-1 leaf
     top_hub_rank = max(pr[n] for n, d in deg.items() if d == max_deg)
     leaf_ranks = [pr[n] for n, d in deg.items() if d == 1]
     if leaf_ranks and max_deg > 1:
-        assert top_hub_rank > max(leaf_ranks)
+        # regular components are uniform at 1e12/N up to the iteration's
+        # integer-unit rounding residue (observed spread: 2 units)
+        assert top_hub_rank >= max(leaf_ranks) - 5
+    for h, ns in adj.items():
+        if deg[h] >= 2:
+            for n in ns:
+                if deg[n] == 1:  # star shape: strict dominance
+                    assert pr[h] > pr[n]
 
 
 def test_embedding_decontamination_covers_probe_slice(spark):

@@ -1,0 +1,103 @@
+"""One-Permutation Hashing tier (r13): the densified OPH signature math
+is re-derived in pure Python (hashlib md5, the same 15-hex-digit h31 and
+single mod-mul permutation) and compared bit-for-bit against the Spark
+builder; pair generation sanity on exact duplicates; banding
+compatibility with the classic tier's back end."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from emr_flink_example_spark.operators.dedup import (
+    MERSENNE_61,
+    N_PERMS,
+    OPH_A,
+    OPH_B,
+    OPH_C,
+    oph_signatures_for,
+    q_dedup_minhash_oph,
+)
+from emr_flink_example_spark.operators.textstats import TOKEN_RE
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_oph_sig(text: str) -> list[int]:
+    toks = re.findall(TOKEN_RE, text)
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    sparse: dict[int, int] = {}
+    for s in shingles:
+        h31 = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % ((1 << 31) - 1)
+        hv = (OPH_A * h31 + OPH_B) % MERSENNE_61
+        b, v = hv % N_PERMS, hv // N_PERMS
+        sparse[b] = min(sparse.get(b, v), v)
+    sig = []
+    for i in range(N_PERMS):
+        for d in range(N_PERMS):
+            if (i + d) % N_PERMS in sparse:
+                sig.append(sparse[(i + d) % N_PERMS] + d * OPH_C)
+                break
+    return sig
+
+
+def test_oph_signature_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the old river bank",
+        "a b c d",  # 2 shingles -> mostly-empty bins, densification-heavy
+        "uno dos tres cuatro cinco seis siete ocho nueve diez once doce",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: list(r.sig)
+        for r in oph_signatures_for(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_oph_sig(t), f"doc {i} signature mismatch"
+        assert all(v is not None for v in got[i])
+        assert len(got[i]) == N_PERMS
+
+
+def test_oph_exact_dups_agree_everywhere(spark):
+    base = (
+        "many identical words flowing through this long test document with "
+        "enough tokens to fill every hash bin of the signature quite likely"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely unrelated short thing here now")],
+        "doc_id bigint, text string",
+    )
+    from emr_flink_example_spark.operators.dedup import _pairs_from_sigs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in _pairs_from_sigs(oph_signatures_for(docs)).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_oph_fixture_recall_vs_classic(spark):
+    """On the fixture corpus, OPH candidates at est >= 0.75 should
+    substantially overlap the classic tier's high-confidence pairs —
+    the densified estimator is noisier but not a different universe."""
+    from emr_flink_example_spark.operators.dedup import q_dedup_minhash_lsh
+
+    classic = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_minhash_lsh(spark, SF_DIR)
+        .where(F.col("est_jaccard") >= 0.75)
+        .collect()
+    }
+    oph = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_minhash_oph(spark, SF_DIR)
+        .where(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    assert classic, "fixture should contain high-confidence near-dups"
+    hit = len(classic & oph) / len(classic)
+    assert hit >= 0.8, f"OPH recall of classic high-confidence pairs: {hit}"

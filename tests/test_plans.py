@@ -25,6 +25,8 @@ ARROW_QUERIES = {
     "multimodal_audio_fingerprint",
     "timeseries_dtw",
     "timeseries_holt_forecast",
+    # r13: the seasonal recurrence is the same per-group Arrow kernel
+    "timeseries_holt_winters",
     "dedup_embedding_cosine_vectorized",
     "udf_pandas_norm",
     "udaf_pandas_mean_dim0",
