@@ -80,7 +80,9 @@ Families:
   ``near_duplicate_pairs_oph`` / ``oph_signatures`` (single-hash
   densified signatures, N_PERMS-fold cheaper scans); Bayesian A/B
   ``bayes_beta`` (posterior means + P(B beats A)) and the paired
-  ``wilcoxon_signed_rank`` completing the stats battery.
+  ``wilcoxon_signed_rank`` completing the stats battery; analytics
+  cores ``rfm_segmentation`` / ``gini_lorenz`` / ``benford_audit`` /
+  ``transition_matrix`` over any user event/amount frames (wave 7b).
 
 Determinism contract: nothing here uses an RNG — every sampling/split
 decision is a salted portable hash of row content, so results are
@@ -97,18 +99,22 @@ from __future__ import annotations
 from .cache import unpersist_all
 from .operators.analytics import (
     bayes_beta,
+    benford_audit,
     cohens_d,
     cohort_retention,
     cuped,
     funnel_step_times,
+    gini_lorenz,
     kaplan_meier,
     mann_kendall,
     mann_whitney,
     permutation_test,
     proportion_ztest,
+    rfm_segmentation,
     roc_auc,
     sessionize,
     srm_check,
+    transition_matrix,
     welch_ttest,
     wilcoxon_signed_rank,
     wilson_ci,
@@ -192,6 +198,7 @@ __all__ = [
     "asof_join",
     "average_precision_at_k",
     "bayes_beta",
+    "benford_audit",
     "bm25_topk",
     "cascade_rollup",
     "check_foreign_key",
@@ -214,6 +221,7 @@ __all__ = [
     "dedup_survivors",
     "exact_duplicate_groups",
     "funnel_step_times",
+    "gini_lorenz",
     "gopher_flags",
     "hash_split",
     "hll_distinct",
@@ -244,6 +252,7 @@ __all__ = [
     "psi_drift",
     "readability_flesch",
     "repeated_spans",
+    "rfm_segmentation",
     "repetition_ngram",
     "resample_gapfill",
     "roc_auc",
@@ -253,6 +262,7 @@ __all__ = [
     "stratified_sample",
     "text_quality",
     "token_frequencies",
+    "transition_matrix",
     "unpersist_all",
     "weighted_sample_es",
     "welch_ttest",

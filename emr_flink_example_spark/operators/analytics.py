@@ -300,11 +300,26 @@ def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB nothing after the first exchange scales with the event
     count. The probability is a ratio of exact integers rounded to 6, so
     both engines agree bit-for-bit."""
-    events = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    trans = events.select(
-        F.lag("event_type").over(w).alias("from_type"),
-        F.col("event_type").alias("to_type"),
+    return transition_matrix(load(spark, sf, "events"))
+
+
+def transition_matrix(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov (from, to) transition counts + probabilities
+    over ANY per-user typed event frame — deterministic (ts, id) order;
+    plan notes in `q_event_transition_matrix`."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    trans = df.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
     ).where(F.col("from_type").isNotNull())
     counts = trans.groupBy("from_type", "to_type").agg(
         F.count("*").alias("n_transitions")
@@ -1077,15 +1092,25 @@ def q_benford_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
     the frequency CASEs require n_total <= that bound (an exact bigint
     compare on a count that cannot itself overflow) and NULL the micro
     columns loudly past it, mirrored in the oracle."""
-    orders = load(spark, sf, "orders").where(F.col("o_totalprice") > 0)
+    return benford_audit(load(spark, sf, "orders"), value_col="o_totalprice")
+
+
+def benford_audit(df: DataFrame, *, value_col: str) -> DataFrame:
+    """Benford first-digit deviation profile of ANY positive monetary
+    column — 9 rows (digit, n_obs, benford_micro, obs_freq_micro,
+    abs_dev_micro); quantization, guard, and scale notes in
+    `q_benford_digit_audit`."""
+    orders = df.where(F.col(value_col) > 0)
     digit = F.expr(
-        "cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        f"cast(substring(cast(cast(floor({value_col} * 100 + 0.5) as bigint)"
         " as string), 1, 1) as int)"
     )
     obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("n_obs")
     )
-    exp_df = spark.createDataFrame(_benford_expect(), "digit int, benford_micro bigint")
+    exp_df = df.sparkSession.createDataFrame(
+        _benford_expect(), "digit int, benford_micro bigint"
+    )
     tot = obs.agg(F.sum("n_obs").alias("n_total"))
     return (
         F.broadcast(exp_df)
@@ -1285,6 +1310,25 @@ def q_event_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     integer comparisons against those identical doubles."""
     events = load(spark, sf, "events")
     purch = events.where(F.col("event_type") == "purchase")
+    return rfm_segmentation(purch)
+
+
+def rfm_segmentation(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM scores + segment code over ANY (user, ts, amount) purchase
+    frame — (user_id, recency_days, n_purchases, monetary_cents,
+    r_score, f_score, m_score, segment); boundary/tie semantics and the
+    scale rationale in `q_event_rfm_segmentation`."""
+    purch = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
     anchor = purch.agg(F.max(F.to_date("ts")).alias("anchor_day"))
     users = (
         purch.crossJoin(F.broadcast(anchor))
@@ -1562,11 +1606,23 @@ def q_revenue_gini_lorenz(spark: SparkSession, sf: str) -> DataFrame:
     discipline). The global sort over customers is the inherent cost of
     an EXACT Gini/Lorenz — at 100 TB the approximation path is the
     equi-depth histogram (histogram_equidepth) over the same aggregate."""
-    orders = load(spark, sf, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).alias(
-            "cents"
-        )
+    return gini_lorenz(
+        load(spark, sf, "orders"), key_col="o_custkey", value_col="o_totalprice"
+    )
+
+
+def gini_lorenz(
+    df: DataFrame, *, key_col: str, value_col: str
+) -> DataFrame:
+    """Lorenz curve buckets + exact Gini over ANY (key, amount) frame —
+    amounts aggregate to exact cents per key first; output (bucket,
+    n_customers, revenue_cents, cum_share_micro, gini_micro,
+    headroom_ok). Identity, guard, and scale notes in
+    `q_revenue_gini_lorenz`."""
+    rev = df.groupBy(F.col(key_col).alias("o_custkey")).agg(
+        F.sum(
+            F.expr(f"cast(floor({value_col} * 100 + 0.5) as bigint)")
+        ).alias("cents")
     )
     order = [F.col("cents").asc(), F.col("o_custkey").asc()]
     w = Window.orderBy(*order)

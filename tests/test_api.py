@@ -777,3 +777,83 @@ def test_holt_winters_daily_renamed_frame(spark):
         spark.createDataFrame(rows, "user_id bigint, day int, v double")
     ).collect()[0]
     assert (r.level, r.trend, r.forecast_h) == (5.0, 0.0, 5.0)
+
+
+# -- wave 7b (r13): analytics cores on renamed frames --------------------------
+
+
+def test_rfm_segmentation_renamed(spark):
+    import datetime as _dt
+
+    rows = []
+    for u in range(1, 6):
+        for k in range(u):  # user u buys u times, amounts 10*u
+            rows.append((u, _dt.datetime(2026, 1, 1 + k), 10.0 * u))
+    out = {
+        r.user_id: r
+        for r in api.rfm_segmentation(
+            spark.createDataFrame(rows, "acct bigint, when timestamp, amt double"),
+            user_col="acct",
+            ts_col="when",
+            value_col="amt",
+        ).collect()
+    }
+    assert out[5].n_purchases == 5 and out[5].monetary_cents == 25000
+    assert out[5].f_score == 5 and out[5].m_score == 5  # top buyer
+    assert len(out[5].segment) == 3
+
+
+def test_gini_lorenz_renamed(spark):
+    equal = spark.createDataFrame(
+        [(k, 10.0) for k in range(20)], "acct bigint, amt double"
+    )
+    out = api.gini_lorenz(equal, key_col="acct", value_col="amt").collect()
+    assert all(r.gini_micro == 0 for r in out)  # perfect equality
+    skew = spark.createDataFrame(
+        [(0, 1000.0)] + [(k, 1.0) for k in range(1, 20)],
+        "acct bigint, amt double",
+    )
+    out2 = api.gini_lorenz(skew, key_col="acct", value_col="amt").collect()
+    assert out2[0].gini_micro > 800000  # heavy concentration
+
+
+def test_transition_matrix_renamed(spark):
+    import datetime as _dt
+
+    rows = [
+        (1, "a", _dt.datetime(2026, 1, 1, 0, 0), 1),
+        (1, "b", _dt.datetime(2026, 1, 1, 0, 1), 2),
+        (1, "a", _dt.datetime(2026, 1, 1, 0, 2), 3),
+        (2, "a", _dt.datetime(2026, 1, 1, 0, 0), 4),
+        (2, "b", _dt.datetime(2026, 1, 1, 0, 1), 5),
+    ]
+    out = {
+        (r.from_type, r.to_type): r
+        for r in api.transition_matrix(
+            spark.createDataFrame(rows, "who bigint, kind string, at timestamp, seq bigint"),
+            user_col="who",
+            type_col="kind",
+            ts_col="at",
+            id_col="seq",
+        ).collect()
+    }
+    assert out[("a", "b")].n_transitions == 2
+    assert out[("b", "a")].n_transitions == 1
+    assert out[("a", "b")].p_transition == 1.0  # every 'a' step goes to 'b'
+
+
+def test_benford_audit_renamed(spark):
+    import random as _r
+
+    rng = _r.Random(5)
+    # multiplicative process -> roughly Benford-distributed
+    rows = [(float(10 ** rng.uniform(0, 4)),) for _ in range(3000)]
+    out = api.benford_audit(
+        spark.createDataFrame(rows, "amt double"), value_col="amt"
+    ).collect()
+    assert len(out) == 9
+    by_digit = {r.digit: r for r in out}
+    assert sum(r.n_obs for r in out) == 3000
+    assert by_digit[1].n_obs > by_digit[9].n_obs  # Benford shape
+    for r in out:
+        assert r.abs_dev_micro is not None and r.abs_dev_micro < 120000
