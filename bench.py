@@ -291,6 +291,7 @@ HEADLINE = [
     "timeseries_seasonal_strength",
     # r13 additions
     "dedup_minhash_oph",
+    "oph_calibration",
     "abtest_bayes_beta",
     "stats_wilcoxon_signed_rank",
     "timeseries_holt_winters",

@@ -928,10 +928,11 @@ def q_dedup_minhash_oph(
     return near_duplicate_pairs_oph(load(spark, sf, "documents"), cap=cap)
 
 
-def _oph_oracle() -> str:
-    """DuckDB replay of the OPH tier: same single permutation, same
-    bin-min/densification math (integer div/mod on the identical md5-based
-    h31), then the shared banding CTEs."""
+def _oph_cand_ctes() -> str:
+    """DuckDB replay of the OPH tier through `cand`: same single
+    permutation, same bin-min/densification math (integer div/mod on the
+    identical md5-based h31), then the shared banding CTEs at the OPH
+    2-row geometry."""
     k = N_PERMS
     sparse_cols = ", ".join(
         f"min(CASE WHEN hv % {k} = {i} THEN hv // {k} END) AS s{i}"
@@ -969,8 +970,67 @@ def _oph_oracle() -> str:
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
     )
-    SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard FROM cand
     """
+
+
+def _oph_oracle() -> str:
+    return (
+        _oph_cand_ctes()
+        + f"SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard FROM cand"
+    )
+
+
+def q_oph_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimator calibration for the OPH tier — every OPH candidate pair
+    scored by the densified signature-agreement estimate AND the exact
+    shingle-set Jaccard (the `minhash_calibration` measurement applied to
+    the cheaper signatures): the number that tells you what the
+    single-hash tier's extra variance actually costs before you point it
+    at 100 TB. Plan shape identical to q_minhash_calibration (bounded
+    pair set joined back to the PINNED shingle frame)."""
+    pairs = q_dedup_minhash_oph(spark, sf)
+    sh = _shingled_docs(spark, sf).transform(pinned)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    exact = F.round(inter.cast("double") / uni, 6)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+def _oph_calibration_oracle() -> str:
+    return (
+        _oph_cand_ctes()
+        + f""",
+        sets AS (
+            SELECT doc_id, {SHINGLES_DUCK} AS sh FROM tok
+        ), scored AS (
+            SELECT doc_a, doc_b, {_EST_JACCARD_DUCK} AS est_jaccard FROM cand
+        )
+        SELECT s.doc_a, s.doc_b, s.est_jaccard,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS exact_jaccard,
+               round(abs(s.est_jaccard
+                         - round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                                 / (len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh))), 6)),
+                     6) AS abs_err
+        FROM scored s
+        JOIN sets a ON a.doc_id = s.doc_a
+        JOIN sets b ON b.doc_id = s.doc_b
+    """
+    )
 
 
 # est-Jaccard cutoff for treating an LSH candidate pair as a dup edge.

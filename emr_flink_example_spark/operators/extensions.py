@@ -16,12 +16,20 @@ route through here.
 
 from __future__ import annotations
 
-from .dedup import _oph_oracle, q_dedup_minhash_oph
+from .dedup import (
+    _oph_calibration_oracle,
+    _oph_oracle,
+    q_dedup_minhash_oph,
+    q_oph_calibration,
+)
 
 QUERIES = {
     "dedup_minhash_oph": q_dedup_minhash_oph,
+    # r13 continuation: densified-estimator quality measurement
+    "oph_calibration": q_oph_calibration,
 }
 
 ORACLES = {
     "dedup_minhash_oph": _oph_oracle(),
+    "oph_calibration": _oph_calibration_oracle(),
 }

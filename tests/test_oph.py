@@ -101,3 +101,16 @@ def test_oph_fixture_recall_vs_classic(spark):
     assert classic, "fixture should contain high-confidence near-dups"
     hit = len(classic & oph) / len(classic)
     assert hit >= 0.8, f"OPH recall of classic high-confidence pairs: {hit}"
+
+
+def test_oph_calibration_quality(spark):
+    """The densified estimator must stay calibrated on the fixture: no
+    est>=0.5/exact<0.3 false positives and mean |err| under 0.1 (measured
+    0.037 at sf0.001 — higher than classic's 0.030, the documented
+    densification variance)."""
+    from emr_flink_example_spark.plans.catalog import all_queries
+
+    rows = all_queries(False)["oph_calibration"](spark, SF_DIR).collect()
+    assert rows
+    assert not [r for r in rows if r.est_jaccard >= 0.5 and r.exact_jaccard < 0.3]
+    assert sum(r.abs_err for r in rows) / len(rows) < 0.1
