@@ -2653,30 +2653,41 @@ def q_basket_lift_pairs(spark: SparkSession, sf: str) -> DataFrame:
     double expression floored to micros; the top-k orders by the integer
     micro lift with (part_a, part_b) tiebreak.
 
-    100 TB: the dedup groupBy, the capped self-join, and the pair count
-    are all combine-friendly shuffles on orderkey/pair keys; supports
-    join back pair-bounded; the cut is a global TakeOrdered. No
-    collect, no window, no cartesian."""
+    100 TB (r14 reshape): the former orderkey self-join (plus the
+    basket-size pre-aggregate and its back-join) is replaced by ONE
+    groupBy(l_orderkey) to a sorted basket array — the size cap becomes a
+    map-side filter on size(basket), and in-basket pairs expand by a
+    higher-order transform (quadratic only within one ≤BASKET_MAX basket,
+    the same bound the join form enforced; the one-array-per-order
+    aggregation buffer is linear in basket size). Supports and N derive
+    from the same basket frame by a map-side explode, so the distinct
+    (order, part) stream is scanned once instead of four times. Pair
+    counts stay combine-friendly shuffles; the cut is a global
+    TakeOrdered. No collect, no window, no cartesian, two fewer
+    exchanges."""
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     order_part = li.distinct()
-    sized = order_part.groupBy("l_orderkey").agg(
-        F.count("*").alias("basket_size")
+    baskets = (
+        order_part.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .where(F.size("ps") <= BASKET_MAX)
+        .transform(pinned)
     )
-    ok_orders = sized.where(F.col("basket_size") <= BASKET_MAX).select(
-        "l_orderkey"
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)),"
+        "           y -> struct(x AS part_a, y AS part_b))))"
     )
-    op = order_part.join(ok_orders, "l_orderkey")
-    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("supp_ab"))
         .where(F.col("supp_ab") >= BASKET_MIN_SUPPORT)
     )
-    supp = op.groupBy("l_partkey").agg(F.count("*").alias("supp"))
-    n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    exploded = baskets.select(F.explode("ps").alias("l_partkey"))
+    supp = exploded.groupBy("l_partkey").agg(F.count("*").alias("supp"))
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
     lift = F.expr(
         "cast(floor(cast(n_orders as double) * cast(supp_ab as double)"
         " / (cast(supp_a as double) * cast(supp_b as double))"
@@ -4775,23 +4786,30 @@ def q_basket_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     Top RULES_TOPK by the INTEGER (conf_micro desc, part_a, part_b)
     total order.
 
-    100 TB: identical shape to basket_lift_pairs — the BASKET_MAX skew
-    guard bounds the self-join, supports join back pair-bounded, the
-    cut is a global TakeOrdered over rule-count rows."""
+    100 TB (r14 reshape, the basket_lift_pairs twin): one
+    groupBy(l_orderkey) to a sorted basket array replaces the orderkey
+    self-join and the basket-size pre-aggregate + back-join; the
+    BASKET_MAX skew guard becomes a map-side size(basket) filter bounding
+    the higher-order pair expansion exactly as the join cap did. Supports
+    and N (both over the UNCAPPED corpus, unchanged) derive from the same
+    basket frame by explode/count, the cut is a global TakeOrdered over
+    rule-count rows."""
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    order_part = li.distinct().transform(pinned)
-    sized = order_part.groupBy("l_orderkey").agg(
-        F.count("*").alias("basket_size")
+    baskets_all = (
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .transform(pinned)
     )
-    ok_orders = sized.where(F.col("basket_size") <= BASKET_MAX).select(
-        "l_orderkey"
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)),"
+        "           y -> struct(x AS part_a, y AS part_b))))"
     )
-    capped = order_part.join(ok_orders, "l_orderkey")
-    a = capped.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = capped.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets_all.where(F.size("ps") <= BASKET_MAX)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("supp_ab"))
     )
@@ -4802,8 +4820,12 @@ def q_basket_association_rules(spark: SparkSession, sf: str) -> DataFrame:
             "supp_ab",
         )
     )
-    supp = order_part.groupBy("l_partkey").agg(F.count("*").alias("supp"))
-    n_orders = sized.groupBy().agg(F.count("*").alias("n_orders"))
+    supp = (
+        baskets_all.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("supp"))
+    )
+    n_orders = baskets_all.groupBy().agg(F.count("*").alias("n_orders"))
     scored = (
         directed.join(
             supp.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")),

@@ -259,64 +259,81 @@ def q_multimodal_phash(spark: SparkSession, sf: str) -> DataFrame:
     is a rank selection over integers; the hash assembles by integer
     shifts. Nothing float anywhere.
 
-    Scale shape: 64 pixel rows per doc explode map-side; each DCT stage is
-    one broadcast join against the 64-row basis + one doc-keyed groupBy;
-    the median and assembly ride doc-keyed windows/aggregates —
-    embarrassingly parallel across documents, same as the real-codec
-    version would be (swap the pixel CTE for decoded luma)."""
+    Scale shape (r14 rewrite): everything after the scan is PER-DOCUMENT
+    integer arithmetic, so the whole census — pixel nibbles, both
+    separable DCT stages, the rank-32 median selection, and the bit
+    assembly — runs as higher-order-function folds over 64-element arrays
+    inside ONE map-side projection. Zero exchanges, zero joins, zero
+    windows (the pre-r14 form staged the DCT through two broadcast-join +
+    doc-keyed-groupBy rounds and a median window — 20 Exchange nodes that
+    shuffled 128 rows per document; the values produced are identical
+    because every sum is integer-exact in any order and the array_sort
+    struct order (f, u, v) is the window's ORDER BY). Embarrassingly
+    parallel across documents at any scale — swap the pixel expression
+    for decoded luma to use a real codec."""
     docs = load(spark, sf, "documents")
-    hx = F.concat(
-        F.md5(F.concat(F.col("text"), F.lit(":px0"))),
-        F.md5(F.concat(F.col("text"), F.lit(":px1"))),
+    # basis as one flat 64-literal bigint array, K[u*8 + x + 1]
+    kflat = [0] * 64
+    for u, x, k in _dct_basis():
+        kflat[u * 8 + x] = k
+    klit = "array(" + ", ".join(f"{k}L" for k in kflat) + ")"
+    # Each intermediate (pixel array, DCT stages, median) is bound as a
+    # LAMBDA VARIABLE via transform(array(<expr>), name -> ...) so it is
+    # computed once per row — chained withColumn projections would be
+    # collapsed by the optimizer, textually inlining each stage into every
+    # downstream element_at and exploding the expression tree (the first
+    # draft of this rewrite did exactly that and evaluated the pixel
+    # expression hundreds of thousands of times per document).
+    px = (
+        "transform(sequence(0, 63), i ->"
+        " cast(conv(substring(hx, i + 1, 1), 16, 10) as bigint))"
     )
-    pixels = (
-        docs.select("doc_id", hx.alias("hx"))
-        .select(
-            "doc_id",
-            F.explode(F.expr("sequence(0, 63)")).alias("i"),
-            F.col("hx"),
-        )
-        .select(
-            "doc_id",
-            F.expr("i div 8").alias("r"),
-            (F.col("i") % 8).alias("c"),
-            F.conv(F.expr("substring(hx, i + 1, 1)"), 16, 10)
-            .cast("bigint")
-            .alias("p"),
-        )
-    )
-    basis = spark.createDataFrame(_dct_basis(), "u int, x int, k bigint")
+    # first DCT stage: g[r*8 + v] = sum_c px[r*8 + c] * K[v*8 + c]
     g = (
-        pixels.join(F.broadcast(basis), pixels["c"] == basis["x"])
-        .select("doc_id", "r", F.col("u").alias("v"), (F.col("p") * F.col("k")).alias("t"))
-        .groupBy("doc_id", "r", "v")
-        .agg(F.sum("t").alias("g"))
+        "transform(sequence(0, 63), j -> aggregate(sequence(0, 7),"
+        " cast(0 as bigint), (acc, c) ->"
+        " acc + element_at(px, cast((j div 8) * 8 + c + 1 as int))"
+        "     * element_at(kb, cast((j % 8) * 8 + c + 1 as int))))"
     )
-    f = (
-        g.join(F.broadcast(basis), g["r"] == basis["x"])
-        .select("doc_id", "u", "v", (F.col("g") * F.col("k")).alias("t"))
-        .groupBy("doc_id", "u", "v")
-        .agg(F.sum("t").alias("f"))
-        .where(~((F.col("u") == 0) & (F.col("v") == 0)))
+    # second stage: f[u*8 + v] = sum_r g[r*8 + v] * K[u*8 + r]; j = 1..63
+    # skips the DC coefficient (u = v = 0) exactly like the staged WHERE
+    fs = (
+        "transform(sequence(1, 63), j -> struct("
+        " aggregate(sequence(0, 7), cast(0 as bigint), (acc, r) ->"
+        "   acc + element_at(g, cast(r * 8 + (j % 8) + 1 as int))"
+        "       * element_at(kb, cast((j div 8) * 8 + r + 1 as int))) AS f,"
+        " cast(j div 8 as int) AS u, cast(j % 8 as int) AS v))"
     )
-    wmed = Window.partitionBy("doc_id").orderBy("f", "u", "v")
-    med = (
-        f.withColumn("rk", F.row_number().over(wmed))
-        .where(F.col("rk") == 32)
-        .select("doc_id", F.col("f").alias("m"))
+    # median m = 32nd-smallest of the 63 AC coefficients under the
+    # (f, u, v) struct order — array_sort == the old window's ORDER BY;
+    # result = struct(phash, n_ones) assembled from (fs, m)
+    hx_sql = (
+        "concat(md5(concat(text, ':px0')), md5(concat(text, ':px1')))"
     )
-    bits = f.join(med, "doc_id").select(
+    result = f"""
+      element_at(transform(array({hx_sql}), hx ->
+        element_at(transform(array({klit}), kb ->
+          element_at(transform(array({px}), px ->
+            element_at(transform(array({g}), g ->
+              element_at(transform(array({fs}), fs ->
+                element_at(transform(array(element_at(array_sort(fs), 32).f), m ->
+                  struct(
+                    aggregate(fs, cast(0 as bigint), (acc, s) -> acc +
+                      IF(s.f > m, shiftleft(cast(1 as bigint),
+                      s.u * 8 + s.v - 1), cast(0 as bigint))) AS phash,
+                    aggregate(fs, cast(0 as bigint),
+                      (acc, s) -> acc + IF(s.f > m, 1L, 0L)) AS n_ones)
+                ), 1)
+              ), 1)
+            ), 1)
+          ), 1)
+        ), 1)
+      ), 1)
+    """
+    return docs.select(
         "doc_id",
-        F.when(
-            F.col("f") > F.col("m"),
-            F.expr("shiftleft(cast(1 as bigint), u * 8 + v - 1)"),
-        )
-        .otherwise(F.lit(0).cast("bigint"))
-        .alias("bitval"),
-        (F.col("f") > F.col("m")).cast("int").alias("one"),
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum("bitval").alias("phash"), F.sum("one").alias("n_ones")
+        F.expr(result + ".phash").alias("phash"),
+        F.expr(result + ".n_ones").alias("n_ones"),
     )
 
 

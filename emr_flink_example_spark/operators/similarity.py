@@ -1794,36 +1794,42 @@ def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     if base.first() is None:  # empty corpus: no component
         return spark.createDataFrame([], out_schema)
     train = _train_sample(base, TRAIN_SAMPLE_CAP)
-    mu_row = train.agg(
-        *[
-            F.round(F.avg(F.element_at("e", i)), 6).alias(f"m{i}")
-            for i in range(1, DIM + 1)
-        ]
-    ).collect()[0]
-    mu = [mu_row[f"m{i}"] for i in range(1, DIM + 1)]
+    # every multi-column aggregate below is built as ONE SQL string
+    # producing an array — 64 Column objects assembled through py4j cost
+    # ~1 s of driver chatter PER ROUND (measured r14); one parsed
+    # expression is milliseconds for the same plan
+    mu_agg = "array(" + ", ".join(
+        f"round(avg(element_at(e, {i})), 6)" for i in range(1, DIM + 1)
+    ) + ")"
+    mu = list(train.agg(F.expr(mu_agg).alias("mu")).collect()[0].mu)
     v = [0.125] * DIM  # 1/sqrt(64), exactly representable
+    # r14: mu/v ride a one-row broadcast frame instead of per-round inlined
+    # literals, so all PCA_ITERS rounds share ONE plan/codegen shape (the
+    # pre-r14 form re-analyzed and re-compiled a fresh 64-literal dot chain
+    # + 64 literal-bearing avg aggregates per round). The dot column is the
+    # same left-associated chain — sum(+) over i ascending — so the float
+    # sequence is bit-identical; the centered factors (e_i - mu_i) now read
+    # mu from the broadcast row, same IEEE subtract.
+    dot = " + ".join(
+        f"(element_at(e, {i}) - element_at(mu, {i}))"
+        f" * (element_at(vv, {i}))"
+        for i in range(1, DIM + 1)
+    )
+    s_agg = "array(" + ", ".join(
+        f"round(avg(dot * (element_at(e, {i}) - element_at(mu, {i}))), 6)"
+        for i in range(1, DIM + 1)
+    ) + ")"
     for _ in range(PCA_ITERS):
-        dot = " + ".join(
-            f"(element_at(e, {i}) - {mu[i - 1]!r}) * {v[i - 1]!r}"
-            for i in range(1, DIM + 1)
+        muv = spark.createDataFrame(
+            [(mu, v)], "mu array<double>, vv array<double>"
         )
-        s_row = (
-            train.select("e", F.expr(dot).alias("dot"))
-            .agg(
-                *[
-                    F.round(
-                        F.avg(
-                            F.col("dot")
-                            * (F.element_at("e", i) - F.lit(mu[i - 1]))
-                        ),
-                        6,
-                    ).alias(f"s{i}")
-                    for i in range(1, DIM + 1)
-                ]
-            )
+        s = list(
+            train.crossJoin(F.broadcast(muv))
+            .select("e", "mu", F.expr(dot).alias("dot"))
+            .agg(F.expr(s_agg).alias("s"))
             .collect()[0]
+            .s
         )
-        s = [s_row[f"s{i}"] for i in range(1, DIM + 1)]
         norm_sq = s[0] * s[0]
         for si in s[1:]:  # left-assoc chain, mirrored verbatim in SQL
             norm_sq = norm_sq + si * si
@@ -1835,27 +1841,16 @@ def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         f"(element_at(e, {i}) - {mu[i - 1]!r}) * {v[i - 1]!r}"
         for i in range(1, DIM + 1)
     )
-    stats = (
-        train.select("e", F.expr(dot_f).alias("dot"))
-        .agg(
-            F.round(F.avg(F.col("dot") * F.col("dot")), 6).alias("eigenvalue"),
-            *[
-                F.round(
-                    F.avg(
-                        (F.element_at("e", i) - F.lit(mu[i - 1]))
-                        * (F.element_at("e", i) - F.lit(mu[i - 1]))
-                    ),
-                    6,
-                ).alias(f"t{i}")
-                for i in range(1, DIM + 1)
-            ],
-        )
-        .select(
-            "eigenvalue",
-            sum(
-                (F.col(f"t{i}") for i in range(2, DIM + 1)), F.col("t1")
-            ).alias("total_var"),
-        )
+    # one parsed expression (see mu_agg note); total_var adds the ROUNDED
+    # per-dim variances left-to-right, the same association as before
+    tvar = " + ".join(
+        f"round(avg((element_at(e, {i}) - {mu[i - 1]!r})"
+        f" * (element_at(e, {i}) - {mu[i - 1]!r})), 6)"
+        for i in range(1, DIM + 1)
+    )
+    stats = train.select("e", F.expr(dot_f).alias("dot")).agg(
+        F.expr("round(avg(dot * dot), 6)").alias("eigenvalue"),
+        F.expr(tvar).alias("total_var"),
     )
     loadings = spark.createDataFrame(
         [(i, v[i]) for i in range(DIM)], "dim int, loading double"
@@ -3796,12 +3791,26 @@ def q_sample_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
         )
     samp = _train_sample(base)
     centers = [(first[0].vec_id, [float(x) for x in first[0].e])]
+    # r14: centers ride a one-row broadcast array instead of per-round
+    # inlined literals, so every round's plan (and generated code) is
+    # IDENTICAL in shape — the pre-r14 form compiled a fresh
+    # least(<64-literal d2>, ...) chain per round, paying O(K) analysis +
+    # codegen per job for work whose data fits in one broadcast row.
+    # array_min over the per-center zip_with fold computes the exact same
+    # doubles as least(_d2_lit(...), ...): min is IEEE-exact in any
+    # association and each d2 is the identical sequential fold.
+    min_d2 = (
+        "array_min(transform(cw, c ->"
+        " aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, x) -> acc + x)))"
+    )
     for _ in range(CORESET_K - 1):
-        min_d2 = "least(" + ", ".join(
-            _d2_lit("e", cv) for _, cv in centers
-        ) + ")" if len(centers) > 1 else _d2_lit("e", centers[0][1])
+        cwdf = spark.createDataFrame(
+            [([cv for _, cv in centers],)], "cw array<array<double>>"
+        )
         nxt = (
-            samp.withColumn(
+            samp.crossJoin(F.broadcast(cwdf))
+            .withColumn(
                 "md2_micro",
                 F.expr(f"cast(floor({min_d2} * 1000000.0 + 0.5) as bigint)"),
             )
@@ -3809,13 +3818,28 @@ def q_sample_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
             .head(1)
         )[0]
         centers.append((nxt.vec_id, [float(x) for x in nxt.e]))
-    cents = [cv for _, cv in centers]
-    assign = _kmeans_assign_expr(cents, len(cents[0]))
-    min_d2_all = "least(" + ", ".join(_d2_lit("e", cv) for cv in cents) + ")"
-    assigned = samp.select(
-        assign.alias("rank0"),
+    # final assignment/radius pass: same broadcast-centers form (the
+    # pre-r14 K x 64-literal least-chain + assign fold cost ~4 s of pure
+    # analysis/codegen at any SF). The index-aware transform gives cid =
+    # array position, and the strict-< fold keeps the first minimum —
+    # exactly `_kmeans_assign_expr`'s tie rule; each d2 is the identical
+    # sequential zip_with fold, so every double matches bit-for-bit.
+    cw_full = spark.createDataFrame(
+        [([cv for _, cv in centers],)], "cw array<array<double>>"
+    )
+    assign_hof = (
+        "aggregate("
+        " transform(cw, (c, i) -> struct(i AS cid,"
+        "   aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+        "             cast(0 as double), (acc, x) -> acc + x) AS d2)),"
+        " named_struct('cid', cast(-1 as int),"
+        "              'd2', cast('Infinity' as double)),"
+        " (best, c) -> IF(c.d2 < best.d2, c, best)).cid"
+    )
+    assigned = samp.crossJoin(F.broadcast(cw_full)).select(
+        F.expr(assign_hof).alias("rank0"),
         F.expr(
-            f"cast(floor({min_d2_all} * 1000000.0 + 0.5) as bigint)"
+            f"cast(floor({min_d2} * 1000000.0 + 0.5) as bigint)"
         ).alias("md2_micro"),
     )
     stats = assigned.groupBy("rank0").agg(F.count("*").alias("n_assigned"))

@@ -193,42 +193,74 @@ def q_timeseries_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
 
     Bit-determinism: the update l' = α·x + (1−α)(l+b);
     b' = β(l'−l) + (1−β)b is written with the identical association in
-    the Python kernel and the SQL, over dyadic α/β — the float sequences
-    are IEEE-identical, rounded once at the end."""
-    return holt_daily(_dense_daily(spark, sf))
+    the SQL fold and the oracle's recursive CTE, over dyadic α/β — the
+    float sequences are IEEE-identical, rounded once at the end.
+
+    Scale shape (r14 rewrite): the dense grid never materializes — the
+    sparse per-(user, day) sums aggregate straight to a per-user 30-slot
+    array (one groupBy, zero-filled by `transform(sequence(...))`), and
+    the recurrence runs as a map-side `aggregate` fold carrying the
+    (level, trend) struct. The pre-r14 form built a users × 30 crossJoin
+    grid, left-joined the sums back, and shipped every dense row through
+    a groupBy().applyInPandas kernel — two extra exchanges plus the
+    JVM↔Python boundary (FlatMapGroupsInPandas), all for per-group state
+    SQL can carry itself (guide §4.1: built-ins over UDFs)."""
+    varr = F.expr(
+        f"transform(sequence(1, {N_DAYS}),"
+        f" d -> coalesce(element_at(vm, d), cast(0 as double)))"
+    )
+    series = (
+        _daily(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("day").cast("int"), "v"))
+            ).alias("vm")
+        )
+        .select("user_id", varr.alias("v"))
+    )
+    return _holt_fold(series)
+
+
+def _holt_fold(series: DataFrame) -> DataFrame:
+    """(user_id, level, trend, forecast_h) from a (user_id, v array<double>)
+    frame via the Holt recurrence as a map-side SQL `aggregate` fold —
+    the operand association matches the pre-r14 Python kernel and the
+    DuckDB oracle exactly (dyadic α/β, left-folded)."""
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    l_new = f"({a!r} * x + {1.0 - a!r} * (st.lv + st.b))"
+    st = F.expr(
+        f"aggregate(slice(v, 2, size(v) - 1),"
+        f" named_struct('lv', element_at(v, 1),"
+        f"              'b', element_at(v, 2) - element_at(v, 1)),"
+        f" (st, x) -> named_struct("
+        f"   'lv', {l_new},"
+        f"   'b', {b_!r} * ({l_new} - st.lv) + {1.0 - b_!r} * st.b))"
+    )
+    return series.select("user_id", st.alias("st")).select(
+        "user_id",
+        F.round(F.col("st.lv"), 4).alias("level"),
+        F.round(F.col("st.b"), 4).alias("trend"),
+        F.round(F.col("st.lv") + float(HOLT_H) * F.col("st.b"), 4).alias(
+            "forecast_h"
+        ),
+    )
 
 
 def holt_daily(dense: DataFrame) -> DataFrame:
     """Holt double-exponential smoothing over ANY dense (user_id, day, v)
     daily frame — the extracted core of `q_timeseries_holt_forecast`
-    (recurrence and determinism notes there)."""
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day")
-        v = [float(x) for x in pdf["v"]]
-        lv, b = v[0], v[1] - v[0]
-        for t in range(1, len(v)):
-            l_new = HOLT_ALPHA * v[t] + (1.0 - HOLT_ALPHA) * (lv + b)
-            b = HOLT_BETA * (l_new - lv) + (1.0 - HOLT_BETA) * b
-            lv = l_new
-        return pd.DataFrame(
-            {
-                # nullable bigint group keys arrive as float64 (NaN for a
-                # NULL user) — preserve the NULL instead of int(NaN)
-                "user_id": [
-                    int(pdf["user_id"].iloc[0])
-                    if pd.notna(pdf["user_id"].iloc[0])
-                    else None
-                ],
-                "level": [round(lv, 4)],
-                "trend": [round(b, 4)],
-                "forecast_h": [round(lv + HOLT_H * b, 4)],
-            }
-        )
-
-    return dense.groupBy("user_id").applyInPandas(
-        kernel, schema="user_id bigint, level double, trend double, forecast_h double"
+    (recurrence and determinism notes there). r14: the per-series
+    recurrence is a SQL `aggregate` fold over the day-sorted value array
+    (one groupBy, no Python boundary); values are bit-identical to the
+    former applyInPandas kernel."""
+    series = dense.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v))),"
+            " s -> cast(s.v as double))"
+        ).alias("v")
     )
+    return _holt_fold(series)
 
 
 def q_timeseries_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
@@ -2053,62 +2085,100 @@ def q_timeseries_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
         b' = beta*(l' - l) + (1-beta)*b
         s_pos' = gamma*(v_t - l') + (1-gamma)*s_pos
 
-    The per-series recurrence runs as an `applyInPandas` kernel (per-group
-    state never leaves the executor — scales with #users, the
-    holt_forecast pattern); the DuckDB oracle replays the SAME recurrence
-    as a recursive CTE carrying (level, trend, seasonal LIST) per user,
-    stepping t = 8..30 with the identical operand association over dyadic
-    alpha/beta/gamma (sums left-folded identically in both engines, so
-    the float sequences are IEEE-identical, rounded once at the end)."""
-    return holt_winters_daily(_dense_daily(spark, sf))
+    The per-series recurrence runs as a map-side SQL `aggregate` fold
+    carrying the (level, trend, seasonal array) struct (r14 — formerly an
+    `applyInPandas` kernel: same per-group state, without the JVM↔Python
+    boundary or the dense-grid crossJoin; the sparse daily sums aggregate
+    straight to a zero-filled 30-slot array); the DuckDB oracle replays
+    the SAME recurrence as a recursive CTE carrying (level, trend,
+    seasonal LIST) per user, stepping t = 8..30 with the identical
+    operand association over dyadic alpha/beta/gamma (sums left-folded
+    identically in both engines, so the float sequences are
+    IEEE-identical, rounded once at the end)."""
+    varr = F.expr(
+        f"transform(sequence(1, {N_DAYS}),"
+        f" d -> coalesce(element_at(vm, d), cast(0 as double)))"
+    )
+    series = (
+        _daily(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("day").cast("int"), "v"))
+            ).alias("vm")
+        )
+        .select("user_id", varr.alias("v"))
+    )
+    return _holt_winters_fold(series)
+
+
+def _holt_winters_fold(series: DataFrame) -> DataFrame:
+    """(user_id, level, trend, season_next, forecast_h) from a
+    (user_id, v array<double>) frame via the Holt-Winters recurrence as a
+    map-side SQL `aggregate` fold — operand association matches the
+    pre-r14 Python kernel and the DuckDB oracle exactly (dyadic
+    alpha/beta/gamma, sums left-folded)."""
+    a, b_, g_ = HW_ALPHA, HW_BETA, HW_GAMMA
+    # left-folded 7-day season means, identical association to the
+    # kernel's functools.reduce(operator.add, ...)
+    m1 = "(" + " + ".join(f"element_at(v, {i})" for i in range(1, HW_M + 1)) + f") / 7.0"
+    m2 = (
+        "("
+        + " + ".join(f"element_at(v, {i})" for i in range(HW_M + 1, 2 * HW_M + 1))
+        + ") / 7.0"
+    )
+    # 1-based seasonal slot for step t: ((t - 1) % m) + 1
+    pos = f"cast((t - 1) % {HW_M} + 1 as int)"
+    sp = f"element_at(st.s, {pos})"
+    vt = "element_at(v, cast(t as int))"
+    l_new = f"({a!r} * ({vt} - {sp}) + {1.0 - a!r} * (st.lv + st.b))"
+    st = F.expr(
+        f"aggregate(sequence({HW_M} + 1, size(v)),"
+        f" named_struct("
+        f"   'lv', {m1},"
+        f"   'b', ({m2} - {m1}) / 7.0,"
+        f"   's', transform(sequence(1, {HW_M}),"
+        f"                  i -> element_at(v, i) - {m1})),"
+        f" (st, t) -> named_struct("
+        f"   'lv', {l_new},"
+        f"   'b', {b_!r} * ({l_new} - st.lv) + {1.0 - b_!r} * st.b,"
+        f"   's', transform(sequence(1, {HW_M}), i ->"
+        f"     IF(i = {pos},"
+        f"        {g_!r} * ({vt} - {l_new}) + {1.0 - g_!r} * {sp},"
+        f"        element_at(st.s, cast(i as int))))))"
+    )
+    nxt = f"cast((size(v) + {HW_H} - 1) % {HW_M} + 1 as int)"
+    return (
+        series.select("user_id", "v")
+        .select("user_id", st.alias("st"), F.expr(f"{nxt}").alias("np"))
+        .select(
+            "user_id",
+            F.round(F.col("st.lv"), 4).alias("level"),
+            F.round(F.col("st.b"), 4).alias("trend"),
+            F.round(F.expr("element_at(st.s, np)"), 4).alias("season_next"),
+            F.round(
+                F.col("st.lv") + 7.0 * F.col("st.b")
+                + F.expr("element_at(st.s, np)"),
+                4,
+            ).alias("forecast_h"),
+        )
+    )
 
 
 def holt_winters_daily(dense: DataFrame) -> DataFrame:
     """Holt-Winters additive smoothing over ANY dense (user_id, day, v)
     daily frame whose per-user day range covers >= 2*HW_M days — the
     extracted core of `q_timeseries_holt_winters` (math and determinism
-    notes there)."""
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        import functools
-        import operator
-
-        pdf = pdf.sort_values("day")
-        v = [float(x) for x in pdf["v"]]
-        m1 = functools.reduce(operator.add, v[0:HW_M]) / 7.0
-        m2 = functools.reduce(operator.add, v[HW_M : 2 * HW_M]) / 7.0
-        lv = m1
-        b = (m2 - m1) / 7.0
-        s = [v[i] - m1 for i in range(HW_M)]
-        for t in range(HW_M + 1, len(v) + 1):  # 1-based day 8..30
-            pos = (t - 1) % HW_M
-            sp = s[pos]
-            l_new = HW_ALPHA * (v[t - 1] - sp) + (1.0 - HW_ALPHA) * (lv + b)
-            b = HW_BETA * (l_new - lv) + (1.0 - HW_BETA) * b
-            s[pos] = HW_GAMMA * (v[t - 1] - l_new) + (1.0 - HW_GAMMA) * sp
-            lv = l_new
-        next_pos = (len(v) + HW_H - 1) % HW_M  # day 37 -> pos 1
-        return pd.DataFrame(
-            {
-                "user_id": [
-                    int(pdf["user_id"].iloc[0])
-                    if pd.notna(pdf["user_id"].iloc[0])
-                    else None
-                ],
-                "level": [round(lv, 4)],
-                "trend": [round(b, 4)],
-                "season_next": [round(s[next_pos], 4)],
-                "forecast_h": [round(lv + 7.0 * b + s[next_pos], 4)],
-            }
-        )
-
-    return dense.groupBy("user_id").applyInPandas(
-        kernel,
-        schema=(
-            "user_id bigint, level double, trend double,"
-            " season_next double, forecast_h double"
-        ),
+    notes there). r14: the recurrence is a SQL `aggregate` fold over the
+    day-sorted value array (one groupBy, no Python boundary); values are
+    bit-identical to the former applyInPandas kernel."""
+    series = dense.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v))),"
+            " s -> cast(s.v as double))"
+        ).alias("v")
     )
+    return _holt_winters_fold(series)
 
 
 QUERIES["timeseries_holt_winters"] = q_timeseries_holt_winters

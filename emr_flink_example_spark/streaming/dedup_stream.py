@@ -82,6 +82,52 @@ class _IndexedDedupStreamFilter:
     def _dup_ids(self, feats: DataFrame, index: DataFrame) -> DataFrame:
         raise NotImplementedError
 
+    def _feature_params(self) -> str:
+        """Stable textual form of every parameter the persisted feature
+        rows depend on — hashed into the index fingerprint. Subclasses
+        MUST include anything whose change silently invalidates old
+        feature rows (hash coefficients, banding geometry, thresholds
+        baked into stored values)."""
+        raise NotImplementedError
+
+    #: sidecar file stamping the index with its feature-geometry hash.
+    #: Spark's parquet reader skips underscore-prefixed files, so the
+    #: sidecar rides inside the index directory itself.
+    FINGERPRINT_FILE = "_feature_fingerprint"
+
+    def _feature_fingerprint(self) -> str:
+        import hashlib
+
+        return hashlib.md5(self._feature_params().encode()).hexdigest()
+
+    def _check_or_stamp_fingerprint(self, index_exists: bool) -> None:
+        """Fail loudly when an existing index was built under a different
+        feature geometry (ADVICE r13: the r13 PERMS fix changed every
+        MinHash signature — an index written under the old coefficients
+        would silently never collide with new signatures, waving
+        near-duplicates through). A missing sidecar on a non-empty index
+        means unknown provenance: same failure, same remedy (rebuild)."""
+        fp_path = self.fs.join(self.index_path, self.FINGERPRINT_FILE)
+        fp = self._feature_fingerprint()
+        if index_exists:
+            stamped = (
+                self.fs.read_text(fp_path).strip()
+                if self.fs.exists(fp_path)
+                else None
+            )
+            if stamped != fp:
+                raise RuntimeError(
+                    f"dedup index at {self.index_path} was built under a "
+                    f"different feature geometry (stamped={stamped!r}, "
+                    f"current={fp!r}); old feature rows cannot collide with "
+                    "new signatures, so near-duplicates would pass "
+                    "undetected. Rebuild the index (delete the directory) "
+                    "or run with the original parameters."
+                )
+        elif not self.fs.exists(fp_path):
+            self.fs.makedirs(self.index_path)
+            self.fs.write_text_atomic(fp_path, fp + "\n")
+
     def _existing_index(self, spark) -> DataFrame | None:
         """The accumulated band index, or None ONLY when none exists yet.
 
@@ -118,6 +164,7 @@ class _IndexedDedupStreamFilter:
         pinned = [feats]
         try:
             index = self._existing_index(spark)
+            self._check_or_stamp_fingerprint(index is not None)
             if index is not None:
                 # a replayed batch must not probe its own first attempt's rows
                 dups = self._dup_ids(
@@ -220,6 +267,14 @@ class NearDupStreamFilter(_IndexedDedupStreamFilter):
         super().__init__(out_path, index_path, compact_every)
         self.est_threshold = est_threshold
 
+    def _feature_params(self) -> str:
+        # everything the STORED rows depend on: the universal-hash
+        # coefficients (the r13 fix changed these), signature length, and
+        # banding geometry. est_threshold is probe-time only.
+        from ..operators.dedup import N_PERMS, PERMS
+
+        return repr(("minhash-band-index", N_PERMS, BAND_ROWS, PERMS))
+
     def _features(self, batch_df: DataFrame) -> DataFrame:
         return _band_buckets(minhash_signatures_for(batch_df))
 
@@ -272,6 +327,13 @@ class EmbeddingNearDupStreamFilter(_IndexedDedupStreamFilter):
         self.cosine_threshold = (
             COSINE_DUP_THRESHOLD if cosine_threshold is None else cosine_threshold
         )
+
+    def _feature_params(self) -> str:
+        # the stored bucket ids depend on the hyperplane family; vectors
+        # and norms are parameter-free. cosine_threshold is probe-time only.
+        from ..operators.similarity import N_PLANES, PLANES
+
+        return repr(("embedding-lsh-index", N_PLANES, PLANES))
 
     def _features(self, batch_df: DataFrame) -> DataFrame:
         from ..operators.similarity import _norm, _with_bucket

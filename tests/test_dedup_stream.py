@@ -277,3 +277,34 @@ def test_embedding_stream_filter_replay_idempotent(spark, tmp_path):
     sink(batch, 0)  # checkpoint replay: must not self-pair or duplicate
     assert spark.read.parquet(out).count() == 1
     assert spark.read.parquet(idx).count() == 1
+
+
+def test_index_fingerprint_guards_feature_geometry(spark, tmp_path):
+    """The persisted band index is stamped with a hash of the feature
+    geometry (PERMS/banding); a mismatching — or missing — stamp on a
+    non-empty index fails the batch loudly instead of silently never
+    colliding with post-upgrade signatures (ADVICE r13)."""
+    import pytest
+
+    out, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    sink = NearDupStreamFilter(out, idx)
+    batch = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
+    sink(batch, 0)
+    fp_path = os.path.join(idx, NearDupStreamFilter.FINGERPRINT_FILE)
+    assert os.path.exists(fp_path)  # stamped at index creation
+    stamped = open(fp_path).read().strip()
+    assert stamped == sink._feature_fingerprint()
+
+    # same geometry: subsequent batches proceed
+    sink(spark.createDataFrame([(3, DISTINCT)], "doc_id bigint, text string"), 1)
+
+    # a stamp from different coefficients: fail loudly
+    with open(fp_path, "w") as fh:
+        fh.write("0123456789abcdef0123456789abcdef\n")
+    with pytest.raises(RuntimeError, match="feature geometry"):
+        sink(spark.createDataFrame([(4, NEAR)], "doc_id bigint, text string"), 2)
+
+    # missing stamp on a pre-existing index (pre-stamp era): same failure
+    os.remove(fp_path)
+    with pytest.raises(RuntimeError, match="feature geometry"):
+        sink(spark.createDataFrame([(5, NEAR)], "doc_id bigint, text string"), 2)

@@ -24,9 +24,8 @@ ARROW_QUERIES = {
     # r9: the constellation peak extraction is the same Arrow kernel shape
     "multimodal_audio_fingerprint",
     "timeseries_dtw",
-    "timeseries_holt_forecast",
-    # r13: the seasonal recurrence is the same per-group Arrow kernel
-    "timeseries_holt_winters",
+    # r14: holt_forecast / holt_winters left this list — the recurrences
+    # now run as map-side SQL aggregate folds, no Python boundary
     "dedup_embedding_cosine_vectorized",
     "udf_pandas_norm",
     "udaf_pandas_mean_dim0",
@@ -683,14 +682,16 @@ def test_adamic_adar_memoized_mapside_wedges(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_phash_broadcast_basis_joins(spark):
-    """Perceptual hash: both DCT stages attach the broadcast basis tables
-    (BroadcastHashJoin), the only big-big join is the doc-keyed
-    fingerprint/median merge, and nothing goes cartesian or Python."""
+def test_phash_single_projection_no_exchange(spark):
+    """Perceptual hash (r14 rewrite): the whole integer DCT census runs as
+    higher-order-function folds inside ONE map-side projection over the
+    documents scan — zero exchanges, zero joins, zero windows, no Python.
+    (Pre-r14 this staged the DCT through two broadcast joins, doc-keyed
+    groupBys and a median window: 20 Exchange nodes for 128 rows/doc.)"""
     plan = _plan(spark, "multimodal_phash")
-    assert plan.count("Scan parquet") <= 2  # DCT stream + doc-median side
-    assert plan.count("BroadcastHashJoin") >= 2  # the two DCT basis joins
-    assert plan.count("SortMergeJoin") <= 1  # doc-keyed merge only
+    assert plan.count("Scan parquet") == 1  # documents, once
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
@@ -1222,14 +1223,18 @@ def test_kaplan_meier_windows_over_duration_table(spark):
 
 
 def test_basket_pairs_capped_self_join(spark):
-    """Basket lift: the pair expansion is an equi-join on l_orderkey (a
-    hash join, never a cartesian), fed by the basket-size cap filter;
-    supports join back pair-bounded; the cut is a TakeOrdered top-k."""
+    """Basket lift (r14 reshape): pairs expand map-side from a sorted
+    per-order basket array (higher-order transform, bounded by the
+    size(basket) <= BASKET_MAX filter) — the former orderkey self-join
+    and its basket-size back-join are gone; supports join back
+    pair-bounded; the cut is a TakeOrdered top-k."""
     plan = _plan(spark, "basket_lift_pairs")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+    # one basket groupBy feeds pairs/supports/N: no orderkey self-join
+    assert "SortMergeJoin [l_orderkey" not in plan
 
 
 def test_sax_symbols_mapside_no_user_window(spark):
