@@ -205,21 +205,31 @@ def q_timeseries_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     a groupBy().applyInPandas kernel — two extra exchanges plus the
     JVM↔Python boundary (FlatMapGroupsInPandas), all for per-group state
     SQL can carry itself (guide §4.1: built-ins over UDFs)."""
+    return _holt_fold(_slot_series(spark, sf))
+
+
+def _slot_series(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, v array<double>) — each user's zero-filled 30-slot daily
+    series built straight from the sparse per-(user, day) sums: one
+    groupBy, no dense crossJoin grid. The map entry is NULL-guarded so a
+    NULL user_id (or a defensive NULL day) contributes NOTHING and the
+    group folds over the all-zero series — exactly the pre-r14 dense-grid
+    semantics, where the grid's equi-join on (user_id, day) never matched
+    a NULL key (and the oracle's LEFT JOIN ... USING does the same)."""
     varr = F.expr(
         f"transform(sequence(1, {N_DAYS}),"
         f" d -> coalesce(element_at(vm, d), cast(0 as double)))"
     )
-    series = (
+    entry = F.when(
+        F.col("user_id").isNotNull() & F.col("day").isNotNull(),
+        F.struct(F.col("day").cast("int"), "v"),
+    )
+    return (
         _daily(spark, sf)
         .groupBy("user_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("day").cast("int"), "v"))
-            ).alias("vm")
-        )
+        .agg(F.map_from_entries(F.collect_list(entry)).alias("vm"))
         .select("user_id", varr.alias("v"))
     )
-    return _holt_fold(series)
 
 
 def _holt_fold(series: DataFrame) -> DataFrame:
@@ -2095,21 +2105,7 @@ def q_timeseries_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     operand association over dyadic alpha/beta/gamma (sums left-folded
     identically in both engines, so the float sequences are
     IEEE-identical, rounded once at the end)."""
-    varr = F.expr(
-        f"transform(sequence(1, {N_DAYS}),"
-        f" d -> coalesce(element_at(vm, d), cast(0 as double)))"
-    )
-    series = (
-        _daily(spark, sf)
-        .groupBy("user_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("day").cast("int"), "v"))
-            ).alias("vm")
-        )
-        .select("user_id", varr.alias("v"))
-    )
-    return _holt_winters_fold(series)
+    return _holt_winters_fold(_slot_series(spark, sf))
 
 
 def _holt_winters_fold(series: DataFrame) -> DataFrame:
