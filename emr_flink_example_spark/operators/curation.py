@@ -31,8 +31,11 @@ from pyspark.sql.window import Window
 
 from ..cache import pinned
 from ..io import load
-from .dedup import near_duplicate_pairs, repeated_spans
-from .textstats import text_quality
+from .dedup import (
+    _pairs_from_sigs,
+    minhash_signatures_from_tokens,
+    repeated_spans_from_tokens,
+)
 
 NEAR_DUP_EST_JACCARD = 0.8
 #: gate thresholds shared by the pipelines and the oracle-checked stats query
@@ -90,6 +93,20 @@ def curation_gates(
     5 serialized jobs and re-derived the corpus scan chain for each;
     restructuring measured ~2x on the composite pipeline at sf0.1).
 
+    r14: ONE corpus scan. The quality, boilerplate, near-dup and
+    exact-dedup gates each tokenized/scanned the corpus independently
+    (4 regexp tokenize passes + an md5 pass + a quality<->fingerprint
+    corpus self-join). Now a single pinned (doc_id[, lang], fingerprint,
+    n_tokens, quality_score, tokens) frame is built map-side in one pass
+    and every gate derives from it: the span and shingle streams read the
+    cached token arrays (the cache replaces their repartition barriers),
+    q_ok and the fingerprint are already columns (the corpus self-join is
+    gone), and `curate_for_training`'s chunker reuses the same arrays.
+    The cache holds the tokenized corpus — strictly smaller than the
+    8-token span stream the boilerplate gate already pinned, and
+    MEMORY_AND_DISK like every other pin, so at 100 TB it spills rather
+    than evicts.
+
     Gate semantics (identical to the sequential formulation, and verified
     against the DuckDB oracle by `curation_gate_stats`):
       alive2 = passed quality AND not boilerplate
@@ -99,37 +116,50 @@ def curation_gates(
                document text)
       alive4 = alive3 AND not near-dup-dropped (MinHash-LSH pair, larger id)
 
-    Only the flags frame is persisted — never document rows; full rows are
-    reconstructed ONCE by a semi-join at write time. The caller must
-    unpersist the returned frames after its terminal action."""
-    quality = text_quality(
-        docs, id_col=id_col, text_col=text_col, lang_col=None
-    ).select("doc_id", "n_tokens", "quality_score")
+    Document rows are never persisted; full rows are reconstructed ONCE by
+    a semi-join at write time. The caller must unpersist the returned
+    frames after its terminal action (caches[0] is the flags frame;
+    caches[1] the tokenized corpus, which `curate_for_training` reads)."""
+    from .textstats import TOKENS, quality_gate_cols
+
+    lang_cols = [F.col(lang_col).alias("lang")] if lang_col is not None else []
+    lang_out = ["lang"] if lang_col is not None else []
+    n_tokens, quality_score = quality_gate_cols()
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            *lang_cols,
+            F.col(text_col).alias("text"),
+        )
+        .withColumn("tokens", F.expr(TOKENS))
+        .select(
+            "doc_id",
+            *lang_out,
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+            n_tokens.alias("n_tokens"),
+            quality_score.alias("quality_score"),
+            "tokens",
+        )
+        .transform(pinned)
+    )
     q_ok = (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    toks = tok.select("doc_id", "tokens")
     boiler = (
-        repeated_spans(docs, id_col=id_col, text_col=text_col)
+        repeated_spans_from_tokens(toks)
         .where(F.col("dup_frac") > max_dup_frac)
         .select("doc_id")
         .withColumn("is_boiler", F.lit(True))
     )
     near = (
-        near_duplicate_pairs(docs, id_col=id_col, text_col=text_col)
+        _pairs_from_sigs(minhash_signatures_from_tokens(toks))
         .where(F.col("est_jaccard") >= NEAR_DUP_EST_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_near_dup", F.lit(True))
     )
-    lang_cols = [F.col(lang_col).alias("lang")] if lang_col is not None else []
-    lang_out = ["lang"] if lang_col is not None else []
-    fp = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *lang_cols,
-        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
-    )
     w_fp = Window.partitionBy("fingerprint")
     flags = (
-        quality.select("doc_id", q_ok.alias("q_ok"))
-        .join(fp, "doc_id")
+        tok.select("doc_id", *lang_out, "fingerprint", q_ok.alias("q_ok"))
         .join(boiler, "doc_id", "left")
         .join(near, "doc_id", "left")
         .withColumn("alive2", F.col("q_ok") & F.col("is_boiler").isNull())
@@ -153,7 +183,7 @@ def curation_gates(
     keep_ids = flags.where("alive4").select(F.col("doc_id").alias("_curation_keep_id"))
     kept = docs.join(keep_ids, F.col(id_col) == F.col("_curation_keep_id"), "left_semi")
     stats = (c["n_input"], c["n_quality"], c["n_boiler"], c["n_exact"], c["n_near"])
-    return kept, stats, [flags]
+    return kept, stats, [flags, tok]
 
 
 def q_curation_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +266,7 @@ def curate_for_training(
     The composite's cost center is therefore the two dedup scans that
     ARE the pipeline's purpose, not the orchestration around them."""
     from .sampling import SAMPLE_SALT, SHARD_TOKEN_BUDGET, portable_hash
-    from .textstats import CHUNK_STRIDE, CHUNK_TOKENS, TOKENS
+    from .textstats import CHUNK_STRIDE, CHUNK_TOKENS
 
     from pyspark.sql.window import Window
 
@@ -256,6 +286,7 @@ def curate_for_training(
     )
     n_input, n_quality, n_boiler, n_exact, n_near = gate_stats
     flags = caches[0]  # the cached narrow per-doc gate-flags frame
+    tok = caches[1]  # the cached tokenized corpus (doc_id, lang, ..., tokens)
     _mark("gates")
 
     # 6. temperature rebalance (rates from the curated corpus's shares).
@@ -290,11 +321,12 @@ def curate_for_training(
     caches.append(reb_ids)
     n_rebalance = reb_ids.count()
     _mark("rebalance")
-    kept = load(spark, sf_dir, "documents").join(reb_ids, "doc_id", "left_semi")
 
-    # 7. chunking (map-side behind the tokenizer barrier; the semi-join
-    # already distributes docs, so no extra repartition of token arrays)
-    toks = kept.select("doc_id", "lang", F.expr(TOKENS).alias("tokens"))
+    # 7. chunking — token arrays come straight off the pinned tokenized
+    # corpus (no corpus re-load / re-tokenize; the r14 single-scan design)
+    toks = tok.join(reb_ids, "doc_id", "left_semi").select(
+        "doc_id", "lang", "tokens"
+    )
     starts = toks.where(F.size("tokens") > 0).select(
         "doc_id",
         "lang",

@@ -151,6 +151,14 @@ def repeated_spans(
         .select("doc_id", "tokens")
         .repartition("doc_id")
     )
+    return repeated_spans_from_tokens(toks)
+
+
+def repeated_spans_from_tokens(toks: DataFrame) -> DataFrame:
+    """`repeated_spans` over a MATERIALIZED (doc_id, tokens) frame — the
+    fused curation gate feeds its pinned tokenized corpus here, so the
+    cache (not a fresh tokenize + repartition barrier) is what stops
+    Catalyst collapsing the tokenize into the span explode's lambda."""
     spans = (
         toks.where(F.size("tokens") >= SPAN_TOKENS)
         .select(
@@ -326,15 +334,13 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
     anywhere (plan-pinned in tests/test_plans.py), and the shape is
     vocabulary-size-independent — the r9 single-task vocab-rank window is
     gone, not mitigated."""
-    docs = _shingled_docs(spark, sf)
-    # NOT persisted, on measurement: the inverted stream has four consumers
-    # (df counts, prefix build, both verification sides — 6 parquet scans,
-    # 0 ReusedExchange), but caching the exploded shingle rows costs MORE
-    # than the recomputes it saves (7.5s vs 5.6s at sf0.1): the explode
-    # chain pipelines into each consumer's first shuffle, while persist
-    # serializes corpus x shingles rows to the block store up front. The
-    # tfidf/vocab persist pattern pays off for AGGREGATED frames, not for
-    # exploded streams.
+    # The shingle-ARRAY frame is pinned: it has three consumers (the
+    # inverted stream for df+prefix, both verification sides), and caching
+    # one aggregated row per doc is the tfidf/vocab pattern — unlike the
+    # r13 experiment that persisted the EXPLODED corpus x shingles stream
+    # (measured slower: 7.5s vs 5.6s at sf0.1, block-store serialization
+    # of every shingle row up front).
+    docs = _shingled_docs(spark, sf).transform(pinned)
     inv = docs.select(
         "doc_id",
         F.size("shingles").alias("n_shingles"),
@@ -369,24 +375,28 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    xa = inv.select(
+    # r14 verification: join the (small, prefix-filtered) candidate set to
+    # the pinned per-doc shingle ARRAYS and count the overlap map-side with
+    # array_intersect — the oph_calibration pattern. The old form exploded
+    # the corpus TWICE more (xa/xb inverted streams), shuffled every
+    # (pair, common-shingle) row and re-aggregated; candidates x 2 arrays
+    # is strictly less data at any scale where the prefix filter works.
+    # n_common is identical: shingle arrays are distinct by construction,
+    # so size(array_intersect) = the count of matched equal-shingle rows.
+    a = docs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("n_shingles").alias("size_a"),
-        F.col("shingle").alias("sh_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("size_a"),
     )
-    xb = inv.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("n_shingles").alias("size_b"),
-        F.col("shingle").alias("sh_b"),
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("size_b"),
     )
     verified = (
-        cand.join(xa, "doc_a")
-        .join(
-            xb,
-            (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .where(
             (PPJOIN_T_DEN + PPJOIN_T_NUM) * F.col("n_common")
             >= PPJOIN_T_NUM * (F.col("size_a") + F.col("size_b"))
@@ -523,6 +533,13 @@ def _positional_shingle_stream(
         .select("doc_id", "tokens")
         .repartition("doc_id")  # barrier: tokenize once, not per element
     )
+    return _positional_shingles_from_tokens(toks)
+
+
+def _positional_shingles_from_tokens(toks: DataFrame) -> DataFrame:
+    """The (doc_id, shingle) stream over a MATERIALIZED (doc_id, tokens)
+    frame (the caller owns the tokenize barrier — a repartition or a
+    cache); shared with the fused curation gate."""
     return toks.where(F.size("tokens") >= 3).select(
         "doc_id",
         F.explode(F.expr("sequence(1, size(tokens) - 2)")).alias("i"),
@@ -554,6 +571,16 @@ def minhash_signatures_for(
     the array-based form at sf0.1). Consumers that need exact distinct
     shingle SETS (jaccard, containment) keep using _shingled_docs."""
     shingle = _positional_shingle_stream(docs, id_col=id_col, text_col=text_col)
+    return _sigs_from_shingles(shingle)
+
+
+def minhash_signatures_from_tokens(toks: DataFrame) -> DataFrame:
+    """`minhash_signatures_for` over a MATERIALIZED (doc_id, tokens) frame
+    (the fused curation gate's pinned tokenized corpus)."""
+    return _sigs_from_shingles(_positional_shingles_from_tokens(toks))
+
+
+def _sigs_from_shingles(shingle: DataFrame) -> DataFrame:
     h31 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit((1 << 31) - 1)
     # One permuted-hash column per permutation instead of a 16x perm-explode:
     # the groupBy then computes 16 mins with map-side partial aggregation, so

@@ -52,6 +52,23 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return text_quality(load(spark, sf, "documents"))
 
 
+def quality_gate_cols() -> tuple:
+    """(n_tokens, quality_score) columns over a materialized ``tokens``
+    column — the EXACT expressions `text_quality` builds, factored out so
+    the fused curation gate (which shares one tokenized corpus scan across
+    all gates) can never drift from the standalone oracle-checked query."""
+    n_tokens = F.size("tokens")
+    n_uniq = F.size(F.array_distinct("tokens"))
+    n_stop = F.expr(f"size(filter(tokens, x -> x IN ({_SW})))")
+    score = F.round(
+        F.log(1.0 + n_tokens)
+        * (1 - F.try_divide(n_stop, n_tokens))
+        * F.try_divide(n_uniq, n_tokens),
+        4,
+    )
+    return n_tokens, score
+
+
 def text_quality(
     docs: DataFrame,
     *,
@@ -69,7 +86,7 @@ def text_quality(
         cols.insert(1, F.col(lang_col).alias("lang"))
     docs = docs.select(*cols)
     docs = docs.withColumn("tokens", F.expr(TOKENS))
-    n_tokens = F.size("tokens")
+    n_tokens, quality_score = quality_gate_cols()
     n_uniq = F.size(F.array_distinct("tokens"))
     sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
     n_stop = F.expr(f"size(filter(tokens, x -> x IN ({_SW})))")
@@ -85,12 +102,7 @@ def text_quality(
         F.round(F.try_divide(sum_len, n_tokens), 4).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("type_token_ratio"),
-        F.round(
-            F.log(1.0 + n_tokens)
-            * (1 - F.try_divide(n_stop, n_tokens))
-            * F.try_divide(n_uniq, n_tokens),
-            4,
-        ).alias("quality_score"),
+        quality_score.alias("quality_score"),
     )
 
 
