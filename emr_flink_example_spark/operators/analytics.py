@@ -3583,9 +3583,17 @@ def q_dedup_survivor_by_quality(spark: SparkSession, sf: str) -> DataFrame:
     milli discipline); the (score desc, doc_id asc) order is total."""
     from .dedup import q_dedup_connected_components
     from .textstats import q_quality_fasttext_gate
+    from ..cache import pinned
 
     comp = q_dedup_connected_components(spark, sf)
-    scores = q_quality_fasttext_gate(spark, sf).select("doc_id", "score_micro")
+    # pinned: the score frame has TWO consumers (the in-cluster ranking and
+    # the final every-doc attach) and each re-ran the full corpus
+    # explode+groupBy scoring pass — r14 caches the narrow (doc_id,
+    # score_micro) result once (guide §5: cache aggregated multi-consumer
+    # frames)
+    scores = pinned(
+        q_quality_fasttext_gate(spark, sf).select("doc_id", "score_micro")
+    )
     # LEFT join + sentinel: a token-less doc (null/empty text) has no
     # fastText score; it must still rank INSIDE its cluster (last), not
     # silently fall out of the dedup decision
@@ -3694,8 +3702,12 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     node-Jaccard precedent) so the driver-checked prefix is
     undisturbed."""
     from .dedup import q_graph_triangle_count
+    from ..cache import pinned
 
-    tri = q_graph_triangle_count(spark, sf)
+    # pinned: the per-node triangle frame feeds BOTH the global
+    # transitivity aggregate and the per-node attach; unpinned, the whole
+    # wedge-join triangle chain ran twice (guide §5)
+    tri = pinned(q_graph_triangle_count(spark, sf))
     glob = tri.agg(
         F.sum(2 * F.col("n_triangles")).alias("closed_x2"),
         F.sum(F.col("degree") * (F.col("degree") - 1)).alias("wedges_x2"),

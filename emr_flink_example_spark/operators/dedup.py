@@ -882,6 +882,15 @@ def oph_signatures_for(
     ladder over the K aggregated columns — no second shuffle, no
     per-doc spine join."""
     shingle = _positional_shingle_stream(docs, id_col=id_col, text_col=text_col)
+    return _oph_sigs_from_shingles(shingle)
+
+
+def oph_signatures_from_tokens(toks: DataFrame) -> DataFrame:
+    """`oph_signatures_for` over a MATERIALIZED (doc_id, tokens) frame."""
+    return _oph_sigs_from_shingles(_positional_shingles_from_tokens(toks))
+
+
+def _oph_sigs_from_shingles(shingle: DataFrame) -> DataFrame:
     h31 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast(
         "bigint"
     ) % F.lit((1 << 31) - 1)
@@ -1014,9 +1023,22 @@ def q_oph_calibration(spark: SparkSession, sf: str) -> DataFrame:
     the cheaper signatures): the number that tells you what the
     single-hash tier's extra variance actually costs before you point it
     at 100 TB. Plan shape identical to q_minhash_calibration (bounded
-    pair set joined back to the PINNED shingle frame)."""
-    pairs = q_dedup_minhash_oph(spark, sf)
-    sh = _shingled_docs(spark, sf).transform(pinned)
+    pair set joined back to the PINNED shingle frame).
+
+    r14: the OPH signature chain and the exact-Jaccard shingle arrays
+    both derive from ONE pinned tokenized-corpus frame instead of each
+    re-running the tokenize scan (guide §6.2)."""
+    toks = (
+        load(spark, sf, "documents")
+        .withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", "tokens")
+        .repartition("doc_id")
+        .transform(pinned)
+    )
+    pairs = _pairs_from_sigs(
+        oph_signatures_from_tokens(toks), band_rows=OPH_BAND_ROWS
+    )
+    sh = toks.select("doc_id", F.expr(SHINGLES).alias("shingles")).transform(pinned)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
