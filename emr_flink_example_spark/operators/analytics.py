@@ -5747,6 +5747,47 @@ ORACLES["events_cohort_ltv"] = """
 WAU_WINDOW_DAYS = 7
 
 
+def _wau_exact_counts(ud: DataFrame) -> DataFrame:
+    """Exact trailing-WAU_WINDOW_DAYS active-user counts (day, wau) from a
+    deduplicated (user_id, day) activity frame — WITHOUT the day-grid range
+    join + count_distinct (r14, guide §2.2/§3.4).
+
+    A user is WAU-active on day d iff they have an activity in
+    (d - WINDOW, d], i.e. d lies in the union of [a, a + WINDOW - 1] over
+    their activity days a. That union decomposes into DISJOINT spans via
+    the per-user lag gap: activity a with previous activity p contributes
+    exactly the days [max(a, p + WINDOW), a + WINDOW - 1] (the whole span
+    when the gap exceeds the window, the non-overlapped tail otherwise).
+    Each (user, covered-day) row is therefore emitted EXACTLY ONCE, so the
+    per-day count is a plain map-side-combinable count(*) — no distinct.
+
+    vs the range join: shuffled rows drop from |user-days| x WINDOW to
+    |covered user-days| (<= the same bound, typically far less for sticky
+    users), and the count_distinct expand/dedup second shuffle disappears.
+    Days past the activity range are emitted but dropped by the caller's
+    grid LEFT join, exactly as the range join's grid side did.
+
+    NULL discipline (dirty-events parity): count_distinct(user_id) ignores
+    NULL users, so NULL-user rows are filtered here explicitly; a NULL day
+    yields a NULL sequence -> zero exploded rows, and as a lag-predecessor
+    it coalesces to the full-window branch — identical to the range join,
+    where NULL days never satisfy the between predicate."""
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    cov = (
+        ud.where(F.col("user_id").isNotNull())
+        .withColumn("p", F.lag("day").over(w_u))
+        .select(
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(day, coalesce(p + {WAU_WINDOW_DAYS}, day)),"
+                    f" day + {WAU_WINDOW_DAYS} - 1)"
+                )
+            ).alias("day")
+        )
+    )
+    return cov.groupBy("day").agg(F.count("*").alias("wau"))
+
+
 def q_event_dau_wau_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """Daily stickiness DAU/WAU: distinct active users each day over
     distinct active users in the trailing WAU_WINDOW_DAYS — the
@@ -5776,15 +5817,9 @@ def q_event_dau_wau_ratio(spark: SparkSession, sf: str) -> DataFrame:
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
     bounds = ud.groupBy().agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     grid = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
-    wau = (
-        grid.join(
-            ud.select(F.col("user_id"), F.col("day").alias("aday")),
-            (F.col("aday") <= F.col("day"))
-            & (F.col("aday") > F.col("day") - WAU_WINDOW_DAYS),
-        )
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").alias("wau"))
-    )
+    # r14: disjoint-interval WAU (see _wau_exact_counts) replaces the
+    # grid x user-days range join + count_distinct
+    wau = _wau_exact_counts(ud)
     return (
         grid.join(dau, "day", "left")
         .join(wau, "day", "left")
@@ -5986,15 +6021,9 @@ def q_event_dau_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
     )
     wau_hll = estimate(wau_regs, "wau_est")
     dau_exact = ud.groupBy("day").agg(F.count("*").alias("dau"))
-    wau_exact = (
-        grid.join(
-            ud.select("user_id", F.col("day").alias("aday")),
-            (F.col("aday") <= F.col("day"))
-            & (F.col("aday") > F.col("day") - WAU_WINDOW_DAYS),
-        )
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").alias("wau"))
-    )
+    # r14: disjoint-interval WAU (see _wau_exact_counts) replaces the
+    # grid x user-days range join + count_distinct
+    wau_exact = _wau_exact_counts(ud)
     rel = lambda est, exact: F.when(  # noqa: E731
         F.col(exact) > 0, F.round(F.abs(F.col(est) - F.col(exact)) / F.col(exact), 4)
     )

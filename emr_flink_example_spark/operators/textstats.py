@@ -1118,7 +1118,11 @@ def q_lm_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     (zipfian pair table; at a 100 TB corpus the pair model outgrows a
     broadcast and becomes an AQE-skew-safe shuffle join)."""
     docs = load(spark, sf, "documents")
-    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks"))
+    # pinned (r14): the bigram stream `bg` feeds more than one consumer
+    # downstream and each re-ran the corpus tokenize; caching the narrow
+    # per-doc token arrays tokenizes once (guide §5 — cache the narrow
+    # per-doc frame, not the exploded stream itself)
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).transform(pinned)
     bg = toks.where(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
@@ -2462,7 +2466,11 @@ def q_lm_kneser_ney_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     pattern pays, unlike ppjoin's exploded stream); model joins broadcast
     at fixture scale; one doc_id rollup."""
     docs = load(spark, sf, "documents")
-    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks"))
+    # pinned (r14): the bigram stream `bg` feeds more than one consumer
+    # downstream and each re-ran the corpus tokenize; caching the narrow
+    # per-doc token arrays tokenizes once (guide §5 — cache the narrow
+    # per-doc frame, not the exploded stream itself)
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("toks")).transform(pinned)
     bg = toks.where(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
