@@ -961,12 +961,16 @@ def q_sketch_minhash_bbit(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: candidate pairs come from the banded LSH plan (one
     corpus scan, skew-guarded); signatures join back pair-bounded; the
     bit comparison is a 16-element map-side fold."""
-    from .dedup import N_PERMS, _minhash_signatures, q_dedup_minhash_lsh
+    from ..cache import pinned
+    from .dedup import N_PERMS, _minhash_signatures, _pairs_from_sigs
 
-    pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b", "est_jaccard")
     # persisted: the a/b sides are distinct projections of one signature
-    # frame (no ReusedExchange) — the minhash_calibration precedent
+    # frame (no ReusedExchange) — the minhash_calibration precedent.
+    # r14: the LSH candidate pairs ALSO derive from this pinned frame
+    # (_pairs_from_sigs), so the tokenize->shingle->minhash chain runs
+    # once, not twice (q_dedup_minhash_lsh rebuilt it from the corpus).
     sig = _minhash_signatures(spark, sf).transform(pinned)
+    pairs = _pairs_from_sigs(sig).select("doc_a", "doc_b", "est_jaccard")
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     onebit = F.expr(
@@ -1460,6 +1464,11 @@ def q_sketch_minhash_containment(spark: SparkSession, sf: str) -> DataFrame:
     anywhere."""
     from .dedup import _shingled_docs, q_dedup_minhash_lsh
 
+    # r14 note: sharing one pinned tokenized-corpus frame between the
+    # pair chain and the size table (the minhash_calibration pattern) was
+    # MEASURED SLOWER here (3.1 vs 2.1 s min-of-6 paired): this query has
+    # only two corpus passes to begin with, and the token-array cache
+    # build costs more than the one rescan it saves. Left as two passes.
     pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b", "est_jaccard")
     sizes = _shingled_docs(spark, sf).select(
         "doc_id", F.size("shingles").alias("n_sh")

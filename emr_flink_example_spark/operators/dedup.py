@@ -2282,9 +2282,20 @@ def q_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     ReusedExchange — uncached this measured a third and fourth
     tokenize+shingle pass). est_jaccard is k/16 (exact in binary) and
     exact_jaccard a ratio of ints rounded to 6, so the error column is
-    engine-exact."""
-    pairs = q_dedup_minhash_lsh(spark, sf)
-    sh = _shingled_docs(spark, sf).transform(pinned)
+    engine-exact.
+
+    r14: the LSH signature chain and the exact shingle arrays both derive
+    from ONE pinned tokenized-corpus frame (the oph_calibration pattern)
+    instead of each re-running the tokenize scan."""
+    toks = (
+        load(spark, sf, "documents")
+        .withColumn("tokens", F.expr(_TOKENS))
+        .select("doc_id", "tokens")
+        .repartition("doc_id")
+        .transform(pinned)
+    )
+    pairs = _pairs_from_sigs(minhash_signatures_from_tokens(toks))
+    sh = toks.select("doc_id", F.expr(SHINGLES).alias("shingles")).transform(pinned)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

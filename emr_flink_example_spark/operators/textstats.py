@@ -1403,6 +1403,12 @@ def q_dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
         "filter(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),"
         " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
     )
+    # pinned (r14): the hashed feature stream has TWO consumers (the model
+    # count and the scoring join), and each re-ran tokenize + explode +
+    # one md5 PER FEATURE — the dominant map cost. The cached rows are
+    # three small integers/strings each (doc_id, lang, bucket), not the
+    # feature strings, so this is the compact-aggregate case of guide §5,
+    # not the ppjoin exploded-string case.
     feats = (
         docs.select("doc_id", "lang", F.expr(TOKENS).alias("toks"))
         .select(
@@ -1415,6 +1421,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
             "lang",
             (portable_hash(F.col("feature")) % F.lit(DSIR_BUCKETS)).alias("bucket"),
         )
+        .transform(pinned)
     )
     counts = (
         feats.groupBy("bucket")
