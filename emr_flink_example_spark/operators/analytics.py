@@ -5566,6 +5566,12 @@ def q_orders_open_interval_census(spark: SparkSession, sf: str) -> DataFrame:
             "m_open",
             F.greatest("m_close_raw", "m_open").alias("m_close"),
         )
+        # r14 note: pinning this twice-consumed frame measured SLOWER
+        # (1.80 vs 1.60 s min-of-5 paired) — both consumers live in ONE
+        # physical plan, so ReusedExchange already shares the join+agg
+        # shuffle and the pin only adds a materialization barrier. Pins
+        # pay when consumers are separate ACTIONS or differ upstream of
+        # the exchange (survivor_by_quality, dsir), not here.
     )
     deltas = iv.select(
         F.explode(

@@ -1980,6 +1980,10 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("dim", "query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # r14 note: pinning topk for its two consumers measured a wash (2.46
+    # vs 2.37 s min-of-4 paired) — both consumers share one physical plan
+    # and the scoring subtree's window exchange is reused; see the
+    # orders_open_interval_census note for the pin-vs-ReusedExchange rule.
     topk = (
         per_dim.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= MATRYOSHKA_K)
@@ -3842,6 +3846,10 @@ def q_sample_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
             f"cast(floor({min_d2} * 1000000.0 + 0.5) as bigint)"
         ).alias("md2_micro"),
     )
+    # r14 note: fusing stats+radius into one pinned per-center aggregate
+    # measured a wash (5.46 vs 5.50 s min-of-4 paired) — both passes fold
+    # over the cap-BOUNDED localCheckpoint'd sample, so the double pass is
+    # a scale-independent constant; left as two simple aggregates.
     stats = assigned.groupBy("rank0").agg(F.count("*").alias("n_assigned"))
     radius = assigned.groupBy().agg(F.max("md2_micro").alias("radius_micro"))
     picks = spark.createDataFrame(
