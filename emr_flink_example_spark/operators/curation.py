@@ -471,22 +471,34 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-doc narrow features (token count, gopher verdict,
     fingerprint, quality score) are ONE map-side pass; the card is one
     global aggregate plus a fingerprint groupBy (40-byte keys — the exact
-    dedup shuffle, never the text)."""
-    from .textstats import gopher_flags, q_text_quality
+    dedup shuffle, never the text).
+
+    r14: the quality features, gopher verdict and fingerprint really ARE
+    one map-side pass now — a single fused projection over one tokenize
+    (shared expression builders `quality_gate_cols` / `gopher_pass_col`,
+    so the fused card can never drift from the standalone oracle-checked
+    queries). The pre-r14 form ran three corpus scans and re-aligned
+    them with two doc_id hash joins."""
+    from .textstats import TOKENS, gopher_pass_col, quality_gate_cols
 
     docs = load(spark, sf_dir, "documents")
-    quality = q_text_quality(spark, sf_dir).select(
-        "doc_id",
-        "n_tokens",
-        F.expr("cast(round(quality_score * 10000) as bigint)").alias("q4"),
-    )
-    gopher = gopher_flags(docs).select("doc_id", "passes_gopher")
-    fp = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        F.md5(F.lower(F.trim("text"))).alias("fingerprint"),
+    n_tokens, quality_score = quality_gate_cols()
+    fp = (
+        docs.select("doc_id", "lang", "source", "n_chars", "text")
+        .withColumn("tokens", F.expr(TOKENS))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.md5(F.lower(F.trim("text"))).alias("fingerprint"),
+            n_tokens.alias("n_tokens"),
+            quality_score.alias("quality_score"),
+            gopher_pass_col().alias("passes_gopher"),
+        )
+        .withColumn(
+            "q4", F.expr("cast(round(quality_score * 10000) as bigint)")
+        )
     )
     dup = (
         fp.groupBy("fingerprint")
@@ -501,9 +513,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     card = (
-        fp.join(quality, "doc_id")
-        .join(gopher, "doc_id")
-        .agg(
+        fp.agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("lang").alias("n_langs"),
             F.countDistinct("source").alias("n_sources"),

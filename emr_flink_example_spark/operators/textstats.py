@@ -1617,6 +1617,45 @@ GOPHER_STOPS = STOPWORDS
 _GSTOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
 
 
+def _gopher_rule_cols() -> tuple:
+    """The Gopher rule columns over materialized ``tokens`` + ``text`` —
+    the EXACT expressions `gopher_flags` projects, factored out so the
+    fused corpus datacard shares them (they can never drift):
+    (n_words, mean_len, n_stop_types, ok_words, ok_mean, ok_symbol,
+    ok_alpha, ok_stops)."""
+    n_words = F.size("tokens")
+    sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
+    mean_len = F.try_divide(sum_len, n_words)
+    # occurrence counts via length-delta: stays in codegen, no regex engine
+    n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    n_alpha = F.expr("size(filter(tokens, x -> x rlike '[a-zA-Z]'))")
+    n_stop_types = F.size(
+        F.array_intersect(
+            F.array_distinct("tokens"),
+            F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+        )
+    )
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    ok_symbol = F.try_divide(n_hash + n_ellipsis, n_words) <= GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = F.try_divide(n_alpha, n_words) >= GOPHER_MIN_ALPHA_FRAC
+    ok_stops = n_stop_types >= GOPHER_MIN_STOP_HITS
+    return (
+        n_words, mean_len, n_stop_types,
+        ok_words, ok_mean, ok_symbol, ok_alpha, ok_stops,
+    )
+
+
+def gopher_pass_col() -> F.Column:
+    """The `passes_gopher` conjunction over materialized ``tokens`` +
+    ``text`` columns (see `_gopher_rule_cols`)."""
+    _, _, _, ok_words, ok_mean, ok_symbol, ok_alpha, ok_stops = _gopher_rule_cols()
+    return ok_words & ok_mean & ok_symbol & ok_alpha & ok_stops
+
+
 def gopher_flags(
     docs: DataFrame,
     keep: tuple[str, ...] = (),
@@ -1638,26 +1677,16 @@ def gopher_flags(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), *keep
         )
     docs = docs.withColumn("tokens", F.expr(TOKENS))
-    n_words = F.size("tokens")
-    sum_len = F.expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
-    mean_len = F.try_divide(sum_len, n_words)
-    # occurrence counts via length-delta: stays in codegen, no regex engine
-    n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
-    n_ellipsis = (
-        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
-    ) / F.lit(3)
-    n_alpha = F.expr("size(filter(tokens, x -> x rlike '[a-zA-Z]'))")
-    n_stop_types = F.size(
-        F.array_intersect(
-            F.array_distinct("tokens"),
-            F.array(*[F.lit(w) for w in GOPHER_STOPS]),
-        )
-    )
-    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-    ok_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
-    ok_symbol = F.try_divide(n_hash + n_ellipsis, n_words) <= GOPHER_MAX_SYMBOL_RATIO
-    ok_alpha = F.try_divide(n_alpha, n_words) >= GOPHER_MIN_ALPHA_FRAC
-    ok_stops = n_stop_types >= GOPHER_MIN_STOP_HITS
+    (
+        n_words,
+        mean_len,
+        n_stop_types,
+        ok_words,
+        ok_mean,
+        ok_symbol,
+        ok_alpha,
+        ok_stops,
+    ) = _gopher_rule_cols()
     return docs.select(
         "doc_id",
         *keep,
