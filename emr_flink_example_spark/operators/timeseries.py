@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import pinned
 from ..io import load
 
 N_DAYS = 30
@@ -1769,18 +1770,28 @@ def q_timeseries_crosscorr(spark: SparkSession, sf: str) -> DataFrame:
     (L rows), so its single ordered window pass computing all 13 lag
     columns is bounded by the calendar, not the corpus — the accepted
     domain-sized-sort trade every dense-grid op in this module makes."""
+    # (r14 note: additionally pinning `dense` for its totals/dev consumers
+    # measured WORSE — 1.27 vs 1.08 s min-of-5 — the second cache's
+    # materialization job outweighs the grid-sized reuse; only `dev` pays)
     dense = _dense_hourly(spark, sf).where(
         F.col("event_type").isin(XCORR_A, XCORR_B)
     )
     totals = dense.groupBy("event_type").agg(
         F.count("*").alias("len"), F.sum("n").alias("tot")
     )
-    dev = dense.join(F.broadcast(totals), "event_type").select(
-        "event_type",
-        "h",
-        (F.col("len") * F.col("n") - F.col("tot")).alias("dev"),
-        "len",
-        "tot",
+    # pinned (r14): dev is GRID-sized (hours x 2 rows) and has three
+    # consumers (the a/b sides of the hour join and the denominator sums)
+    # whose per-side event_type filters push into the scans — no
+    # ReusedExchange, so each re-ran the whole _dense_hourly chain
+    # (plan showed 3x the scan set; guide §5)
+    dev = pinned(
+        dense.join(F.broadcast(totals), "event_type").select(
+            "event_type",
+            "h",
+            (F.col("len") * F.col("n") - F.col("tot")).alias("dev"),
+            "len",
+            "tot",
+        )
     )
     a = dev.where(F.col("event_type") == XCORR_A).select(
         "h", F.col("dev").alias("da"), F.col("len").alias("l"),
