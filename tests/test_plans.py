@@ -36,6 +36,11 @@ ARROW_QUERIES = {
     "ann_pq_adc_rerank_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
+    # r14 batch 9: the integer-DCT census joined the Arrow-kernel family
+    # (the HOF fold form is CodegenFallback — measured ~4x slower; kept as
+    # the pinned-bit-equal reference `_phash_hof_df`)
+    "multimodal_phash",
+    "multimodal_phash_pairs",
 }
 
 #: the one deliberate row-at-a-time Python surface demo (BatchEvalPythonUDTF)
@@ -683,17 +688,21 @@ def test_adamic_adar_memoized_mapside_wedges(spark):
 
 
 def test_phash_single_projection_no_exchange(spark):
-    """Perceptual hash (r14 rewrite): the whole integer DCT census runs as
-    higher-order-function folds inside ONE map-side projection over the
-    documents scan — zero exchanges, zero joins, zero windows, no Python.
-    (Pre-r14 this staged the DCT through two broadcast joins, doc-keyed
-    groupBys and a median window: 20 Exchange nodes for 128 rows/doc.)"""
+    """Perceptual hash (r14 rewrite, then r14 batch 9): the whole integer
+    DCT census runs map-side over the documents scan — zero exchanges,
+    zero joins, zero windows. The projection is the ONE declared Arrow
+    kernel (mapInPandas — the PQ-encode precedent: the HOF fold form is
+    CodegenFallback/interpreted, measured ~4x slower), never row-at-a-time
+    Python. (Pre-r14 this staged the DCT through two broadcast joins,
+    doc-keyed groupBys and a median window: 20 Exchange nodes for 128
+    rows/doc.)"""
     plan = _plan(spark, "multimodal_phash")
     assert plan.count("Scan parquet") == 1  # documents, once
     assert "Exchange" not in plan
     assert "Join" not in plan and "Window" not in plan
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
+    assert plan.count("MapInPandas") == 1  # the declared Arrow DCT kernel
 
 
 def test_textrank_checkpointed_rounds(spark):
@@ -1003,11 +1012,14 @@ def test_bbit_pair_bounded_joins(spark):
 def test_phash_pairs_banded_not_quadratic(spark):
     """pHash near-dup pairs: candidate generation is the banded groupBy
     (one Generate for the 9 band keys), the ball check runs in the
-    bucket's array domain, and nothing goes cartesian or Python."""
+    bucket's array domain, and nothing goes cartesian or row-at-a-time
+    Python (the single MapInPandas is the inherited Arrow DCT kernel
+    computing the hashes themselves — see q_multimodal_phash)."""
     plan = _plan(spark, "multimodal_phash_pairs")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
-    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
 
 
 def test_banded_hamming_buckets_skew_guarded(spark):
