@@ -71,6 +71,12 @@ ENFORCED_INLINE = {
 
 #: closed-form bounds under which int64 cannot overflow (no runtime guard)
 BOUNDED = {
+    "multimodal_phash": "DCT census: pixels are nibbles <= 15, basis"
+    " coefficients |K| <= 512, so stage-1 |g| <= 8*15*512 = 61,440 and"
+    " stage-2 |f| <= 8*61440*512 ~ 2.52e8; the bit fold spans positions"
+    " 0..62 but at most 31 of 63 coefficients can exceed their median,"
+    " so the hash stays well under 2^63 — nothing can overflow in either"
+    " the Arrow kernel or _phash_hof_df",
     "window_sliding": "avg micro identity 2e4 * window cents sum"
     " overflows only past a ~4.6e14-cent ($4.6e12) hourly window sum",
     "abtest_srm": "(n0-n1)^2 evaluates in doubles (exact to 2^26"
