@@ -1,14 +1,25 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
-full per-query JSON line the driver records as BENCH_r{N}.json, followed
-by a compact `{"metric": "headline_total", ...}` summary line — the
-summary goes LAST so the total survives the driver's bounded stdout-tail
-capture even when the per-query map outgrows it; the full JSON is also
-written to BENCH_local.json (override via $SPARK_GRAFT_BENCH_JSON).
+full per-query JSON line the driver records as BENCH_r{N}.json, then a
+series of small `{"metric": "per_query", ...}` chunk lines (each a
+standalone ~1.2 KB JSON object so per-query numbers survive a bounded
+stdout-tail capture), and LAST a compact `{"metric": "headline_total",
+...}` summary line so the total always survives the driver's tail even
+when the per-query map outgrows it; the full JSON is also written to
+BENCH_local.json (override via $SPARK_GRAFT_BENCH_JSON).
 
 Each query is fully materialized through the noop sink (measures the whole
 plan including shuffles/writes, without driver-collect overhead). One warmup
 query amortizes JVM/codegen startup out of the measurements.
+
+r15 measurement-integrity change (VERDICT r14 items 1-2, explicit per the
+round rules): pinned frames are drained between a query's min-of-3 timed
+runs (previously runs 2-3 of a pinned query re-read run 1's materialized
+cache), each query's FIRST-run time is recorded alongside the min
+("queries_cold"), and the per-query map is re-emitted in tail-sized
+chunks. Methodology (queries, SF, noop sink, min-of-3) is otherwise
+unchanged; totals are therefore comparable but strictly colder than
+r13/r14 artifacts for the pinned queries.
 """
 
 from __future__ import annotations
@@ -344,33 +355,45 @@ def main() -> None:
     # Three runs per query, report the min: run 1 pays one-time plan/codegen
     # compilation (a fixed cost irrelevant at real scale); the min of the
     # remaining runs measures steady-state execution and shields the
-    # recorded number from ambient-load spikes on a shared host. Cached
-    # intermediates (tfidf/vocab/spans persist for multi-consumer reuse
-    # WITHIN a query) are released between queries so the session's memory
-    # footprint stays flat across the whole headline sweep.
+    # recorded number from ambient-load spikes on a shared host.
+    #
+    # MEASUREMENT INTEGRITY (r15, VERDICT r14 item 1): pinned frames are
+    # drained BETWEEN a query's timed runs, not just between queries — the
+    # old managed=False cadence let Spark's CacheManager serve runs 2-3 of
+    # every pinned() query from the InMemoryRelation run 1 materialized, so
+    # the recorded min was a warm-cache figure. Every timed run now rebuilds
+    # its pins from the parquet inputs (the qtime.py discipline). The first
+    # run's time is ALSO recorded per query ("queries_cold") so costs that a
+    # session-level memo amortizes across runs (trained PQ/BPE/simhash
+    # models, keyed on the sf dir) stay visible in the artifact instead of
+    # vanishing into the min.
     timings = {}
+    cold = {}
     errors = {}
     for name in HEADLINE:
         # the composite curation pipeline is a multi-minute action chain
         # with its own internal caching — one run, not min-of-3
         runs = 1 if name == "curate_for_training" else 3
         try:
-            timings[name] = round(min(run(name) for _ in range(runs)), 3)
+            vals = []
+            for _ in range(runs):
+                vals.append(run(name))
+                # drain this query's pins after EVERY run (see above)
+                cache.unpersist_all(spark)
+            timings[name] = round(min(vals), 3)
+            cold[name] = round(vals[0], 3)
         except Exception as exc:  # one broken query must not sink the whole
             # bench artifact (rounds 3-4 recorded NO timings because a single
             # failure crashed the run before the JSON line was printed)
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-        # release this query's pinned frames before the next one (the r10
-        # mechanical hook, called explicitly here because bench uses
-        # managed=False to keep pins warm across a query's min-of-3 runs —
-        # the same cadence the r9 clearCache call gave)
-        cache.unpersist_all(spark)
+            cache.unpersist_all(spark)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "runs_per_query": 3,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -405,7 +428,16 @@ def main() -> None:
                 j = json.load(f)
         except (OSError, ValueError):
             continue
-        if j.get("sf") == out["sf"] and isinstance(j.get("queries"), dict):
+        # r15: only fold artifacts produced by the SAME methodology (the
+        # drained-pins harness stamps "queries_cold") — pre-r15 mins are
+        # warm-cache figures for every pinned query and adjudicating
+        # against them would resurrect exactly the statistic the r14
+        # VERDICT flagged (old artifacts stay committed for history).
+        if (
+            j.get("sf") == out["sf"]
+            and isinstance(j.get("queries"), dict)
+            and isinstance(j.get("queries_cold"), dict)
+        ):
             prior[os.path.basename(p)] = j["queries"]
             prior_revs[os.path.basename(p)] = j.get("git_rev")
     if prior:
@@ -439,6 +471,27 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # a read-only checkout must not sink the bench run
+    # Per-query channel for the driver (VERDICT r14 item 2): the full JSON
+    # line above outgrows the driver's ~2000-char stdout tail, so PERF's
+    # per_query map came back empty two rounds running. Re-emit the
+    # per-query mins as a series of SMALL standalone JSON lines (compact
+    # separators, ~1.2 KB each) right before the final summary — each line
+    # parses on its own, so however much of the tail survives yields a
+    # usable partial map, and a full-stdout reader reassembles all parts.
+    pq_items = sorted(timings.items())
+    chunks: list[dict] = [{}]
+    for k, v in pq_items:
+        trial = dict(chunks[-1])
+        trial[k] = v
+        if len(json.dumps(trial, separators=(",", ":"))) > 1200 and chunks[-1]:
+            chunks.append({k: v})
+        else:
+            chunks[-1][k] = v
+    for i, ch in enumerate(chunks):
+        print(json.dumps(
+            {"metric": "per_query", "part": i + 1, "of": len(chunks), "queries": ch},
+            separators=(",", ":"),
+        ))
     compact = {
         "metric": "headline_total",
         "value": total,

@@ -285,10 +285,17 @@ def q_multimodal_phash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _phash_kernel():
-    """Vectorized integer-DCT pHash kernel (numpy tables built once per
-    worker): md5-nibble pixels -> F = K @ P @ K^T (int64 matmuls, exact)
-    -> median = 32nd-smallest AC value -> bits by strict >. Bit-equal to
-    `_phash_hof_df` (see q_multimodal_phash docstring)."""
+    """Vectorized integer-DCT pHash kernel (the numpy tables K/nib/weights
+    are built once on the DRIVER when this factory is called and shipped to
+    workers inside the pickled closure — ADVICE r14): md5-nibble pixels ->
+    F = K @ P @ K^T (int64 matmuls, exact) -> median = 32nd-smallest AC
+    value -> bits by strict >. Bit-equal to `_phash_hof_df` (see
+    q_multimodal_phash docstring) FOR COALESCED INPUT: the kernel's
+    `(t or '')` hashes raw NULL text like the empty string, while the
+    HOF/SQL reference yields NULL phash (concat(NULL, ..) is NULL) — the
+    equivalence contract therefore assumes text has been NULL-coalesced,
+    which `io.load`'s ingestion coalesce guarantees for every catalog
+    caller (ADVICE r14)."""
     import numpy as np
 
     K = np.zeros((8, 8), dtype=np.int64)

@@ -102,9 +102,10 @@ def _managed(fn: QueryFn) -> QueryFn:
 
 def all_queries(managed: bool = True) -> dict[str, QueryFn]:
     """managed=False returns the raw builders (no boundary drain) for
-    callers that own the release cadence themselves — bench.py keeps its
-    r9 measurement protocol (pins live across a query's min-of-3 runs,
-    drained between queries via an explicit cache.unpersist_all)."""
+    callers that own the release cadence themselves — bench.py drains pins
+    after EVERY timed run via an explicit cache.unpersist_all (r15
+    measurement-integrity fix: nothing persists across a query's min-of-3
+    runs)."""
     out: dict[str, QueryFn] = {}
     for m in _MODULES:
         overlap = out.keys() & m.QUERIES.keys()

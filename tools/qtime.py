@@ -3,7 +3,7 @@
 Times a named subset of catalog queries exactly the way bench.py does
 (noop sink, warm session, min-of-N) without paying for the whole headline
 sweep, and optionally dumps each query's ``explain("formatted")`` to
-``plans/r14/<query>_<tag>.txt`` so before/after plan evidence is committed
+``plans/<round>/<query>_<tag>.txt`` so before/after plan evidence is committed
 alongside the timing numbers.
 
     python tools/qtime.py [-n RUNS] [--explain TAG] [--sf DIR] name [name ...]
@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("-n", type=int, default=3, help="runs per query (report min)")
     ap.add_argument("--explain", metavar="TAG", default=None,
-                    help="dump explain('formatted') to plans/r14/<q>_<TAG>.txt")
+                    help="dump explain('formatted') to plans/<round>/<q>_<TAG>.txt")
+    ap.add_argument("--round", default="r15", help="plans/ subdir for --explain dumps")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -55,9 +56,9 @@ def main() -> None:
     out = {}
     for name in args.names:
         if args.explain:
-            os.makedirs(os.path.join(REPO, "plans", "r14"), exist_ok=True)
+            os.makedirs(os.path.join(REPO, "plans", args.round), exist_ok=True)
             df = queries[name](spark, args.sf)
-            with open(os.path.join(REPO, "plans", "r14",
+            with open(os.path.join(REPO, "plans", args.round,
                                    f"{name}_{args.explain}.txt"), "w") as f:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
