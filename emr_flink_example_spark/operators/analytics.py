@@ -4364,24 +4364,31 @@ def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
     hubs = edges.select("user_id").distinct().select(
         "user_id", F.lit(HITS_SCALE).cast("bigint").alias("h")
     )
+    # r15 (VERDICT r14 item 3): ONE eager checkpoint per round instead of
+    # two. The authority half-round is no longer checkpointed — it feeds
+    # the hub update as a broadcast subtree inside the SAME round job
+    # (a_raw's exchange is reused between the main stream and the a_sum
+    # scalar), and only the round's END state (hubs) is materialized to
+    # truncate lineage. The FINAL round checkpoints auth instead and skips
+    # its hub update entirely — the last h-step was computed eagerly and
+    # never consumed. Identical integer arithmetic, half the round jobs.
     auth = None
-    for _ in range(HITS_ITERS):
+    for i in range(HITS_ITERS):
         a_raw = (
             edges.join(hubs, "user_id")
             .groupBy("event_type")
             .agg(F.sum("h").alias("a_raw"))
         )
         a_tot = a_raw.groupBy().agg(F.sum("a_raw").alias("a_sum"))
-        auth = (
-            a_raw.crossJoin(F.broadcast(a_tot))
-            .select(
-                "event_type",
-                F.expr(
-                    f"a_raw div greatest(a_sum div {HITS_SCALE}, 1)"
-                ).alias("a"),
-            )
-            .localCheckpoint()
+        auth = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "event_type",
+            F.expr(
+                f"a_raw div greatest(a_sum div {HITS_SCALE}, 1)"
+            ).alias("a"),
         )
+        if i == HITS_ITERS - 1:
+            auth = auth.localCheckpoint()
+            break  # the final hub update is dead work — auth is the output
         h_raw = (
             edges.join(F.broadcast(auth), "event_type")
             .groupBy("user_id")

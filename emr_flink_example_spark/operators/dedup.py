@@ -1218,20 +1218,29 @@ def connected_components(
         "label", F.col("node")
     ).localCheckpoint()
 
+    # r15 (VERDICT r14 item 3): SELF-LOOP edges fold the old per-round
+    # `labels LEFT JOIN nbr_min` + least() re-attach into the min itself —
+    # min over {own label} ∪ {neighbor labels} == least(label,
+    # coalesce(nbr_min, label)), and every node has a self-loop so no node
+    # drops out of the groupBy. Each round is now ONE equi-join + ONE
+    # combine-friendly groupBy (was two joins + groupBy); the label
+    # sequence — and therefore the convergence-sum fixpoint detection —
+    # is identical round for round.
+    # no checkpoint here: both union arms are already checkpointed RDDs, so
+    # the per-round plan reads two bounded RDD scans — an extra eager
+    # materialization job measured as pure overhead (qtime r15)
+    edges_self = edges.union(
+        labels.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    )
+
     prev = labels.agg(F.sum("label")).first()[0]
     if prev is not None:  # empty graph -> nothing to iterate
         for _ in range(max_iters):
-            nbr_min = (
-                edges.join(labels, edges["v"] == labels["node"])
-                .groupBy("u")
-                .agg(F.min("label").alias("nbr_min"))
-            )
             labels = (
-                labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
-                .select(
-                    "node",
-                    F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
-                )
+                edges_self.join(labels, edges_self["v"] == labels["node"])
+                .groupBy("u")
+                .agg(F.min("label").alias("label"))
+                .select(F.col("u").alias("node"), "label")
                 .localCheckpoint()
             )
             cur = labels.agg(F.sum("label")).first()[0]
@@ -2504,21 +2513,42 @@ def pagerank(
         )
         .localCheckpoint()
     )
+    # r15 (VERDICT r14 item 3): the RECEIVER's static attributes (tele_v,
+    # d_v) ride the edge stream, attached ONCE before the loop — so each
+    # round is ONE equi-join + ONE map-side-combinable groupBy instead of
+    # two joins (the old `base JOIN nbr` re-attach per round). The groupBy
+    # keys include the functionally-dependent (dv, telev) so the damped
+    # rank is emitted straight out of the aggregate. Values are identical:
+    # inner `base x nbr` kept exactly the nodes receiving >= 1
+    # contribution, which is exactly the groupBy's key set (symmetrized
+    # graph: every neighbor holds rank > 0), and the integer arithmetic is
+    # untouched.
+    # lazy: materializes inside round 1's checkpoint job (one-shot — the
+    # r14 lazy-cascade negative result was about PER-ROUND lazy
+    # checkpoints; this one is consumed identically by every round)
+    edges_r = edges.join(
+        base.select(
+            F.col("node").alias("v"),
+            F.col("d").alias("dv"),
+            F.col("tele").alias("telev"),
+        ),
+        "v",
+    ).localCheckpoint(eager=False)
     # ranks carry the out-degree so each round is ONE edge join, not two
     ranks = base.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"cast({PAGERANK_SCALE} as bigint) div n").alias("r"), "d"
     )
     for _ in range(iters):
-        contrib = edges.join(ranks, edges["u"] == ranks["node"]).select(
-            "v", F.expr("r div d").alias("c")
+        contrib = edges_r.join(ranks, edges_r["u"] == ranks["node"]).select(
+            "v", "dv", "telev", F.expr("r div d").alias("c")
         )
-        nbr = contrib.groupBy("v").agg(F.sum("c").alias("s"))
         ranks = (
-            base.join(nbr, base["node"] == nbr["v"])
+            contrib.groupBy("v", "dv", "telev")
+            .agg(F.sum("c").alias("s"))
             .select(
-                "node",
-                F.expr(f"tele + ({_PR_DAMP_NUM} * s) div 100").alias("r"),
-                "d",
+                F.col("v").alias("node"),
+                F.expr(f"telev + ({_PR_DAMP_NUM} * s) div 100").alias("r"),
+                F.col("dv").alias("d"),
             )
             .localCheckpoint()
         )

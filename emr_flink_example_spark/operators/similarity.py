@@ -951,51 +951,49 @@ def q_embedding_quantize_pq(spark: SparkSession, sf: str) -> DataFrame:
     (`subspace_kmeans_fit`, PQ_TRAIN_ITERS rounds, deterministic seeding +
     6-dp update rounding), and the DuckDB oracle re-trains the identical
     codebook via an unrolled CTE chain — bit-equal, pinned by
-    tests/test_pq_training.py. The codebook is ONE broadcast row
-    (array<struct>); encoding is a pure map-side argmin fold per subspace —
-    zero shuffle, like int8 quantization. Distances use the sequential
-    fold, bit-identical to DuckDB's list arithmetic; the strict `<` fold
-    over ascending codeword ids reproduces `ORDER BY dist, id` ties.
+    tests/test_pq_training.py. Encoding is a vectorized Arrow kernel
+    (`_codes_errs_kernel`, r15 — the same seam as `_adc_codes_with_e`):
+    the relational argmin fold is CodegenFallback, and its getField(k)/
+    getField(d2) pair additionally evaluated the whole fold TWICE per
+    subspace (no CSE across HOF projections — the r14 VERDICT's
+    "documented 2x getField double-fold"). The kernel computes each
+    subspace's d2 terms in identical element order, keeps the first
+    minimum, and emits (codes, errs) ONCE — bit-equal to the fold by the
+    `test_arrow_codes_match_relational` construction, pinned for this
+    geometry (codes AND errs) in tests/test_pq_training.py. Packing and
+    the error sum stay JVM-side with the identical left-to-right
+    association; still zero shuffle, one scan, like int8 quantization.
 
     Bench note (r7, re: the r6 1.48 s -> 2.34 s record): investigated and
-    NOT a plan or code regression — the codebook was already the one-row
-    broadcast frame (not literals), the plan is unchanged, and training is
-    memoized outside the measured min-of-3 runs. Re-measured steady-state
-    on an idle host: 1.26-1.38 s at sf0.1 (4 adjacent runs), i.e. at or
-    below the r5 time; the r6 number was ambient-load contention during
-    that bench sweep (same class as the r5 agg_count_distinct blip,
-    5ca86c1, which spread 0.57-1.40 s across adjacent runs). Known
-    constant-factor headroom, deliberately not taken: the getField(k)/
-    getField(d2) pair evaluates the argmin fold twice per subspace (no CSE
-    across HOF projections), but the only barrier that would stop
-    CollapseProject re-inlining is a localCheckpoint — a full corpus
-    materialization at 100 TB, the wrong trade for a 2x on an encode that
-    is already ~0.26 ms/row."""
+    NOT a plan or code regression — training is memoized outside the
+    measured runs; the r6 number was ambient-load contention (same class
+    as the r5 agg_count_distinct blip, 5ca86c1)."""
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cb = _pq_codebook(spark, sf)
-    enc = emb.crossJoin(F.broadcast(cb))
-    code_cols = []
-    err_cols = []
-    for m in range(PQ_M):
-        # per-codeword squared L2 of this subspace, then first-min argmin
-        # (shared with the IVF-PQ pipeline — see _pq_best_sql)
-        best = F.expr(_pq_best_sql(m))
-        code_cols.append(best.getField("k").alias(f"code_{m}"))
-        err_cols.append(best.getField("d2").alias(f"err_{m}"))
-    enc = enc.select("vec_id", *code_cols, *err_cols)
-    packed = None
-    for m in range(PQ_M):
-        term = F.shiftleft(F.col(f"code_{m}").cast("bigint"), 4 * m)
-        packed = term if packed is None else packed + term
-    total_err = None
-    for m in range(PQ_M):
-        total_err = F.col(f"err_{m}") if total_err is None else total_err + F.col(f"err_{m}")
+    cw = trained_codebook(spark, sf, PQ_M, PQ_SUB_DIM, PQ_K)
+    if not cw:  # empty corpus: no codebook and no rows (see _adc_codes_with_e)
+        return emb.select(
+            "vec_id",
+            F.expr("cast(null as bigint)").alias("pq_code"),
+            F.expr("cast(null as double)").alias("recon_err"),
+        )
+    enc = emb.mapInPandas(
+        _codes_errs_kernel(cw, PQ_M, PQ_SUB_DIM),
+        "vec_id bigint, codes array<int>, errs array<double>",
+    )
+    # packed code: integer shifts+adds, exact in any order; the error sum
+    # is the same left-to-right association as the old err_0 + err_1 + ...
+    # column chain (and the oracle)
+    packed = " + ".join(
+        f"shiftleft(cast(element_at(codes, {m + 1}) as bigint), {4 * m})"
+        for m in range(PQ_M)
+    )
+    terr = " + ".join(f"element_at(errs, {m + 1})" for m in range(PQ_M))
     return enc.select(
         "vec_id",
-        packed.alias("pq_code"),
-        F.round(F.sqrt(total_err), 4).alias("recon_err"),
+        F.expr(packed).alias("pq_code"),
+        F.round(F.sqrt(F.expr(terr)), 4).alias("recon_err"),
     )
 
 
@@ -1129,6 +1127,45 @@ def _codes_kernel(
             out = {c: pdf[c] for c in passthrough}
             out["codes"] = list(codes)
             yield pd.DataFrame(out)
+
+    return encode
+
+
+def _codes_errs_kernel(cw: list[list[float]], n_sub: int, sub_dim: int):
+    """`_codes_kernel` variant that ALSO emits each subspace's argmin d2
+    (the PQ reconstruction-error terms) — the quantize_pq encode, where the
+    relational form paid the fold twice via getField(k)/getField(d2).
+    Identical IEEE sequence as `_pq_best_sql`: d2 terms accumulate in
+    subvector-element order, argmin keeps the first minimum, and the err is
+    THAT codeword's accumulated d2 — bit-equal by the same construction as
+    `_codes_kernel` (pinned in tests/test_pq_training.py for this
+    geometry, codes and errs both)."""
+    import numpy as np
+
+    C = np.asarray(cw, dtype=np.float64)  # K x DIM, codeword-id order
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            codes = np.empty((n, n_sub), dtype=np.int32)
+            errs = np.empty((n, n_sub), dtype=np.float64)
+            rows = np.arange(n)
+            for m in range(n_sub):
+                lo = m * sub_dim
+                d2 = (X[:, None, lo] - C[None, :, lo]) ** 2
+                for i in range(1, sub_dim):
+                    d2 = d2 + (X[:, None, lo + i] - C[None, :, lo + i]) ** 2
+                k = d2.argmin(1)  # first minimum, like the fold
+                codes[:, m] = k
+                errs[:, m] = d2[rows, k]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes), "errs": list(errs)}
+            )
 
     return encode
 

@@ -2136,18 +2136,32 @@ def q_keyword_textrank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # r15 (VERDICT r14 item 3, the pagerank restructure): the receiver's
+    # static attributes (telev, wuv) ride the edge stream once, so each
+    # round is ONE equi-join + ONE combine-friendly groupBy instead of two
+    # joins — the inner `base x nbr` re-attach kept exactly the nodes
+    # receiving >= 1 contribution, which is exactly the groupBy key set on
+    # the symmetrized graph; integer arithmetic untouched.
+    edges_r = edges.join(
+        base.select(
+            F.col("node").alias("v"),
+            F.col("wu").alias("wuv"),
+            F.col("tele").alias("telev"),
+        ),
+        "v",
+    ).localCheckpoint()
     ranks = base.select("node", F.col("r0").alias("r"), "wu")
     for _ in range(TEXTRANK_ITERS):
-        contrib = edges.join(ranks, edges["u"] == ranks["node"]).select(
-            "v", F.expr("(r * w) div wu").alias("c")
+        contrib = edges_r.join(ranks, edges_r["u"] == ranks["node"]).select(
+            "v", "wuv", "telev", F.expr("(r * w) div wu").alias("c")
         )
-        nbr = contrib.groupBy("v").agg(F.sum("c").alias("s"))
         ranks = (
-            base.join(nbr, base["node"] == nbr["v"])
+            contrib.groupBy("v", "wuv", "telev")
+            .agg(F.sum("c").alias("s"))
             .select(
-                "node",
-                F.expr(f"tele + ({_TR_DAMP} * s) div 100").alias("r"),
-                "wu",
+                F.col("v").alias("node"),
+                F.expr(f"telev + ({_TR_DAMP} * s) div 100").alias("r"),
+                F.col("wuv").alias("wu"),
             )
             .localCheckpoint()
         )

@@ -36,6 +36,10 @@ ARROW_QUERIES = {
     "ann_pq_adc_rerank_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
+    # r15: the PQ compression encode joined the same Arrow-kernel family —
+    # the relational getField(k)/getField(d2) pair paid the CodegenFallback
+    # fold twice per subspace (bit-equality pinned in test_pq_training.py)
+    "embedding_quantize_pq",
     # r14 batch 9: the integer-DCT census joined the Arrow-kernel family
     # (the HOF fold form is CodegenFallback — measured ~4x slower; kept as
     # the pinned-bit-equal reference `_phash_hof_df`)

@@ -129,3 +129,37 @@ def test_residual_arrow_codes_match_relational(spark):
         .collect()
     }
     assert arrow == rel and len(arrow) > 0
+
+
+def test_pq_codes_errs_kernel_matches_relational(spark):
+    """r15: the quantize_pq Arrow encode (`_codes_errs_kernel`) must be
+    BIT-EQUAL — codes AND per-subspace errs — to the relational
+    `_pq_best_sql` getField fold it replaced (same IEEE accumulation
+    order, first-min argmin); this is what keeps the quantize_pq oracle
+    hash-green while the executed path is numpy."""
+    cw = S.trained_codebook(spark, SF_DIR, S.PQ_M, S.PQ_SUB_DIM, S.PQ_K)
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    arrow = {
+        r.vec_id: (list(r.codes), list(r.errs))
+        for r in emb.mapInPandas(
+            S._codes_errs_kernel(cw, S.PQ_M, S.PQ_SUB_DIM),
+            "vec_id bigint, codes array<int>, errs array<double>",
+        ).collect()
+    }
+    rel_cols = []
+    for m in range(S.PQ_M):
+        best = F.expr(S._pq_best_sql(m))
+        rel_cols.append(best.getField("k").alias(f"k{m}"))
+        rel_cols.append(best.getField("d2").alias(f"d{m}"))
+    rel = {
+        r.vec_id: (
+            [r[f"k{m}"] for m in range(S.PQ_M)],
+            [r[f"d{m}"] for m in range(S.PQ_M)],
+        )
+        for r in emb.crossJoin(F.broadcast(S._pq_codebook(spark, SF_DIR)))
+        .select("vec_id", *rel_cols)
+        .collect()
+    }
+    assert len(arrow) > 0 and arrow == rel
