@@ -342,7 +342,23 @@ def curate_for_training(
         F.size(chunk).alias("n_chunk_tokens"),
     ).transform(pinned)
     caches.append(chunks)
-    n_chunks = chunks.count()
+    # r15: ONE combine-friendly per-lang aggregate builds the chunks pin
+    # and yields BOTH n_chunks and n_shards (replaces chunks.count() plus
+    # a second pre-write window + distinct pass): shard ids are the
+    # running-sum buckets 1..max with NO gaps — every increment is one
+    # chunk of <= CHUNK_TOKENS <= SHARD_TOKEN_BUDGET tokens, so a chunk
+    # can never skip a bucket and count(DISTINCT shard_id) == max shard_id
+    # == (sum(n_chunk_tokens) - 1) div BUDGET + 1 per lang.
+    assert CHUNK_TOKENS <= SHARD_TOKEN_BUDGET
+    per_lang_stats = (
+        chunks.groupBy("lang")
+        .agg(F.count("*").alias("nc"), F.sum("n_chunk_tokens").alias("ntok"))
+        .collect()
+    )
+    n_chunks = sum(r.nc for r in per_lang_stats)
+    n_shards = sum(
+        int((r.ntok - 1) // SHARD_TOKEN_BUDGET + 1) for r in per_lang_stats
+    )
     _mark("chunking")
 
     # 8. shard packing (one running-sum window per lang)
@@ -360,7 +376,6 @@ def curate_for_training(
         .drop("cum_tokens")
     )
     try:
-        n_shards = packed.select("lang", "shard_id").distinct().count()
         packed.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
         _mark("pack_write")
     finally:

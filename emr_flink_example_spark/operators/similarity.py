@@ -3814,13 +3814,13 @@ def q_sample_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     uses the strict-< first-min fold (`_kmeans_assign_expr`), mirrored
     in the oracle as the explicit first-min CASE chain.
 
-    Scale shape (the trainer contract): one corpus scan builds the
-    cap-bounded sample (localCheckpoint'd); each of the K-1 rounds is a
-    map-side distance fold against LITERAL centers + one TakeOrdered-1
-    (the driver only ever holds K vectors); the final assignment/radius
-    pass is one map-side fold + one combine-friendly K-row aggregate.
-    At 100 TB the selection cost is constant in the corpus (the sample
-    cap); only the sample filter and the final assignment see the data."""
+    Scale shape (the trainer contract): ONE corpus scan builds the
+    cap-bounded sample; everything after it — the K-1 greedy rounds AND
+    the assignment/radius pass — is bounded by TRAIN_SAMPLE_CAP and runs
+    on the driver in numpy (r15; the bounded-chain precedent). At 100 TB
+    the distributed cost is exactly the sample filter scan; the driver
+    holds <= cap x DIM doubles (~51 MB), the same bound the trainer's
+    seed collect and the oracle's unrolled CTEs already rely on."""
     emb = load(spark, sf, "embeddings")
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -3831,77 +3831,63 @@ def q_sample_coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
             [], "rank int, vec_id bigint, n_assigned bigint, radius_micro bigint"
         )
     samp = _train_sample(base)
-    centers = [(first[0].vec_id, [float(x) for x in first[0].e])]
-    # r14: centers ride a one-row broadcast array instead of per-round
-    # inlined literals, so every round's plan (and generated code) is
-    # IDENTICAL in shape — the pre-r14 form compiled a fresh
-    # least(<64-literal d2>, ...) chain per round, paying O(K) analysis +
-    # codegen per job for work whose data fits in one broadcast row.
-    # array_min over the per-center zip_with fold computes the exact same
-    # doubles as least(_d2_lit(...), ...): min is IEEE-exact in any
-    # association and each d2 is the identical sequential fold.
-    min_d2 = (
-        "array_min(transform(cw, c ->"
-        " aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as double), (acc, x) -> acc + x)))"
-    )
+    # r15: EVERYTHING after the sample build is bounded by the sample cap
+    # (scale-independent), so the greedy traversal and the
+    # assignment/radius pass are solved ON THE DRIVER in numpy — the
+    # attribution_markov_removal bounded-chain precedent. The r14 form ran
+    # K-1 sequential jobs whose min-d2 HOF folds are CodegenFallback
+    # (interpreted, growing k x DIM per row per round) plus a final pass
+    # that evaluated the fold TWICE (assign + min-d2 — the quantize_pq
+    # getField double-fold), ~4.4 s steady-state at sf0.1. io.load's
+    # ingestion contract guarantees fixed-dim non-null vectors, so the
+    # collected sample is a dense n x DIM matrix (<= TRAIN_SAMPLE_CAP x
+    # DIM doubles ~ 51 MB at the cap — driver-sized by construction, the
+    # same bound that makes the oracle's unrolled CTE chain tractable).
+    #
+    # Float discipline (the _codes_kernel construction, proven against
+    # the pure-python mirror in tests/test_r10_reference.py): each d2
+    # accumulates elementwise in dim order == the sequential zip_with
+    # fold; the running np.minimum over centers == array_min (min of
+    # doubles is order-free); micro = floor(md2 * 1e6 + 0.5) is the
+    # identical IEEE expression; the argmax key (-micro, vec_id) and the
+    # first-min assignment (np.argmin keeps the first minimum) reproduce
+    # the orderBy/strict-< fold tie rules exactly.
+    import numpy as np
+
+    rows = samp.select("vec_id", "e").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([[float(x) for x in r.e] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+
+    def d2_to(c: np.ndarray) -> np.ndarray:
+        acc = (X[:, 0] - c[0]) ** 2
+        for i in range(1, dim):
+            acc = acc + (X[:, i] - c[i]) ** 2
+        return acc
+
+    centers = [(first[0].vec_id, np.array([float(x) for x in first[0].e]))]
+    d2_cols = [d2_to(centers[0][1])]
+    md2 = d2_cols[0]
     for _ in range(CORESET_K - 1):
-        cwdf = spark.createDataFrame(
-            [([cv for _, cv in centers],)], "cw array<array<double>>"
-        )
-        nxt = (
-            samp.crossJoin(F.broadcast(cwdf))
-            .withColumn(
-                "md2_micro",
-                F.expr(f"cast(floor({min_d2} * 1000000.0 + 0.5) as bigint)"),
-            )
-            .orderBy(F.col("md2_micro").desc(), F.col("vec_id").asc())
-            .head(1)
-        )[0]
-        centers.append((nxt.vec_id, [float(x) for x in nxt.e]))
-    # final assignment/radius pass: same broadcast-centers form (the
-    # pre-r14 K x 64-literal least-chain + assign fold cost ~4 s of pure
-    # analysis/codegen at any SF). The index-aware transform gives cid =
-    # array position, and the strict-< fold keeps the first minimum —
-    # exactly `_kmeans_assign_expr`'s tie rule; each d2 is the identical
-    # sequential zip_with fold, so every double matches bit-for-bit.
-    cw_full = spark.createDataFrame(
-        [([cv for _, cv in centers],)], "cw array<array<double>>"
-    )
-    assign_hof = (
-        "aggregate("
-        " transform(cw, (c, i) -> struct(i AS cid,"
-        "   aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
-        "             cast(0 as double), (acc, x) -> acc + x) AS d2)),"
-        " named_struct('cid', cast(-1 as int),"
-        "              'd2', cast('Infinity' as double)),"
-        " (best, c) -> IF(c.d2 < best.d2, c, best)).cid"
-    )
-    assigned = samp.crossJoin(F.broadcast(cw_full)).select(
-        F.expr(assign_hof).alias("rank0"),
-        F.expr(
-            f"cast(floor({min_d2} * 1000000.0 + 0.5) as bigint)"
-        ).alias("md2_micro"),
-    )
-    # r14 note: fusing stats+radius into one pinned per-center aggregate
-    # measured a wash (5.46 vs 5.50 s min-of-4 paired) — both passes fold
-    # over the cap-BOUNDED localCheckpoint'd sample, so the double pass is
-    # a scale-independent constant; left as two simple aggregates.
-    stats = assigned.groupBy("rank0").agg(F.count("*").alias("n_assigned"))
-    radius = assigned.groupBy().agg(F.max("md2_micro").alias("radius_micro"))
-    picks = spark.createDataFrame(
-        [(i, int(vid)) for i, (vid, _) in enumerate(centers)],
-        "rank0 int, vec_id bigint",
-    )
-    return (
-        picks.join(stats, "rank0", "left")
-        .crossJoin(F.broadcast(radius))
-        .select(
-            (F.col("rank0") + 1).alias("rank"),
-            "vec_id",
-            F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
-            "radius_micro",
-        )
+        micro = np.floor(md2 * 1000000.0 + 0.5)
+        best = micro.max()
+        mask = micro == best
+        pick = int(np.argmin(np.where(mask, ids, np.iinfo(np.int64).max)))
+        centers.append((int(ids[pick]), X[pick].copy()))
+        d2_cols.append(d2_to(centers[-1][1]))
+        md2 = np.minimum(md2, d2_cols[-1])
+    # assignment: first-min over selection order; radius = max min-d2
+    D = np.stack(d2_cols, axis=1)  # n x K, columns in selection order
+    rank0 = D.argmin(axis=1)  # first minimum, like the strict-< fold
+    micro = np.floor(md2 * 1000000.0 + 0.5).astype(np.int64)
+    radius = int(micro.max())
+    n_assigned = np.bincount(rank0, minlength=CORESET_K)
+    return spark.createDataFrame(
+        [
+            (i + 1, int(vid), int(n_assigned[i]), radius)
+            for i, (vid, _) in enumerate(centers)
+        ],
+        "rank int, vec_id bigint, n_assigned bigint, radius_micro bigint",
     )
 
 
