@@ -1674,22 +1674,35 @@ def q_dedup_semantic_clusters(
     bounded regardless. The oracle re-runs the whole chain — coarse
     k-means re-train, cosine-ranked assignment, in-cluster pairs — in
     unrolled CTEs (`_ivf_cent_ctes`), hash-green."""
-    from .similarity import _IVF_ASSIGN_SQL, _ivf_centroids, _norm
+    from .similarity import (
+        DIM,
+        N_CENTROIDS,
+        _assign_only_kernel,
+        _norm,
+        trained_codebook,
+    )
 
     emb = (
         load(spark, sf, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .withColumn("nrm", _norm("e"))
         # all-zero vector: cosine undefined, exclude (see similarity.py)
         .where(F.expr("exists(e, x -> x <> 0.0d)"))
     )
-    cent_arr = _ivf_centroids(spark, sf).agg(
-        F.sort_array(F.collect_list(F.struct("centroid_id", "cv", "cvn"))).alias("cents")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", "e", "nrm", F.expr(_IVF_ASSIGN_SQL).alias("cluster_id"))
-    )
+    # r15: assignment (and the nrm the in-cluster cosines divide by) runs
+    # in ONE Arrow pass (`_assign_only_kernel`) instead of the interpreted
+    # `_IVF_ASSIGN_SQL` + `_norm` CodegenFallback folds per row — bit-equal
+    # by the `_assign_ids` construction (pinned in test_pq_training.py).
+    cents_cv = trained_codebook(spark, sf, 1, DIM, N_CENTROIDS)
+    if not cents_cv:  # empty corpus: no clusters, no rows — keep the schema
+        assigned = emb.select(
+            "vec_id", "e", _norm("e").alias("nrm"),
+            F.col("vec_id").alias("cluster_id"),
+        )
+    else:
+        assigned = emb.mapInPandas(
+            _assign_only_kernel(cents_cv),
+            "vec_id bigint, e array<double>, nrm double, cluster_id bigint",
+        )
     grouped = (
         assigned.groupBy("cluster_id")
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "e", "nrm"))).alias("members"))

@@ -1131,6 +1131,128 @@ def _codes_kernel(
     return encode
 
 
+def _cents_tables(cents_cv: list[list[float]]):
+    """(CV, cvn) numpy tables for the in-kernel coarse assignment: cvn is
+    the SAME sequential fold + sqrt as `_centroids_df`'s SQL (acc starts
+    0.0 and adds cv_i*cv_i in element order), computed per centroid in
+    plain python so every double matches the JVM column bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    CV = np.asarray(cents_cv, dtype=np.float64)  # NC x DIM, centroid-id order
+    cvn = []
+    for cv in cents_cv:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cvn.append(math.sqrt(acc))
+    return CV, np.asarray(cvn, dtype=np.float64)
+
+
+def _assign_ids(X, CV, cvn):
+    """Vectorized coarse assignment, bit-equal to `_IVF_ASSIGN_SQL`:
+    nrm = sqrt(sequential sum of squares), cos = (sequential dot) /
+    (nrm * cvn), strict-> fold over ascending centroid ids keeps the
+    FIRST maximum. Returns (ids int64, nrm). Requires nonzero rows (the
+    callers keep the JVM-side `exists(e, x -> x <> 0.0d)` filter), so no
+    NaN ever enters the comparison."""
+    import numpy as np
+
+    dim = X.shape[1]
+    acc = X[:, 0] * X[:, 0]
+    for i in range(1, dim):
+        acc = acc + X[:, i] * X[:, i]
+    nrm = np.sqrt(acc)
+    best = None
+    bid = np.zeros(len(X), dtype=np.int64)
+    for j in range(len(CV)):
+        dot = X[:, 0] * CV[j, 0]
+        for i in range(1, dim):
+            dot = dot + X[:, i] * CV[j, i]
+        cos = dot / (nrm * cvn[j])
+        if best is None:
+            best = cos
+        else:
+            m = cos > best  # strict >: first maximum wins, like the fold
+            bid[m] = j
+            best = np.where(m, cos, best)
+    return bid, nrm
+
+
+def _codes_assign_kernel(
+    cw: list[list[float]],
+    cents_cv: list[list[float]],
+    n_sub: int = ADC_M,
+    sub_dim: int = ADC_SUB,
+    residual: bool = False,
+):
+    """Fused coarse-assign (+ optional residual subtraction) + PQ encode in
+    ONE Arrow pass — replaces the interpreted `_IVF_ASSIGN_SQL`
+    CodegenFallback fold (8 centroids x DIM sequential ops per row) plus,
+    for the residual tier, the centroid-fetch broadcast join and zip_with.
+    Assignment bit-equality per `_assign_ids`; the residual r = e - cv is
+    one exact IEEE subtract per element (identical to zip_with); encode
+    bit-equality per `_codes_kernel`. Pinned against the relational forms
+    in tests/test_pq_training.py."""
+    import numpy as np
+
+    C = np.asarray(cw, dtype=np.float64)
+    CV, cvn = _cents_tables(cents_cv)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            bid, _ = _assign_ids(X, CV, cvn)
+            E = X - CV[bid] if residual else X
+            codes = np.empty((n, n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                lo = m * sub_dim
+                d2 = (E[:, None, lo] - C[None, :, lo]) ** 2
+                for i in range(1, sub_dim):
+                    d2 = d2 + (E[:, None, lo + i] - C[None, :, lo + i]) ** 2
+                codes[:, m] = d2.argmin(1)  # first minimum, like the fold
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "centroid_id": bid, "codes": list(codes)}
+            )
+
+    return encode
+
+
+def _assign_only_kernel(cents_cv: list[list[float]]):
+    """Coarse assignment alone, passing (vec_id, e, nrm) through — the
+    SemDeDup cluster router. nrm is computed IN the kernel with the same
+    sequential fold + sqrt as `_norm` (bit-equal), so the JVM side no
+    longer evaluates either HOF per row."""
+    import numpy as np
+
+    CV, cvn = _cents_tables(cents_cv)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            bid, nrm = _assign_ids(X, CV, cvn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "e": pdf["e"],
+                    "nrm": nrm,
+                    "cluster_id": bid,
+                }
+            )
+
+    return assign
+
+
 def _codes_errs_kernel(cw: list[list[float]], n_sub: int, sub_dim: int):
     """`_codes_kernel` variant that ALSO emits each subspace's argmin d2
     (the PQ reconstruction-error terms) — the quantize_pq encode, where the
@@ -1403,23 +1525,33 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.expr("exists(e, x -> x <> 0.0d)"))
     )
     cent = _ivf_centroids(spark, sf)
-    cent_arr = cent.agg(
-        F.sort_array(F.collect_list(F.struct("centroid_id", "cv", "cvn"))).alias("cents")
-    )
     cb = _adc_codebook(spark, sf)
-    assign = F.expr(_IVF_ASSIGN_SQL)
-    # one map pass over the Arrow-encoded corpus: the python node yields
-    # (vec_id, e, codes); the JVM layer above adds the centroid id with the
-    # broadcast-fold argmax (kept JVM-side: numpy dot products use pairwise
-    # summation, which would NOT be bit-equal to the oracle's sequential
-    # cosine fold). The python node materializes codes — no barrier needed.
-    corpus = (
-        _adc_codes_with_e(spark, sf)
+    # one map pass over the corpus: coarse assignment AND PQ encode both
+    # run inside the Arrow kernel (r15). The r14 form kept the argmax
+    # JVM-side fearing numpy's pairwise dot sums, but the kernel's
+    # explicit element-order accumulation (`_assign_ids`) IS the
+    # sequential cosine fold — bit-equal, pinned in test_pq_training.py —
+    # while the JVM fold was CodegenFallback (~0.5 s/pass interpreted at
+    # sf0.1). The python node materializes codes — no barrier needed.
+    cw_adc = trained_codebook(spark, sf, ADC_M, ADC_SUB, ADC_K)
+    nz = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .where(F.expr("exists(e, x -> x <> 0.0d)"))
-        .withColumn("nrm", _norm("e"))
-        .crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", assign.alias("centroid_id"), "codes")
     )
+    if not cw_adc:  # empty corpus (see _adc_codes_with_e: non-foldable empty)
+        corpus = nz.select(
+            "vec_id",
+            F.col("vec_id").alias("centroid_id"),
+            F.expr("transform(slice(e, 1, 0), x -> cast(x as int))").alias("codes"),
+        )
+    else:
+        corpus = nz.mapInPandas(
+            _codes_assign_kernel(
+                cw_adc, trained_codebook(spark, sf, 1, DIM, N_CENTROIDS)
+            ),
+            "vec_id bigint, centroid_id bigint, codes array<int>",
+        )
     cos_c = _dot("e", "cv") / (F.col("nrm") * F.col("cvn"))
     wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("centroid_id").asc())
     probes = (
@@ -1522,20 +1654,34 @@ def _residual_codebook(spark: SparkSession, sf: str) -> list[list[float]]:
 
 
 def _residual_codes(spark: SparkSession, sf: str) -> DataFrame:
-    """(vec_id, centroid_id, codes) — the residual corpus Arrow-encoded
-    with the residual-trained codebook (same kernel, same bit-equality
-    contract as `_adc_codes_with_e`)."""
+    """(vec_id, centroid_id, codes) — coarse assignment, residual
+    subtraction AND the residual-codebook encode fused into ONE Arrow pass
+    (r15; `_codes_assign_kernel(residual=True)`). The r14 chain ran the
+    interpreted `_IVF_ASSIGN_SQL` fold per row, a centroid-fetch broadcast
+    join and a zip_with BEFORE the encode kernel (~0.8 s/pass at sf0.1);
+    every stage is bit-equal by the `_assign_ids`/`_codes_kernel`
+    construction (pinned in tests/test_pq_training.py). Training
+    (`_residual_codebook`) still derives from the relational
+    `_residual_corpus` — memoized, and bit-equal to the kernel's residuals
+    by the same argument."""
     cw = _residual_codebook(spark, sf)
-    resid = _residual_corpus(spark, sf).select(
-        "vec_id", "centroid_id", F.col("r").alias("e")
+    nz = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
     )
     if not cw:  # empty corpus (see _adc_codes_with_e: non-foldable empty)
-        return resid.select(
-            "vec_id", "centroid_id",
+        return nz.select(
+            "vec_id",
+            F.col("vec_id").alias("centroid_id"),
             F.expr("transform(slice(e, 1, 0), x -> cast(x as int))").alias("codes"),
         )
-    return resid.mapInPandas(
-        _codes_kernel(cw, ["vec_id", "centroid_id"]),
+    return nz.mapInPandas(
+        _codes_assign_kernel(
+            cw,
+            trained_codebook(spark, sf, 1, DIM, N_CENTROIDS),
+            residual=True,
+        ),
         "vec_id bigint, centroid_id bigint, codes array<int>",
     )
 

@@ -40,6 +40,10 @@ ARROW_QUERIES = {
     # the relational getField(k)/getField(d2) pair paid the CodegenFallback
     # fold twice per subspace (bit-equality pinned in test_pq_training.py)
     "embedding_quantize_pq",
+    # r15: SemDeDup's coarse-cluster routing runs in the Arrow kernel too
+    # (the _IVF_ASSIGN_SQL fold was CodegenFallback; _assign_ids pinned
+    # bit-equal in test_pq_training.py)
+    "dedup_semantic_clusters",
     # r14 batch 9: the integer-DCT census joined the Arrow-kernel family
     # (the HOF fold form is CodegenFallback — measured ~4x slower; kept as
     # the pinned-bit-equal reference `_phash_hof_df`)

@@ -163,3 +163,36 @@ def test_pq_codes_errs_kernel_matches_relational(spark):
         .collect()
     }
     assert len(arrow) > 0 and arrow == rel
+
+
+def test_assign_kernel_matches_ivf_assign_sql(spark):
+    """r15: the in-kernel coarse assignment (`_assign_ids`, explicit
+    element-order accumulation) must be BIT-EQUAL to the interpreted
+    `_IVF_ASSIGN_SQL` fold it replaced — assignment ids AND the nrm the
+    SemDeDup cosines divide by."""
+    cents_cv = S.trained_codebook(spark, SF_DIR, 1, S.DIM, S.N_CENTROIDS)
+    emb = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .where(F.expr("exists(e, x -> x <> 0.0d)"))
+    )
+    arrow = {
+        r.vec_id: (r.cluster_id, r.nrm)
+        for r in emb.mapInPandas(
+            S._assign_only_kernel(cents_cv),
+            "vec_id bigint, e array<double>, nrm double, cluster_id bigint",
+        ).collect()
+    }
+    cent_arr = S._ivf_centroids(spark, SF_DIR).agg(
+        F.sort_array(
+            F.collect_list(F.struct("centroid_id", "cv", "cvn"))
+        ).alias("cents")
+    )
+    rel = {
+        r.vec_id: (r.cid, r.nrm)
+        for r in emb.withColumn("nrm", S._norm("e"))
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", F.expr(S._IVF_ASSIGN_SQL).alias("cid"), "nrm")
+        .collect()
+    }
+    assert len(arrow) > 0 and arrow == rel
