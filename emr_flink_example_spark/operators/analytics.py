@@ -3599,7 +3599,9 @@ def q_dedup_survivor_by_quality(spark: SparkSession, sf: str) -> DataFrame:
     # the final every-doc attach) and each re-ran the full corpus
     # explode+groupBy scoring pass — r14 caches the narrow (doc_id,
     # score_micro) result once (guide §5: cache aggregated multi-consumer
-    # frames)
+    # frames). r15 re-measure under the drained-pins harness: a WASH
+    # (no-pin 3.83 vs pinned 3.57-3.80 min-of-6 paired) — kept, since at
+    # scale the pin guarantees one scoring pass regardless of plan reuse.
     scores = pinned(
         q_quality_fasttext_gate(spark, sf).select("doc_id", "score_micro")
     )
@@ -3711,12 +3713,14 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     node-Jaccard precedent) so the driver-checked prefix is
     undisturbed."""
     from .dedup import q_graph_triangle_count
-    from ..cache import pinned
 
-    # pinned: the per-node triangle frame feeds BOTH the global
-    # transitivity aggregate and the per-node attach; unpinned, the whole
-    # wedge-join triangle chain ran twice (guide §5)
-    tri = pinned(q_graph_triangle_count(spark, sf))
+    # r15: the r14 pin REVERTED under the fixed (drained-pins) harness —
+    # min-of-6 paired 3.20 s pinned vs 2.08 s unpinned at sf0.1. Both
+    # consumers (the transitivity aggregate and the per-node attach) live
+    # in ONE plan, so ReusedExchange already shares the triangle chain;
+    # the pin only added a materialization job per run (the r14 batch-6
+    # pin-vs-ReusedExchange rule, which the warm-cache bench had masked).
+    tri = q_graph_triangle_count(spark, sf)
     glob = tri.agg(
         F.sum(2 * F.col("n_triangles")).alias("closed_x2"),
         F.sum(F.col("degree") * (F.col("degree") - 1)).alias("wedges_x2"),
