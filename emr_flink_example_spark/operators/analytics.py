@@ -2680,7 +2680,9 @@ def q_basket_lift_pairs(spark: SparkSession, sf: str) -> DataFrame:
         order_part.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
         .where(F.size("ps") <= BASKET_MAX)
-        .transform(pinned)
+        # r15: r14 pin REVERTED under the fixed harness (unpinned 1.40 vs
+        # pinned 1.87 min-of-6 paired) — pairs/supports/N share one plan,
+        # ReusedExchange covers the basket groupBy
     )
     pair_expr = F.expr(
         "flatten(transform(ps, (x, i) ->"
@@ -4831,7 +4833,7 @@ def q_basket_association_rules(spark: SparkSession, sf: str) -> DataFrame:
         li.distinct()
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
-        .transform(pinned)
+        # r15: pin reverted (unpinned 1.45 vs pinned 2.14 — see lift_pairs)
     )
     pair_expr = F.expr(
         "flatten(transform(ps, (x, i) ->"
@@ -5996,7 +5998,11 @@ def q_event_dau_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("day"),
         )
         .distinct()
-        .transform(pinned)
+        # r15: r14's ud/daily_regs pins REVERTED under the fixed harness —
+        # paired min-of-6 pinned 1.53 s vs unpinned 0.82 s: all consumers
+        # live in ONE plan, ReusedExchange shares the distinct and register
+        # exchanges, and the two pins only added materialization jobs per
+        # run (the batch-6 pin-vs-ReusedExchange rule).
     )
     daily_regs = (
         ud.select("day", portable_hash(F.col("user_id").cast("string")).alias("h"))
@@ -6010,7 +6016,7 @@ def q_event_dau_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("day", "bucket")
         .agg(F.max("rho").alias("m_j"))
-        .transform(pinned)  # two consumers: the DAU estimate + the WAU merge
+        # (unpinned, see ud note above)
     )
 
     def estimate(regs: DataFrame, out: str) -> DataFrame:
