@@ -1980,7 +1980,16 @@ def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     # every multi-column aggregate below is built as ONE SQL string
     # producing an array — 64 Column objects assembled through py4j cost
     # ~1 s of driver chatter PER ROUND (measured r14); one parsed
-    # expression is milliseconds for the same plan
+    # expression is milliseconds for the same plan.
+    # r15 negative result, recorded: fusing ALL rounds into one action
+    # (rounds chained as one-row broadcast aggregate frames, normalize in
+    # SQL — the oracle's unrolled-CTE shape) measured SLOWER, 6.0 vs 3.54
+    # min-of-6 paired at sf0.1: the per-round broadcast builds nest and
+    # serialize (round k's v-frame contains round k-1's whole subtree, so
+    # nothing canonicalizes equal for ReuseExchange) and the one fused
+    # plan pays a much deeper analysis. The per-round driver hop is the
+    # cheaper coordination point; reverted (values were bit-equal — the
+    # oracle stayed hash-green under the fused form).
     mu_agg = "array(" + ", ".join(
         f"round(avg(element_at(e, {i})), 6)" for i in range(1, DIM + 1)
     ) + ")"
